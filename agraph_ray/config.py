@@ -1,0 +1,58 @@
+"""Pipeline configuration.
+
+One frozen dataclass passed through every stage. Defaults mirror the
+reference's configuration surface (agraph/config.py:122-127 chunk size 512 /
+overlap 100; agraph/extractors/entity_extractor.py:27 confidence threshold
+0.5) plus the scale knobs the reference does not have (salting, LSH blocking,
+per-block pair caps, partition sizing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class KGConfig:
+    # --- chunking (reference: agraph/config.py:122-127, agraph/chunker.py:21) ---
+    chunk_size: int = 512          # max approx tokens per chunk
+    chunk_overlap: int = 100       # approx tokens of overlap between chunks
+
+    # --- extraction ---
+    confidence_threshold: float = 0.5   # entity + relation floor (entity_extractor.py:27)
+    max_keywords: int = 10              # keyword concepts cap (entity_extractor.py:351)
+
+    # --- reassembly / skew ---
+    # Conversations with more turns than `hot_conv_turns` are salted into
+    # sub-documents of `salt_span` turns each so one giant conversation cannot
+    # pin a single shuffle task (SURVEY.md §7.5 item 4).
+    hot_conv_turns: int = 8192
+    salt_span: int = 4096
+    turn_separator: str = "\n"     # document text = separator.join(turn texts)
+
+    # --- entity linking (minhash-LSH blocking; replaces the reference's
+    #     O(n^2) prefilter, agraph/builders/llm_builders.py:413-435) ---
+    shingle_k: int = 3             # char n-gram size for name shingles
+    num_perm: int = 32             # minhash permutations
+    lsh_bands: int = 8             # bands (rows per band = num_perm // lsh_bands)
+    link_threshold: float = 0.85   # name-similarity accept threshold for a match edge
+    max_block_pairs: int = 2000    # cap on candidate pairs generated per LSH block
+    max_label_prop_iters: int = 25 # bound on connected-components iterations
+
+    # --- execution sizing ---
+    extract_batch_size: int = 64       # documents per extraction batch
+    # Actor-pool size for the extract stage. "auto" = (1, cluster_cpus - 2):
+    # never reserve every CPU with long-lived actors or the read/write tasks
+    # of the same pipeline starve and the job livelocks.
+    extract_concurrency: "int | tuple | str" = "auto"
+    chunk_batch_size: int = 256
+    target_block_rows: int = 65536
+
+    # --- materialization ---
+    min_rows_per_file: int = 200_000
+
+    # --- co-occurrence blowup guard (reference has the same quadratic
+    #     behaviour unbounded, relation_extractor.py:447-487; we cap and count) ---
+    max_cooc_entities_per_sentence: int = 50
+
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,184 @@
+"""End-to-end KG construction pipeline (BASELINE.json north_star).
+
+    read_parquet(transcripts) → reassemble → [chunk] → extract →
+    dedup (nodes, edges) → link + canonicalize → materialize + manifests
+
+Two entry points:
+
+- :func:`build_kg` — the streaming single-job pipeline. One extraction
+  execution, checkpointed as the ``mentions`` Parquet dataset; node and edge
+  branches read it back with predicate pushdown.
+
+- :func:`build_kg_resumable` — the production shape for 10^12-turn inputs:
+  input shards are processed in partition groups, each committing a
+  ``mentions`` partition + lineage manifest; a restart skips committed
+  partitions (kill/restart test: tests/test_resume.py). Global stages
+  (dedup/link/materialize) then run over all mention partitions. Relies on
+  the loader contract that shards are hash-partitioned by conv_id (our
+  generator guarantees it; a general loader gets it from one
+  repartition-by-key pass).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..config import KGConfig
+from ..stages.canonicalize import canonicalize
+from ..stages.chunk import chunk_documents
+from ..stages.dedup import dedup_edges, dedup_entities
+from ..stages.extract import extract_mentions
+from ..stages.materialize import (atomic_write_parquet, commit_manifest,
+                                  is_committed)
+from ..stages.reassemble import reassemble
+
+
+@dataclass
+class KGBuildResult:
+    out_dir: str
+    tables: Dict[str, str]
+    metrics: Dict[str, float] = field(default_factory=dict)
+
+
+def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
+                         do_canonicalize: bool = True,
+                         metrics: Optional[Dict] = None) -> Dict[str, str]:
+    """Global stages: mentions parquet → triples / nodes / edges tables."""
+    import ray.data as rd
+    mentions_dir = os.path.join(out_dir, "mentions")
+    tables: Dict[str, str] = {"mentions": mentions_dir}
+
+    ent_cols = ["kind", "conv_id", "entity_id", "name", "norm_name",
+                "entity_type", "description", "aliases", "confidence", "source"]
+    tri_cols = ["kind", "conv_id", "relation_id", "subj", "subj_type", "pred",
+                "obj", "obj_type", "head_id", "tail_id", "confidence", "source"]
+
+    entities = rd.read_parquet(mentions_dir, columns=ent_cols,
+                               filter=pc.field("kind") == "entity")
+    triples = rd.read_parquet(mentions_dir, columns=tri_cols,
+                              filter=pc.field("kind") == "triple")
+
+    nodes = dedup_entities(entities, cfg)
+    edges = dedup_edges(triples, cfg)
+
+    # deduped (subj, pred, obj) table — the P/R gate artifact
+    triples_dir = os.path.join(out_dir, "triples")
+    n_triples = atomic_write_parquet(
+        edges.select_columns(["relation_id", "subj", "subj_type",
+                              "relation_type", "obj", "obj_type",
+                              "confidence", "source", "n_mentions"])
+        .map_batches(lambda t: t.rename_columns(
+            ["relation_id", "subj", "subj_type", "pred", "obj", "obj_type",
+             "confidence", "source", "n_mentions"]), batch_format="pyarrow"),
+        triples_dir, cfg.min_rows_per_file)
+    tables["triples"] = triples_dir
+
+    if do_canonicalize:
+        nodes_dir_tmp = os.path.join(out_dir, "nodes_exact")
+        atomic_write_parquet(nodes, nodes_dir_tmp, cfg.min_rows_per_file)
+        nodes = rd.read_parquet(nodes_dir_tmp)
+        edges_dir_tmp = os.path.join(out_dir, "edges_exact")
+        atomic_write_parquet(edges, edges_dir_tmp, cfg.min_rows_per_file)
+        edges = rd.read_parquet(edges_dir_tmp)
+        nodes, edges, cmap = canonicalize(nodes, edges, cfg)
+        if metrics is not None:
+            metrics["entities_merged_by_linking"] = len(cmap)
+
+    n_nodes = atomic_write_parquet(nodes, os.path.join(out_dir, "nodes"),
+                                   cfg.min_rows_per_file)
+    n_edges = atomic_write_parquet(edges, os.path.join(out_dir, "edges"),
+                                   cfg.min_rows_per_file)
+    tables["nodes"] = os.path.join(out_dir, "nodes")
+    tables["edges"] = os.path.join(out_dir, "edges")
+    if metrics is not None:
+        metrics.update({"n_nodes": n_nodes, "n_edges": n_edges,
+                        "n_triples": n_triples})
+    return tables
+
+
+def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
+             with_chunks: bool = True, do_canonicalize: bool = True,
+             engine=None) -> KGBuildResult:
+    """Single-job streaming pipeline. ``transcripts`` is a Dataset or a
+    parquet path/dir."""
+    import ray.data as rd
+    cfg = cfg or KGConfig()
+    t0 = time.time()
+    metrics: Dict[str, float] = {}
+    if isinstance(transcripts, (str, list)):
+        transcripts = rd.read_parquet(transcripts,
+                                      columns=["conv_id", "turn_idx", "text"])
+
+    docs = reassemble(transcripts, cfg)
+
+    # checkpoint documents so chunking and extraction don't re-run the
+    # reassembly shuffle twice (two consumers, one write)
+    docs_dir = os.path.join(out_dir, "documents")
+    n_docs = atomic_write_parquet(docs, docs_dir, cfg.min_rows_per_file)
+    docs = rd.read_parquet(docs_dir)
+    metrics["n_documents"] = n_docs
+
+    if with_chunks:
+        n_chunks = atomic_write_parquet(
+            chunk_documents(docs, cfg), os.path.join(out_dir, "chunks"),
+            cfg.min_rows_per_file)
+        metrics["n_chunks"] = n_chunks
+
+    mentions = extract_mentions(docs, cfg, engine=engine)
+    n_mentions = atomic_write_parquet(
+        mentions, os.path.join(out_dir, "mentions"), cfg.min_rows_per_file)
+    metrics["n_mentions"] = n_mentions
+
+    tables = _mentions_to_outputs(out_dir, cfg, do_canonicalize, metrics)
+    if with_chunks:
+        tables["chunks"] = os.path.join(out_dir, "chunks")
+    tables["documents"] = docs_dir
+    metrics["wall_sec"] = time.time() - t0
+    commit_manifest(out_dir, "build", "all", metrics)
+    return KGBuildResult(out_dir, tables, metrics)
+
+
+def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
+                       cfg: Optional[KGConfig] = None,
+                       shards_per_partition: int = 4,
+                       do_canonicalize: bool = True,
+                       engine=None) -> KGBuildResult:
+    """Partitioned, checkpointed build over conv_id-partitioned shards."""
+    import ray.data as rd
+    cfg = cfg or KGConfig()
+    t0 = time.time()
+    groups: List[List[str]] = [
+        list(shard_paths[i:i + shards_per_partition])
+        for i in range(0, len(shard_paths), shards_per_partition)]
+
+    metrics: Dict[str, float] = {"n_partitions": len(groups), "skipped": 0}
+    for pid, files in enumerate(groups):
+        if is_committed(out_dir, "mentions", pid):
+            metrics["skipped"] += 1
+            continue
+        part_t0 = time.time()
+        ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+        n_turns = ds.count()
+        docs = reassemble(ds, cfg)
+        mentions = extract_mentions(docs, cfg, engine=engine)
+        part_dir = os.path.join(out_dir, "mentions", f"part={pid}")
+        n_rows = atomic_write_parquet(mentions, part_dir, cfg.min_rows_per_file)
+        part = pads.dataset(part_dir, format="parquet")
+        n_ent = part.count_rows(filter=pc.field("kind") == "entity")
+        commit_manifest(out_dir, "mentions", pid, {
+            "input_files": files, "input_rows": n_turns,
+            "output_rows": n_rows, "entities": n_ent,
+            "triples": n_rows - n_ent,
+            "duration_sec": time.time() - part_t0,
+        })
+
+    tables = _mentions_to_outputs(out_dir, cfg, do_canonicalize, metrics)
+    metrics["wall_sec"] = time.time() - t0
+    commit_manifest(out_dir, "finalize", "all", metrics)
+    return KGBuildResult(out_dir, tables, metrics)

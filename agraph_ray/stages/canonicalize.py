@@ -1,0 +1,200 @@
+"""Stages E+F — entity linking (MinHash-LSH) + canonicalization.
+
+Replaces the reference's O(n²) near-duplicate prefilter over all entity
+pairs (agraph/builders/llm_builders.py:413-475) with minhash-LSH blocking:
+
+  nodes → per-name minhash signature over char-k shingles → (band, bucket)
+  rows → groupby((band, bucket, entity_type)) → candidate pairs inside each
+  block only (capped) → deterministic name-similarity scoring → match edges
+  → distributed connected components (state/unionfind.py) → canonical map →
+  broadcast rewrite of nodes and edges.
+
+Scoring mirrors the reference's candidate rule (same entity_type AND name
+similarity; exact = 1.0, containment = 0.8, else difflib ratio —
+agraph/builders/llm_builders.py:437-469) with an accept threshold in place
+of the LLM pairwise judge (which plugs into the same pair table as an actor
+pool when available).
+
+Determinism: minhash permutations use fixed 64-bit multiply-shift constants
+derived from an md5 stream seeded with "agraph-ray-minhash" — identical
+across processes and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import difflib
+import hashlib
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..config import KGConfig
+from ..state.unionfind import connected_components, components_to_canonical_map
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_constants(num_perm: int) -> np.ndarray:
+    """(num_perm, 2) deterministic odd multipliers + offsets."""
+    stream = b"".join(
+        hashlib.md5(f"agraph-ray-minhash-{i}".encode()).digest()
+        for i in range(num_perm))
+    arr = np.frombuffer(stream, dtype=np.uint64).reshape(num_perm, 2).copy()
+    arr[:, 0] |= 1  # odd multipliers
+    return arr
+
+
+def _shingle_hashes(name: str, k: int) -> np.ndarray:
+    """Stable 64-bit hashes of the char-k shingles of a (padded) name."""
+    s = f"^{name}$"
+    if len(s) < k:
+        s = s.ljust(k, "_")
+    shingles = {s[i:i + k] for i in range(len(s) - k + 1)}
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "little")
+         for sh in shingles), dtype=np.uint64, count=len(shingles))
+
+
+class MinHashBander:
+    """map_batches callable: nodes batch → (block_key, entity_id, name,
+    entity_type) band rows. Permutation constants build once per actor."""
+
+    def __init__(self, cfg: Optional[KGConfig] = None):
+        cfg = cfg or KGConfig()
+        self.k = cfg.shingle_k
+        self.num_perm = cfg.num_perm
+        self.bands = cfg.lsh_bands
+        self.rows = cfg.num_perm // cfg.lsh_bands
+        self.perms = _perm_constants(cfg.num_perm)
+
+    def signature(self, name: str) -> np.ndarray:
+        h = _shingle_hashes(name, self.k)                      # (s,)
+        a, b = self.perms[:, 0][:, None], self.perms[:, 1][:, None]
+        vals = (a * h[None, :] + b) % _MERSENNE                # (p, s)
+        return vals.min(axis=1)                                # (p,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, ids, names, types = [], [], [], []
+        for eid, name, etype in zip(batch["entity_id"].to_pylist(),
+                                    batch["name"].to_pylist(),
+                                    batch["entity_type"].to_pylist()):
+            sig = self.signature(name or "")
+            for band in range(self.bands):
+                chunk = sig[band * self.rows:(band + 1) * self.rows]
+                digest = hashlib.md5(chunk.tobytes()).hexdigest()[:12]
+                keys.append(f"{band}:{digest}:{etype}")
+                ids.append(eid)
+                names.append(name)
+                types.append(etype)
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.string()), pa.array(ids, pa.string()),
+             pa.array(names, pa.string()), pa.array(types, pa.string())],
+            names=["block_key", "entity_id", "name", "entity_type"])
+
+
+def name_similarity(a: str, b: str) -> float:
+    """Reference scoring (llm_builders.py:450-469): exact 1.0, containment
+    0.8, else SequenceMatcher ratio."""
+    if a == b:
+        return 1.0
+    if a in b or b in a:
+        return 0.8
+    return difflib.SequenceMatcher(None, a, b).ratio()
+
+
+def _pair_factory(threshold: float, cap: int):
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("entity_id").sort_values("entity_id")
+        src, dst, sims = [], [], []
+        n = len(g)
+        ids = g["entity_id"].tolist()
+        names = g["name"].tolist()
+        budget = cap
+        for i in range(n):
+            if budget <= 0:
+                break
+            for j in range(i + 1, n):
+                budget -= 1
+                if budget < 0:
+                    break
+                s = name_similarity(names[i], names[j])
+                if s >= threshold:
+                    src.append(ids[i]); dst.append(ids[j]); sims.append(s)
+        return pd.DataFrame({"src": pd.Series(src, dtype="object"),
+                             "dst": pd.Series(dst, dtype="object"),
+                             "sim": pd.Series(sims, dtype="float64")})
+    return pairs_in_block
+
+
+def link_entities(nodes: "ray.data.Dataset",
+                  cfg: Optional[KGConfig] = None) -> "ray.data.Dataset":
+    """nodes → match edges (src, dst, sim) between near-duplicate entities."""
+    cfg = cfg or KGConfig()
+    # stateless tasks: the bander's only state (perm constants) is trivially
+    # cheap, and tasks can't starve sibling operators the way a full-size
+    # actor pool can
+    bands = nodes.select_columns(["entity_id", "name", "entity_type"]).map_batches(
+        MinHashBander(cfg), batch_format="pyarrow")
+    pair_fn = _pair_factory(cfg.link_threshold, cfg.max_block_pairs)
+    pairs = bands.groupby("block_key").map_groups(pair_fn, batch_format="pandas")
+    # same pair can surface from several bands → dedup on (src, dst)
+    return pairs.groupby(["src", "dst"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
+                 cfg: Optional[KGConfig] = None):
+    """Run linking + components, rewrite nodes/edges to canonical ids.
+
+    Returns (canonical_nodes, canonical_edges, canonical_map).
+    The rewrite is a broadcast-map (ray.put of the non-trivial id→root dict)
+    — no shuffle — because only matched duplicates appear in the map.
+    """
+    cfg = cfg or KGConfig()
+    match_edges = link_entities(nodes, cfg)
+    if match_edges.count() == 0:
+        return nodes, edges, {}
+    labels = connected_components(match_edges,
+                                  max_iters=cfg.max_label_prop_iters)
+    cmap = components_to_canonical_map(labels)
+    if not cmap:
+        return nodes, edges, {}
+    cmap_ref = ray.put(cmap)
+
+    def rewrite_nodes(batch: pa.Table) -> pa.Table:
+        m: Dict[str, str] = ray.get(cmap_ref)
+        ids = batch["entity_id"].to_pylist()
+        canon = [m.get(i, i) for i in ids]
+        return batch.append_column("canonical_id", pa.array(canon, pa.string()))
+
+    def merge_canon_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["confidence", "entity_id"],
+                          ascending=[False, True], kind="mergesort")
+        rep = g.head(1).copy()
+        rep["entity_id"] = rep["canonical_id"]
+        others = sorted(set(g["name"]) - set(rep["name"]))
+        rep["aliases"] = [sorted({a for lst in g["aliases"] for a in lst}
+                                 | set(others))]
+        rep["n_mentions"] = int(g["n_mentions"].sum())
+        rep["n_convs"] = int(g["n_convs"].sum())
+        return rep.drop(columns=["canonical_id"])
+
+    canon_nodes = (nodes.map_batches(rewrite_nodes, batch_format="pyarrow")
+                   .groupby("canonical_id")
+                   .map_groups(merge_canon_group, batch_format="pandas"))
+
+    def rewrite_edges(batch: pa.Table) -> pa.Table:
+        m: Dict[str, str] = ray.get(cmap_ref)
+        head = [m.get(i, i) for i in batch["head_id"].to_pylist()]
+        tail = [m.get(i, i) for i in batch["tail_id"].to_pylist()]
+        out = batch.set_column(batch.schema.get_field_index("head_id"),
+                               "head_id", pa.array(head, pa.string()))
+        out = out.set_column(out.schema.get_field_index("tail_id"),
+                             "tail_id", pa.array(tail, pa.string()))
+        return out
+
+    canon_edges = edges.map_batches(rewrite_edges, batch_format="pyarrow")
+    return canon_nodes, canon_edges, cmap

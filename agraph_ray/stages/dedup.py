@@ -1,0 +1,157 @@
+"""Stage D — exact dedup / merge.
+
+Entities: ``mentions[kind=entity]`` → ``nodes`` keyed by ``norm_name``
+(merge semantics of agraph/extractors/entity_extractor.py:93-125: union
+aliases, keep max confidence and its description). The reference's
+"first-encountered record wins the name/type" rule is encounter-order
+dependent and therefore nondeterministic under distribution; we replace it
+with a deterministic equivalent — the representative record is the one with
+(max confidence, then lexicographically-smallest entity_type, then smallest
+name) — and document the deviation (SURVEY.md §7.5 item 3). The fixture
+gate compares normalized names, which are unaffected.
+
+Edges: ``mentions[kind=triple]`` → ``edges`` keyed by ``relation_id`` (the
+(head, type, tail) signature dedup of agraph/utils.py:431-452), keeping the
+max-confidence witness and a mention count.
+
+Scale shape: both run a *partial per-batch merge first* (combiner) so the
+global ``groupby`` shuffles one row per key per batch instead of one row
+per mention — the standard pre-aggregation pattern for hot-key-heavy
+distributions (planted vocabulary entities appear in most conversations).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import KGConfig
+
+NODES_SCHEMA = pa.schema([
+    ("entity_id", pa.string()),
+    ("name", pa.string()),            # normalized name (dedup key)
+    ("display_name", pa.string()),
+    ("entity_type", pa.string()),
+    ("description", pa.string()),
+    ("aliases", pa.list_(pa.string())),
+    ("confidence", pa.float64()),
+    ("source", pa.string()),
+    ("n_mentions", pa.int64()),
+    ("n_convs", pa.int64()),
+])
+
+
+def _merge_entity_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic merge of one norm_name group (pandas in, pandas out)."""
+    rep = g.sort_values(["confidence", "entity_type", "name"],
+                        ascending=[False, True, True], kind="mergesort").iloc[0]
+    aliases = sorted({a for lst in g["aliases"] if lst is not None for a in lst})
+    return pd.DataFrame({
+        "entity_id": [rep["entity_id"]],
+        "name": [rep["norm_name"]],
+        "display_name": [min(g["name"])],
+        "entity_type": [rep["entity_type"]],
+        "description": [rep["description"] or ""],
+        "aliases": [aliases],
+        "confidence": [float(g["confidence"].max())],
+        "source": [rep["source"]],
+        "n_mentions": [int(g["n_mentions"].sum())],
+        "n_convs": [int(g["n_convs"].sum())],  # upper bound after partials
+    })
+
+
+ENTITY_PARTIAL_SCHEMA = pa.schema([
+    ("entity_id", pa.string()), ("name", pa.string()),
+    ("norm_name", pa.string()), ("entity_type", pa.string()),
+    ("description", pa.string()), ("aliases", pa.list_(pa.string())),
+    ("confidence", pa.float64()), ("source", pa.string()),
+    ("n_mentions", pa.int64()), ("n_convs", pa.int64()),
+])
+
+
+def _entity_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: collapse duplicate norm_names inside the batch."""
+    df = batch.to_pandas()
+    if "n_mentions" not in df:
+        df["n_mentions"] = 1
+        df["n_convs"] = (~df.duplicated(["norm_name", "conv_id"])).astype("int64")
+    out = []
+    for _, g in df.groupby("norm_name", sort=False):
+        rep = g.sort_values(["confidence", "entity_type", "name"],
+                            ascending=[False, True, True], kind="mergesort").iloc[0]
+        aliases = sorted({a for lst in g["aliases"] if lst is not None for a in lst})
+        out.append({
+            "entity_id": rep["entity_id"], "name": rep["name"],
+            "norm_name": rep["norm_name"], "entity_type": rep["entity_type"],
+            "description": rep["description"], "aliases": aliases,
+            "confidence": float(g["confidence"].max()),
+            "source": rep["source"],
+            "n_mentions": int(g["n_mentions"].sum()),
+            "n_convs": int(g["n_convs"].sum()),
+        })
+    return pa.Table.from_pylist(out, schema=ENTITY_PARTIAL_SCHEMA)
+
+
+def dedup_entities(entity_mentions: "ray.data.Dataset",
+                   cfg: Optional[KGConfig] = None) -> "ray.data.Dataset":
+    """entity mentions → nodes (partial merge, then groupby(norm_name))."""
+    partials = entity_mentions.map_batches(_entity_partial,
+                                           batch_format="pyarrow")
+    return partials.groupby("norm_name").map_groups(
+        _merge_entity_group, batch_format="pandas")
+
+
+EDGES_SCHEMA = pa.schema([
+    ("relation_id", pa.string()),
+    ("head_id", pa.string()),
+    ("tail_id", pa.string()),
+    ("relation_type", pa.string()),
+    ("subj", pa.string()),
+    ("obj", pa.string()),
+    ("subj_type", pa.string()),
+    ("obj_type", pa.string()),
+    ("confidence", pa.float64()),
+    ("source", pa.string()),
+    ("n_mentions", pa.int64()),
+])
+
+
+def _edge_partial(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    if "n_mentions" not in df:
+        df["n_mentions"] = 1
+    rel_col = "pred" if "pred" in df else "relation_type"
+    df = df.sort_values("confidence", ascending=False, kind="mergesort")
+    agg = df.groupby("relation_id", sort=False).agg(
+        head_id=("head_id", "first"), tail_id=("tail_id", "first"),
+        relation_type=(rel_col, "first"), subj=("subj", "first"),
+        obj=("obj", "first"), subj_type=("subj_type", "first"),
+        obj_type=("obj_type", "first"), confidence=("confidence", "max"),
+        source=("source", "first"), n_mentions=("n_mentions", "sum"),
+    ).reset_index()
+    return pa.Table.from_pandas(agg, preserve_index=False, schema=EDGES_SCHEMA)
+
+
+def _merge_edge_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values("confidence", ascending=False, kind="mergesort")
+    top = g.head(1).copy()
+    top["n_mentions"] = int(g["n_mentions"].sum())
+    return top
+
+
+def dedup_edges(triple_mentions: "ray.data.Dataset",
+                cfg: Optional[KGConfig] = None) -> "ray.data.Dataset":
+    """triple mentions → edges, deduped on relation_id.
+
+    Endpoint existence (the assembly filter of
+    agraph/builders/llm_builders.py:699-702) holds by construction: triples
+    only ever reference entities extracted from the same document, and exact
+    entity dedup is keyed by the same norm_name the ids hash — so every
+    head_id/tail_id has a node row. Verified by the dangling-edge test.
+    """
+    partials = triple_mentions.map_batches(_edge_partial, batch_format="pyarrow")
+    merged = partials.groupby("relation_id").map_groups(
+        _merge_edge_group, batch_format="pandas")
+    return merged

@@ -1,0 +1,102 @@
+"""Stage A — conversation reassembly.
+
+``transcripts(conv_id, turn_idx, role, text, tool, ts)`` →
+``documents(conv_id, doc_seq, text, n_turns, first_turn_idx)``
+
+Semantics (BASELINE.json north_star step 1): group turns by ``conv_id``,
+sort each group by ``turn_idx`` and concatenate turn texts with
+``cfg.turn_separator``, preserving per-turn text equality under stable turn
+ordering. The reference's equivalent is restoring input order after its
+async fan-out (agraph/builders/llm_builders.py:243-246) — here order lives
+inside the group, never across the whole dataset.
+
+Skew handling (SURVEY.md §7.5 item 4): conversations whose turn count
+exceeds ``cfg.hot_conv_turns`` are *salted* — their shuffle key becomes
+``conv_id#(turn_idx // cfg.salt_span)`` so a 10^6-turn conversation becomes
+~turns/salt_span independent groups instead of pinning one reducer. Each
+salted group emits a sub-document with ``doc_seq = salt``; downstream
+extraction treats sub-documents independently (matches cross a sub-document
+boundary are lost — bounded, documented approximation).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Set
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..config import KGConfig
+
+
+def find_hot_conversations(ds: "ray.data.Dataset", cfg: KGConfig) -> Set[str]:
+    """Conversation ids with more than ``cfg.hot_conv_turns`` turns.
+
+    Cheap pre-pass: per-batch partial counts (combiner) → one tiny groupby
+    over (distinct conv per batch) partials — the shuffle moves at most one
+    row per (conv_id, batch), not one per turn.
+    """
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("conv_id").aggregate([("conv_id", "count")])
+        return g.rename_columns(["conv_id", "n"])
+
+    partials = ds.select_columns(["conv_id"]).map_batches(
+        partial_counts, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    totals = partials.groupby("conv_id").aggregate(Sum("n", alias_name="n_turns"))
+    thresh = int(cfg.hot_conv_turns)
+    hot = totals.map_batches(
+        lambda t: t.filter(pc.greater(t["n_turns"], thresh))
+                   .select(["conv_id"]),
+        batch_format="pyarrow")
+    out = set()
+    for b in hot.iter_batches(batch_format="pyarrow"):
+        out.update(b["conv_id"].to_pylist())
+    return out
+
+
+def reassemble(ds: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
+               hot_convs: Optional[Set[str]] = None,
+               detect_hot: bool = True) -> "ray.data.Dataset":
+    """Reassemble conversations into documents (see module docstring).
+
+    ``hot_convs`` may be passed explicitly (e.g. from a previous run's
+    metrics); otherwise it is detected with :func:`find_hot_conversations`
+    when ``detect_hot`` is set.
+    """
+    cfg = cfg or KGConfig()
+    if hot_convs is None and detect_hot:
+        hot_convs = find_hot_conversations(ds, cfg)
+    hot_convs = hot_convs or set()
+    hot_ref = ray.put(hot_convs)  # broadcast once, read per task
+    span = int(cfg.salt_span)
+    sep = cfg.turn_separator
+
+    def add_group_key(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        if hot_set := ray.get(hot_ref):
+            idx = batch["turn_idx"].to_pylist()
+            key = [f"{c}#{i // span}" if c in hot_set else c
+                   for c, i in zip(conv, idx)]
+        else:
+            key = conv
+        return batch.append_column("group_key", pa.array(key, pa.string()))
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("turn_idx", kind="mergesort")
+        conv_id = group["conv_id"].iloc[0]
+        first = int(group["turn_idx"].iloc[0])
+        doc_seq = first // span if "#" in str(group["group_key"].iloc[0]) else 0
+        return pd.DataFrame({
+            "conv_id": [conv_id],
+            "doc_seq": pd.array([doc_seq], dtype="int32"),
+            "text": [sep.join(group["text"].tolist())],
+            "n_turns": pd.array([len(group)], dtype="int32"),
+            "first_turn_idx": pd.array([first], dtype="int32"),
+        })
+
+    keyed = ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        add_group_key, batch_format="pyarrow")
+    return keyed.groupby("group_key").map_groups(assemble, batch_format="pandas")
