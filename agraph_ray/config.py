@@ -35,7 +35,10 @@ class KGConfig:
     shingle_k: int = 3             # char n-gram size for name shingles
     num_perm: int = 32             # minhash permutations
     lsh_bands: int = 8             # bands (rows per band = num_perm // lsh_bands)
-    link_threshold: float = 0.85   # name-similarity accept threshold for a match edge
+    # name-similarity accept threshold for a match edge; containment scores
+    # 0.8 (llm_builders.py:450-469) and must pass, matching the reference's
+    # >0.7 candidate cut
+    link_threshold: float = 0.75
     max_block_pairs: int = 2000    # cap on candidate pairs generated per LSH block
     max_label_prop_iters: int = 25 # bound on connected-components iterations
 

@@ -194,7 +194,21 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
                                "head_id", pa.array(head, pa.string()))
         out = out.set_column(out.schema.get_field_index("tail_id"),
                              "tail_id", pa.array(tail, pa.string()))
-        return out
+        # a merge can collapse both endpoints into one node — such
+        # self-relations are invalid (agraph/relations.py:116-125)
+        import pyarrow.compute as pc
+        return out.filter(pc.invert(pc.equal(out["head_id"], out["tail_id"])))
 
-    canon_edges = edges.map_batches(rewrite_edges, batch_format="pyarrow")
+    def resig_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        """Rewritten endpoints can make two edges share a (head, type, tail)
+        signature — keep the max-confidence witness (utils.py:431-452)."""
+        g = g.sort_values(["confidence", "relation_id"],
+                          ascending=[False, True], kind="mergesort")
+        top = g.head(1).copy()
+        top["n_mentions"] = int(g["n_mentions"].sum())
+        return top
+
+    canon_edges = (edges.map_batches(rewrite_edges, batch_format="pyarrow")
+                   .groupby(["head_id", "relation_type", "tail_id"])
+                   .map_groups(resig_dedup, batch_format="pandas"))
     return canon_nodes, canon_edges, cmap

@@ -153,10 +153,11 @@ def generate_transcripts(out_dir: str, n_convs: int = 200, seed: int = 42,
     return paths
 
 
-def ground_truth_documents(n_convs: int, seed: int, separator: str = "\n"):
+def ground_truth_documents(n_convs: int, seed: int, separator: str = "\n",
+                           skew: bool = True):
     """(conv_id -> full document text) exactly as reassembly must produce it
     — the per-turn-text-equality oracle (BASELINE.json input_hint)."""
-    counts = conv_turn_counts(n_convs, seed)
+    counts = conv_turn_counts(n_convs, seed, skew_frac=0.002 if skew else 0.0)
     docs = {}
     for k in range(n_convs):
         conv_id = f"conv-{seed}-{k:07d}"

@@ -1,0 +1,77 @@
+"""Unit tests for the deterministic extraction rules (no Ray)."""
+
+from agraph_ray.extract.rules import (RuleExtractor, _entity_confidence)
+from agraph_ray.ids import entity_id, norm_name, relation_id
+
+
+def test_confidence_constants():
+    # exact heuristic of agraph/extractors/entity_extractor.py:127-154
+    assert abs(_entity_confidence("a") - 0.2) < 1e-12  # len 1, stopword
+    assert _entity_confidence("z") == 0.5          # len 1, lower
+    assert abs(_entity_confidence("ab") - 0.6) < 1e-12         # len>1
+    assert abs(_entity_confidence("abcd") - 0.7) < 1e-12       # len>3
+    assert abs(_entity_confidence("Abcd") - 0.8) < 1e-12       # +capitalized
+    assert abs(_entity_confidence("the") - 0.3) < 1e-12   # stopword len 3
+    assert abs(_entity_confidence("With") - 0.5) < 1e-12  # stopword, cap, len>3
+
+
+def test_keyword_concepts_frequency_and_cap():
+    x = RuleExtractor()
+    text = " ".join(["alpha"] * 3 + ["beta"] * 2 + ["gamma"])  # gamma freq 1
+    kws = x._concept_keywords(text)
+    assert kws == ["alpha", "beta"]
+    words = [f"{a}{b}qq" for a in "abcde" for b in "abcd"]  # 20 distinct words
+    many = " ".join(w for w in words for _ in range(2))     # each freq 2
+    assert len(x._concept_keywords(many)) == 10  # top-10 cap
+
+
+def test_entity_extraction_ignorecase_person_bigram():
+    # IGNORECASE makes the PERSON bigram fire on lowercase pairs too
+    x = RuleExtractor()
+    ents = x.extract_entities("hello world")
+    names = {e.name for e in ents}
+    assert "hello world" in names
+
+
+def test_dedup_first_wins_max_confidence():
+    x = RuleExtractor()
+    ents = x.extract_entities("Alice Johnson smiled. alice johnson waved.")
+    hits = [e for e in ents if e.key == "alice johnson"]
+    assert len(hits) == 1
+    assert hits[0].name == "Alice Johnson"      # first-encounter name kept
+    assert abs(hits[0].confidence - 0.8) < 1e-12   # max over both casings
+
+
+def test_relation_pattern_and_validation():
+    x = RuleExtractor()
+    # belongs_to survives only when the tail resolves to an
+    # organization-typed entity (validity whitelist,
+    # relation_extractor.py:124-145) — verified identical to the reference
+    ents, triples = x.extract("Dave works for 苹果公司.")
+    keys = {(t.subj, t.pred, t.obj) for t in triples}
+    assert ("dave works", "belongs_to", "苹果公司") in keys
+    # cooccurrence RELATED_TO pairs exist with conf 0.5
+    assert any(t.pred == "related_to" and t.confidence == 0.5 for t in triples)
+    # no self-relations
+    assert all(t.subj != t.obj for t in triples)
+    # when both endpoints type as person, belongs_to is filtered (the
+    # IGNORECASE bigram types most English names as person)
+    _, t2 = x.extract("Alice Johnson works for Globex Inc.")
+    assert not any(t.pred == "belongs_to" for t in t2)
+
+
+def test_invalid_combo_filtered():
+    x = RuleExtractor()
+    # "X is similar to Y" only validates for concept-concept
+    ents, triples = x.extract("Alice Johnson is similar to Globex Inc.")
+    assert not any(t.pred == "similar_to" for t in triples)
+
+
+def test_ids_deterministic():
+    assert entity_id("Apple Inc") == entity_id("  apple inc ")
+    assert entity_id("apple inc") != entity_id("apple")
+    assert relation_id("a", "contains", "b") == relation_id("A ", "contains", " b")
+    assert norm_name(" X ") == "x"
+    import hashlib
+    # exact reference scheme: entity_<md5(name)[:8]>
+    assert entity_id("apple") == "entity_" + hashlib.md5(b"apple").hexdigest()[:8]

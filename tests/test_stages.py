@@ -1,0 +1,179 @@
+"""Stage-level tests: reassembly (incl. salting), chunker, dedup merge,
+union-find, canonicalization."""
+
+import pandas as pd
+import pytest
+
+from agraph_ray.config import KGConfig
+from agraph_ray.stages.chunk import ApproxTokenChunker
+
+
+# ---------------- reassembly ----------------
+
+def test_reassemble_restores_turn_order(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import reassemble
+    rows = [{"conv_id": "c1", "turn_idx": i, "text": f"t{i}"} for i in (3, 0, 2, 1)]
+    rows += [{"conv_id": "c2", "turn_idx": i, "text": f"u{i}"} for i in (1, 0)]
+    docs = {r["conv_id"]: r["text"]
+            for r in reassemble(rd.from_items(rows), KGConfig(),
+                                detect_hot=False).take_all()}
+    assert docs["c1"] == "t0\nt1\nt2\nt3"
+    assert docs["c2"] == "u0\nu1"
+
+
+def test_reassemble_salts_hot_conversations(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import reassemble
+    cfg = KGConfig(hot_conv_turns=10, salt_span=8)
+    rows = [{"conv_id": "big", "turn_idx": i, "text": f"x{i}"} for i in range(30)]
+    rows += [{"conv_id": "small", "turn_idx": i, "text": f"y{i}"} for i in range(3)]
+    out = reassemble(rd.from_items(rows), cfg).take_all()
+    big = sorted((r for r in out if r["conv_id"] == "big"),
+                 key=lambda r: r["doc_seq"])
+    assert [r["doc_seq"] for r in big] == [0, 1, 2, 3]        # 30/8 → 4 sub-docs
+    assert [r["n_turns"] for r in big] == [8, 8, 8, 6]
+    # concatenation preserves the full conversation text
+    joined = "\n".join(r["text"] for r in big)
+    assert joined == "\n".join(f"x{i}" for i in range(30))
+    small = [r for r in out if r["conv_id"] == "small"]
+    assert len(small) == 1 and small[0]["doc_seq"] == 0
+
+
+# ---------------- chunker ----------------
+
+def test_chunker_bounds_and_overlap():
+    c = ApproxTokenChunker(chunk_size=50, chunk_overlap=10)
+    text = ". ".join(f"sentence number {i} with several extra words here"
+                     for i in range(40))
+    chunks = c.split_text(text)
+    assert len(chunks) > 1
+    for ch in chunks:
+        assert c.count_tokens(ch) <= 50 + 10
+    # no content loss: every sentence id appears somewhere
+    joined = " ".join(chunks)
+    for i in range(40):
+        assert f"number {i} " in joined or joined.endswith(f"number {i}")
+
+
+def test_chunker_short_text_single_chunk():
+    c = ApproxTokenChunker(chunk_size=512, chunk_overlap=100)
+    assert c.split_text("short text") == ["short text"]
+
+
+def test_chunker_rejects_bad_overlap():
+    with pytest.raises(ValueError):
+        ApproxTokenChunker(chunk_size=10, chunk_overlap=10)
+
+
+# ---------------- dedup merge ----------------
+
+def test_dedup_entities_merge_semantics(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.dedup import dedup_entities
+    rows = [
+        dict(kind="entity", conv_id="c1", entity_id="entity_x", name="Apple",
+             norm_name="apple", entity_type="organization", description="d1",
+             aliases=["AAPL"], confidence=0.8, source="text_extraction"),
+        dict(kind="entity", conv_id="c2", entity_id="entity_x", name="apple",
+             norm_name="apple", entity_type="organization", description="d2",
+             aliases=["apple co"], confidence=0.6, source="text_extraction"),
+        dict(kind="entity", conv_id="c1", entity_id="entity_y", name="pear",
+             norm_name="pear", entity_type="concept", description="",
+             aliases=[], confidence=0.6, source="keyword_extraction"),
+    ]
+    nodes = {r["name"]: r for r in dedup_entities(rd.from_items(rows)).take_all()}
+    assert set(nodes) == {"apple", "pear"}
+    a = nodes["apple"]
+    assert a["confidence"] == 0.8            # max confidence wins
+    assert a["description"] == "d1"          # description of max-confidence rec
+    assert sorted(a["aliases"]) == ["AAPL", "apple co"]   # union
+    assert a["n_mentions"] == 2
+
+
+def test_dedup_edges_keeps_max_confidence(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.dedup import dedup_edges
+    base = dict(kind="triple", conv_id="c", subj="a", subj_type="person",
+                pred="related_to", obj="b", obj_type="person",
+                head_id="entity_a", tail_id="entity_b",
+                relation_id="relation_1")
+    rows = [dict(base, confidence=0.5, source="cooccurrence"),
+            dict(base, confidence=0.7, source="text_pattern_matching")]
+    out = dedup_edges(rd.from_items(rows)).take_all()
+    assert len(out) == 1
+    assert out[0]["confidence"] == 0.7
+    assert out[0]["source"] == "text_pattern_matching"
+    assert out[0]["n_mentions"] == 2
+
+
+# ---------------- union-find ----------------
+
+def test_connected_components_chain_and_islands(ray_session):
+    import ray.data as rd
+    from agraph_ray.state.unionfind import (components_to_canonical_map,
+                                            connected_components)
+    edges = rd.from_items([
+        {"src": "b", "dst": "a"}, {"src": "b", "dst": "c"},
+        {"src": "c", "dst": "d"}, {"src": "x", "dst": "y"},
+    ])
+    labels = {r["node"]: r["label"]
+              for r in connected_components(edges, max_iters=10).take_all()}
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "a",
+                      "x": "x", "y": "x"}
+    cmap = components_to_canonical_map(connected_components(edges))
+    assert cmap == {"b": "a", "c": "a", "d": "a", "y": "x"}
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from agraph_ray.state.unionfind import connected_components
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    assert connected_components(empty).count() == 0
+
+
+# ---------------- linking / canonicalization ----------------
+
+def _node(eid, name, etype="organization", conf=0.8):
+    return dict(entity_id=eid, name=name, display_name=name,
+                entity_type=etype, description="", aliases=[],
+                confidence=conf, source="text_extraction",
+                n_mentions=1, n_convs=1)
+
+
+def test_link_entities_finds_near_duplicates(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.canonicalize import link_entities
+    nodes = rd.from_items([
+        _node("entity_1", "globex incorporated"),
+        _node("entity_2", "globex incorporated."),     # near-dup
+        _node("entity_3", "completely different name"),
+    ])
+    pairs = link_entities(nodes, KGConfig()).take_all()
+    assert {(p["src"], p["dst"]) for p in pairs} == {("entity_1", "entity_2")}
+
+
+def test_canonicalize_rewrites_edges(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.canonicalize import canonicalize
+    nodes = rd.from_items([
+        _node("entity_1", "globex incorporated"),
+        _node("entity_2", "globex incorporated."),
+        _node("entity_3", "acme unrelated thing"),
+    ])
+    edges = rd.from_items([dict(
+        relation_id="relation_1", head_id="entity_2", tail_id="entity_3",
+        relation_type="related_to", subj="globex incorporated.",
+        obj="acme unrelated thing", subj_type="organization",
+        obj_type="organization", confidence=0.5, source="cooccurrence",
+        n_mentions=1)])
+    cn, ce, cmap = canonicalize(nodes, edges, KGConfig())
+    assert cmap == {"entity_2": "entity_1"}
+    node_ids = {r["entity_id"] for r in cn.take_all()}
+    assert node_ids == {"entity_1", "entity_3"}
+    e = ce.take_all()[0]
+    assert e["head_id"] == "entity_1"            # rewritten to canonical id
+    merged = [r for r in cn.take_all() if r["entity_id"] == "entity_1"][0]
+    assert merged["n_mentions"] == 2
