@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the agraph_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship KG pipeline on sf0.001-derived transcripts.
+``queries()`` — one callable per implemented operator/pipeline (SURVEY.md §2
+plus the training-data ops); each takes ``sf_dir`` and returns a Dataset /
+pandas DataFrame / pyarrow Table.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(same column names; floats rounded identically on both sides). Queries
+whose semantics are not SQL-expressible (regex KG extraction, LSH/minhash,
+simhash, media actors) intentionally have no oracle → rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +18,509 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow.compute as pc
+
+
+def _quiet():
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _scale_cols(ds, spec):
+    """Turn float columns into scaled BIGINTs via floor(x*f + 0.5) — an
+    explicit half-up rule identical to the oracle's
+    CAST(floor(x*f + 0.5) AS BIGINT), immune to float-repr hashing drift
+    (half-even vs half-away ROUND differs between engines)."""
+    import pyarrow as pa
+
+    def _r(t: "pa.Table") -> "pa.Table":
+        for col, factor in spec.items():
+            i = t.schema.get_field_index(col)
+            v = pc.cast(t[col], pa.float64())
+            scaled = pc.floor(pc.add(pc.multiply(v, float(factor)), 0.5))
+            t = t.set_column(i, col, pc.cast(scaled, pa.int64()))
+        return t
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_agg(sf_dir: str):
+    """Grouped aggregate with per-batch partial pre-aggregation."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice"])
+
+    def partial(t):
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("l_quantity", "max"), ("l_quantity", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus",
+                                 "p_qty", "p_price", "p_maxq", "p_n"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("p_qty", alias_name="sum_qty"),
+                      Sum("p_price", alias_name="sum_price"),
+                      Max("p_maxq", alias_name="max_qty"),
+                      Sum("p_n", alias_name="n")))
+    return _scale_cols(out, {"sum_qty": 100, "sum_price": 100, "max_qty": 100})
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join (small dim via ray.put) + aggregate."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def add_seg(t: "pa.Table") -> "pa.Table":
+        m = ray.get(seg_ref)
+        seg = [m.get(k) for k in t["o_custkey"].to_pylist()]
+        return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    from ray.data.aggregate import Count
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    out = (orders.map_batches(add_seg, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                      Count(alias_name="n_orders")))
+    return _scale_cols(out, {"revenue": 100})
+
+
+def q_top10_orders(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+def q_filter_lineitem(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)),
+        batch_format="pyarrow")
+
+
+def q_nation_region(sf_dir: str):
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    reg_ref = ray.put(dict(zip(reg["r_regionkey"], reg["r_name"])))
+
+    def add_region(t):
+        m = ray.get(reg_ref)
+        return pa.Table.from_arrays(
+            [t["n_name"].combine_chunks(),
+             pa.array([m.get(k) for k in t["n_regionkey"].to_pylist()],
+                      pa.string())],
+            names=["n_name", "r_name"])
+
+    return rd.read_parquet(f"{sf_dir}/nation.parquet").map_batches(
+        add_region, batch_format="pyarrow")
+
+
+def q_part_brand_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+    out = (rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_brand", "p_retailprice"])
+           .groupby("p_brand")
+           .aggregate(Count(alias_name="n"),
+                      Mean("p_retailprice", alias_name="avg_price")))
+    return _scale_cols(out, {"avg_price": 10000})
+
+
+def q_customer_top3_per_segment(sf_dir: str):
+    """Per-group top-k via map_groups (window-function equivalent)."""
+    import pandas as pd
+    import ray.data as rd
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c_acctbal", "c_custkey"],
+                             ascending=[False, True],
+                             kind="mergesort").head(3)
+
+    return (rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_mktsegment", "c_custkey", "c_acctbal"])
+            .groupby("c_mktsegment")
+            .map_groups(top3, batch_format="pandas"))
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-day event-time window per user (streaming-shaped)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def add_day(t: "pa.Table") -> "pa.Table":
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return t.append_column("day", pc.cast(day, pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = (ds.map_batches(add_day, batch_format="pyarrow")
+           .groupby(["user_id", "day"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value")))
+    return _scale_cols(out, {"sum_value": 100})
+
+
+def q_events_by_type(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    out = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "value"])
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value")))
+    return _scale_cols(out, {"sum_value": 100})
+
+
+def q_distinct_event_types(sf_dir: str):
+    import ray.data as rd
+    import pandas as pd
+    vals = (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type"]).unique("event_type"))
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def q_docs_token_count(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.text import add_token_count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: add_token_count(t).drop(["text"]),
+                          batch_format="pyarrow")
+
+
+def q_docs_quality(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.text import add_quality
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: add_quality(t).drop(["text"]),
+                         batch_format="pyarrow")
+    return _scale_cols(out, {"avg_token_len": 10**6, "punct_ratio": 10**6,
+                             "alpha_ratio": 10**6})
+
+
+def q_docs_langid(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.text import add_lang_id
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: add_lang_id(t).drop(["text"]),
+                          batch_format="pyarrow")
+
+
+def q_docs_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.text import add_fingerprint
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: add_fingerprint(t).drop(["text"]),
+                          batch_format="pyarrow")
+
+
+def q_docs_dedup_exact(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import exact_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+def q_docs_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import ngram_jaccard_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5)
+    return _scale_cols(out, {"jaccard": 10**6})
+
+
+def q_docs_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import simhash_near_dup_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=8)
+
+
+def q_docs_minhash_dedup(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import minhash_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return minhash_dedup(ds, jaccard_threshold=0.8).select_columns(["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+# ---------------------------------------------------------------------------
+
+def _load_queries(sf_dir: str, n: int = 4):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
+    vecs = np.asarray(t["embedding"].to_pylist()[:n], dtype=np.float64)
+    ids = t["vec_id"].to_pylist()[:n]
+    return vecs, ids
+
+
+def q_ann_topk(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.similarity import topk_cosine
+    vecs, ids = _load_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return _scale_cols(topk_cosine(ds, vecs, query_ids=ids, k=10),
+                       {"sim": 10**6})
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.similarity import topk_cosine_lsh
+    vecs, ids = _load_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return topk_cosine_lsh(ds, vecs, query_ids=ids, k=10)
+
+
+def q_emb_near_dup(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import embedding_near_dup_pairs
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, threshold=0.35)
+    return _scale_cols(out, {"cosine": 10**6})
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline over transcripts derived from documents
+# ---------------------------------------------------------------------------
+
+def q_reassemble_docs(sf_dir: str):
+    """Transcripts (80-char turn slices, reverse-emitted) → reassembled
+    documents; SQL oracle = the original documents table."""
+    from agraph_ray.config import KGConfig
+    from agraph_ray.stages.reassemble import reassemble
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    docs = reassemble(ds, KGConfig(turn_separator=""), detect_hot=False)
+    return docs.select_columns(["conv_id", "text"])
+
+
+def q_kg_triples(sf_dir: str):
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.kg_build import kg_tables
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    _, edges, _ = kg_tables(ds, KGConfig(turn_separator=""))
+    return edges.select_columns(
+        ["relation_id", "subj", "relation_type", "obj", "confidence"])
+
+
+def q_kg_nodes(sf_dir: str):
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.kg_build import kg_tables
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    nodes, _, _ = kg_tables(ds, KGConfig(turn_separator=""))
+    return nodes.select_columns(
+        ["entity_id", "name", "entity_type", "confidence", "n_mentions"])
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: deterministic fake media → actor-pool feature
+    extraction (decode kernel stubbed, distribution real)."""
+    import ray.data as rd
+    from agraph_ray.ops.multimodal import extract_media_features, synth_media
+    ds = rd.from_arrow(synth_media(n=96, seed=5))
+    feats = extract_media_features(ds, fake=True)
+    return feats.map_batches(
+        lambda t: t.drop(["feature"]).append_column(
+            "feat_norm", pc.round(pc.list_element(t["feature"], 0), 6)),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG build over sf0.001-derived transcripts."""
+    _quiet()
+    return q_kg_triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _quiet()
+    return {
+        # relational / aggregation / windows
+        "lineitem_agg": q_lineitem_agg,
+        "orders_by_segment": q_orders_by_segment,
+        "top10_orders": q_top10_orders,
+        "filter_lineitem": q_filter_lineitem,
+        "nation_region": q_nation_region,
+        "part_brand_stats": q_part_brand_stats,
+        "customer_top3_per_segment": q_customer_top3_per_segment,
+        "events_window": q_events_window,
+        "events_by_type": q_events_by_type,
+        "distinct_event_types": q_distinct_event_types,
+        # text analysis
+        "docs_token_count": q_docs_token_count,
+        "docs_quality": q_docs_quality,
+        "docs_langid": q_docs_langid,
+        "docs_fingerprint": q_docs_fingerprint,
+        # dedup family
+        "docs_dedup_exact": q_docs_dedup_exact,
+        "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
+        "docs_minhash_dedup": q_docs_minhash_dedup,
+        "emb_near_dup": q_emb_near_dup,
+        # similarity search
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        # KG pipeline
+        "reassemble_docs": q_reassemble_docs,
+        "kg_triples": q_kg_triples,
+        "kg_nodes": q_kg_nodes,
+        # multimodal plumbing
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty,
+                   CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_price,
+                   CAST(floor(max(l_quantity) * 100 + 0.5) AS BIGINT) AS max_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top10_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "filter_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity > 45.0
+        """,
+        "nation_region": """
+            SELECT n_name, r_name FROM nation
+            JOIN region ON n_regionkey = r_regionkey
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n,
+                   CAST(floor(avg(p_retailprice) * 10000 + 0.5) AS BIGINT) AS avg_price
+            FROM part GROUP BY p_brand
+        """,
+        "customer_top3_per_segment": """
+            SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+            QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                ORDER BY c_acctbal DESC, c_custkey) <= 3
+        """,
+        "events_window": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   count(*) AS n, CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value
+            FROM events GROUP BY user_id, day
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "docs_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS token_count
+            FROM documents
+        """,
+        "docs_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '\S+')) AS token_count,
+                   CAST(floor((length(text) - len(regexp_extract_all(text, '\s')))
+                         / greatest(len(regexp_extract_all(text, '\S+')), 1)::DOUBLE
+                         * 1000000 + 0.5) AS BIGINT) AS avg_token_len,
+                   CAST(floor(len(regexp_extract_all(text, '[[:punct:]]'))
+                         / greatest(length(text), 1)::DOUBLE
+                         * 1000000 + 0.5) AS BIGINT) AS punct_ratio,
+                   CAST(floor(len(regexp_extract_all(text, '[A-Za-z]'))
+                         / greatest(length(text), 1)::DOUBLE
+                         * 1000000 + 0.5) AS BIGINT) AS alpha_ratio
+            FROM documents
+        """,
+        "docs_langid": r"""
+            SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))
+                             / greatest(length(text), 1)::DOUBLE > 0.2 THEN 'zh'
+                        WHEN len(regexp_extract_all(text, '[A-Za-z]'))
+                             / greatest(length(text), 1)::DOUBLE > 0.6 THEN 'en'
+                        ELSE 'other' END AS lang_pred
+            FROM documents
+        """,
+        "docs_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "docs_dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+                 sims AS (SELECT q.query_id, e.vec_id,
+                                 list_cosine_similarity(
+                                     q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS s
+                          FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id,
+                   CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rank
+            FROM sims
+            QUALIFY rank <= 10
+        """,
+        "reassemble_docs": """
+            SELECT CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+        """,
+        # no oracle (non-SQL-expressible; driver records rows-only checks):
+        # kg_triples, kg_nodes, docs_minhash_pairs, docs_simhash_pairs,
+        # docs_minhash_dedup, emb_near_dup, ann_topk_lsh, media_features
+    }

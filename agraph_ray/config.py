@@ -43,7 +43,10 @@ class KGConfig:
     max_label_prop_iters: int = 25 # bound on connected-components iterations
 
     # --- execution sizing ---
-    extract_batch_size: int = 64       # documents per extraction batch
+    # documents per extraction batch — SMALL so salted sub-documents of a
+    # skewed conversation spread across the actor pool instead of piling
+    # into one task (observed straggler at batch_size=64)
+    extract_batch_size: int = 4
     # Actor-pool size for the extract stage. "auto" = (1, cluster_cpus - 2):
     # never reserve every CPU with long-lived actors or the read/write tasks
     # of the same pipeline starve and the job livelocks.

@@ -171,10 +171,13 @@ class EntityRec:
     source: str
     description: str = ""
     aliases: List[str] = field(default_factory=list)
+    _key: str = field(default="", repr=False, compare=False)
 
     @property
     def key(self) -> str:
-        return self.name.lower().strip()
+        if not self._key:
+            self._key = self.name.lower().strip()
+        return self._key
 
 
 @dataclass
@@ -320,15 +323,21 @@ class RuleExtractor:
 
     def _cooccurrence(self, text: str, entities: List[EntityRec]) -> List[TripleRec]:
         """All same-sentence entity pairs as RELATED_TO conf 0.5
-        (relation_extractor.py:447-487); optional per-sentence cap."""
+        (relation_extractor.py:447-487); optional per-sentence cap.
+
+        Hot path: lowered names/aliases are cached once per document instead
+        of per (sentence, entity) pair — O(sentences × entities) substring
+        checks remain (the reference's own complexity), but without the
+        per-check allocation."""
+        lowered = [(e, e.name.lower(), [a.lower() for a in e.aliases])
+                   for e in entities]
         out: List[TripleRec] = []
         for sentence in _SENTENCE_SPLIT_RE.split(text):
             s = sentence.strip().lower()
             if not s:
                 continue
-            present = [e for e in entities
-                       if e.name.lower() in s
-                       or any(a.lower() in s for a in e.aliases)]
+            present = [e for e, nl, al in lowered
+                       if nl in s or (al and any(a in s for a in al))]
             if self.max_cooc and len(present) > self.max_cooc:
                 present = present[: self.max_cooc]
             for i, e1 in enumerate(present):

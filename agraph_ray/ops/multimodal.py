@@ -1,0 +1,92 @@
+"""Multimodal column plumbing (image / audio / video as opaque binary).
+
+The decode/extract kernels themselves are STUBS — the image/audio libraries
+are not in this container — but the Ray-side plumbing is real and tested:
+schema (binary payload + typed metadata), actor-pool stage shape, small
+batch sizes for wide binary rows, and deterministic fake features for tests.
+
+Equivalent reference surface: the vision-LLM ImageProcessor
+(agraph/processer/image_processor.py:292-612) — an API-backed captioner that
+plugs into the same actor slot.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("kind", pa.string()),              # "image" | "audio" | "video"
+    ("payload", pa.binary()),           # opaque encoded bytes
+    ("mime", pa.string()),
+    ("width", pa.int32()),              # -1 when unknown / n-a
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+class MediaFeatureExtractor:
+    """Actor-pool ``map_batches`` stage: payload → feature vector.
+
+    ``fake=True`` (default here) produces a deterministic 16-d feature from
+    the payload's md5 — exercising the full distributed path without codec
+    libraries. ``fake=False`` raises NotImplementedError at the decode
+    boundary (clearly marked stub: plug PIL/ffmpeg/torchvision here).
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, fake: bool = True):
+        self.fake = fake
+        # real implementation would load the model/codec once per actor here
+
+    def _decode_and_embed(self, payload: bytes, kind: str) -> np.ndarray:
+        if self.fake:
+            digest = hashlib.md5(payload or b"").digest()
+            raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+            return raw / 255.0
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg — not available in "
+            "this environment; plug the decoder in here")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._decode_and_embed(p, k) for p, k in
+                 zip(batch["payload"].to_pylist(), batch["kind"].to_pylist())]
+        arr = pa.array([f.tolist() for f in feats],
+                       pa.list_(pa.float32(), self.FEATURE_DIM))
+        return pa.Table.from_arrays(
+            [batch["media_id"].combine_chunks(),
+             batch["kind"].combine_chunks(), arr],
+            names=["media_id", "kind", "feature"])
+
+
+def extract_media_features(ds: "ray.data.Dataset", fake: bool = True,
+                           batch_size: int = 16,
+                           concurrency: Optional[int] = 2):
+    """Feature-extraction stage: SMALL batches (wide binary rows) on an
+    actor pool (model loaded once per actor)."""
+    return ds.map_batches(MediaFeatureExtractor,
+                          fn_constructor_kwargs={"fake": fake},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def synth_media(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic fake media table for tests."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 512)),
+                               dtype=np.uint8).tobytes()
+        rows.append({"media_id": f"m{i:05d}", "kind": kind,
+                     "payload": payload, "mime": f"{kind}/fake",
+                     "width": 64 if kind == "image" else -1,
+                     "height": 64 if kind == "image" else -1,
+                     "duration_ms": 1000 if kind != "image" else -1})
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

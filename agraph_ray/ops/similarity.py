@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``) and every batch does one numpy matmul + local top-k; the
+global top-k per query is a tiny final reduction. This replaces the
+reference's per-query Python loop over an in-heap vector dict
+(agraph/storage/vector_storage.py:310-332).
+
+Scale path: IVF-style LSH bucketing (ops/dedup.embedding_near_dup_pairs
+buckets) or the sharded ANN actor pool (state/ann.py) when the corpus is
+queried repeatedly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def topk_cosine(ds: "ray.data.Dataset", queries: np.ndarray,
+                query_ids: Optional[list] = None, k: int = 10,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> "ray.data.Dataset":
+    """→ rows (query_id, vec_id, sim, rank), rank 1..k per query.
+
+    Deterministic tie-break: (-sim, vec_id). Cosine is computed in float64
+    at full precision; callers that need oracle-hashable output scale to
+    integers afterwards.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put(q / qn)
+    qids = query_ids if query_ids is not None else list(range(len(q)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)                                    # (Q, d)
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(batch[id_col].to_pylist())
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = qm @ (vecs / norms).T                           # (Q, n)
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            part = np.argpartition(-row, kk - 1)[:kk]
+            order = part[np.lexsort((ids[part], -row[part]))]
+            out_q.extend([qids[qi]] * kk)
+            out_id.extend(ids[order].tolist())
+            out_sim.extend(row[order].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_q), pa.array(out_id),
+             pa.array(out_sim, type=pa.float64())],
+            names=["query_id", id_col, "sim"])
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        local_topk, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pandas")
+
+
+def topk_cosine_lsh(ds: "ray.data.Dataset", queries: np.ndarray,
+                    query_ids: Optional[list] = None, k: int = 10,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    num_planes: int = 8):
+    """Approximate variant: only score vectors whose hyperplane sign-bucket
+    matches the query's (single table). Recall < 1; cost ~ 1/2^planes of
+    brute force. Same output schema as :func:`topk_cosine`."""
+    import hashlib
+    rng = np.random.default_rng(
+        int.from_bytes(hashlib.md5(b"agraph-ray-hyperplanes").digest()[:4],
+                       "little"))
+    q = np.asarray(queries, dtype=np.float64)
+    dim = q.shape[1]
+    planes = rng.standard_normal((num_planes, dim))
+    qkeys = ((q @ planes.T > 0).astype(np.uint32)
+             << np.arange(num_planes, dtype=np.uint32)).sum(axis=1)
+    qids = query_ids if query_ids is not None else list(range(len(q)))
+    by_bucket = {}
+    for qi, bk in enumerate(qkeys.tolist()):
+        by_bucket.setdefault(bk, []).append(qi)
+    q_ref = ray.put((q, by_bucket, qids))
+
+    def local(batch: pa.Table) -> pa.Table:
+        qm, buckets, ids_ = ray.get(q_ref)
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(batch[id_col].to_pylist())
+        keys = ((vecs @ planes[:, :vecs.shape[1]].T > 0).astype(np.uint32)
+                << np.arange(num_planes, dtype=np.uint32)).sum(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        for bk, qlist in buckets.items():
+            mask = keys == bk
+            if not mask.any():
+                continue
+            sub, sub_ids = vecs[mask], ids[mask]
+            sub = sub / norms[mask][:, None]
+            for qi in qlist:
+                qv = qm[qi] / max(np.linalg.norm(qm[qi]), 1e-12)
+                sims = sub @ qv
+                kk = min(k, len(sims))
+                part = np.argpartition(-sims, kk - 1)[:kk] if kk else []
+                out_q.extend([ids_[qi]] * kk)
+                out_id.extend(sub_ids[part].tolist())
+                out_sim.extend(np.round(sims[part], 6).tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_q), pa.array(out_id),
+             pa.array(out_sim, pa.float64())],
+            names=["query_id", id_col, "sim"])
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        local, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(final_topk,
+                                                   batch_format="pandas")

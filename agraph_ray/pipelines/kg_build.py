@@ -67,39 +67,84 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
     nodes = dedup_entities(entities, cfg)
     edges = dedup_edges(triples, cfg)
 
-    # deduped (subj, pred, obj) table — the P/R gate artifact
+    # one scan of mentions each for the node and edge branches; everything
+    # downstream derives from these checkpoints
+    t = time.time()
+    nodes_exact_dir = os.path.join(
+        out_dir, "nodes_exact" if do_canonicalize else "nodes")
+    edges_exact_dir = os.path.join(
+        out_dir, "edges_exact" if do_canonicalize else "edges")
+    n_nodes = atomic_write_parquet(nodes, nodes_exact_dir,
+                                   cfg.min_rows_per_file)
+    n_edges = atomic_write_parquet(edges, edges_exact_dir,
+                                   cfg.min_rows_per_file)
+    if metrics is not None:
+        metrics["sec_dedup_write"] = round(time.time() - t, 2)
+
+    # deduped (subj, pred, obj) table — the P/R gate artifact — derived from
+    # the already-written exact edge table (no second mentions scan)
+    t = time.time()
     triples_dir = os.path.join(out_dir, "triples")
     n_triples = atomic_write_parquet(
-        edges.select_columns(["relation_id", "subj", "subj_type",
-                              "relation_type", "obj", "obj_type",
-                              "confidence", "source", "n_mentions"])
+        rd.read_parquet(edges_exact_dir,
+                        columns=["relation_id", "subj", "subj_type",
+                                 "relation_type", "obj", "obj_type",
+                                 "confidence", "source", "n_mentions"])
         .map_batches(lambda t: t.rename_columns(
             ["relation_id", "subj", "subj_type", "pred", "obj", "obj_type",
              "confidence", "source", "n_mentions"]), batch_format="pyarrow"),
         triples_dir, cfg.min_rows_per_file)
     tables["triples"] = triples_dir
+    if metrics is not None:
+        metrics["sec_dedup_triples"] = round(time.time() - t, 2)
 
     if do_canonicalize:
-        nodes_dir_tmp = os.path.join(out_dir, "nodes_exact")
-        atomic_write_parquet(nodes, nodes_dir_tmp, cfg.min_rows_per_file)
-        nodes = rd.read_parquet(nodes_dir_tmp)
-        edges_dir_tmp = os.path.join(out_dir, "edges_exact")
-        atomic_write_parquet(edges, edges_dir_tmp, cfg.min_rows_per_file)
-        edges = rd.read_parquet(edges_dir_tmp)
-        nodes, edges, cmap = canonicalize(nodes, edges, cfg)
+        t = time.time()
+        nodes, edges, cmap = canonicalize(rd.read_parquet(nodes_exact_dir),
+                                          rd.read_parquet(edges_exact_dir),
+                                          cfg)
         if metrics is not None:
             metrics["entities_merged_by_linking"] = len(cmap)
-
-    n_nodes = atomic_write_parquet(nodes, os.path.join(out_dir, "nodes"),
-                                   cfg.min_rows_per_file)
-    n_edges = atomic_write_parquet(edges, os.path.join(out_dir, "edges"),
-                                   cfg.min_rows_per_file)
+            metrics["sec_canonicalize"] = round(time.time() - t, 2)
+        t = time.time()
+        n_nodes = atomic_write_parquet(nodes, os.path.join(out_dir, "nodes"),
+                                       cfg.min_rows_per_file)
+        n_edges = atomic_write_parquet(edges, os.path.join(out_dir, "edges"),
+                                       cfg.min_rows_per_file)
+        if metrics is not None:
+            metrics["sec_final_write"] = round(time.time() - t, 2)
     tables["nodes"] = os.path.join(out_dir, "nodes")
     tables["edges"] = os.path.join(out_dir, "edges")
     if metrics is not None:
         metrics.update({"n_nodes": n_nodes, "n_edges": n_edges,
                         "n_triples": n_triples})
     return tables
+
+
+def kg_tables(transcripts: "ray.data.Dataset",
+              cfg: Optional[KGConfig] = None, do_canonicalize: bool = False):
+    """In-memory variant for moderate inputs (driver queries / tests):
+    transcripts Dataset → (nodes, edges, mentions) Datasets without any
+    Parquet checkpointing. The extraction output is pinned once
+    (materialize) so the node and edge branches don't re-run it; use
+    :func:`build_kg` for large corpora."""
+    import pyarrow.compute as pc2
+    cfg = cfg or KGConfig()
+    docs = reassemble(transcripts, cfg)
+    mentions = extract_mentions(docs, cfg).materialize()
+    entities = mentions.map_batches(
+        lambda t: t.filter(pc2.equal(t["kind"], "entity")),
+        batch_format="pyarrow")
+    triples = mentions.map_batches(
+        lambda t: t.filter(pc2.equal(t["kind"], "triple")),
+        batch_format="pyarrow")
+    nodes = dedup_entities(entities, cfg)
+    edges = dedup_edges(triples, cfg)
+    if do_canonicalize:
+        nodes = nodes.materialize()
+        edges = edges.materialize()
+        nodes, edges, _ = canonicalize(nodes, edges, cfg)
+    return nodes, edges, mentions
 
 
 def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
@@ -119,21 +164,27 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
 
     # checkpoint documents so chunking and extraction don't re-run the
     # reassembly shuffle twice (two consumers, one write)
+    t = time.time()
     docs_dir = os.path.join(out_dir, "documents")
     n_docs = atomic_write_parquet(docs, docs_dir, cfg.min_rows_per_file)
     docs = rd.read_parquet(docs_dir)
     metrics["n_documents"] = n_docs
+    metrics["sec_reassemble"] = round(time.time() - t, 2)
 
     if with_chunks:
+        t = time.time()
         n_chunks = atomic_write_parquet(
             chunk_documents(docs, cfg), os.path.join(out_dir, "chunks"),
             cfg.min_rows_per_file)
         metrics["n_chunks"] = n_chunks
+        metrics["sec_chunk"] = round(time.time() - t, 2)
 
+    t = time.time()
     mentions = extract_mentions(docs, cfg, engine=engine)
     n_mentions = atomic_write_parquet(
         mentions, os.path.join(out_dir, "mentions"), cfg.min_rows_per_file)
     metrics["n_mentions"] = n_mentions
+    metrics["sec_extract"] = round(time.time() - t, 2)
 
     tables = _mentions_to_outputs(out_dir, cfg, do_canonicalize, metrics)
     if with_chunks:

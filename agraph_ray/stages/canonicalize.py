@@ -106,43 +106,49 @@ def name_similarity(a: str, b: str) -> float:
 
 
 def _pair_factory(threshold: float, cap: int):
-    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("entity_id").sort_values("entity_id")
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket reduction: iterate the (small) LSH blocks inside
+        this bucket, generating capped candidate pairs per block."""
         src, dst, sims = [], [], []
-        n = len(g)
-        ids = g["entity_id"].tolist()
-        names = g["name"].tolist()
-        budget = cap
-        for i in range(n):
-            if budget <= 0:
-                break
-            for j in range(i + 1, n):
-                budget -= 1
-                if budget < 0:
+        for _, g in df.groupby("block_key", sort=False):
+            g = g.drop_duplicates("entity_id").sort_values("entity_id")
+            ids = g["entity_id"].tolist()
+            names = g["name"].tolist()
+            budget = cap
+            n = len(ids)
+            for i in range(n):
+                if budget <= 0:
                     break
-                s = name_similarity(names[i], names[j])
-                if s >= threshold:
-                    src.append(ids[i]); dst.append(ids[j]); sims.append(s)
+                for j in range(i + 1, n):
+                    budget -= 1
+                    if budget < 0:
+                        break
+                    s = name_similarity(names[i], names[j])
+                    if s >= threshold:
+                        src.append(ids[i]); dst.append(ids[j]); sims.append(s)
         return pd.DataFrame({"src": pd.Series(src, dtype="object"),
                              "dst": pd.Series(dst, dtype="object"),
                              "sim": pd.Series(sims, dtype="float64")})
-    return pairs_in_block
+    return pairs_in_bucket
 
 
 def link_entities(nodes: "ray.data.Dataset",
-                  cfg: Optional[KGConfig] = None) -> "ray.data.Dataset":
+                  cfg: Optional[KGConfig] = None,
+                  num_buckets: int = 64) -> "ray.data.Dataset":
     """nodes → match edges (src, dst, sim) between near-duplicate entities."""
+    from .common import bucketed_group_reduce, distinct_on
     cfg = cfg or KGConfig()
     # stateless tasks: the bander's only state (perm constants) is trivially
     # cheap, and tasks can't starve sibling operators the way a full-size
     # actor pool can
     bands = nodes.select_columns(["entity_id", "name", "entity_type"]).map_batches(
         MinHashBander(cfg), batch_format="pyarrow")
-    pair_fn = _pair_factory(cfg.link_threshold, cfg.max_block_pairs)
-    pairs = bands.groupby("block_key").map_groups(pair_fn, batch_format="pandas")
+    pairs = bucketed_group_reduce(
+        bands, ["block_key"], _pair_factory(cfg.link_threshold,
+                                            cfg.max_block_pairs),
+        num_buckets)
     # same pair can surface from several bands → dedup on (src, dst)
-    return pairs.groupby(["src", "dst"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return distinct_on(pairs, ["src", "dst"], num_buckets)
 
 
 def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
@@ -170,21 +176,38 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         canon = [m.get(i, i) for i in ids]
         return batch.append_column("canonical_id", pa.array(canon, pa.string()))
 
-    def merge_canon_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["confidence", "entity_id"],
-                          ascending=[False, True], kind="mergesort")
-        rep = g.head(1).copy()
-        rep["entity_id"] = rep["canonical_id"]
-        others = sorted(set(g["name"]) - set(rep["name"]))
-        rep["aliases"] = [sorted({a for lst in g["aliases"] for a in lst}
-                                 | set(others))]
-        rep["n_mentions"] = int(g["n_mentions"].sum())
-        rep["n_convs"] = int(g["n_convs"].sum())
-        return rep.drop(columns=["canonical_id"])
+    def merge_canon_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized whole-bucket merge of canonical groups. The vast
+        majority of groups are singletons — handle them with a pure
+        column-op fast path and only loop over the merged minority."""
+        # arrow list<string> cells arrive as ragged numpy arrays, which Ray
+        # cannot convert back to Arrow — normalize to Python lists
+        df = df.assign(aliases=df["aliases"].map(
+            lambda v: list(v) if v is not None else []))
+        counts = df["canonical_id"].value_counts()
+        singles = df[df["canonical_id"].map(counts) == 1].copy()
+        singles["entity_id"] = singles["canonical_id"]
+        singles = singles.drop(columns=["canonical_id"])
+        multi = df[df["canonical_id"].map(counts) > 1]
+        rows = []
+        for cid, g in multi.groupby("canonical_id", sort=False):
+            g = g.sort_values(["confidence", "entity_id"],
+                              ascending=[False, True], kind="mergesort")
+            rep = g.iloc[0].copy()
+            rep["entity_id"] = cid
+            others = sorted(set(g["name"]) - {rep["name"]})
+            rep["aliases"] = sorted(
+                {a for lst in g["aliases"] for a in lst} | set(others))
+            rep["n_mentions"] = int(g["n_mentions"].sum())
+            rep["n_convs"] = int(g["n_convs"].sum())
+            rows.append(rep.drop(labels=["canonical_id"]))
+        merged = pd.DataFrame(rows) if rows else singles.iloc[0:0]
+        return pd.concat([singles, merged], ignore_index=True)
 
-    canon_nodes = (nodes.map_batches(rewrite_nodes, batch_format="pyarrow")
-                   .groupby("canonical_id")
-                   .map_groups(merge_canon_group, batch_format="pandas"))
+    from .common import bucketed_group_reduce
+    canon_nodes = bucketed_group_reduce(
+        nodes.map_batches(rewrite_nodes, batch_format="pyarrow"),
+        ["canonical_id"], merge_canon_bucket)
 
     def rewrite_edges(batch: pa.Table) -> pa.Table:
         m: Dict[str, str] = ray.get(cmap_ref)
@@ -199,16 +222,18 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         import pyarrow.compute as pc
         return out.filter(pc.invert(pc.equal(out["head_id"], out["tail_id"])))
 
-    def resig_dedup(g: pd.DataFrame) -> pd.DataFrame:
+    def resig_dedup(df: pd.DataFrame) -> pd.DataFrame:
         """Rewritten endpoints can make two edges share a (head, type, tail)
         signature — keep the max-confidence witness (utils.py:431-452)."""
-        g = g.sort_values(["confidence", "relation_id"],
-                          ascending=[False, True], kind="mergesort")
-        top = g.head(1).copy()
-        top["n_mentions"] = int(g["n_mentions"].sum())
-        return top
+        df = df.assign(__sig=df["head_id"] + "\x00" + df["relation_type"]
+                       + "\x00" + df["tail_id"])
+        s = df.sort_values(["confidence", "relation_id"],
+                           ascending=[False, True], kind="mergesort")
+        top = s.drop_duplicates("__sig", keep="first").set_index("__sig")
+        top["n_mentions"] = df.groupby("__sig", sort=False)["n_mentions"].sum()
+        return top.reset_index(drop=True)
 
-    canon_edges = (edges.map_batches(rewrite_edges, batch_format="pyarrow")
-                   .groupby(["head_id", "relation_type", "tail_id"])
-                   .map_groups(resig_dedup, batch_format="pandas"))
+    canon_edges = bucketed_group_reduce(
+        edges.map_batches(rewrite_edges, batch_format="pyarrow"),
+        ["head_id", "relation_type", "tail_id"], resig_dedup)
     return canon_nodes, canon_edges, cmap

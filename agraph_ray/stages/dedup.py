@@ -43,25 +43,6 @@ NODES_SCHEMA = pa.schema([
 ])
 
 
-def _merge_entity_group(g: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic merge of one norm_name group (pandas in, pandas out)."""
-    rep = g.sort_values(["confidence", "entity_type", "name"],
-                        ascending=[False, True, True], kind="mergesort").iloc[0]
-    aliases = sorted({a for lst in g["aliases"] if lst is not None for a in lst})
-    return pd.DataFrame({
-        "entity_id": [rep["entity_id"]],
-        "name": [rep["norm_name"]],
-        "display_name": [min(g["name"])],
-        "entity_type": [rep["entity_type"]],
-        "description": [rep["description"] or ""],
-        "aliases": [aliases],
-        "confidence": [float(g["confidence"].max())],
-        "source": [rep["source"]],
-        "n_mentions": [int(g["n_mentions"].sum())],
-        "n_convs": [int(g["n_convs"].sum())],  # upper bound after partials
-    })
-
-
 ENTITY_PARTIAL_SCHEMA = pa.schema([
     ("entity_id", pa.string()), ("name", pa.string()),
     ("norm_name", pa.string()), ("entity_type", pa.string()),
@@ -94,13 +75,43 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(out, schema=ENTITY_PARTIAL_SCHEMA)
 
 
+def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized whole-bucket merge over all norm_names in the bucket."""
+    df = df.sort_values(["confidence", "entity_type", "name"],
+                        ascending=[False, True, True], kind="mergesort")
+    rep = df.drop_duplicates("norm_name", keep="first").set_index("norm_name")
+    agg = df.groupby("norm_name", sort=False).agg(
+        display_name=("name", "min"), confidence=("confidence", "max"),
+        n_mentions=("n_mentions", "sum"), n_convs=("n_convs", "sum"))
+    aliases = (df[["norm_name", "aliases"]].explode("aliases").dropna()
+               .groupby("norm_name", sort=False)["aliases"]
+               .agg(lambda s: sorted(set(s))))
+    out = pd.DataFrame({
+        "entity_id": rep["entity_id"],
+        "name": rep.index,
+        "display_name": agg["display_name"],
+        "entity_type": rep["entity_type"],
+        "description": rep["description"].fillna(""),
+        "aliases": aliases.reindex(rep.index).apply(
+            lambda v: v if isinstance(v, list) else []),
+        "confidence": agg["confidence"],
+        "source": rep["source"],
+        "n_mentions": agg["n_mentions"].astype("int64"),
+        "n_convs": agg["n_convs"].astype("int64"),
+    }).reset_index(drop=True)
+    return out
+
+
 def dedup_entities(entity_mentions: "ray.data.Dataset",
-                   cfg: Optional[KGConfig] = None) -> "ray.data.Dataset":
-    """entity mentions → nodes (partial merge, then groupby(norm_name))."""
+                   cfg: Optional[KGConfig] = None,
+                   num_buckets: int = 64) -> "ray.data.Dataset":
+    """entity mentions → nodes: per-batch combiner, then a bucketed
+    vectorized merge (one pandas reduction per bucket, not per name)."""
+    from .common import bucketed_group_reduce
     partials = entity_mentions.map_batches(_entity_partial,
                                            batch_format="pyarrow")
-    return partials.groupby("norm_name").map_groups(
-        _merge_entity_group, batch_format="pandas")
+    return bucketed_group_reduce(partials, ["norm_name"],
+                                 _merge_entities_bucket, num_buckets)
 
 
 EDGES_SCHEMA = pa.schema([
@@ -134,15 +145,20 @@ def _edge_partial(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(agg, preserve_index=False, schema=EDGES_SCHEMA)
 
 
-def _merge_edge_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("confidence", ascending=False, kind="mergesort")
-    top = g.head(1).copy()
-    top["n_mentions"] = int(g["n_mentions"].sum())
-    return top
+def merge_edges_bucket(df: pd.DataFrame,
+                       key: str = "relation_id") -> pd.DataFrame:
+    """Vectorized whole-bucket edge merge: max-confidence witness per key,
+    mention counts summed."""
+    s = df.sort_values(["confidence", "source"], ascending=[False, True],
+                       kind="mergesort")
+    top = s.drop_duplicates(key, keep="first").set_index(key)
+    top["n_mentions"] = df.groupby(key, sort=False)["n_mentions"].sum()
+    return top.reset_index()
 
 
 def dedup_edges(triple_mentions: "ray.data.Dataset",
-                cfg: Optional[KGConfig] = None) -> "ray.data.Dataset":
+                cfg: Optional[KGConfig] = None,
+                num_buckets: int = 64) -> "ray.data.Dataset":
     """triple mentions → edges, deduped on relation_id.
 
     Endpoint existence (the assembly filter of
@@ -151,7 +167,7 @@ def dedup_edges(triple_mentions: "ray.data.Dataset",
     entity dedup is keyed by the same norm_name the ids hash — so every
     head_id/tail_id has a node row. Verified by the dangling-edge test.
     """
+    from .common import bucketed_group_reduce
     partials = triple_mentions.map_batches(_edge_partial, batch_format="pyarrow")
-    merged = partials.groupby("relation_id").map_groups(
-        _merge_edge_group, batch_format="pandas")
-    return merged
+    return bucketed_group_reduce(partials, ["relation_id"],
+                                 merge_edges_bucket, num_buckets)

@@ -37,10 +37,42 @@ def _empty_labels():
         {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}))
 
 
+def _driver_union_find(sym_edges) -> "ray.data.Dataset":
+    """Exact union-find on the driver for small edge sets. One streaming
+    pass over the edges; path compression; labels = min node id."""
+    import ray.data as rd
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:       # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for b in sym_edges.iter_batches(batch_format="pyarrow"):
+        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            rs, rd_ = find(s), find(d)
+            if rs != rd_:
+                parent[max(rs, rd_)] = min(rs, rd_)
+    labels = {n: find(n) for n in parent}
+    return rd.from_arrow(pa.table({
+        "node": pa.array(list(labels.keys()), pa.string()),
+        "label": pa.array(list(labels.values()), pa.string())}))
+
+
 def connected_components(edges: "ray.data.Dataset",
-                         max_iters: int = 25) -> "ray.data.Dataset":
+                         max_iters: int = 25,
+                         driver_threshold: int = 2_000_000) -> "ray.data.Dataset":
     """``edges(src, dst)`` (undirected pairs) → ``(node, label)`` with
-    label = min node id in the component. Nodes in no edge are absent."""
+    label = min node id in the component. Nodes in no edge are absent.
+
+    Size-adaptive: below ``driver_threshold`` symmetric edges the exact
+    union-find runs on the driver in one pass (a label-propagation round
+    costs several whole-cluster executions — pure overhead for a
+    few-thousand-edge match graph); above it, the distributed min-label
+    propagation loop below takes over."""
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
@@ -57,8 +89,11 @@ def connected_components(edges: "ray.data.Dataset",
     # table per round is safe and avoids re-running the lazy lineage.
     sym_edges = edges.select_columns(["src", "dst"]).map_batches(
         sym, batch_format="pyarrow").materialize()
-    if sym_edges.count() == 0:
+    n_edges = sym_edges.count()
+    if n_edges == 0:
         return _empty_labels()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(sym_edges)
 
     labels = (sym_edges.groupby("src")
               .aggregate(Min("src", alias_name="label"))

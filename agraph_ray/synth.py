@@ -153,6 +153,41 @@ def generate_transcripts(out_dir: str, n_convs: int = 200, seed: int = 42,
     return paths
 
 
+def transcripts_from_documents(sf_dir: str, turn_chars: int = 80):
+    """Derive a transcripts Dataset from the driver's ``documents`` table:
+    one conversation per document, turns = fixed ``turn_chars`` slices of
+    the text (so SQL can reconstruct the document with string_agg — the
+    reassembly oracle). Turn rows are emitted in reverse order per document
+    so reassembly is actually exercised."""
+    import ray.data as rd
+
+    def to_turns(batch: pa.Table) -> pa.Table:
+        conv, idx, role, text, tool, ts = [], [], [], [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            t = t or ""
+            slices = [t[i:i + turn_chars]
+                      for i in range(0, max(len(t), 1), turn_chars)]
+            base = 1_700_000_000_000_000
+            for i, s in reversed(list(enumerate(slices))):
+                conv.append(str(did))
+                idx.append(i)
+                role.append(ROLES[i % 2])
+                text.append(s)
+                tool.append("")
+                ts.append(base + i * 1_000_000)
+        return pa.Table.from_arrays(
+            [pa.array(conv, pa.string()), pa.array(idx, pa.int32()),
+             pa.array(role, pa.string()), pa.array(text, pa.string()),
+             pa.array(tool, pa.string()),
+             pa.array(ts, pa.timestamp("us"))],
+            schema=TRANSCRIPT_SCHEMA)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return docs.map_batches(to_turns, batch_format="pyarrow")
+
+
 def ground_truth_documents(n_convs: int, seed: int, separator: str = "\n",
                            skew: bool = True):
     """(conv_id -> full document text) exactly as reassembly must produce it

@@ -1,0 +1,127 @@
+"""Benchmark driver — one JSON line on stdout.
+
+Headline: end-to-end KG construction (transcripts → materialized triples)
+over a deterministic synthetic transcript corpus sized to the scale factor
+(BASELINE.json metric: turns/sec). Sub-queries: representative operators
+over $GRAFT_SF_DIR.
+
+    python bench.py              # single run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs → efficiency
+
+The transcript corpus is generated once per scale and cached under /tmp
+(deterministic: same seed → identical shards), and the page cache is warmed
+with an untimed read so the timed run measures compute + shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 42
+
+# conversations per sf tier (≈ 8 turns median each, plus a skew tail)
+CONVS_BY_SF = {"sf0.001": 60, "sf0.01": 500, "sf0.1": 4000}
+
+
+def corpus_dir() -> str:
+    sf = os.path.basename(SF_DIR.rstrip("/"))
+    n = CONVS_BY_SF.get(sf, 500)
+    d = f"/tmp/graft_transcripts_{sf}_{n}_{SEED}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        from agraph_ray.synth import generate_transcripts
+        shutil.rmtree(d, ignore_errors=True)
+        generate_transcripts(d, n_convs=n, seed=SEED, num_shards=32)
+        open(marker, "w").write("ok")
+    return d
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.dataset as pads
+
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.kg_build import build_kg
+
+    inp = corpus_dir()
+    n_turns = pads.dataset(inp, format="parquet").count_rows()  # warms cache
+
+    out = f"/tmp/graft_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = KGConfig(hot_conv_turns=2000, salt_span=1000)
+    t0 = time.time()
+    res = build_kg(inp, out, cfg, with_chunks=False)
+    headline = time.time() - t0
+
+    queries = {"kg_build": round(headline, 3)}
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    for qname in ["lineitem_agg", "events_window", "docs_quality",
+                  "docs_fingerprint", "ann_topk", "docs_minhash_pairs",
+                  "docs_dedup_exact", "reassemble_docs"]:
+        t0 = time.time()
+        r = qs[qname](SF_DIR)
+        if hasattr(r, "materialize"):
+            r.materialize()
+        queries[qname] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "sec end-to-end transcripts->triples "
+                  f"({n_turns} turns; turns_per_sec="
+                  f"{round(n_turns / headline, 1)})",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+        "triples": int(res.metrics.get("n_triples", 0)),
+        "nodes": int(res.metrics.get("n_nodes", 0)),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    corpus_dir()          # generate once, outside timing
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["turns_per_sec"]
+    tp_hi = r_hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (throughput ratio / cpu ratio)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "turns_per_sec_8": tp_lo, "turns_per_sec_32": tp_hi,
+        "cpus": [lo, hi],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -109,7 +109,9 @@ def test_dedup_edges_keeps_max_confidence(ray_session):
 
 # ---------------- union-find ----------------
 
-def test_connected_components_chain_and_islands(ray_session):
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0],
+                         ids=["driver-uf", "distributed-labelprop"])
+def test_connected_components_chain_and_islands(ray_session, driver_threshold):
     import ray.data as rd
     from agraph_ray.state.unionfind import (components_to_canonical_map,
                                             connected_components)
@@ -118,10 +120,13 @@ def test_connected_components_chain_and_islands(ray_session):
         {"src": "c", "dst": "d"}, {"src": "x", "dst": "y"},
     ])
     labels = {r["node"]: r["label"]
-              for r in connected_components(edges, max_iters=10).take_all()}
+              for r in connected_components(
+                  edges, max_iters=10,
+                  driver_threshold=driver_threshold).take_all()}
     assert labels == {"a": "a", "b": "a", "c": "a", "d": "a",
                       "x": "x", "y": "x"}
-    cmap = components_to_canonical_map(connected_components(edges))
+    cmap = components_to_canonical_map(
+        connected_components(edges, driver_threshold=driver_threshold))
     assert cmap == {"b": "a", "c": "a", "d": "a", "y": "x"}
 
 
