@@ -12,6 +12,7 @@ pipeline relies on for resumability (SURVEY.md §1.2).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 
 def norm_name(name: str) -> str:
@@ -19,11 +20,15 @@ def norm_name(name: str) -> str:
     return name.lower().strip()
 
 
+# Mention streams repeat a small vocabulary of names millions of times —
+# memoize the md5s (pure functions; caches are per-process/per-actor).
+@lru_cache(maxsize=1 << 17)
 def entity_id(name: str) -> str:
     """entity_<md5(norm_name)[:8]> (llm_entity_extractor.py:346-350)."""
     return "entity_" + hashlib.md5(norm_name(name).encode("utf-8")).hexdigest()[:8]
 
 
+@lru_cache(maxsize=1 << 17)
 def relation_id(head: str, rel_type: str, tail: str) -> str:
     """relation_<md5(head_type_tail)[:8]> (llm_relation_extractor.py:262-267)."""
     key = f"{norm_name(head)}_{rel_type}_{norm_name(tail)}"

@@ -55,9 +55,11 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
     tables: Dict[str, str] = {"mentions": mentions_dir}
 
     ent_cols = ["kind", "conv_id", "entity_id", "name", "norm_name",
-                "entity_type", "description", "aliases", "confidence", "source"]
+                "entity_type", "description", "aliases", "confidence",
+                "source", "n_mentions", "n_convs"]
     tri_cols = ["kind", "conv_id", "relation_id", "subj", "subj_type", "pred",
-                "obj", "obj_type", "head_id", "tail_id", "confidence", "source"]
+                "obj", "obj_type", "head_id", "tail_id", "confidence",
+                "source", "n_mentions"]
 
     entities = rd.read_parquet(mentions_dir, columns=ent_cols,
                                filter=pc.field("kind") == "entity")

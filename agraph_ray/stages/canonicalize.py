@@ -205,9 +205,10 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         return pd.concat([singles, merged], ignore_index=True)
 
     from .common import bucketed_group_reduce
+    from .dedup import EDGES_SCHEMA, NODES_SCHEMA
     canon_nodes = bucketed_group_reduce(
         nodes.map_batches(rewrite_nodes, batch_format="pyarrow"),
-        ["canonical_id"], merge_canon_bucket)
+        ["canonical_id"], merge_canon_bucket, schema=NODES_SCHEMA)
 
     def rewrite_edges(batch: pa.Table) -> pa.Table:
         m: Dict[str, str] = ray.get(cmap_ref)
@@ -235,5 +236,6 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
 
     canon_edges = bucketed_group_reduce(
         edges.map_batches(rewrite_edges, batch_format="pyarrow"),
-        ["head_id", "relation_type", "tail_id"], resig_dedup)
+        ["head_id", "relation_type", "tail_id"], resig_dedup,
+        schema=EDGES_SCHEMA)
     return canon_nodes, canon_edges, cmap

@@ -12,37 +12,49 @@ invocations, and per-task memory bounded by |data| / num_buckets.
 
 from __future__ import annotations
 
-from typing import Callable, List
+from typing import Callable, List, Optional
 
 import pandas as pd
+import pyarrow as pa
 
 BUCKET_COL = "__bucket"
 
 
 def _add_bucket(keys: List[str], num_buckets: int):
-    def add(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        # deterministic across processes (fixed pandas hash key)
-        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
-        df[BUCKET_COL] = (h % num_buckets).astype("int32")
-        return df
+    def add(t: pa.Table) -> pa.Table:
+        # deterministic across processes (fixed pandas hash key); hash only
+        # the key columns, keep the block itself zero-copy Arrow (pandas
+        # object-dtype list columns defeat Ray's block size estimator)
+        h = pd.util.hash_pandas_object(
+            t.select(keys).to_pandas(), index=False).to_numpy()
+        return t.append_column(
+            BUCKET_COL, pa.array((h % num_buckets).astype("int32")))
     return add
 
 
 def bucketed_group_reduce(ds: "ray.data.Dataset", keys: List[str],
                           reduce_df: Callable[[pd.DataFrame], pd.DataFrame],
-                          num_buckets: int = 64) -> "ray.data.Dataset":
+                          num_buckets: int = 64,
+                          schema: Optional[pa.Schema] = None,
+                          ) -> "ray.data.Dataset":
     """Hash-partition by ``keys`` into ``num_buckets`` coarse buckets and
     apply ``reduce_df`` (a vectorized whole-bucket pandas function that must
     itself group by ``keys``) once per bucket.
 
     ``num_buckets`` bounds per-task memory: pick ~ |dataset| / (256MB).
+    When ``schema`` is given, each bucket's result is emitted as an Arrow
+    table with that schema (exact block sizing, typed list columns).
     """
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return reduce_df(g.drop(columns=[BUCKET_COL]))
+    def per_bucket(g: pd.DataFrame):
+        out = reduce_df(g.drop(columns=[BUCKET_COL]))
+        if schema is not None:
+            return pa.Table.from_pandas(
+                out, schema=schema,
+                preserve_index=False).replace_schema_metadata(None)
+        return out
 
     return (ds.map_batches(_add_bucket(keys, num_buckets),
-                           batch_format="pandas")
+                           batch_format="pyarrow")
             .groupby(BUCKET_COL)
             .map_groups(per_bucket, batch_format="pandas"))
 

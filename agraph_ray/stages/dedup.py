@@ -111,7 +111,8 @@ def dedup_entities(entity_mentions: "ray.data.Dataset",
     partials = entity_mentions.map_batches(_entity_partial,
                                            batch_format="pyarrow")
     return bucketed_group_reduce(partials, ["norm_name"],
-                                 _merge_entities_bucket, num_buckets)
+                                 _merge_entities_bucket, num_buckets,
+                                 schema=NODES_SCHEMA)
 
 
 EDGES_SCHEMA = pa.schema([
@@ -170,4 +171,5 @@ def dedup_edges(triple_mentions: "ray.data.Dataset",
     from .common import bucketed_group_reduce
     partials = triple_mentions.map_batches(_edge_partial, batch_format="pyarrow")
     return bucketed_group_reduce(partials, ["relation_id"],
-                                 merge_edges_bucket, num_buckets)
+                                 merge_edges_bucket, num_buckets,
+                                 schema=EDGES_SCHEMA)

@@ -52,11 +52,31 @@ MENTIONS_SCHEMA = pa.schema([
     # shared
     ("confidence", pa.float64()),
     ("source", pa.string()),
+    # per-document combiner outputs: occurrence count of this mention in
+    # this document; n_convs is the entity branch's conversation-count seed
+    ("n_mentions", pa.int64()),
+    ("n_convs", pa.int64()),
 ])
+
+_ENT_FIELDS = ["kind", "conv_id", "doc_seq", "entity_id", "name", "norm_name",
+               "entity_type", "description", "aliases", "confidence",
+               "source", "n_mentions", "n_convs"]
+_TRI_FIELDS = ["kind", "conv_id", "doc_seq", "relation_id", "subj",
+               "subj_type", "pred", "obj", "obj_type", "head_id", "tail_id",
+               "confidence", "source", "n_mentions"]
 
 
 class ExtractStage:
-    """``map_batches`` actor-pool callable for the extraction stage."""
+    """``map_batches`` actor-pool callable for the extraction stage.
+
+    Emits mentions *pre-combined per document*: the engine already dedups
+    entities in-document, and triples are collapsed here to one row per
+    distinct (subj, pred, obj) with the max-confidence witness and an
+    occurrence count — the exact merge the downstream dedup stage applies
+    anyway (dedup.py merge semantics). At reference semantics the
+    co-occurrence stream is quadratic per sentence; combining at the source
+    shrinks the mentions checkpoint/shuffle from one row per occurrence to
+    one row per distinct mention per document."""
 
     def __init__(self, cfg: Optional[KGConfig] = None, engine=None):
         cfg = cfg or KGConfig()
@@ -66,39 +86,69 @@ class ExtractStage:
             max_keywords=cfg.max_keywords)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = {name: [] for name in MENTIONS_SCHEMA.names}
-
-        def emit(**kv):
-            for name in MENTIONS_SCHEMA.names:
-                cols[name].append(kv.get(name))
-
+        ent = {f: [] for f in _ENT_FIELDS}
+        tri = {f: [] for f in _TRI_FIELDS}
         for conv, seq, text in zip(batch["conv_id"].to_pylist(),
                                    batch["doc_seq"].to_pylist(),
                                    batch["text"].to_pylist()):
             ents, triples = self.engine.extract(text or "")
             for e in ents:
-                emit(kind="entity", conv_id=conv, doc_seq=seq,
-                     entity_id=entity_id(e.name), name=e.name,
-                     norm_name=e.key, entity_type=e.etype,
-                     description=e.description, aliases=e.aliases,
-                     confidence=e.confidence, source=e.source)
+                ent["kind"].append("entity")
+                ent["conv_id"].append(conv)
+                ent["doc_seq"].append(seq)
+                ent["entity_id"].append(entity_id(e.name))
+                ent["name"].append(e.name)
+                ent["norm_name"].append(e.key)
+                ent["entity_type"].append(e.etype)
+                ent["description"].append(e.description)
+                ent["aliases"].append(e.aliases)
+                ent["confidence"].append(e.confidence)
+                ent["source"].append(e.source)
+                ent["n_mentions"].append(1)
+                ent["n_convs"].append(1)
+            agg = {}
             for t in triples:
-                emit(kind="triple", conv_id=conv, doc_seq=seq,
-                     relation_id=relation_id(t.subj, t.pred, t.obj),
-                     subj=t.subj, subj_type=t.subj_type, pred=t.pred,
-                     obj=t.obj, obj_type=t.obj_type,
-                     head_id=entity_id(t.subj), tail_id=entity_id(t.obj),
-                     confidence=t.confidence, source=t.source)
-        arrays = [pa.array(cols[f.name], f.type) for f in MENTIONS_SCHEMA]
+                k = (t.subj, t.pred, t.obj)
+                cur = agg.get(k)
+                if cur is None:
+                    agg[k] = [t, 1]
+                else:
+                    cur[1] += 1
+                    if t.confidence > cur[0].confidence:
+                        cur[0] = t
+            for (s, p, o), (t, n) in agg.items():
+                tri["kind"].append("triple")
+                tri["conv_id"].append(conv)
+                tri["doc_seq"].append(seq)
+                tri["relation_id"].append(relation_id(s, p, o))
+                tri["subj"].append(s)
+                tri["subj_type"].append(t.subj_type)
+                tri["pred"].append(p)
+                tri["obj"].append(o)
+                tri["obj_type"].append(t.obj_type)
+                tri["head_id"].append(entity_id(s))
+                tri["tail_id"].append(entity_id(o))
+                tri["confidence"].append(t.confidence)
+                tri["source"].append(t.source)
+                tri["n_mentions"].append(n)
+
+        n_ent, n_tri = len(ent["kind"]), len(tri["kind"])
+        arrays = []
+        for f in MENTIONS_SCHEMA:
+            vals = (ent.get(f.name, [None] * n_ent)
+                    + tri.get(f.name, [None] * n_tri))
+            arrays.append(pa.array(vals, f.type))
         return pa.Table.from_arrays(arrays, schema=MENTIONS_SCHEMA)
 
 
-def _auto_concurrency() -> tuple:
-    """(1, cluster_cpus - 2): an actor pool that reserves every CPU starves
-    the read/write tasks of its own pipeline (observed livelock)."""
+def _auto_concurrency() -> int:
+    """Fixed pool of cluster_cpus - 2: a pool that reserves every CPU
+    starves the read/write tasks of its own pipeline (observed livelock),
+    and an autoscaling (1, n) pool ramps too slowly for a CPU-bound stage
+    (A/B: fixed 30 beats autoscale (1,30) by ~15% at 32 CPUs)."""
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (1, max(2, cpus - 2))
+    return max(2, cpus - 2)
 
 
 def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,

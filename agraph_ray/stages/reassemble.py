@@ -30,6 +30,14 @@ import ray
 
 from ..config import KGConfig
 
+DOCS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("doc_seq", pa.int32()),
+    ("text", pa.string()),
+    ("n_turns", pa.int32()),
+    ("first_turn_idx", pa.int32()),
+])
+
 
 def find_hot_conversations(ds: "ray.data.Dataset", cfg: KGConfig) -> Set[str]:
     """Conversation ids with more than ``cfg.hot_conv_turns`` turns.
@@ -84,19 +92,23 @@ def reassemble(ds: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
             key = conv
         return batch.append_column("group_key", pa.array(key, pa.string()))
 
-    def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("turn_idx", kind="mergesort")
-        conv_id = group["conv_id"].iloc[0]
-        first = int(group["turn_idx"].iloc[0])
-        doc_seq = first // span if "#" in str(group["group_key"].iloc[0]) else 0
-        return pd.DataFrame({
-            "conv_id": [conv_id],
-            "doc_seq": pd.array([doc_seq], dtype="int32"),
-            "text": [sep.join(group["text"].tolist())],
-            "n_turns": pd.array([len(group)], dtype="int32"),
-            "first_turn_idx": pd.array([first], dtype="int32"),
-        })
+    def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket reduction: one sort + one pandas groupby handles
+        every conversation in the bucket (no per-group UDF dispatch)."""
+        df = df.sort_values(["group_key", "turn_idx"], kind="mergesort")
+        g = df.groupby("group_key", sort=False)
+        out = g.agg(conv_id=("conv_id", "first"),
+                    text=("text", sep.join),
+                    n_turns=("text", "size"),
+                    first_turn_idx=("turn_idx", "first"))
+        salted = out.index.to_series().str.contains("#", regex=False)
+        out["doc_seq"] = (out["first_turn_idx"] // span).where(
+            salted.to_numpy(), 0)
+        return out.reset_index(drop=True)[
+            ["conv_id", "doc_seq", "text", "n_turns", "first_turn_idx"]]
 
     keyed = ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
         add_group_key, batch_format="pyarrow")
-    return keyed.groupby("group_key").map_groups(assemble, batch_format="pandas")
+    from .common import bucketed_group_reduce
+    return bucketed_group_reduce(keyed, ["group_key"], assemble_bucket,
+                                 num_buckets=256, schema=DOCS_SCHEMA)
