@@ -1,0 +1,404 @@
+"""Graph analytics, validation, and implicit-relation inference over the
+nodes/edges Datasets.
+
+Reference semantics:
+- statistics / degrees / density / connectivity:
+  agraph/services/graph_analyzer.py:42-267
+- validation issues: agraph/services/graph_validator.py:138-240 (integrity),
+  :329-383 (quality)
+- implicit relations: agraph/extractors/relation_extractor.py:80-258
+  (transitive CONTAINS min(c1,c2)*0.8; symmetric SIMILAR_TO/SYNONYMS c*0.9;
+  hierarchical type+name-containment CONTAINS conf 0.6)
+
+Scale shapes: degree/stat aggregations pre-combine per batch before the
+small groupby; the transitive self-join is a union + bucketed co-group on
+the join key (no Dataset.join — see .claude/skills/verify gotcha); the
+hierarchical inference broadcasts the (small) parent-type side with
+ray.put and scans child batches — the parent side is bounded and the scan
+is the reference's own O(parents x children) semantics distributed over
+child batches.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..ids import relation_id
+from ..state.unionfind import connected_components
+
+# ---------------------------------------------------------------------------
+# degrees / statistics
+# ---------------------------------------------------------------------------
+
+
+def degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """edges → (entity_id, out_degree, in_degree, degree).
+
+    Unpivot (head_id, tail_id) with a per-batch partial count, then one
+    small groupby-sum — the shuffle moves one row per (entity, batch).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        heads = t.group_by("head_id").aggregate([("head_id", "count")])
+        tails = t.group_by("tail_id").aggregate([("tail_id", "count")])
+        h = heads.rename_columns(["entity_id", "out_partial"])
+        tl = tails.rename_columns(["entity_id", "in_partial"])
+        df = (h.to_pandas().set_index("entity_id")
+              .join(tl.to_pandas().set_index("entity_id"), how="outer")
+              .fillna(0).astype("int64").reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (edges.select_columns(["head_id", "tail_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("entity_id")
+            .aggregate(Sum("out_partial", alias_name="out_degree"),
+                       Sum("in_partial", alias_name="in_degree"))
+            .map_batches(lambda t: t.append_column(
+                "degree", pc.add(t["out_degree"], t["in_degree"])),
+                batch_format="pyarrow"))
+
+
+def count_by(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+    """Counts per value of ``col`` with per-batch pre-aggregation
+    (graph_analyzer.py:87-122 by-type counts)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(col).aggregate([(col, "count")])
+        return g.rename_columns([col, "n_partial"])
+
+    return (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(col).aggregate(Sum("n_partial", alias_name="n")))
+
+
+def graph_statistics(nodes: "ray.data.Dataset",
+                     edges: "ray.data.Dataset") -> Dict:
+    """Comprehensive stats dict (graph_analyzer.py:42-171,225-243):
+    totals, per-type counts, degree stats, density, connectivity."""
+    n_entities = nodes.count()
+    n_relations = edges.count()
+
+    ent_types = {r[0]: r[1] for r in
+                 count_by(nodes, "entity_type")
+                 .to_pandas().itertuples(index=False)}
+    rel_types = {r[0]: r[1] for r in
+                 count_by(edges, "relation_type")
+                 .to_pandas().itertuples(index=False)}
+
+    deg = degree_table(edges)
+    from ray.data.aggregate import Max, Mean, Min, Sum
+    deg_stats = deg.aggregate(Mean("degree"), Max("degree"), Min("degree"),
+                              Mean("in_degree"), Mean("out_degree"))
+    # entities that appear in no edge have degree 0 — fold them into the
+    # averages the way the reference iterates all entities
+    n_with_edges = deg.count()
+    n_zero = max(0, n_entities - n_with_edges)
+    scale = n_with_edges / max(1, n_with_edges + n_zero)
+
+    match = edges.select_columns(["head_id", "tail_id"]).map_batches(
+        lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow")
+    labels = connected_components(match)
+    comp_sizes = count_by(labels, "label").to_pandas()["n"]
+    n_isolated = n_zero  # each zero-degree entity is its own component
+    components = len(comp_sizes) + n_isolated
+
+    density = (n_relations / (n_entities * (n_entities - 1))
+               if n_entities > 1 else 0.0)
+    return {
+        "total_entities": n_entities,
+        "total_relations": n_relations,
+        "entity_types": ent_types,
+        "relation_types": rel_types,
+        "degree_statistics": {
+            "average_degree": (deg_stats["mean(degree)"] or 0) * scale,
+            "max_degree": deg_stats["max(degree)"] or 0,
+            "min_degree": 0 if n_zero else (deg_stats["min(degree)"] or 0),
+            "average_in_degree": (deg_stats["mean(in_degree)"] or 0) * scale,
+            "average_out_degree": (deg_stats["mean(out_degree)"] or 0) * scale,
+        },
+        "connectivity": {
+            "components": components,
+            "largest_component_size": int(comp_sizes.max()) if len(comp_sizes) else 1,
+            "is_connected": components <= 1,
+        },
+        "density": density,
+    }
+
+
+# ---------------------------------------------------------------------------
+# validation
+# ---------------------------------------------------------------------------
+
+ISSUES_SCHEMA = pa.schema([
+    ("issue_type", pa.string()),
+    ("severity", pa.string()),
+    ("ref_id", pa.string()),
+    ("detail", pa.string()),
+])
+
+
+def validate_graph(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
+                   confidence_floor: float = 0.5) -> "ray.data.Dataset":
+    """Distributed GraphValidator (graph_validator.py:138-215,329-383):
+    one issues table with (issue_type, severity, ref_id, detail) rows.
+
+    Dangling references use a union + bucketed co-group on entity_id —
+    scale-safe (no broadcast of the full node-id set, no Dataset.join).
+    """
+    import ray.data as rd
+
+    from ..stages.common import bucketed_group_reduce
+
+    # --- dangling refs: tag node ids and edge endpoint refs, co-group ---
+    def node_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"entity_id": t["entity_id"],
+                         "tag": pa.array(["node"] * len(t)),
+                         "ref_id": pa.array([""] * len(t))})
+
+    def edge_refs(t: pa.Table) -> pa.Table:
+        rids = t["relation_id"].to_pylist() * 2
+        ids = t["head_id"].to_pylist() + t["tail_id"].to_pylist()
+        tags = ["head"] * t.num_rows + ["tail"] * t.num_rows
+        return pa.table({"entity_id": pa.array(ids, pa.string()),
+                         "tag": pa.array(tags),
+                         "ref_id": pa.array(rids, pa.string())})
+
+    tagged = (nodes.select_columns(["entity_id"])
+              .map_batches(node_ids, batch_format="pyarrow")
+              .union(edges.select_columns(["relation_id", "head_id", "tail_id"])
+                     .map_batches(edge_refs, batch_format="pyarrow")))
+
+    def dangling(df: pd.DataFrame) -> pd.DataFrame:
+        known = set(df.loc[df["tag"] == "node", "entity_id"])
+        bad = df[(df["tag"] != "node") & ~df["entity_id"].isin(known)]
+        return pd.DataFrame({
+            "issue_type": "invalid_" + bad["tag"] + "_entity_reference",
+            "severity": "high",
+            "ref_id": bad["ref_id"],
+            "detail": "missing entity " + bad["entity_id"],
+        })
+
+    dangling_issues = bucketed_group_reduce(tagged, ["entity_id"], dangling,
+                                            schema=ISSUES_SCHEMA)
+
+    # --- duplicate (norm name, type) signatures (graph_validator.py:196-215) ---
+    def dup_sigs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(sig=df["name"].str.lower().str.strip()
+                       + "\x00" + df["entity_type"])
+        dup = df[df.duplicated("sig", keep=False)].sort_values("entity_id")
+        g = dup.groupby("sig")["entity_id"].agg(",".join)
+        return pd.DataFrame({
+            "issue_type": "duplicate_entity", "severity": "medium",
+            "ref_id": g.values,
+            "detail": "signature " + pd.Series(g.index).str.replace(
+                "\x00", "/", regex=False).values,
+        })
+
+    dup_issues = bucketed_group_reduce(
+        nodes.select_columns(["entity_id", "name", "entity_type"]),
+        ["name"], dup_sigs, schema=ISSUES_SCHEMA)
+
+    # --- quality filters (graph_validator.py:329-383) ---
+    def node_quality(t: pa.Table) -> pa.Table:
+        name = pc.utf8_trim_whitespace(
+            pc.coalesce(t["name"], pa.scalar("", pa.string())))
+        empty = pc.equal(name, "")
+        low = pc.less(t["confidence"], confidence_floor)
+        rows = []
+        for eid, e, lo, conf in zip(t["entity_id"].to_pylist(),
+                                    empty.to_pylist(), low.to_pylist(),
+                                    t["confidence"].to_pylist()):
+            if e:
+                rows.append(("empty_entity_name", "medium", eid, ""))
+            if lo:
+                rows.append(("low_confidence_entity", "low", eid,
+                             f"confidence={conf}"))
+        return pa.Table.from_pylist(
+            [dict(zip(ISSUES_SCHEMA.names, r)) for r in rows],
+            schema=ISSUES_SCHEMA)
+
+    def edge_quality(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.less(t["confidence"], confidence_floor))
+        return pa.table({
+            "issue_type": pa.array(["low_confidence_relation"] * len(keep)),
+            "severity": pa.array(["low"] * len(keep)),
+            "ref_id": keep["relation_id"],
+            "detail": pa.array([f"confidence={c}" for c in
+                                keep["confidence"].to_pylist()]),
+        }).cast(ISSUES_SCHEMA)
+
+    quality = (nodes.select_columns(["entity_id", "name", "confidence"])
+               .map_batches(node_quality, batch_format="pyarrow")
+               .union(edges.select_columns(["relation_id", "confidence"])
+                      .map_batches(edge_quality, batch_format="pyarrow")))
+    return dangling_issues.union(dup_issues).union(quality)
+
+
+# ---------------------------------------------------------------------------
+# implicit-relation inference
+# ---------------------------------------------------------------------------
+
+_SYMMETRIC_TYPES = ("similar_to", "synonyms")
+
+INFERRED_SCHEMA = pa.schema([
+    ("relation_id", pa.string()),
+    ("head_id", pa.string()),
+    ("tail_id", pa.string()),
+    ("relation_type", pa.string()),
+    ("subj", pa.string()),
+    ("obj", pa.string()),
+    ("confidence", pa.float64()),
+    ("source", pa.string()),
+])
+
+
+def infer_symmetric(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Reverse edges for symmetric types, conf x0.9
+    (relation_extractor.py:183-210). Pure per-batch map — no shuffle."""
+    def rev(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["relation_type"],
+                        value_set=pa.array(_SYMMETRIC_TYPES))
+        s = t.filter(mask)
+        return pa.table({
+            "relation_id": pa.array(
+                [relation_id(o, r, su) for su, r, o in
+                 zip(s["subj"].to_pylist(), s["relation_type"].to_pylist(),
+                     s["obj"].to_pylist())], pa.string()),
+            "head_id": s["tail_id"],
+            "tail_id": s["head_id"],
+            "relation_type": s["relation_type"],
+            "subj": s["obj"],
+            "obj": s["subj"],
+            "confidence": pc.multiply(s["confidence"], 0.9),
+            "source": pa.array(["symmetric_inference"] * len(s)),
+        }).cast(INFERRED_SCHEMA)
+
+    cols = ["relation_id", "head_id", "tail_id", "relation_type",
+            "subj", "obj", "confidence"]
+    return edges.select_columns(cols).map_batches(rev, batch_format="pyarrow")
+
+
+def infer_transitive_contains(edges: "ray.data.Dataset",
+                              max_pairs_per_key: int = 10_000,
+                              ) -> "ray.data.Dataset":
+    """A contains B, B contains C => A contains C, conf min(c1,c2)*0.8
+    (relation_extractor.py:147-181). One hop, as the reference.
+
+    Shape: self-join on B expressed as union of two tagged streams keyed by
+    the join column + bucketed co-group (Dataset.join is avoided). Per-key
+    fanout is capped (hub middles explode quadratically at scale).
+    """
+    from ..stages.common import bucketed_group_reduce
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["relation_type"], "contains"))
+        left = pa.table({"key": s["tail_id"], "side": pa.array(["L"] * len(s)),
+                         "other_id": s["head_id"], "other_name": s["subj"],
+                         "confidence": s["confidence"]})
+        right = pa.table({"key": s["head_id"], "side": pa.array(["R"] * len(s)),
+                          "other_id": s["tail_id"], "other_name": s["obj"],
+                          "confidence": s["confidence"]})
+        return pa.concat_tables([left, right])
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        out: List[Dict] = []
+        for _, g in df.groupby("key", sort=False):
+            lefts = g[g["side"] == "L"]
+            rights = g[g["side"] == "R"]
+            if lefts.empty or rights.empty:
+                continue
+            budget = max_pairs_per_key
+            for lo, ln, lc in lefts[["other_id", "other_name",
+                                     "confidence"]].itertuples(index=False):
+                for ro, rn, rc in rights[["other_id", "other_name",
+                                          "confidence"]].itertuples(index=False):
+                    if lo == ro:
+                        continue
+                    budget -= 1
+                    if budget < 0:
+                        break
+                    out.append({
+                        "relation_id": relation_id(ln, "contains", rn),
+                        "head_id": lo, "tail_id": ro,
+                        "relation_type": "contains",
+                        "subj": ln, "obj": rn,
+                        "confidence": min(lc, rc) * 0.8,
+                        "source": "transitive_inference",
+                    })
+        return pd.DataFrame(out, columns=INFERRED_SCHEMA.names)
+
+    cols = ["head_id", "tail_id", "relation_type", "subj", "obj", "confidence"]
+    tagged = edges.select_columns(cols).map_batches(tag, batch_format="pyarrow")
+    return bucketed_group_reduce(tagged, ["key"], cogroup,
+                                 schema=INFERRED_SCHEMA)
+
+
+_TYPE_HIERARCHY = {
+    "database": ["table"],
+    "table": ["column"],
+    "organization": ["person"],
+    "document": ["concept", "keyword"],
+}
+
+
+def infer_hierarchical(nodes: "ray.data.Dataset",
+                       max_parents: int = 100_000) -> "ray.data.Dataset":
+    """Typed parent→child CONTAINS by name containment, conf 0.6
+    (relation_extractor.py:212-258,260-280).
+
+    The parent side (databases/tables/orgs/documents) is small relative to
+    all nodes — broadcast it once with ray.put and scan child batches.
+    ``max_parents`` guards the broadcast; overflow is dropped with a log.
+    """
+    parent_types = list(_TYPE_HIERARCHY)
+    parents = nodes.map_batches(
+        lambda t: t.filter(pc.is_in(t["entity_type"],
+                                    value_set=pa.array(parent_types)))
+        .select(["entity_id", "name", "entity_type"]),
+        batch_format="pyarrow").take(max_parents)
+    by_type: Dict[str, List] = {}
+    for p in parents:
+        by_type.setdefault(p["entity_type"], []).append(
+            (p["entity_id"], p["name"], p["name"].lower()))
+    parents_ref = ray.put(by_type)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ptypes = ray.get(parents_ref)
+        out: List[Dict] = []
+        for cid, cname, ctype in zip(t["entity_id"].to_pylist(),
+                                     t["name"].to_pylist(),
+                                     t["entity_type"].to_pylist()):
+            cl = (cname or "").lower()
+            for ptype, children in _TYPE_HIERARCHY.items():
+                if ctype not in children:
+                    continue
+                for pid, pname, pl in ptypes.get(ptype, ()):
+                    if pid != cid and pl in cl:
+                        out.append({
+                            "relation_id": relation_id(pname, "contains", cname),
+                            "head_id": pid, "tail_id": cid,
+                            "relation_type": "contains",
+                            "subj": pname, "obj": cname,
+                            "confidence": 0.6,
+                            "source": "hierarchical_inference",
+                        })
+        return pa.Table.from_pylist(out, schema=INFERRED_SCHEMA)
+
+    return (nodes.select_columns(["entity_id", "name", "entity_type"])
+            .map_batches(scan, batch_format="pyarrow"))
+
+
+def infer_implicit_relations(nodes: "ray.data.Dataset",
+                             edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """All three inference passes unioned (relation_extractor.py:80-105)."""
+    return (infer_transitive_contains(edges)
+            .union(infer_symmetric(edges))
+            .union(infer_hierarchical(nodes)))

@@ -1,0 +1,189 @@
+"""Document parsing — the processor registry as batch UDFs.
+
+Re-expresses the reference's DocumentProcessor family over *rows* instead
+of files: each row carries raw content plus a format tag, and one
+``map_batches`` stage dispatches to the right parser (the factory's
+extension routing, agraph/processer/factory.py:24-156).
+
+Parsers (observable behaviour of the reference, no external deps):
+- text/markdown: markdown stripping + frontmatter removal
+  (agraph/processer/text_processor.py:96-159,237-265)
+- json: recursive text-value extraction, binary-guard
+  (agraph/processer/json_processor.py:177-232)
+- csv: delimiter sniff + "col: val | col: val" row formatting
+  (agraph/processer/spreadsheet_processor.py:137-204)
+- html: tag stripping, script/style removal
+  (agraph/processer/html_processor.py:17-379 semantics via stdlib
+  HTMLParser — BeautifulSoup not available here)
+
+PDF / Word / image processors depend on binary libs absent from this
+environment; their registry slots raise NotImplementedError with the
+dependency named, keeping the dispatch surface complete.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import re
+from html.parser import HTMLParser
+from typing import Callable, Dict, List
+
+import pyarrow as pa
+
+_MD_PATTERNS = [
+    (re.compile(r"^---\n.*?\n---\n", re.DOTALL), ""),          # frontmatter
+    (re.compile(r"```.*?```", re.DOTALL), ""),                 # code blocks
+    (re.compile(r"`([^`]*)`"), r"\1"),                         # inline code
+    (re.compile(r"!\[([^\]]*)\]\([^)]*\)"), r"\1"),            # images
+    (re.compile(r"\[([^\]]*)\]\([^)]*\)"), r"\1"),             # links
+    (re.compile(r"^#{1,6}\s*", re.MULTILINE), ""),             # headings
+    (re.compile(r"(\*\*|__)(.*?)\1"), r"\2"),                  # bold
+    (re.compile(r"(\*|_)(.*?)\1"), r"\2"),                     # italics
+    (re.compile(r"^\s*[-*+]\s+", re.MULTILINE), ""),           # bullets
+    (re.compile(r"^\s*\d+\.\s+", re.MULTILINE), ""),           # numbered
+    (re.compile(r"^\s*>\s?", re.MULTILINE), ""),               # quotes
+    (re.compile(r"\n{3,}"), "\n\n"),
+]
+
+
+def parse_markdown(content: str) -> str:
+    out = content
+    for pat, repl in _MD_PATTERNS:
+        out = pat.sub(repl, out)
+    return out.strip()
+
+
+def parse_text(content: str) -> str:
+    return content.strip()
+
+
+def _json_texts(obj, out: List[str]):
+    """Recursive text-value walk (json_processor.py:199-232)."""
+    if isinstance(obj, str):
+        if obj.strip():
+            out.append(obj.strip())
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            _json_texts(v, out)
+    elif isinstance(obj, list):
+        for v in obj:
+            _json_texts(v, out)
+
+
+def parse_json(content: str) -> str:
+    try:
+        obj = json.loads(content)
+    except json.JSONDecodeError:
+        # jsonl fallback: parse line by line
+        texts: List[str] = []
+        for line in content.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                _json_texts(json.loads(line), texts)
+            except json.JSONDecodeError:
+                continue
+        return "\n".join(texts)
+    texts = []
+    _json_texts(obj, texts)
+    return "\n".join(texts)
+
+
+def parse_csv(content: str) -> str:
+    """Header-aware "col: val | col: val" rendering
+    (spreadsheet_processor.py:137-204)."""
+    try:
+        dialect = csv.Sniffer().sniff(content[:4096])
+    except csv.Error:
+        dialect = csv.excel
+    rows = list(csv.reader(io.StringIO(content), dialect))
+    if not rows:
+        return ""
+    header, out = rows[0], []
+    for row in rows[1:]:
+        out.append(" | ".join(f"{h}: {v}" for h, v in zip(header, row)))
+    return "\n".join(out)
+
+
+class _TextExtractor(HTMLParser):
+    SKIP = {"script", "style"}
+
+    def __init__(self):
+        super().__init__()
+        self.parts: List[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self.SKIP:
+            self._skip += 1
+
+    def handle_endtag(self, tag):
+        if tag in self.SKIP and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, data):
+        if not self._skip and data.strip():
+            self.parts.append(data.strip())
+
+
+def parse_html(content: str) -> str:
+    p = _TextExtractor()
+    p.feed(content)
+    return "\n".join(p.parts)
+
+
+def _unsupported(dep: str) -> Callable[[str], str]:
+    def f(content: str) -> str:
+        raise NotImplementedError(
+            f"parser requires {dep}, not available in this environment")
+    return f
+
+
+PARSERS: Dict[str, Callable[[str], str]] = {
+    "txt": parse_text, "text": parse_text,
+    "md": parse_markdown, "markdown": parse_markdown,
+    "json": parse_json, "jsonl": parse_json, "ndjson": parse_json,
+    "csv": parse_csv,
+    "html": parse_html, "htm": parse_html,
+    "pdf": _unsupported("pypdf"),
+    "doc": _unsupported("docx2txt"), "docx": _unsupported("python-docx"),
+    "xlsx": _unsupported("openpyxl"), "xls": _unsupported("xlrd"),
+}
+
+
+def register_parser(fmt: str, fn: Callable[[str], str]) -> None:
+    """Custom-processor registration (factory.py:58-77)."""
+    PARSERS[fmt.lower()] = fn
+
+
+def parse_documents(ds: "ray.data.Dataset", content_col: str = "content",
+                    format_col: str = "format") -> "ray.data.Dataset":
+    """Rows (content, format) → rows + ``text`` column via registry
+    dispatch. Unknown/unsupported formats yield null text plus a
+    ``parse_error`` column instead of failing the batch (poison-pill rows
+    must not kill a 100 TB job)."""
+    def f(t: pa.Table) -> pa.Table:
+        texts, errs = [], []
+        for content, fmt in zip(t[content_col].to_pylist(),
+                                t[format_col].to_pylist()):
+            fn = PARSERS.get((fmt or "txt").lower())
+            if fn is None:
+                texts.append(None)
+                errs.append(f"no parser for format {fmt!r}")
+                continue
+            try:
+                texts.append(fn(content or ""))
+                errs.append(None)
+            except NotImplementedError as e:
+                texts.append(None)
+                errs.append(str(e))
+            except Exception as e:  # noqa: BLE001 — poison-pill guard
+                texts.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+        return (t.append_column("text", pa.array(texts, pa.string()))
+                 .append_column("parse_error", pa.array(errs, pa.string())))
+
+    return ds.map_batches(f, batch_format="pyarrow")

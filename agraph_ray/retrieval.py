@@ -1,0 +1,166 @@
+"""Retrieval over the materialized KG tables.
+
+Reimplements the reference's KnowledgeRetriever surface
+(agraph/retrieval/knowledge_retriever.py:80-453): embed the query, top-k
+cosine over entity/relation/chunk embeddings, combined ``search_knowledge``.
+The reference brute-force-scans an in-heap vector dict
+(vector_storage.py:310-332); here vectors live in an ANN shard-actor pool
+(state/ann.py) built once from the embedding columns, and queries are
+vectorized matmuls per shard with a driver-side top-k merge.
+
+Also: neighbors / shortest-path BFS (knowledge_retriever.py:611-716,
+services/graph_path_finder.py:44-103) over a driver-loaded adjacency for
+small graphs — the iterative-join formulation exists for when the edge set
+outgrows one node (each BFS hop = one co-grouped shuffle).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from .stages.embed import HashEmbedder, embed_dataset
+from .state.ann import AnnShardPool
+
+
+def _collect_vectors(ds: "ray.data.Dataset", id_col: str):
+    ids: List[str] = []
+    mats: List[np.ndarray] = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids.extend(b[id_col].to_pylist())
+        mats.append(np.asarray(b["embedding"].to_pylist(), dtype=np.float32))
+    mat = (np.concatenate(mats) if mats
+           else np.zeros((0, 1), dtype=np.float32))
+    return ids, mat
+
+
+class KnowledgeRetriever:
+    """Query-side handle over nodes/edges/chunks Datasets.
+
+    Builds one ANN shard pool per table (embeddings computed with the
+    pipeline's embedder if the input lacks an ``embedding`` column).
+    State is actor-held; the driver keeps only ids.
+    """
+
+    def __init__(self, nodes=None, edges=None, chunks=None,
+                 dim: int = 64, num_shards: int = 4):
+        self.embedder = HashEmbedder(dim)
+        self.dim = dim
+        self._pools: Dict[str, AnnShardPool] = {}
+        self._meta: Dict[str, Dict[str, dict]] = {}
+        if nodes is not None:
+            self._index("entity", nodes, "entity_id", "entity", num_shards,
+                        ["entity_id", "name", "entity_type", "confidence"])
+        if edges is not None:
+            self._index("relation", edges, "relation_id", "relation",
+                        num_shards,
+                        ["relation_id", "subj", "relation_type", "obj",
+                         "confidence"])
+        if chunks is not None:
+            self._index("text_chunk", chunks, "chunk_id", "chunk", num_shards,
+                        ["chunk_id", "conv_id", "text"])
+
+    def _index(self, kind: str, ds, id_col: str, render: str,
+               num_shards: int, meta_cols: Sequence[str]):
+        if "embedding" not in ds.schema().names:
+            ds = embed_dataset(ds, render=render, dim=self.dim)
+        ds = ds.materialize()
+        ids, mat = _collect_vectors(
+            ds.select_columns([id_col, "embedding"]), id_col)
+        if not ids:
+            return
+        self._pools[kind] = AnnShardPool(ids, mat, num_shards)
+        meta: Dict[str, dict] = {}
+        for b in ds.select_columns(list(meta_cols)).iter_batches(
+                batch_format="pyarrow"):
+            for row in b.to_pylist():
+                meta[row[id_col]] = row
+        self._meta[kind] = meta
+
+    def _search(self, kind: str, query: str, top_k: int) -> List[dict]:
+        pool = self._pools.get(kind)
+        if pool is None:
+            return []
+        qv = self.embedder.embed_batch([query])
+        ids, sims = pool.query(qv, k=top_k)
+        out = []
+        for i, s in zip(ids[0], sims[0]):
+            rec = dict(self._meta[kind].get(str(i), {"id": str(i)}))
+            rec["score"] = float(s)
+            out.append(rec)
+        return out
+
+    # knowledge_retriever.py:80-262 surface
+    def search_entities(self, query: str, top_k: int = 10) -> List[dict]:
+        return self._search("entity", query, top_k)
+
+    def search_relations(self, query: str, top_k: int = 10) -> List[dict]:
+        return self._search("relation", query, top_k)
+
+    def search_text_chunks(self, query: str, top_k: int = 10) -> List[dict]:
+        return self._search("text_chunk", query, top_k)
+
+    def search_knowledge(self, query: str, top_k: int = 10) -> Dict:
+        """Parallel 3-way search (knowledge_retriever.py:264-313)."""
+        return {
+            "entities": self.search_entities(query, top_k),
+            "relations": self.search_relations(query, top_k),
+            "text_chunks": self.search_text_chunks(query, top_k),
+        }
+
+
+class GraphPathFinder:
+    """BFS neighbors / shortest path (graph_path_finder.py:44-103,
+    knowledge_retriever.py:611-716) over a driver adjacency built from the
+    edges Dataset — appropriate for the post-canonicalization graph, which
+    is dictionary-sized relative to the corpus."""
+
+    def __init__(self, edges: "ray.data.Dataset"):
+        self.adj: Dict[str, set] = {}
+        for b in edges.select_columns(["head_id", "tail_id"]).iter_batches(
+                batch_format="pyarrow"):
+            for h, t in zip(b["head_id"].to_pylist(),
+                            b["tail_id"].to_pylist()):
+                self.adj.setdefault(h, set()).add(t)
+                self.adj.setdefault(t, set()).add(h)
+
+    def neighbors(self, entity_id: str, max_hops: int = 1) -> Dict[str, int]:
+        """entity_id → {neighbor_id: hop_distance}, BFS bounded by
+        max_hops."""
+        seen = {entity_id: 0}
+        q = deque([(entity_id, 0)])
+        while q:
+            cur, d = q.popleft()
+            if d >= max_hops:
+                continue
+            for nxt in self.adj.get(cur, ()):
+                if nxt not in seen:
+                    seen[nxt] = d + 1
+                    q.append((nxt, d + 1))
+        seen.pop(entity_id, None)
+        return seen
+
+    def shortest_path(self, src: str, dst: str,
+                      max_depth: int = 10) -> Optional[List[str]]:
+        if src == dst:
+            return [src]
+        prev: Dict[str, str] = {src: ""}
+        q = deque([(src, 0)])
+        while q:
+            cur, d = q.popleft()
+            if d >= max_depth:
+                continue
+            for nxt in sorted(self.adj.get(cur, ())):
+                if nxt in prev:
+                    continue
+                prev[nxt] = cur
+                if nxt == dst:
+                    path = [dst]
+                    while path[-1] != src:
+                        path.append(prev[path[-1]])
+                    return path[::-1]
+                q.append((nxt, d + 1))
+        return None

@@ -1,0 +1,288 @@
+"""Graph analytics / validation / inference / export / retrieval /
+incremental tests over the shared end-to-end build."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tables(ray_session, kg_out):
+    import ray.data as rd
+    nodes = rd.read_parquet(kg_out.tables["nodes"]).materialize()
+    edges = rd.read_parquet(kg_out.tables["edges"]).materialize()
+    return nodes, edges
+
+
+def test_degree_table(tables):
+    from agraph_ray.ops.graph import degree_table
+    nodes, edges = tables
+    deg = degree_table(edges).to_pandas()
+    assert (deg["degree"] == deg["in_degree"] + deg["out_degree"]).all()
+    # total degree mass = 2 * edge count
+    assert deg["degree"].sum() == 2 * edges.count()
+
+
+def test_graph_statistics(tables):
+    from agraph_ray.ops.graph import graph_statistics
+    nodes, edges = tables
+    stats = graph_statistics(nodes, edges)
+    assert stats["total_entities"] == nodes.count()
+    assert stats["total_relations"] == edges.count()
+    assert sum(stats["entity_types"].values()) == nodes.count()
+    assert sum(stats["relation_types"].values()) == edges.count()
+    assert 0 <= stats["density"] <= 1
+    assert stats["degree_statistics"]["max_degree"] >= 1
+    assert stats["connectivity"]["components"] >= 1
+
+
+def test_validate_graph_clean(tables):
+    from agraph_ray.ops.graph import validate_graph
+    nodes, edges = tables
+    issues = validate_graph(nodes, edges).to_pandas()
+    if issues.empty:       # zero issues: Ray drops schema on empty unions
+        return
+    # the pipeline's own output must be integrity-clean
+    bad = issues[issues["severity"] == "high"]
+    assert len(bad) == 0, bad.head()
+    # duplicate signatures impossible after dedup on norm_name
+    assert (issues["issue_type"] != "duplicate_entity").all()
+
+
+def test_validate_graph_detects_dangling(ray_session, tables):
+    import ray.data as rd
+    from agraph_ray.ops.graph import validate_graph
+    nodes, edges = tables
+    fake = rd.from_arrow(pa.table({
+        "relation_id": ["relation_ffffffff"],
+        "head_id": ["entity_nonexistent"],
+        "tail_id": [nodes.take(1)[0]["entity_id"]],
+        "confidence": [0.9],
+    }))
+    issues = validate_graph(nodes, edges.select_columns(
+        ["relation_id", "head_id", "tail_id", "confidence"])
+        .union(fake)).to_pandas()
+    dang = issues[issues["issue_type"].str.startswith("invalid_head")]
+    assert len(dang) == 1
+    assert dang.iloc[0]["ref_id"] == "relation_ffffffff"
+
+
+def test_infer_symmetric(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph import infer_symmetric
+    edges = rd.from_arrow(pa.table({
+        "relation_id": ["r1", "r2"],
+        "head_id": ["e1", "e1"], "tail_id": ["e2", "e3"],
+        "relation_type": ["similar_to", "contains"],
+        "subj": ["a", "a"], "obj": ["b", "c"],
+        "confidence": [0.8, 0.9],
+    }))
+    out = infer_symmetric(edges).to_pandas()
+    assert len(out) == 1  # only similar_to reverses
+    assert out.iloc[0]["subj"] == "b" and out.iloc[0]["obj"] == "a"
+    assert abs(out.iloc[0]["confidence"] - 0.72) < 1e-9
+    assert out.iloc[0]["source"] == "symmetric_inference"
+
+
+def test_infer_transitive(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph import infer_transitive_contains
+    edges = rd.from_arrow(pa.table({
+        "head_id": ["A", "B"], "tail_id": ["B", "C"],
+        "relation_type": ["contains", "contains"],
+        "subj": ["a", "b"], "obj": ["b", "c"],
+        "confidence": [1.0, 0.9],
+    }))
+    out = infer_transitive_contains(edges).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["subj"], r["obj"]) == ("a", "c")
+    assert abs(r["confidence"] - 0.9 * 0.8) < 1e-9
+
+
+def test_infer_hierarchical(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph import infer_hierarchical
+    nodes = rd.from_arrow(pa.table({
+        "entity_id": ["o1", "p1", "p2"],
+        "name": ["Acme", "Acme Smith", "Bob Jones"],
+        "entity_type": ["organization", "person", "person"],
+    }))
+    out = infer_hierarchical(nodes).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["subj"] == "Acme"
+    assert out.iloc[0]["obj"] == "Acme Smith"
+    assert out.iloc[0]["confidence"] == 0.6
+
+
+def test_exports_roundtrip(tables, tmp_path):
+    from agraph_ray.export import (parse_graphml, to_cytoscape, to_d3,
+                                   write_csv, write_graphml)
+    nodes, edges = tables
+    p = str(tmp_path / "kg.graphml")
+    n = write_graphml(nodes, edges, p)
+    assert n == nodes.count() + edges.count()
+    parsed = parse_graphml(p)
+    assert len(parsed["nodes"]) == nodes.count()
+    assert len(parsed["edges"]) == edges.count()
+    names = {r["entity_id"] for r in parsed["nodes"]}  # d0 = name attr
+    assert len(names) > 1
+
+    cy = to_cytoscape(nodes, edges)
+    assert len(cy["elements"]["nodes"]) == nodes.count()
+    assert len(cy["elements"]["edges"]) == edges.count()
+    d3 = to_d3(nodes, edges)
+    assert d3["graph_info"]["node_count"] == nodes.count()
+    # links reference valid integer node indexes
+    assert all(0 <= l["source"] < nodes.count() for l in d3["links"])
+
+    counts = write_csv(nodes, edges, str(tmp_path / "n.csv"),
+                       str(tmp_path / "e.csv"))
+    assert counts == {"nodes": nodes.count(), "edges": edges.count()}
+
+
+def test_embed_and_retrieval(ray_session, tables, kg_out):
+    import ray.data as rd
+    from agraph_ray.retrieval import GraphPathFinder, KnowledgeRetriever
+    from agraph_ray.stages.embed import HashEmbedder, embed_dataset
+    nodes, edges = tables
+
+    emb = embed_dataset(nodes, render="entity").to_pandas()
+    assert all(len(v) == 64 for v in emb["embedding"])
+    # determinism: same row -> same vector on re-run
+    emb2 = embed_dataset(nodes, render="entity").to_pandas()
+    a = {n: tuple(v) for n, v in zip(emb["name"], emb["embedding"])}
+    b = {n: tuple(v) for n, v in zip(emb2["name"], emb2["embedding"])}
+    assert a == b
+
+    kr = KnowledgeRetriever(nodes=nodes, edges=edges)
+    name = nodes.take(5)[2]["name"]
+    from agraph_ray.stages.embed import entity_to_text
+    hits = kr.search_entities("anything", top_k=3)
+    assert len(hits) == 3 and all("score" in h for h in hits)
+    res = kr.search_knowledge("query", top_k=2)
+    assert set(res) == {"entities", "relations", "text_chunks"}
+    assert len(res["entities"]) == 2
+
+    pf = GraphPathFinder(edges)
+    e = edges.take(1)[0]
+    nb = pf.neighbors(e["head_id"], max_hops=1)
+    assert e["tail_id"] in nb
+    path = pf.shortest_path(e["head_id"], e["tail_id"])
+    assert path == [e["head_id"], e["tail_id"]]
+
+
+def test_link_chunks(ray_session, kg_out, tables):
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import link_chunks
+    nodes, edges = tables
+    chunks = rd.read_parquet(kg_out.tables["chunks"])
+    linked = link_chunks(chunks, nodes, edges).to_pandas()
+    assert "entities" in linked and "relations" in linked
+    # most chunks of planted-vocabulary text should link at least one entity
+    frac = (linked["entities"].str.len() > 0).mean()
+    assert frac > 0.5
+    # relation link implies both endpoints present
+    eid_by_rel = {r["relation_id"]: (r["head_id"], r["tail_id"])
+                  for r in edges.select_columns(
+                      ["relation_id", "head_id", "tail_id"]).take_all()}
+    row = linked[linked["relations"].str.len() > 0].iloc[0]
+    ents = set(row["entities"])
+    for rid in row["relations"]:
+        h, t = eid_by_rel[rid]
+        assert h in ents and t in ents
+
+
+def test_incremental_add_idempotent(ray_session, corpus_dir, tmp_path):
+    import glob
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.incremental import add_documents, remove_documents
+    from agraph_ray.pipelines.kg_build import build_kg
+    cfg = KGConfig()
+    out = str(tmp_path / "inc")
+    shards = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    base = build_kg(shards[:3], out, cfg, with_chunks=False)
+
+    # adding a shard grows the graph
+    r1 = add_documents(out, shards[3:], cfg)
+    assert r1.metrics["n_nodes"] >= base.metrics["n_nodes"]
+    n_after_add = r1.metrics["n_triples"]
+
+    # re-adding the same shard changes nothing (idempotent)
+    r2 = add_documents(out, shards[3:], cfg)
+    assert r2.metrics["n_nodes"] == r1.metrics["n_nodes"]
+    assert r2.metrics["n_triples"] == n_after_add
+
+    # removing one conversation shrinks (or keeps) every count
+    import pyarrow.dataset as pads
+    conv = pads.dataset(shards[3], format="parquet").to_table(
+        columns=["conv_id"])["conv_id"][0].as_py()
+    r3 = remove_documents(out, [conv], cfg)
+    assert r3.metrics["n_triples"] <= n_after_add
+    # removed conversation leaves no mentions behind
+    left = pads.dataset(os.path.join(out, "mentions"),
+                        format="parquet").to_table(columns=["conv_id"])
+    assert conv not in set(left["conv_id"].to_pylist())
+
+
+def test_db_schema_extraction(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.db_schema import (extract_schema_entities,
+                                          extract_schema_relations)
+    cols = rd.from_arrow(pa.table({
+        "database": ["shop"] * 5,
+        "table_name": ["tbl_users", "tbl_users", "orders", "orders",
+                       "order_items"],
+        "column_name": ["user_id", "email", "order_id", "user_id", "id"],
+        "data_type": ["int", "text", "int", "int", "int"],
+        "is_primary_key": [True, False, True, False, True],
+        "fk_table": [None, None, None, "tbl_users", None],
+        "fk_column": [None, None, None, "user_id", None],
+        "table_comment": [None] * 5,
+        "column_comment": [None] * 5,
+    }))
+    ents = extract_schema_entities(cols).to_pandas()
+    types = ents.groupby("entity_type")["name"].apply(set).to_dict()
+    assert "shop" in types["database"]
+    assert {"tbl_users", "orders", "order_items"} <= types["table"]
+    assert "tbl_users.email" in types["column"]
+    assert "id" not in {n.split(".")[-1] for n in types["column"]}  # common skipped
+    assert "User Management" in types.get("concept", set())
+    # alias strips tbl_ prefix
+    urow = ents[ents["name"] == "tbl_users"].iloc[0]
+    assert "users" in urow["aliases"]
+
+    rels = extract_schema_relations(cols).to_pandas()
+    kinds = rels.groupby("relation_type").size().to_dict()
+    assert kinds.get("foreign_key") == 1
+    fk = rels[rels["relation_type"] == "foreign_key"].iloc[0]
+    assert fk["subj"] == "orders.user_id" and fk["obj"] == "tbl_users.user_id"
+    # orders / order_items are Jaccard-similar > 0.6? {"orders"} vs
+    # {"order","items"} -> 0. No similar pair expected here.
+    assert kinds.get("contains", 0) >= 6  # db->3 tables, table->columns
+
+
+def test_parse_registry(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.parse import (parse_csv, parse_documents, parse_html,
+                                      parse_json, parse_markdown)
+    assert parse_markdown("# Title\n\n**bold** [link](http://x)") == \
+        "Title\n\nbold link"
+    assert parse_json('{"a": "hello", "b": {"c": "world"}, "d": 1}') == \
+        "hello\nworld"
+    assert parse_csv("name,age\nalice,30\nbob,25") == \
+        "name: alice | age: 30\nname: bob | age: 25"
+    assert parse_html("<html><script>x()</script><p>Hi <b>there</b></p>") == \
+        "Hi\nthere"
+
+    ds = rd.from_arrow(pa.table({
+        "content": ["# Doc", '{"k": "v"}', "bad", None],
+        "format": ["md", "json", "pdf", "txt"],
+    }))
+    out = parse_documents(ds).to_pandas()
+    assert out["text"].tolist()[:2] == ["Doc", "v"]
+    assert out["text"][2] is None          # pdf unsupported -> error column
+    assert "pypdf" in out["parse_error"][2]
+    assert out["text"][3] == ""
