@@ -367,6 +367,236 @@ def q_media_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# joins / windows / graph analytics (oracle-checked where SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(sf_dir: str):
+    """Distributed anti-join via the bucketed co-group primitive. Returns
+    a pyarrow Table (Ray's to_pandas drops the schema of an all-empty
+    dataset, and full-coverage inputs legitimately anti-join to zero
+    rows)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.join import cogroup_join
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey"])
+              .map_batches(lambda t: t.rename_columns(["c_custkey"]),
+                           batch_format="pyarrow"))
+    out = cogroup_join(cust, orders, on=["c_custkey"], how="anti")
+    schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+    batches = [b for b in out.iter_batches(batch_format="pyarrow")]
+    return (pa.concat_tables([t.cast(schema) for t in batches])
+            if batches else schema.empty_table())
+
+
+def q_revenue_by_priority(sf_dir: str):
+    """Fact-fact shuffle join (lineitem ⋈ orders) with lineitem
+    pre-aggregated per order key before the join — the combine-first
+    pattern that keeps the shuffle at |orders| not |lineitem|."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from agraph_ray.ops.join import cogroup_join
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_extendedprice", "sum")])
+        return g.rename_columns(["o_orderkey", "order_rev"])
+
+    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_orderkey", "l_extendedprice"])
+          .map_batches(pre_agg, batch_format="pyarrow"))
+    li = (li.groupby("o_orderkey")
+          .aggregate(Sum("order_rev", alias_name="rev")))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = cogroup_join(orders, li, on=["o_orderkey"], how="inner")
+    out = (joined.groupby("o_orderpriority")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Count(alias_name="n_orders")))
+    return _scale_cols(out, {"revenue": 100})
+
+
+def q_supplier_part_degree(sf_dir: str):
+    """degree_table over a bipartite supplier→part edge set derived from
+    lineitem (the KG degree operator on SQL-checkable input)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.graph import degree_table
+    from agraph_ray.stages.common import distinct_on
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        s = [f"s{k}" for k in t["l_suppkey"].to_pylist()]
+        p = [f"p{k}" for k in t["l_partkey"].to_pylist()]
+        return pa.table({"head_id": pa.array(s, pa.string()),
+                         "tail_id": pa.array(p, pa.string())})
+
+    edges = distinct_on(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_partkey"])
+        .map_batches(to_edges, batch_format="pyarrow"),
+        ["head_id", "tail_id"])
+    return degree_table(edges)
+
+
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) per user."""
+    import ray.data as rd
+    from agraph_ray.ops.window import sessionize
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = sessionize(ds, key="user_id", ts_col="ts", gap_sec=1800)
+    return _scale_cols(out, {"duration_sec": 10**6})
+
+
+# ---------------------------------------------------------------------------
+# KG analytics / maintenance surfaces (rows-only: non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def _kg(sf_dir: str):
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.kg_build import kg_tables
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    nodes, edges, mentions = kg_tables(ds, KGConfig(turn_separator=""))
+    return nodes.materialize(), edges.materialize()
+
+
+def q_kg_statistics(sf_dir: str):
+    import pandas as pd
+    from agraph_ray.ops.graph import graph_statistics
+    nodes, edges = _kg(sf_dir)
+    s = graph_statistics(nodes, edges)
+    return pd.DataFrame([{
+        "total_entities": s["total_entities"],
+        "total_relations": s["total_relations"],
+        "n_entity_types": len(s["entity_types"]),
+        "n_relation_types": len(s["relation_types"]),
+        "max_degree": s["degree_statistics"]["max_degree"],
+        "components": s["connectivity"]["components"],
+    }])
+
+
+def q_kg_validate(sf_dir: str):
+    import pandas as pd
+    from agraph_ray.ops.graph import validate_graph
+    nodes, edges = _kg(sf_dir)
+    issues = validate_graph(nodes, edges).to_pandas()
+    if issues.empty:
+        return pd.DataFrame([{"issue_type": "none", "n": 0}])
+    return (issues.groupby("issue_type").size().reset_index(name="n")
+            .sort_values("issue_type").reset_index(drop=True))
+
+
+def q_kg_inferred_relations(sf_dir: str):
+    from agraph_ray.ops.graph import infer_implicit_relations
+    nodes, edges = _kg(sf_dir)
+    return (infer_implicit_relations(nodes, edges)
+            .select_columns(["relation_id", "subj", "relation_type", "obj",
+                             "confidence", "source"]))
+
+
+def q_kg_linked_chunks(sf_dir: str):
+    import pyarrow as pa
+    from agraph_ray.config import KGConfig
+    from agraph_ray.stages.chunk import chunk_documents
+    from agraph_ray.stages.link_chunks import link_chunks
+    from agraph_ray.stages.reassemble import reassemble
+    from agraph_ray.synth import transcripts_from_documents
+    cfg = KGConfig(turn_separator="")
+    docs = reassemble(transcripts_from_documents(sf_dir), cfg,
+                      detect_hot=False)
+    chunks = chunk_documents(docs, cfg)
+    nodes, edges = _kg(sf_dir)
+    linked = link_chunks(chunks, nodes, edges)
+    return linked.map_batches(
+        lambda t: pa.table({
+            "chunk_id": t["chunk_id"],
+            "n_entities": pc.list_value_length(t["entities"]),
+            "n_relations": pc.list_value_length(t["relations"])}),
+        batch_format="pyarrow")
+
+
+def q_kg_retrieval(sf_dir: str):
+    import pandas as pd
+    from agraph_ray.retrieval import KnowledgeRetriever
+    nodes, edges = _kg(sf_dir)
+    kr = KnowledgeRetriever(nodes=nodes, edges=edges)
+    res = kr.search_knowledge("Alice Johnson works for Google", top_k=5)
+    rows = []
+    for kind, hits in res.items():
+        for rank, h in enumerate(hits):
+            rows.append({"kind": kind, "rank": rank,
+                         "ref": h.get("entity_id") or h.get("relation_id")
+                         or h.get("chunk_id")})
+    return pd.DataFrame(rows)
+
+
+def q_schema_entities(sf_dir: str):
+    """DB-schema extraction over the testdata tables' own parquet schemas
+    (deterministic columns table built from file metadata)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from agraph_ray.ops.db_schema import extract_schema_entities
+    rows = []
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        sch = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        for f in sch:
+            rows.append({"database": "testdata", "table_name": t,
+                         "column_name": f.name, "data_type": str(f.type),
+                         "is_primary_key": False, "fk_table": None,
+                         "fk_column": None, "table_comment": None,
+                         "column_comment": None})
+    cols = rd.from_arrow(pa.Table.from_pylist(rows))
+    return (extract_schema_entities(cols)
+            .select_columns(["entity_id", "name", "entity_type",
+                             "confidence"]))
+
+
+def q_parse_documents(sf_dir: str):
+    """Parser registry over deterministically formatted variants of the
+    documents table (md/json/csv/html round-robin by doc_id)."""
+    import json as _json
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.parse import parse_documents
+
+    def to_formats(t: pa.Table) -> pa.Table:
+        fmts, contents = [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            text = text or ""
+            fmt = ["md", "json", "csv", "html"][did % 4]
+            if fmt == "md":
+                contents.append(f"# doc {did}\n\n**{text}**")
+            elif fmt == "json":
+                contents.append(_json.dumps({"body": text}))
+            elif fmt == "csv":
+                safe = text.replace('"', "'")
+                contents.append(f'body\n"{safe}"')
+            else:
+                import html as _html
+                contents.append(f"<p>{_html.escape(text)}</p>")
+            fmts.append(fmt)
+        return pa.table({"doc_id": t["doc_id"],
+                         "content": pa.array(contents, pa.string()),
+                         "format": pa.array(fmts, pa.string())})
+
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+          .map_batches(to_formats, batch_format="pyarrow"))
+    out = parse_documents(ds)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "format": t["format"],
+            "n_chars": pc.binary_length(t["text"])}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -404,10 +634,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        # joins / windows / graph analytics
+        "customers_without_orders": q_customers_without_orders,
+        "revenue_by_priority": q_revenue_by_priority,
+        "supplier_part_degree": q_supplier_part_degree,
+        "events_sessionize": q_events_sessionize,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
+        "kg_statistics": q_kg_statistics,
+        "kg_validate": q_kg_validate,
+        "kg_inferred_relations": q_kg_inferred_relations,
+        "kg_linked_chunks": q_kg_linked_chunks,
+        "kg_retrieval": q_kg_retrieval,
+        "schema_entities": q_schema_entities,
+        "parse_documents": q_parse_documents,
         # multimodal plumbing
         "media_features": q_media_features,
     }
@@ -516,6 +758,52 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY s DESC, vec_id) AS rank
             FROM sims
             QUALIFY rank <= 10
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "revenue_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(floor(sum(rev) * 100 + 0.5) AS BIGINT) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN (
+                SELECT l_orderkey, sum(l_extendedprice) AS rev
+                FROM lineitem GROUP BY l_orderkey
+            ) li ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "supplier_part_degree": """
+            WITH edges AS (
+                SELECT DISTINCT 's' || l_suppkey AS head_id,
+                                'p' || l_partkey AS tail_id
+                FROM lineitem),
+            up AS (
+                SELECT head_id AS entity_id, 1 AS o, 0 AS i FROM edges
+                UNION ALL
+                SELECT tail_id, 0, 1 FROM edges)
+            SELECT entity_id, CAST(sum(o) AS BIGINT) AS out_degree,
+                   CAST(sum(i) AS BIGINT) AS in_degree,
+                   count(*) AS degree
+            FROM up GROUP BY entity_id
+        """,
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+            o AS (SELECT user_id, ts_us,
+                         CASE WHEN ts_us - lag(ts_us) OVER
+                              (PARTITION BY user_id ORDER BY ts_us)
+                              > 1800000000 THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            s AS (SELECT user_id, ts_us,
+                         CAST(sum(brk) OVER (PARTITION BY user_id
+                             ORDER BY ts_us ROWS UNBOUNDED PRECEDING)
+                             AS BIGINT) AS session_id
+                  FROM o)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts_us) AS session_start, max(ts_us) AS session_end,
+                   CAST(floor((max(ts_us) - min(ts_us)) / 1e6 * 1000000
+                        + 0.5) AS BIGINT) AS duration_sec
+            FROM s GROUP BY user_id, session_id
         """,
         "reassemble_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents

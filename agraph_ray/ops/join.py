@@ -1,0 +1,116 @@
+"""Distributed joins as bucketed co-groups.
+
+Ray 2.49's ``Dataset.join`` mis-handles empty hash partitions
+(``ArrowInvalid ... FieldRef.Name`` — see .claude/skills/verify), so the
+engine ships its own partitioned-join primitive: tag both sides, union,
+hash-partition by key into bounded buckets, and run ONE vectorized pandas
+merge per bucket. Shuffle volume equals a hash join's; per-task memory is
+|data| / num_buckets.
+
+For small build sides prefer ``broadcast_join`` — ``ray.put`` the lookup
+once and map over the probe side with zero shuffle (the classic
+map-side/broadcast join).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..stages.common import bucketed_group_reduce
+
+_SIDE = "__side"
+
+
+def cogroup_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                 on: Sequence[str], how: str = "inner",
+                 num_buckets: int = 64,
+                 schema: Optional[pa.Schema] = None) -> "ray.data.Dataset":
+    """Join two Datasets on ``on`` columns. ``how``: inner | left | semi |
+    anti (left-anti). Non-key column names must be disjoint."""
+    import ray.data as rd
+    on = list(on)
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols, rcols = lschema.names, rschema.names
+    overlap = (set(lcols) & set(rcols)) - set(on)
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
+
+    if schema is None:
+        # derive the output schema so even a zero-match join yields typed,
+        # named columns (a groupby over zero rows produces zero blocks and
+        # the result would otherwise lose its schema entirely)
+        fields = [(n, lschema.base_schema.field(n).type)
+                  for n in lcols]
+        if how in ("inner", "left"):
+            fields += [(n, rschema.base_schema.field(n).type)
+                       for n in rcols if n not in on]
+        schema = pa.schema(fields)
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(_SIDE, pa.array([side] * len(t)))
+        return f
+
+    both = (left.map_batches(tag("L"), batch_format="pyarrow")
+            .union(right.map_batches(tag("R"), batch_format="pyarrow")))
+
+    rval = [c for c in rcols if c not in on]
+    lval = [c for c in lcols if c not in on]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df[_SIDE] == "L"][on + lval]
+        r = df[df[_SIDE] == "R"][on + rval]
+        if how == "inner":
+            return l.merge(r, on=on, how="inner")
+        if how == "left":
+            return l.merge(r, on=on, how="left")
+        if how == "semi":
+            keys = r[on].drop_duplicates()
+            return l.merge(keys, on=on, how="inner")
+        if how == "anti":
+            keys = r[on].drop_duplicates()
+            m = l.merge(keys, on=on, how="left", indicator=True)
+            return m[m["_merge"] == "left_only"].drop(columns=["_merge"])
+        raise ValueError(f"unknown how={how!r}")
+
+    joined = bucketed_group_reduce(both, on, merge, num_buckets,
+                                   schema=schema)
+    # a zero-row schema anchor: keeps column names/types on the result even
+    # when no bucket emits anything (e.g. an anti-join with full coverage)
+    return joined.union(rd.from_arrow(schema.empty_table()))
+
+
+def broadcast_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
+                   on: str, columns: Sequence[str],
+                   how: str = "inner") -> "ray.data.Dataset":
+    """Map-side join: ``build`` (small) collected to a dict, ``ray.put``
+    once, looked up per probe batch. ``columns`` = build columns to append.
+    ``how`` inner drops probe rows without a match; left keeps them with
+    nulls."""
+    lookup = {}
+    for b in build.select_columns([on] + list(columns)).iter_batches(
+            batch_format="pyarrow"):
+        rows = b.to_pylist()
+        for r in rows:
+            lookup[r[on]] = tuple(r[c] for c in columns)
+    ref = ray.put(lookup)
+
+    def f(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = t[on].to_pylist()
+        hits = [m.get(k) for k in keys]
+        if how == "inner":
+            mask = pa.array([h is not None for h in hits])
+            t = t.filter(mask)
+            hits = [h for h in hits if h is not None]
+        for i, c in enumerate(columns):
+            t = t.append_column(
+                c, pa.array([h[i] if h else None for h in hits]))
+        return t
+
+    return probe.map_batches(f, batch_format="pyarrow")

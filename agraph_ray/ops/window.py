@@ -1,0 +1,88 @@
+"""Event-time windowing / sessionization over keyed streams.
+
+Streaming-shaped operators the reference lacks but a transcript/event
+engine needs: tumbling windows (pure per-batch key derivation + groupby)
+and gap-based sessionization (per-key ordered scan). Both are deterministic
+over unordered input — ordering is restored inside the keyed reduction,
+never globally.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.common import bucketed_group_reduce
+
+
+def tumbling_window(ds: "ray.data.Dataset", key: str, ts_col: str,
+                    width_sec: int, agg_col: str) -> "ray.data.Dataset":
+    """(key, window_start) count + sum over ``agg_col``. The window id is a
+    pure per-batch projection; the only shuffle is the final groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    us = width_sec * 1_000_000
+
+    def add_win(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t[ts_col], pa.int64())
+        win = pc.multiply(pc.divide(micros, us), us)
+        return t.append_column("window_start", pc.cast(win, pa.int64()))
+
+    return (ds.map_batches(add_win, batch_format="pyarrow")
+            .groupby([key, "window_start"])
+            .aggregate(Count(alias_name="n"),
+                       Sum(agg_col, alias_name=f"sum_{agg_col}")))
+
+
+SESSION_SCHEMA_COLS = ["user_id", "session_id", "n_events", "session_start",
+                       "session_end", "duration_sec"]
+
+
+def sessionize(ds: "ray.data.Dataset", key: str, ts_col: str,
+               gap_sec: int, num_buckets: int = 64) -> "ray.data.Dataset":
+    """Gap-based sessions: events of one key sorted by time; a gap greater
+    than ``gap_sec`` starts a new session. One vectorized pandas pass per
+    bucket (sort + diff + cumsum — no per-event Python).
+
+    Output: (user_id, session_id, n_events, session_start, session_end,
+    duration_sec), session_id 0-based per key in time order.
+    """
+    gap_us = gap_sec * 1_000_000
+
+    schema = pa.schema([
+        (key, pa.int64()), ("session_id", pa.int64()),
+        ("n_events", pa.int64()), ("session_start", pa.int64()),
+        ("session_end", pa.int64()), ("duration_sec", pa.float64()),
+    ])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key],
+                         "ts_us": pc.cast(t[ts_col], pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "ts_us"], kind="mergesort")
+        new_key = df[key] != df[key].shift()
+        gap = df["ts_us"].diff() > gap_us
+        sess_break = (new_key | gap)
+        sess_global = sess_break.cumsum()          # global session ordinal
+        g = df.groupby(sess_global, sort=False)
+        out = pd.DataFrame({
+            key: g[key].first(),
+            "n_events": g.size(),
+            "session_start": g["ts_us"].min(),
+            "session_end": g["ts_us"].max(),
+        })
+        out["session_id"] = out.groupby(key, sort=False).cumcount()
+        out["duration_sec"] = (out["session_end"]
+                               - out["session_start"]) / 1e6
+        return out[[key, "session_id", "n_events", "session_start",
+                    "session_end", "duration_sec"]]
+
+    evs = ds.select_columns([key, ts_col]).map_batches(
+        to_us, batch_format="pyarrow")
+    return bucketed_group_reduce(evs, [key], per_bucket, num_buckets,
+                                 schema=schema)

@@ -1,0 +1,94 @@
+"""cogroup_join / broadcast_join / windowing unit tests."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def lr(ray_session):
+    import ray.data as rd
+    left = rd.from_arrow(pa.table({
+        "k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table({
+        "k": [2, 3, 3, 5], "rv": ["x", "y", "z", "w"]}))
+    return left, right
+
+
+def test_inner_join(lr):
+    from agraph_ray.ops.join import cogroup_join
+    left, right = lr
+    out = cogroup_join(left, right, on=["k"], how="inner").to_pandas()
+    got = sorted(map(tuple, out[["k", "lv", "rv"]].values.tolist()))
+    assert got == [(2, "b", "x"), (3, "c", "y"), (3, "c", "z")]
+
+
+def test_left_join(lr):
+    from agraph_ray.ops.join import cogroup_join
+    left, right = lr
+    out = cogroup_join(left, right, on=["k"], how="left").to_pandas()
+    assert len(out) == 5   # 1,2,3x2,4
+    missing = out[out["k"] == 1]
+    assert missing["rv"].isna().all()
+
+
+def test_semi_anti_join(lr):
+    from agraph_ray.ops.join import cogroup_join
+    left, right = lr
+    semi = cogroup_join(left, right, on=["k"], how="semi").to_pandas()
+    assert sorted(semi["k"]) == [2, 3]
+    anti = cogroup_join(left, right, on=["k"], how="anti").to_pandas()
+    assert sorted(anti["k"]) == [1, 4]
+
+
+def test_overlap_rejected(lr):
+    from agraph_ray.ops.join import cogroup_join
+    left, _ = lr
+    with pytest.raises(ValueError, match="overlap"):
+        cogroup_join(left, left, on=["k"])
+
+
+def test_broadcast_join(lr):
+    from agraph_ray.ops.join import broadcast_join
+    left, right = lr
+    out = broadcast_join(left, right, on="k", columns=["rv"],
+                         how="inner").to_pandas()
+    # dict build keeps last duplicate (3 -> z)
+    assert sorted(map(tuple, out[["k", "rv"]].values.tolist())) == \
+        [(2, "x"), (3, "z")]
+    out_l = broadcast_join(left, right, on="k", columns=["rv"],
+                           how="left").to_pandas()
+    assert len(out_l) == 4
+
+
+def test_sessionize(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.window import sessionize
+    us = 1_000_000
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pa.array([0, 10 * us, 2000 * us, 5 * us, 6 * us],
+                       pa.timestamp("us")),
+    }))
+    out = sessionize(ds, "user_id", "ts", gap_sec=60).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_id")
+    assert len(u1) == 2
+    assert u1.iloc[0]["n_events"] == 2 and u1.iloc[1]["n_events"] == 1
+    assert u1.iloc[0]["duration_sec"] == 10.0
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and u2.iloc[0]["n_events"] == 2
+
+
+def test_tumbling_window(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.window import tumbling_window
+    us = 1_000_000
+    ds = rd.from_arrow(pa.table({
+        "user_id": [1, 1, 1],
+        "ts": pa.array([5 * us, 30 * us, 70 * us], pa.timestamp("us")),
+        "value": [1.0, 2.0, 4.0],
+    }))
+    out = tumbling_window(ds, "user_id", "ts", width_sec=60,
+                          agg_col="value").to_pandas()
+    out = out.sort_values("window_start")
+    assert len(out) == 2
+    assert out.iloc[0]["sum_value"] == 3.0 and out.iloc[1]["sum_value"] == 4.0
