@@ -48,11 +48,24 @@ class KGBuildResult:
 
 def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
                          do_canonicalize: bool = True,
-                         metrics: Optional[Dict] = None) -> Dict[str, str]:
-    """Global stages: mentions parquet → triples / nodes / edges tables."""
+                         metrics: Optional[Dict] = None,
+                         mentions=None, pool=None) -> Dict[str, str]:
+    """Global stages: mentions (in-memory Dataset or the parquet
+    checkpoint) → triples / nodes / edges tables.
+
+    The node and edge dedup branches execute CONCURRENTLY (two threads,
+    each its own streaming execution) — their shuffles overlap instead of
+    serializing; artifact writes also overlap downstream compute.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    import pyarrow.compute as pc2
+
     import ray.data as rd
     mentions_dir = os.path.join(out_dir, "mentions")
     tables: Dict[str, str] = {"mentions": mentions_dir}
+    own_pool = pool is None
+    if own_pool:
+        pool = ThreadPoolExecutor(max_workers=4)
 
     ent_cols = ["kind", "conv_id", "entity_id", "name", "norm_name",
                 "entity_type", "description", "aliases", "confidence",
@@ -61,62 +74,76 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
                 "obj", "obj_type", "head_id", "tail_id", "confidence",
                 "source", "n_mentions"]
 
-    entities = rd.read_parquet(mentions_dir, columns=ent_cols,
-                               filter=pc.field("kind") == "entity")
-    triples = rd.read_parquet(mentions_dir, columns=tri_cols,
-                              filter=pc.field("kind") == "triple")
+    if mentions is None:
+        entities = rd.read_parquet(mentions_dir, columns=ent_cols,
+                                   filter=pc.field("kind") == "entity")
+        triples = rd.read_parquet(mentions_dir, columns=tri_cols,
+                                  filter=pc.field("kind") == "triple")
+    else:
+        entities = mentions.map_batches(
+            lambda t: t.filter(pc2.equal(t["kind"], "entity"))
+            .select(ent_cols), batch_format="pyarrow")
+        triples = mentions.map_batches(
+            lambda t: t.filter(pc2.equal(t["kind"], "triple"))
+            .select(tri_cols), batch_format="pyarrow")
 
-    nodes = dedup_entities(entities, cfg)
-    edges = dedup_edges(triples, cfg)
+    t = time.time()
+    f_nodes = pool.submit(lambda: dedup_entities(entities, cfg).materialize())
+    f_edges = pool.submit(lambda: dedup_edges(triples, cfg).materialize())
+    nodes, edges = f_nodes.result(), f_edges.result()
+    if metrics is not None:
+        metrics["sec_dedup"] = round(time.time() - t, 2)
 
-    # one scan of mentions each for the node and edge branches; everything
-    # downstream derives from these checkpoints
     t = time.time()
     nodes_exact_dir = os.path.join(
         out_dir, "nodes_exact" if do_canonicalize else "nodes")
     edges_exact_dir = os.path.join(
         out_dir, "edges_exact" if do_canonicalize else "edges")
-    n_nodes = atomic_write_parquet(nodes, nodes_exact_dir,
-                                   cfg.min_rows_per_file)
-    n_edges = atomic_write_parquet(edges, edges_exact_dir,
-                                   cfg.min_rows_per_file)
+    writes = {
+        "nodes_exact": pool.submit(atomic_write_parquet, nodes,
+                                   nodes_exact_dir, cfg.min_rows_per_file),
+        "edges_exact": pool.submit(atomic_write_parquet, edges,
+                                   edges_exact_dir, cfg.min_rows_per_file),
+    }
+
+    # deduped (subj, pred, obj) table — the P/R gate artifact
+    triples_dir = os.path.join(out_dir, "triples")
+    tri_out = edges.select_columns(
+        ["relation_id", "subj", "subj_type", "relation_type", "obj",
+         "obj_type", "confidence", "source", "n_mentions"]).map_batches(
+        lambda t: t.rename_columns(
+            ["relation_id", "subj", "subj_type", "pred", "obj", "obj_type",
+             "confidence", "source", "n_mentions"]), batch_format="pyarrow")
+    writes["triples"] = pool.submit(atomic_write_parquet, tri_out,
+                                    triples_dir, cfg.min_rows_per_file)
+    tables["triples"] = triples_dir
+
+    n_nodes = writes["nodes_exact"].result()
+    n_edges = writes["edges_exact"].result()
+    n_triples = writes["triples"].result()
     if metrics is not None:
         metrics["sec_dedup_write"] = round(time.time() - t, 2)
 
-    # deduped (subj, pred, obj) table — the P/R gate artifact — derived from
-    # the already-written exact edge table (no second mentions scan)
-    t = time.time()
-    triples_dir = os.path.join(out_dir, "triples")
-    n_triples = atomic_write_parquet(
-        rd.read_parquet(edges_exact_dir,
-                        columns=["relation_id", "subj", "subj_type",
-                                 "relation_type", "obj", "obj_type",
-                                 "confidence", "source", "n_mentions"])
-        .map_batches(lambda t: t.rename_columns(
-            ["relation_id", "subj", "subj_type", "pred", "obj", "obj_type",
-             "confidence", "source", "n_mentions"]), batch_format="pyarrow"),
-        triples_dir, cfg.min_rows_per_file)
-    tables["triples"] = triples_dir
-    if metrics is not None:
-        metrics["sec_dedup_triples"] = round(time.time() - t, 2)
-
     if do_canonicalize:
         t = time.time()
-        nodes, edges, cmap = canonicalize(rd.read_parquet(nodes_exact_dir),
-                                          rd.read_parquet(edges_exact_dir),
-                                          cfg)
+        nodes, edges, cmap = canonicalize(nodes, edges, cfg)
         if metrics is not None:
             metrics["entities_merged_by_linking"] = len(cmap)
             metrics["sec_canonicalize"] = round(time.time() - t, 2)
         t = time.time()
-        n_nodes = atomic_write_parquet(nodes, os.path.join(out_dir, "nodes"),
-                                       cfg.min_rows_per_file)
-        n_edges = atomic_write_parquet(edges, os.path.join(out_dir, "edges"),
-                                       cfg.min_rows_per_file)
+        f_n = pool.submit(atomic_write_parquet, nodes,
+                          os.path.join(out_dir, "nodes"),
+                          cfg.min_rows_per_file)
+        f_e = pool.submit(atomic_write_parquet, edges,
+                          os.path.join(out_dir, "edges"),
+                          cfg.min_rows_per_file)
+        n_nodes, n_edges = f_n.result(), f_e.result()
         if metrics is not None:
             metrics["sec_final_write"] = round(time.time() - t, 2)
     tables["nodes"] = os.path.join(out_dir, "nodes")
     tables["edges"] = os.path.join(out_dir, "edges")
+    if own_pool:
+        pool.shutdown(wait=True)
     if metrics is not None:
         metrics.update({"n_nodes": n_nodes, "n_edges": n_edges,
                         "n_triples": n_triples})
@@ -153,7 +180,18 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
              with_chunks: bool = True, do_canonicalize: bool = True,
              engine=None) -> KGBuildResult:
     """Single-job streaming pipeline. ``transcripts`` is a Dataset or a
-    parquet path/dir."""
+    parquet path/dir.
+
+    Execution shape: each stage output that feeds multiple consumers is
+    ``materialize()``d (pinned in the object store, spilling if needed)
+    and its Parquet artifact is written on a SIDE THREAD while the next
+    stage computes — artifact I/O overlaps compute instead of serializing
+    the pipeline. (The partitioned :func:`build_kg_resumable` keeps strict
+    Parquet checkpoints per partition — that path trades this overlap for
+    restartability.)
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     import ray.data as rd
     cfg = cfg or KGConfig()
     t0 = time.time()
@@ -162,36 +200,36 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
         transcripts = rd.read_parquet(transcripts,
                                       columns=["conv_id", "turn_idx", "text"])
 
-    docs = reassemble(transcripts, cfg)
+    pool = ThreadPoolExecutor(max_workers=4)
+    futures = {}
 
-    # checkpoint documents so chunking and extraction don't re-run the
-    # reassembly shuffle twice (two consumers, one write)
     t = time.time()
-    docs_dir = os.path.join(out_dir, "documents")
-    n_docs = atomic_write_parquet(docs, docs_dir, cfg.min_rows_per_file)
-    docs = rd.read_parquet(docs_dir)
-    metrics["n_documents"] = n_docs
+    docs = reassemble(transcripts, cfg).materialize()
     metrics["sec_reassemble"] = round(time.time() - t, 2)
-
+    docs_dir = os.path.join(out_dir, "documents")
+    futures["documents"] = pool.submit(
+        atomic_write_parquet, docs, docs_dir, cfg.min_rows_per_file)
     if with_chunks:
-        t = time.time()
-        n_chunks = atomic_write_parquet(
-            chunk_documents(docs, cfg), os.path.join(out_dir, "chunks"),
-            cfg.min_rows_per_file)
-        metrics["n_chunks"] = n_chunks
-        metrics["sec_chunk"] = round(time.time() - t, 2)
+        futures["chunks"] = pool.submit(
+            atomic_write_parquet, chunk_documents(docs, cfg),
+            os.path.join(out_dir, "chunks"), cfg.min_rows_per_file)
 
     t = time.time()
-    mentions = extract_mentions(docs, cfg, engine=engine)
-    n_mentions = atomic_write_parquet(
-        mentions, os.path.join(out_dir, "mentions"), cfg.min_rows_per_file)
-    metrics["n_mentions"] = n_mentions
+    mentions = extract_mentions(docs, cfg, engine=engine).materialize()
     metrics["sec_extract"] = round(time.time() - t, 2)
+    futures["mentions"] = pool.submit(
+        atomic_write_parquet, mentions, os.path.join(out_dir, "mentions"),
+        cfg.min_rows_per_file)
 
-    tables = _mentions_to_outputs(out_dir, cfg, do_canonicalize, metrics)
+    tables = _mentions_to_outputs(out_dir, cfg, do_canonicalize, metrics,
+                                  mentions=mentions, pool=pool)
+    metrics["n_documents"] = futures["documents"].result()
+    metrics["n_mentions"] = futures["mentions"].result()
     if with_chunks:
+        metrics["n_chunks"] = futures["chunks"].result()
         tables["chunks"] = os.path.join(out_dir, "chunks")
     tables["documents"] = docs_dir
+    pool.shutdown(wait=True)
     metrics["wall_sec"] = time.time() - t0
     commit_manifest(out_dir, "build", "all", metrics)
     return KGBuildResult(out_dir, tables, metrics)

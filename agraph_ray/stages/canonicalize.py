@@ -151,6 +151,53 @@ def link_entities(nodes: "ray.data.Dataset",
     return distinct_on(pairs, ["src", "dst"], num_buckets)
 
 
+def compute_canonical_map(nodes: "ray.data.Dataset",
+                          cfg: Optional[KGConfig] = None,
+                          driver_threshold: int = 200_000) -> Dict[str, str]:
+    """nodes → {entity_id: canonical_id} for matched near-duplicates.
+
+    Size-adaptive like connected_components: minhash signatures always run
+    distributed (map_batches — the expensive part), but when the node table
+    is dictionary-sized (≤ ``driver_threshold``; the canonical-entity table
+    is vocabulary, not corpus), the band rows are collected and pair
+    generation + union-find run on the driver — the same blocking, ordering,
+    caps and scoring as the distributed path, without its two shuffle
+    rounds. Above the threshold the shuffle path takes over.
+    """
+    cfg = cfg or KGConfig()
+    if nodes.count() > driver_threshold:
+        match_edges = link_entities(nodes, cfg)
+        if match_edges.count() == 0:
+            return {}
+        labels = connected_components(match_edges,
+                                      max_iters=cfg.max_label_prop_iters)
+        return components_to_canonical_map(labels)
+
+    bands = nodes.select_columns(
+        ["entity_id", "name", "entity_type"]).map_batches(
+        MinHashBander(cfg), batch_format="pyarrow")
+    df = bands.to_pandas()
+    if df.empty:
+        return {}
+    pairs = _pair_factory(cfg.link_threshold, cfg.max_block_pairs)(df)
+
+    parent: Dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(pairs["src"], pairs["dst"]):
+        rs, rd_ = find(s), find(d)
+        if rs != rd_:
+            parent[max(rs, rd_)] = min(rs, rd_)
+    return {n: find(n) for n in parent if find(n) != n}
+
+
 def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
                  cfg: Optional[KGConfig] = None):
     """Run linking + components, rewrite nodes/edges to canonical ids.
@@ -160,55 +207,59 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
     — no shuffle — because only matched duplicates appear in the map.
     """
     cfg = cfg or KGConfig()
-    match_edges = link_entities(nodes, cfg)
-    if match_edges.count() == 0:
-        return nodes, edges, {}
-    labels = connected_components(match_edges,
-                                  max_iters=cfg.max_label_prop_iters)
-    cmap = components_to_canonical_map(labels)
+    cmap = compute_canonical_map(nodes, cfg)
     if not cmap:
         return nodes, edges, {}
     cmap_ref = ray.put(cmap)
+    # every node participating in any merge group (sources AND targets)
+    affected = set(cmap) | set(cmap.values())
+    affected_ref = ray.put(affected)
 
-    def rewrite_nodes(batch: pa.Table) -> pa.Table:
+    def _merge_group(g: pd.DataFrame) -> pd.Series:
+        g = g.sort_values(["confidence", "entity_id"],
+                          ascending=[False, True], kind="mergesort")
+        rep = g.iloc[0].copy()
+        rep["entity_id"] = g["canonical_id"].iloc[0]
+        others = sorted(set(g["name"]) - {rep["name"]})
+        rep["aliases"] = sorted(
+            {a for lst in g["aliases"] for a in lst} | set(others))
+        rep["n_mentions"] = int(g["n_mentions"].sum())
+        rep["n_convs"] = int(g["n_convs"].sum())
+        return rep.drop(labels=["canonical_id"])
+
+    # Nodes outside any merge group pass through untouched — a pure filter
+    # map, NO shuffle. Only the matched minority (bounded by |cmap|) is
+    # pulled to the driver, merged per canonical group, and unioned back.
+    def keep_unaffected(batch: pa.Table) -> pa.Table:
+        aff = ray.get(affected_ref)
+        mask = [i not in aff for i in batch["entity_id"].to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    def keep_affected(batch: pa.Table) -> pa.Table:
+        aff = ray.get(affected_ref)
         m: Dict[str, str] = ray.get(cmap_ref)
-        ids = batch["entity_id"].to_pylist()
-        canon = [m.get(i, i) for i in ids]
-        return batch.append_column("canonical_id", pa.array(canon, pa.string()))
+        mask = [i in aff for i in batch["entity_id"].to_pylist()]
+        t = batch.filter(pa.array(mask))
+        canon = [m.get(i, i) for i in t["entity_id"].to_pylist()]
+        return t.append_column("canonical_id", pa.array(canon, pa.string()))
 
-    def merge_canon_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized whole-bucket merge of canonical groups. The vast
-        majority of groups are singletons — handle them with a pure
-        column-op fast path and only loop over the merged minority."""
-        # arrow list<string> cells arrive as ragged numpy arrays, which Ray
-        # cannot convert back to Arrow — normalize to Python lists
-        df = df.assign(aliases=df["aliases"].map(
-            lambda v: list(v) if v is not None else []))
-        counts = df["canonical_id"].value_counts()
-        singles = df[df["canonical_id"].map(counts) == 1].copy()
-        singles["entity_id"] = singles["canonical_id"]
-        singles = singles.drop(columns=["canonical_id"])
-        multi = df[df["canonical_id"].map(counts) > 1]
-        rows = []
-        for cid, g in multi.groupby("canonical_id", sort=False):
-            g = g.sort_values(["confidence", "entity_id"],
-                              ascending=[False, True], kind="mergesort")
-            rep = g.iloc[0].copy()
-            rep["entity_id"] = cid
-            others = sorted(set(g["name"]) - {rep["name"]})
-            rep["aliases"] = sorted(
-                {a for lst in g["aliases"] for a in lst} | set(others))
-            rep["n_mentions"] = int(g["n_mentions"].sum())
-            rep["n_convs"] = int(g["n_convs"].sum())
-            rows.append(rep.drop(labels=["canonical_id"]))
-        merged = pd.DataFrame(rows) if rows else singles.iloc[0:0]
-        return pd.concat([singles, merged], ignore_index=True)
+    import ray.data as rd
 
     from .common import bucketed_group_reduce
     from .dedup import EDGES_SCHEMA, NODES_SCHEMA
-    canon_nodes = bucketed_group_reduce(
-        nodes.map_batches(rewrite_nodes, batch_format="pyarrow"),
-        ["canonical_id"], merge_canon_bucket, schema=NODES_SCHEMA)
+    merged_df = (nodes.map_batches(keep_affected, batch_format="pyarrow")
+                 .to_pandas())
+    merged_df["aliases"] = merged_df["aliases"].map(
+        lambda v: list(v) if v is not None else [])
+    merged_rows = (merged_df.groupby("canonical_id", sort=False)
+                   .apply(_merge_group).reset_index(drop=True)
+                   if len(merged_df) else merged_df.drop(
+                       columns=["canonical_id"]))
+    canon_nodes = nodes.map_batches(
+        keep_unaffected, batch_format="pyarrow").union(
+        rd.from_arrow(pa.Table.from_pandas(
+            merged_rows, schema=NODES_SCHEMA, preserve_index=False)
+            .replace_schema_metadata(None)))
 
     def rewrite_edges(batch: pa.Table) -> pa.Table:
         m: Dict[str, str] = ray.get(cmap_ref)

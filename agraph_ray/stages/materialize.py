@@ -26,9 +26,31 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 import time
+import types
 import uuid
 from typing import Any, Dict, List, Optional
+
+# Ray's write path probes `from fsspec.implementations.http import
+# HTTPFileSystem` on every path resolution, catching ModuleNotFoundError
+# (aiohttp is absent here so the probe always fails). Under concurrent
+# writes (thread pool) two threads can race the failing import and one
+# observes a partially-initialized module — a plain ImportError that Ray
+# does NOT catch. Settle the question once: cache a sentinel module whose
+# HTTPFileSystem is a never-instantiated class, so the probe succeeds and
+# its isinstance() checks are trivially False.
+try:
+    from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+except Exception:  # noqa: BLE001 — any import failure gets the stub
+    try:
+        import fsspec  # noqa: F401
+
+        _stub = types.ModuleType("fsspec.implementations.http")
+        _stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = _stub
+    except ImportError:
+        pass
 
 
 def manifest_path(out_dir: str, stage: str, partition_id: Any) -> str:

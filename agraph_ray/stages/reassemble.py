@@ -75,22 +75,22 @@ def reassemble(ds: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
     when ``detect_hot`` is set.
     """
     cfg = cfg or KGConfig()
-    if hot_convs is None and detect_hot:
-        hot_convs = find_hot_conversations(ds, cfg)
-    hot_convs = hot_convs or set()
-    hot_ref = ray.put(hot_convs)  # broadcast once, read per task
     span = int(cfg.salt_span)
     sep = cfg.turn_separator
 
+    # Universal salting: group key = conv_id # (turn_idx // span). A
+    # conversation whose turn indexes fit inside one span lands in exactly
+    # one group — identical to unsalted grouping — while a 10^6-turn
+    # conversation splits into turns/span independent groups automatically.
+    # No hot-key detection pre-pass needed (the previous design scanned the
+    # WHOLE input once just to count turns per conv — a full extra pass
+    # over 100 TB). ``hot_convs``/``detect_hot`` are kept for API compat
+    # but unused.
     def add_group_key(batch: pa.Table) -> pa.Table:
-        conv = batch["conv_id"].to_pylist()
-        if hot_set := ray.get(hot_ref):
-            idx = batch["turn_idx"].to_pylist()
-            key = [f"{c}#{i // span}" if c in hot_set else c
-                   for c, i in zip(conv, idx)]
-        else:
-            key = conv
-        return batch.append_column("group_key", pa.array(key, pa.string()))
+        salt = pc.divide(batch["turn_idx"], span)
+        key = pc.binary_join_element_wise(
+            batch["conv_id"], pc.cast(salt, pa.string()), "#")
+        return batch.append_column("group_key", key)
 
     def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
         """Whole-bucket reduction: one sort + one pandas groupby handles
@@ -101,9 +101,7 @@ def reassemble(ds: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
                     text=("text", sep.join),
                     n_turns=("text", "size"),
                     first_turn_idx=("turn_idx", "first"))
-        salted = out.index.to_series().str.contains("#", regex=False)
-        out["doc_seq"] = (out["first_turn_idx"] // span).where(
-            salted.to_numpy(), 0)
+        out["doc_seq"] = out["first_turn_idx"] // span
         return out.reset_index(drop=True)[
             ["conv_id", "doc_seq", "text", "n_turns", "first_turn_idx"]]
 
