@@ -353,6 +353,32 @@ def q_kg_nodes(sf_dir: str):
         ["entity_id", "name", "entity_type", "confidence", "n_mentions"])
 
 
+def q_kg_chunk_similarity(sf_dir: str):
+    """Chunk-to-chunk similarity over shared linked entities/relations."""
+    from agraph_ray.config import KGConfig
+    from agraph_ray.ops.misc import chunk_similarity_pairs
+    from agraph_ray.stages.chunk import chunk_documents
+    from agraph_ray.stages.link_chunks import link_chunks
+    from agraph_ray.stages.reassemble import reassemble
+    from agraph_ray.synth import transcripts_from_documents
+    cfg = KGConfig(turn_separator="")
+    docs = reassemble(transcripts_from_documents(sf_dir), cfg,
+                      detect_hot=False)
+    chunks = chunk_documents(docs, cfg)
+    nodes, edges = _kg(sf_dir)
+    linked = link_chunks(chunks, nodes, edges)
+    out = chunk_similarity_pairs(linked, threshold=0.8,
+                                 max_block_pairs=20_000)
+    return _scale_cols(out, {"similarity": 10**6})
+
+
+def q_kg_importance(sf_dir: str):
+    from agraph_ray.ops.misc import entity_importance
+    nodes, edges = _kg(sf_dir)
+    out = entity_importance(edges, n_entities=nodes.count())
+    return _scale_cols(out, {"importance": 10**6})
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake media → actor-pool feature
     extraction (decode kernel stubbed, distribution real)."""
@@ -450,17 +476,79 @@ def q_events_sessionize(sf_dir: str):
     return _scale_cols(out, {"duration_sec": 10**6})
 
 
+def q_orders_date_stats(sf_dir: str):
+    """min/max date + count per order status (date + string kernels)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "d": d})
+
+    out = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderstatus", "o_orderdate"])
+           .map_batches(prep, batch_format="pyarrow")
+           .groupby("o_orderstatus")
+           .aggregate(Count(alias_name="n"),
+                      Min("d", alias_name="first_day"),
+                      Max("d", alias_name="last_day")))
+    return out
+
+
+def q_part_type_tokens(sf_dir: str):
+    """String kernels: upper/split/substring over p_type, grouped."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def prep(t: pa.Table) -> pa.Table:
+        first = pc.utf8_upper(
+            pc.list_element(pc.split_pattern(t["p_type"], " "), 0))
+        return pa.table({"type_head": first})
+
+    return (rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("type_head").aggregate(Count(alias_name="n")))
+
+
+def q_supplier_acct_by_nation(sf_dir: str):
+    """supplier ⋈ nation (broadcast) + per-nation balance stats."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from agraph_ray.ops.join import broadcast_join
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+    nat = (rd.read_parquet(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+           .map_batches(lambda t: t.rename_columns(["s_nationkey", "n_name"]),
+                        batch_format="pyarrow"))
+    out = (broadcast_join(sup, nat, on="s_nationkey", columns=["n_name"])
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_suppliers"),
+                      Sum("s_acctbal", alias_name="total_bal")))
+    return _scale_cols(out, {"total_bal": 100})
+
+
 # ---------------------------------------------------------------------------
 # KG analytics / maintenance surfaces (rows-only: non-SQL-expressible)
 # ---------------------------------------------------------------------------
 
+_KG_CACHE: dict = {}
+
+
 def _kg(sf_dir: str):
-    from agraph_ray.config import KGConfig
-    from agraph_ray.pipelines.kg_build import kg_tables
-    from agraph_ray.synth import transcripts_from_documents
-    ds = transcripts_from_documents(sf_dir)
-    nodes, edges, mentions = kg_tables(ds, KGConfig(turn_separator=""))
-    return nodes.materialize(), edges.materialize()
+    """Materialized (nodes, edges) for the sf-derived transcript KG —
+    cached per sf_dir so the analytics queries don't re-run the build."""
+    if sf_dir not in _KG_CACHE:
+        from agraph_ray.config import KGConfig
+        from agraph_ray.pipelines.kg_build import kg_tables
+        from agraph_ray.synth import transcripts_from_documents
+        ds = transcripts_from_documents(sf_dir)
+        nodes, edges, _ = kg_tables(ds, KGConfig(turn_separator=""))
+        _KG_CACHE[sf_dir] = (nodes.materialize(), edges.materialize())
+    return _KG_CACHE[sf_dir]
 
 
 def q_kg_statistics(sf_dir: str):
@@ -639,6 +727,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": q_revenue_by_priority,
         "supplier_part_degree": q_supplier_part_degree,
         "events_sessionize": q_events_sessionize,
+        "orders_date_stats": q_orders_date_stats,
+        "part_type_tokens": q_part_type_tokens,
+        "supplier_acct_by_nation": q_supplier_acct_by_nation,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
         "kg_triples": q_kg_triples,
@@ -648,6 +739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_inferred_relations": q_kg_inferred_relations,
         "kg_linked_chunks": q_kg_linked_chunks,
         "kg_retrieval": q_kg_retrieval,
+        "kg_chunk_similarity": q_kg_chunk_similarity,
+        "kg_importance": q_kg_importance,
         "schema_entities": q_schema_entities,
         "parse_documents": q_parse_documents,
         # multimodal plumbing
@@ -762,6 +855,26 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "orders_date_stats": """
+            SELECT o_orderstatus, count(*) AS n,
+                   CAST(min(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
+                        AS INT) AS first_day,
+                   CAST(max(CAST(o_orderdate AS DATE)) - DATE '1970-01-01'
+                        AS INT) AS last_day
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "part_type_tokens": """
+            SELECT upper(split_part(p_type, ' ', 1)) AS type_head,
+                   count(*) AS n
+            FROM part GROUP BY type_head
+        """,
+        "supplier_acct_by_nation": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   CAST(floor(sum(s_acctbal) * 100 + 0.5) AS BIGINT)
+                       AS total_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "revenue_by_priority": """
             SELECT o_orderpriority,

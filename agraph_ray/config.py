@@ -29,6 +29,9 @@ class KGConfig:
     hot_conv_turns: int = 8192
     salt_span: int = 4096
     turn_separator: str = "\n"     # document text = separator.join(turn texts)
+    # documents with more turns than this bypass the batched actor pool and
+    # run one-per-task (straggler guard; see stages/extract.py)
+    hot_doc_turns: int = 64
 
     # --- entity linking (minhash-LSH blocking; replaces the reference's
     #     O(n^2) prefilter, agraph/builders/llm_builders.py:413-435) ---

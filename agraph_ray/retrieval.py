@@ -143,6 +143,50 @@ class GraphPathFinder:
         seen.pop(entity_id, None)
         return seen
 
+    def find_all_paths(self, src: str, dst: str,
+                       max_depth: int = 5,
+                       max_paths: int = 100) -> List[List[str]]:
+        """Bounded DFS enumeration of simple paths
+        (graph_path_finder.py:105-170)."""
+        out: List[List[str]] = []
+        stack = [(src, [src])]
+        while stack and len(out) < max_paths:
+            cur, path = stack.pop()
+            if cur == dst:
+                out.append(path)
+                continue
+            if len(path) > max_depth:
+                continue
+            for nxt in sorted(self.adj.get(cur, ()), reverse=True):
+                if nxt not in path:
+                    stack.append((nxt, path + [nxt]))
+        return out
+
+    def find_cycles(self, max_len: int = 6,
+                    max_cycles: int = 100) -> List[List[str]]:
+        """Simple cycles up to ``max_len`` (graph_path_finder.py:232-280),
+        canonicalized (smallest node first, lexicographic direction) and
+        deduped."""
+        seen = set()
+        cycles: List[List[str]] = []
+        for start in sorted(self.adj):
+            stack = [(start, [start])]
+            while stack and len(cycles) < max_cycles:
+                cur, path = stack.pop()
+                for nxt in sorted(self.adj.get(cur, ()), reverse=True):
+                    if nxt == start and len(path) >= 3:
+                        rot = min(range(len(path)),
+                                  key=lambda i: path[i])
+                        canon = tuple(path[rot:] + path[:rot])
+                        canon = min(canon, tuple(canon[:1]) +
+                                    tuple(reversed(canon[1:])))
+                        if canon not in seen:
+                            seen.add(canon)
+                            cycles.append(list(canon))
+                    elif nxt not in path and len(path) < max_len:
+                        stack.append((nxt, path + [nxt]))
+        return cycles
+
     def shortest_path(self, src: str, dst: str,
                       max_depth: int = 10) -> Optional[List[str]]:
         if src == dst:

@@ -198,22 +198,62 @@ def compute_canonical_map(nodes: "ray.data.Dataset",
     return {n: find(n) for n in parent if find(n) != n}
 
 
+def _canonicalize_driver(nodes, edges, cmap, merge_group):
+    """Whole-graph driver rewrite for dictionary-sized graphs: node merge,
+    edge endpoint rewrite, self-loop drop, and signature re-dedup in one
+    pandas pass — zero cluster executions. Returns (pa.Table, pa.Table)."""
+    from .dedup import EDGES_SCHEMA, NODES_SCHEMA
+    ndf = nodes.to_pandas()
+    ndf["aliases"] = ndf["aliases"].map(
+        lambda v: list(v) if v is not None else [])
+    affected = set(cmap) | set(cmap.values())
+    mask = ndf["entity_id"].isin(affected)
+    keep = ndf[~mask]
+    hit = ndf[mask].copy()
+    if len(hit):
+        hit["canonical_id"] = hit["entity_id"].map(lambda i: cmap.get(i, i))
+        merged = (hit.groupby("canonical_id", sort=False)
+                  .apply(merge_group).reset_index(drop=True))
+        ndf = pd.concat([keep, merged], ignore_index=True)
+    else:
+        ndf = keep
+    nodes_t = pa.Table.from_pandas(ndf, schema=NODES_SCHEMA,
+                                   preserve_index=False
+                                   ).replace_schema_metadata(None)
+
+    edf = edges.to_pandas()
+    edf["head_id"] = edf["head_id"].map(lambda i: cmap.get(i, i))
+    edf["tail_id"] = edf["tail_id"].map(lambda i: cmap.get(i, i))
+    edf = edf[edf["head_id"] != edf["tail_id"]]
+    sig = (edf["head_id"] + "\x00" + edf["relation_type"]
+           + "\x00" + edf["tail_id"])
+    s = edf.assign(__sig=sig).sort_values(
+        ["confidence", "relation_id"], ascending=[False, True],
+        kind="mergesort")
+    top = s.drop_duplicates("__sig", keep="first").set_index("__sig")
+    top["n_mentions"] = s.groupby("__sig", sort=False)["n_mentions"].sum()
+    edges_t = pa.Table.from_pandas(
+        top.reset_index(drop=True), schema=EDGES_SCHEMA,
+        preserve_index=False).replace_schema_metadata(None)
+    return nodes_t, edges_t
+
+
 def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
-                 cfg: Optional[KGConfig] = None):
+                 cfg: Optional[KGConfig] = None,
+                 driver_threshold: int = 2_000_000):
     """Run linking + components, rewrite nodes/edges to canonical ids.
 
-    Returns (canonical_nodes, canonical_edges, canonical_map).
-    The rewrite is a broadcast-map (ray.put of the non-trivial id→root dict)
-    — no shuffle — because only matched duplicates appear in the map.
+    Returns (canonical_nodes, canonical_edges, canonical_map); the first
+    two are pyarrow Tables when the whole graph fits the driver rewrite
+    path (≤ ``driver_threshold`` rows each — the canonical graph is
+    vocabulary-sized relative to the corpus), else Datasets. The
+    distributed rewrite is a broadcast-map (ray.put of the non-trivial
+    id→root dict) — only matched duplicates appear in the map.
     """
     cfg = cfg or KGConfig()
     cmap = compute_canonical_map(nodes, cfg)
     if not cmap:
         return nodes, edges, {}
-    cmap_ref = ray.put(cmap)
-    # every node participating in any merge group (sources AND targets)
-    affected = set(cmap) | set(cmap.values())
-    affected_ref = ray.put(affected)
 
     def _merge_group(g: pd.DataFrame) -> pd.Series:
         g = g.sort_values(["confidence", "entity_id"],
@@ -226,6 +266,17 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         rep["n_mentions"] = int(g["n_mentions"].sum())
         rep["n_convs"] = int(g["n_convs"].sum())
         return rep.drop(labels=["canonical_id"])
+
+    if (nodes.count() <= driver_threshold
+            and edges.count() <= driver_threshold):
+        nodes_t, edges_t = _canonicalize_driver(nodes, edges, cmap,
+                                                _merge_group)
+        return nodes_t, edges_t, cmap
+
+    cmap_ref = ray.put(cmap)
+    # every node participating in any merge group (sources AND targets)
+    affected = set(cmap) | set(cmap.values())
+    affected_ref = ray.put(affected)
 
     # Nodes outside any merge group pass through untouched — a pure filter
     # map, NO shuffle. Only the matched minority (bounded by |cmap|) is

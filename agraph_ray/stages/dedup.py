@@ -53,26 +53,34 @@ ENTITY_PARTIAL_SCHEMA = pa.schema([
 
 
 def _entity_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: collapse duplicate norm_names inside the batch."""
+    """Per-batch combiner: collapse duplicate norm_names inside the batch.
+    Fully vectorized — one sort + drop_duplicates + two groupby reductions,
+    no per-group Python."""
     df = batch.to_pandas()
     if "n_mentions" not in df:
         df["n_mentions"] = 1
         df["n_convs"] = (~df.duplicated(["norm_name", "conv_id"])).astype("int64")
-    out = []
-    for _, g in df.groupby("norm_name", sort=False):
-        rep = g.sort_values(["confidence", "entity_type", "name"],
-                            ascending=[False, True, True], kind="mergesort").iloc[0]
-        aliases = sorted({a for lst in g["aliases"] if lst is not None for a in lst})
-        out.append({
-            "entity_id": rep["entity_id"], "name": rep["name"],
-            "norm_name": rep["norm_name"], "entity_type": rep["entity_type"],
-            "description": rep["description"], "aliases": aliases,
-            "confidence": float(g["confidence"].max()),
-            "source": rep["source"],
-            "n_mentions": int(g["n_mentions"].sum()),
-            "n_convs": int(g["n_convs"].sum()),
-        })
-    return pa.Table.from_pylist(out, schema=ENTITY_PARTIAL_SCHEMA)
+    s = df.sort_values(["confidence", "entity_type", "name"],
+                       ascending=[False, True, True], kind="mergesort")
+    rep = s.drop_duplicates("norm_name", keep="first").set_index("norm_name")
+    g = df.groupby("norm_name", sort=False)
+    rep["confidence"] = g["confidence"].max()
+    rep["n_mentions"] = g["n_mentions"].sum()
+    rep["n_convs"] = g["n_convs"].sum()
+    # alias union: most rows carry no aliases — explode only the few that do
+    has = df[df["aliases"].map(lambda v: v is not None and len(v) > 0)]
+    if len(has):
+        al = (has[["norm_name", "aliases"]].explode("aliases")
+              .groupby("norm_name", sort=False)["aliases"]
+              .agg(lambda x: sorted(set(x))))
+        rep["aliases"] = al.reindex(rep.index)
+        rep["aliases"] = rep["aliases"].map(
+            lambda v: v if isinstance(v, list) else [])
+    else:
+        rep["aliases"] = [[] for _ in range(len(rep))]
+    out = rep.reset_index()[[f.name for f in ENTITY_PARTIAL_SCHEMA]]
+    return pa.Table.from_pandas(out, schema=ENTITY_PARTIAL_SCHEMA,
+                                preserve_index=False).replace_schema_metadata(None)
 
 
 def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:

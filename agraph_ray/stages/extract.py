@@ -21,6 +21,7 @@ materialization.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import pyarrow as pa
@@ -151,20 +152,50 @@ def _auto_concurrency() -> int:
     return max(2, cpus - 2)
 
 
+@functools.lru_cache(maxsize=4)
+def _worker_stage(conf_th: float, max_kw: int) -> "ExtractStage":
+    """Per-worker-process engine cache. Ray reuses worker processes across
+    tasks, so the ~45 regexes compile once per worker — actor-pool
+    amortization without an actor pool's static CPU reservation."""
+    return ExtractStage(KGConfig(confidence_threshold=conf_th,
+                                 max_keywords=max_kw))
+
+
 def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
                      engine=None) -> "ray.data.Dataset":
-    """documents → mentions via the extraction actor pool."""
+    """documents → mentions.
+
+    Skew-aware scheduling: extraction cost is ~linear in text length, and
+    ``batch_size`` counts ROWS — a batch of salted mega-documents (a
+    skewed conversation's sub-docs, each 100-1000x the median size) would
+    become a multi-minute straggler. Documents above ``hot_doc_turns`` go
+    one-per-task; the rest batch normally. BOTH paths are stateless tasks
+    (engine cached per worker process via ``_worker_stage``): a static
+    actor pool sized to the cluster starves whichever path it doesn't
+    serve — observed: a cpus-2 actor pool for small docs left the mega-doc
+    tasks 2 CPU slots and serialized the skew tail into the critical path.
+    Elastic tasks let Ray interleave both streams over every core.
+    """
+    import pyarrow.compute as pc
     cfg = cfg or KGConfig()
-    kwargs = {}
-    if engine is None:
-        # callable class → actor pool; regexes compile once per actor
-        conc = cfg.extract_concurrency
-        if conc == "auto":
-            conc = _auto_concurrency()
-        kwargs = dict(fn_constructor_kwargs={"cfg": cfg}, concurrency=conc)
-        fn = ExtractStage
-    else:  # pre-built engine (tests): stateless task closure
+    if engine is not None:   # pre-built engine (tests): single task path
         stage = ExtractStage(cfg, engine)
-        fn = stage
-    return docs.map_batches(fn, batch_format="pyarrow",
-                            batch_size=cfg.extract_batch_size, **kwargs)
+        return docs.map_batches(stage, batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size)
+
+    th, kw = cfg.confidence_threshold, cfg.max_keywords
+
+    def run(t: pa.Table) -> pa.Table:
+        return _worker_stage(th, kw)(t)
+
+    thresh = int(cfg.hot_doc_turns)
+    small = docs.map_batches(
+        lambda t: t.filter(pc.less_equal(t["n_turns"], thresh)),
+        batch_format="pyarrow")
+    big = docs.map_batches(
+        lambda t: t.filter(pc.greater(t["n_turns"], thresh)),
+        batch_format="pyarrow")
+    m_small = small.map_batches(run, batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size)
+    m_big = big.map_batches(run, batch_format="pyarrow", batch_size=1)
+    return m_small.union(m_big)

@@ -90,21 +90,30 @@ def commit_manifest(out_dir: str, stage: str, partition_id: Any,
     return path
 
 
-def atomic_write_parquet(ds: "ray.data.Dataset", final_dir: str,
+def atomic_write_parquet(ds, final_dir: str,
                          min_rows_per_file: int = 200_000) -> int:
-    """Stream ``ds`` to a temp sibling dir, then rename into place.
+    """Stream ``ds`` (a Dataset, or a pyarrow Table for driver-sized
+    results) to a temp sibling dir, then rename into place.
 
     Returns the number of rows written. A crash mid-write leaves only the
     temp dir (ignored by readers and cleaned on retry), never a torn final
-    directory.
+    directory. The pyarrow-Table path skips the whole-cluster execution a
+    Dataset write costs — meaningful when a pipeline ends in several
+    dictionary-sized artifacts.
     """
+    import pyarrow as pa
     parent = os.path.dirname(final_dir.rstrip("/"))
     os.makedirs(parent, exist_ok=True)
     tmp = f"{final_dir.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
-    try:
-        ds.write_parquet(tmp, min_rows_per_file=min_rows_per_file)
-    except TypeError:  # older Ray releases use num_rows_per_file
-        ds.write_parquet(tmp, num_rows_per_file=min_rows_per_file)
+    if isinstance(ds, pa.Table):
+        import pyarrow.parquet as pq
+        os.makedirs(tmp)
+        pq.write_table(ds, os.path.join(tmp, "part-0.parquet"))
+    else:
+        try:
+            ds.write_parquet(tmp, min_rows_per_file=min_rows_per_file)
+        except TypeError:  # older Ray releases use num_rows_per_file
+            ds.write_parquet(tmp, num_rows_per_file=min_rows_per_file)
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
     os.replace(tmp, final_dir)

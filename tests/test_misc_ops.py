@@ -1,0 +1,103 @@
+"""reverse edges / importance / chunk similarity / RAG context / graph.json
+/ path enumeration tests."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+
+def _edges(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "relation_id": ["r1", "r2"],
+        "head_id": ["e1", "e2"], "tail_id": ["e2", "e3"],
+        "relation_type": ["contains", "works_for"],
+        "subj": ["a", "b"], "obj": ["b", "c"],
+        "confidence": [0.9, 0.8],
+        "source": ["s", "s"],
+    }))
+
+
+def test_reverse_edges(ray_session):
+    from agraph_ray.ops.misc import reverse_edges
+    out = reverse_edges(_edges(ray_session)).to_pandas()
+    r1 = out[out["subj"] == "b"].iloc[0]
+    assert r1["relation_type"] == "belongs_to"   # contains reverses
+    assert r1["obj"] == "a"
+    r2 = out[out["subj"] == "c"].iloc[0]
+    assert r2["relation_type"] == "works_for"    # unmapped reverses to self
+
+
+def test_entity_importance(ray_session):
+    from agraph_ray.ops.misc import entity_importance
+    out = entity_importance(_edges(ray_session), n_entities=3).to_pandas()
+    e2 = out[out["entity_id"] == "e2"].iloc[0]
+    assert e2["degree"] == 2 and e2["importance"] == 1.0
+    assert out[out["entity_id"] == "e1"].iloc[0]["importance"] == 0.5
+
+
+def test_chunk_similarity_pairs(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.misc import chunk_similarity_pairs
+    chunks = rd.from_arrow(pa.table({
+        "chunk_id": ["c1", "c2", "c3"],
+        "entities": [["e1", "e2"], ["e1", "e2"], ["e9"]],
+        "relations": [["r1"], ["r1"], []],
+    }))
+    out = chunk_similarity_pairs(chunks, threshold=0.2).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["chunk_a"], row["chunk_b"]) == ("c1", "c2")
+    assert abs(row["similarity"] - 1.0) < 1e-9   # identical sets
+    # same pair must not appear twice despite two shared-entity blocks
+
+
+def test_format_rag_context():
+    from agraph_ray.ops.misc import format_rag_context
+    s = format_rag_context(
+        entities=[{"name": "A", "entity_type": "person", "score": 0.9}],
+        relations=[{"subj": "A", "relation_type": "works_for", "obj": "B",
+                    "score": 0.5}],
+        chunks=[{"text": "A works for B."}],
+        query="who is A?")
+    assert "Knowledge Graph(KG)" in s and "Document Chunks(DC)" in s
+    assert "works_for" in s and "A works for B." in s
+    # deterministic
+    assert s == format_rag_context(
+        entities=[{"name": "A", "entity_type": "person", "score": 0.9}],
+        relations=[{"subj": "A", "relation_type": "works_for", "obj": "B",
+                    "score": 0.5}],
+        chunks=[{"text": "A works for B."}],
+        query="who is A?")
+
+
+def test_write_graph_json(ray_session, tmp_path):
+    import ray.data as rd
+    from agraph_ray.ops.misc import write_graph_json
+    nodes = rd.from_arrow(pa.table({
+        "entity_id": ["e1", "e2", "e3"], "name": ["a", "b", "c"],
+        "entity_type": ["person"] * 3, "description": [""] * 3,
+        "aliases": [[], [], []], "confidence": [1.0] * 3,
+        "source": ["s"] * 3,
+    }))
+    p = str(tmp_path / "graph.json")
+    counts = write_graph_json(nodes, _edges(ray_session), p)
+    assert counts == {"entities": 3, "relations": 2}
+    doc = json.load(open(p))
+    assert doc["entities"]["e1"]["name"] == "a"
+    assert doc["relations"]["r1"]["head_entity_id"] == "e1"
+
+
+def test_path_enumeration(ray_session):
+    from agraph_ray.retrieval import GraphPathFinder
+    import ray.data as rd
+    edges = rd.from_arrow(pa.table({
+        "head_id": ["a", "b", "a", "c"],
+        "tail_id": ["b", "c", "c", "d"],
+    }))
+    pf = GraphPathFinder(edges)
+    paths = pf.find_all_paths("a", "c", max_depth=3)
+    assert sorted(paths) == [["a", "b", "c"], ["a", "c"]]
+    cycles = pf.find_cycles()
+    assert any(set(c) == {"a", "b", "c"} for c in cycles)

@@ -176,9 +176,13 @@ def test_canonicalize_rewrites_edges(ray_session):
         n_mentions=1)])
     cn, ce, cmap = canonicalize(nodes, edges, KGConfig())
     assert cmap == {"entity_2": "entity_1"}
-    node_ids = {r["entity_id"] for r in cn.take_all()}
+
+    def rows(x):   # pa.Table (driver rewrite path) or Dataset
+        return x.to_pylist() if hasattr(x, "to_pylist") else x.take_all()
+
+    node_ids = {r["entity_id"] for r in rows(cn)}
     assert node_ids == {"entity_1", "entity_3"}
-    e = ce.take_all()[0]
+    e = rows(ce)[0]
     assert e["head_id"] == "entity_1"            # rewritten to canonical id
-    merged = [r for r in cn.take_all() if r["entity_id"] == "entity_1"][0]
+    merged = [r for r in rows(cn) if r["entity_id"] == "entity_1"][0]
     assert merged["n_mentions"] == 2
