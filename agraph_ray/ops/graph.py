@@ -82,31 +82,44 @@ def count_by(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
 def graph_statistics(nodes: "ray.data.Dataset",
                      edges: "ray.data.Dataset") -> Dict:
     """Comprehensive stats dict (graph_analyzer.py:42-171,225-243):
-    totals, per-type counts, degree stats, density, connectivity."""
-    n_entities = nodes.count()
-    n_relations = edges.count()
+    totals, per-type counts, degree stats, density, connectivity.
 
-    ent_types = {r[0]: r[1] for r in
-                 count_by(nodes, "entity_type")
-                 .to_pandas().itertuples(index=False)}
-    rel_types = {r[0]: r[1] for r in
-                 count_by(edges, "relation_type")
-                 .to_pandas().itertuples(index=False)}
+    The independent aggregations execute concurrently on driver threads —
+    each is its own streaming execution; serializing them would stack
+    their per-execution latencies."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    deg = degree_table(edges)
-    from ray.data.aggregate import Max, Mean, Min, Sum
-    deg_stats = deg.aggregate(Mean("degree"), Max("degree"), Min("degree"),
-                              Mean("in_degree"), Mean("out_degree"))
+    from ray.data.aggregate import Max, Mean, Min
+
+    deg = degree_table(edges).materialize()
+
+    def _components():
+        match = edges.select_columns(["head_id", "tail_id"]).map_batches(
+            lambda t: t.rename_columns(["src", "dst"]),
+            batch_format="pyarrow")
+        return count_by(connected_components(match),
+                        "label").to_pandas()["n"]
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        f_ne = pool.submit(nodes.count)
+        f_nr = pool.submit(edges.count)
+        f_et = pool.submit(lambda: count_by(nodes, "entity_type").to_pandas())
+        f_rt = pool.submit(lambda: count_by(edges, "relation_type").to_pandas())
+        f_ds = pool.submit(lambda: deg.aggregate(
+            Mean("degree"), Max("degree"), Min("degree"),
+            Mean("in_degree"), Mean("out_degree")))
+        f_cc = pool.submit(_components)
+        n_entities, n_relations = f_ne.result(), f_nr.result()
+        ent_types = {r[0]: r[1] for r in f_et.result().itertuples(index=False)}
+        rel_types = {r[0]: r[1] for r in f_rt.result().itertuples(index=False)}
+        deg_stats = f_ds.result()
+        comp_sizes = f_cc.result()
+
     # entities that appear in no edge have degree 0 — fold them into the
     # averages the way the reference iterates all entities
     n_with_edges = deg.count()
     n_zero = max(0, n_entities - n_with_edges)
     scale = n_with_edges / max(1, n_with_edges + n_zero)
-
-    match = edges.select_columns(["head_id", "tail_id"]).map_batches(
-        lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow")
-    labels = connected_components(match)
-    comp_sizes = count_by(labels, "label").to_pandas()["n"]
     n_isolated = n_zero  # each zero-degree entity is its own component
     components = len(comp_sizes) + n_isolated
 

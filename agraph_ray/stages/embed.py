@@ -125,14 +125,20 @@ def embed_dataset(ds: "ray.data.Dataset", render: str = "raw",
                   dim: int = 64, text_col: str = "text",
                   batch_size: int = 64,
                   concurrency: Optional[int] = None) -> "ray.data.Dataset":
-    """Append an ``embedding`` column via the embedding actor pool.
+    """Append an ``embedding`` column.
 
     batch_size=64 mirrors the reference's embedding batching
-    (graph_embedding.py:404-405); concurrency defaults to a modest pool
-    (the stand-in is CPU-cheap; an API embedder is I/O-bound and wants
-    more)."""
-    return ds.map_batches(
-        EmbedStage, batch_format="pyarrow", batch_size=batch_size,
-        fn_constructor_kwargs={"render": render, "dim": dim,
-                               "text_col": text_col},
-        concurrency=concurrency or 4)
+    (graph_embedding.py:404-405). The deterministic stand-in runs as
+    elastic stateless tasks (its state is two ints — an actor pool only
+    adds startup latency and static CPU reservation); pass ``concurrency``
+    to get an actor pool, the right shape for a real API-client embedder
+    (connection + rate-limiter state per actor)."""
+    if concurrency:
+        return ds.map_batches(
+            EmbedStage, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_kwargs={"render": render, "dim": dim,
+                                   "text_col": text_col},
+            concurrency=concurrency)
+    stage = EmbedStage(render=render, dim=dim, text_col=text_col)
+    return ds.map_batches(stage, batch_format="pyarrow",
+                          batch_size=batch_size)
