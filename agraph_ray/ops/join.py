@@ -44,10 +44,19 @@ def cogroup_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         # derive the output schema so even a zero-match join yields typed,
         # named columns (a groupby over zero rows produces zero blocks and
         # the result would otherwise lose its schema entirely)
-        fields = [(n, lschema.base_schema.field(n).type)
-                  for n in lcols]
+        def _pa_type(t):
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(t)   # pandas-block schemas
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()
+
+        ltypes = dict(zip(lschema.names, lschema.types))
+        rtypes = dict(zip(rschema.names, rschema.types))
+        fields = [(n, _pa_type(ltypes[n])) for n in lcols]
         if how in ("inner", "left"):
-            fields += [(n, rschema.base_schema.field(n).type)
+            fields += [(n, _pa_type(rtypes[n]))
                        for n in rcols if n not in on]
         schema = pa.schema(fields)
 

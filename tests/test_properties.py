@@ -1,0 +1,162 @@
+"""Property-based tests (hypothesis) for the pure-function core, plus
+seeded randomized cross-checks of the distributed reductions against
+brute-force implementations."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# pure functions — hypothesis
+# ---------------------------------------------------------------------------
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=2000)
+
+
+@settings(max_examples=50, deadline=None)
+@given(text_strategy)
+def test_chunker_bounds(text):
+    from agraph_ray.stages.chunk import ApproxTokenChunker
+    ch = ApproxTokenChunker(chunk_size=64, chunk_overlap=16)
+    chunks = ch.split_text(text)
+    for c in chunks:
+        assert c.strip()
+        assert ch.count_tokens(c) <= 64 + 16
+    # determinism
+    assert chunks == ch.split_text(text)
+
+
+@settings(max_examples=50, deadline=None)
+@given(text_strategy)
+def test_extractor_deterministic_and_bounded(text):
+    from agraph_ray.extract.rules import RuleExtractor
+    rx = RuleExtractor()
+    e1, t1 = rx.extract(text)
+    e2, t2 = rx.extract(text)
+    assert [(x.name, x.etype, x.confidence) for x in e1] == \
+        [(x.name, x.etype, x.confidence) for x in e2]
+    assert [(x.subj, x.pred, x.obj) for x in t1] == \
+        [(x.subj, x.pred, x.obj) for x in t2]
+    for e in e1:
+        assert 0.0 <= e.confidence <= 1.0
+    for t in t1:
+        assert t.confidence >= rx.confidence_threshold
+        assert not (t.subj == t.obj and t.subj_type == t.obj_type)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=100))
+def test_ids_deterministic(name):
+    from agraph_ray.ids import entity_id, norm_name, relation_id
+    assert entity_id(name) == entity_id(name)
+    assert entity_id(name) == entity_id(norm_name(name))  # normalization
+    assert entity_id(name).startswith("entity_")
+    assert len(entity_id(name)) == len("entity_") + 8
+    rid = relation_id(name, "related_to", name + "x")
+    assert rid == relation_id(name, "related_to", name + "x")
+    assert rid.startswith("relation_")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["alpha", "Beta", "GAMMA d"]),
+                          st.floats(0.0, 1.0)), min_size=1, max_size=30),
+       st.randoms())
+def test_entity_partial_order_invariant(rows, rnd):
+    """The per-batch entity combiner must not depend on row order."""
+    from agraph_ray.stages.dedup import _entity_partial
+
+    def mk(rows):
+        return pa.Table.from_pylist([{
+            "kind": "entity", "conv_id": "c", "doc_seq": 0,
+            "entity_id": f"entity_{n.lower()}", "name": n,
+            "norm_name": n.lower().strip(), "entity_type": "concept",
+            "description": "", "aliases": [], "confidence": c,
+            "source": "s", "n_mentions": 1, "n_convs": 1,
+        } for n, c in rows])
+
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    a = _entity_partial(mk(rows)).to_pandas()
+    b = _entity_partial(mk(shuffled)).to_pandas()
+    key = ["norm_name", "confidence", "n_mentions"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=200))
+def test_markdown_strip_idempotent_on_plain(s):
+    from agraph_ray.ops.parse import parse_text
+    assert parse_text(parse_text(s)) == parse_text(s)
+
+
+# ---------------------------------------------------------------------------
+# distributed reductions vs brute force — seeded randomized
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sessionize_matches_bruteforce(ray_session, seed):
+    import ray.data as rd
+    from agraph_ray.ops.window import sessionize
+    rng = np.random.default_rng(seed)
+    n = 300
+    users = rng.integers(0, 10, n)
+    ts = rng.integers(0, 10_000, n) * 1_000_000   # µs
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }))
+    got = (sessionize(ds, "user_id", "ts", gap_sec=600)
+           .to_pandas().sort_values(["user_id", "session_id"])
+           .reset_index(drop=True))
+
+    rows = []
+    df = pd.DataFrame({"u": users, "t": ts}).sort_values(["u", "t"])
+    for u, g in df.groupby("u"):
+        sid, start, last, cnt = 0, None, None, 0
+        for t in g["t"]:
+            if start is None:
+                start, last, cnt = t, t, 1
+            elif t - last > 600 * 1_000_000:
+                rows.append((u, sid, cnt, start, last))
+                sid += 1
+                start, last, cnt = t, t, 1
+            else:
+                last, cnt = t, cnt + 1
+        rows.append((u, sid, cnt, start, last))
+    want = pd.DataFrame(rows, columns=["user_id", "session_id", "n_events",
+                                       "session_start", "session_end"])
+    got2 = got[["user_id", "session_id", "n_events", "session_start",
+                "session_end"]].astype("int64")
+    pd.testing.assert_frame_equal(got2, want.astype("int64"))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cogroup_join_matches_pandas(ray_session, seed):
+    import ray.data as rd
+    from agraph_ray.ops.join import cogroup_join
+    rng = np.random.default_rng(seed)
+    l = pd.DataFrame({"k": rng.integers(0, 20, 50),
+                      "lv": rng.integers(0, 100, 50)})
+    r = pd.DataFrame({"k": rng.integers(0, 20, 30),
+                      "rv": rng.integers(0, 100, 30)})
+    ld, rdd = rd.from_pandas(l), rd.from_pandas(r)
+    for how in ["inner", "left", "semi", "anti"]:
+        got = cogroup_join(ld, rdd, on=["k"], how=how).to_pandas()
+        if how in ("inner", "left"):
+            want = l.merge(r, on="k", how=how)
+        elif how == "semi":
+            want = l.merge(r[["k"]].drop_duplicates(), on="k")
+        else:
+            want = l[~l["k"].isin(r["k"])]
+        assert len(got) == len(want), how
+        gs = sorted(map(tuple, got.fillna(-1).astype("int64")
+                        [sorted(got.columns)].values.tolist()))
+        ws = sorted(map(tuple, want.fillna(-1).astype("int64")
+                        [sorted(want.columns)].values.tolist()))
+        assert gs == ws, how
