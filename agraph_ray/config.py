@@ -66,3 +66,26 @@ class KGConfig:
     max_cooc_entities_per_sentence: int = 50
 
     extra: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_env(cls, prefix: str = "AGRAPH_", **overrides) -> "KGConfig":
+        """Build a config from environment variables (the reference's
+        Settings-from-.env surface, agraph/config.py:10-145):
+        ``AGRAPH_CHUNK_SIZE=256`` → ``chunk_size=256``. Explicit keyword
+        overrides win over the environment."""
+        import os
+        kwargs = {}
+        for f_ in cls.__dataclass_fields__.values():
+            if f_.name == "extra":
+                continue
+            raw = os.environ.get(prefix + f_.name.upper())
+            if raw is None:
+                continue
+            if f_.type == "int":
+                kwargs[f_.name] = int(raw)
+            elif f_.type == "float":
+                kwargs[f_.name] = float(raw)
+            else:
+                kwargs[f_.name] = raw
+        kwargs.update(overrides)
+        return cls(**kwargs)

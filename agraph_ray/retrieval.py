@@ -112,6 +112,36 @@ class KnowledgeRetriever:
         }
 
 
+class ChatRetriever:
+    """The chat/RAG surface (knowledge_retriever.py:793-1052): 3-way
+    retrieval → deterministic context assembly → pluggable LLM call.
+
+    ``llm`` is any ``Callable[[str], str]`` (an API client closure in
+    production). With ``llm=None``, :meth:`chat` returns the fully
+    assembled prompt context instead — the deterministic, testable half.
+    """
+
+    def __init__(self, retriever: KnowledgeRetriever, llm=None,
+                 response_type: str = "concise"):
+        self.retriever = retriever
+        self.llm = llm
+        self.response_type = response_type
+        self.history: List[str] = []
+
+    def chat(self, query: str, top_k: int = 10) -> str:
+        from .ops.misc import format_rag_context
+        res = self.retriever.search_knowledge(query, top_k)
+        ctx = format_rag_context(
+            res["entities"], res["relations"], res["text_chunks"],
+            query=query, history="\n".join(self.history[-6:]),
+            response_type=self.response_type)
+        if self.llm is None:
+            return ctx
+        answer = self.llm(ctx)
+        self.history.extend([f"user: {query}", f"assistant: {answer}"])
+        return answer
+
+
 class GraphPathFinder:
     """BFS neighbors / shortest path (graph_path_finder.py:44-103,
     knowledge_retriever.py:611-716) over a driver adjacency built from the
