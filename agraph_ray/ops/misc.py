@@ -93,59 +93,89 @@ def chunk_similarity_pairs(linked_chunks: "ray.data.Dataset",
     from ..stages.common import bucketed_group_reduce, distinct_on
 
     def fanout(t: pa.Table) -> pa.Table:
+        # id lists ride the shuffle as int64 hashes: the ids carry 32 bits
+        # of entropy (md5[:8] hex), so 64-bit hashing preserves set
+        # equality/Jaccard exactly while cutting shuffle bytes ~4x and
+        # making the pair loop intersect int sets instead of strings
+        import zlib
         cid, ent, ents, rels = [], [], [], []
         for c, es, rs in zip(t["chunk_id"].to_pylist(),
                              t["entities"].to_pylist(),
                              t["relations"].to_pylist()):
+            eh = [zlib.crc32(e.encode()) for e in es or []]
+            rh = [zlib.crc32(r.encode()) for r in rs or []]
             for e in es or []:
                 cid.append(c)
                 ent.append(e)
-                ents.append(es)
-                rels.append(rs or [])
+                ents.append(eh)
+                rels.append(rh)
         return pa.table({
             "block": pa.array(ent, pa.string()),
             "chunk_id": pa.array(cid, pa.string()),
-            "entities": pa.array(ents, pa.list_(pa.string())),
-            "relations": pa.array(rels, pa.list_(pa.string()))})
+            "entities": pa.array(ents, pa.list_(pa.int64())),
+            "relations": pa.array(rels, pa.list_(pa.int64()))})
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out: List[Dict] = []
+
+        def emit(members_a, members_b, sim):
+            if members_b is None:   # intra-signature-group pairs
+                for x in range(len(members_a)):
+                    for y in range(x + 1, len(members_a)):
+                        out.append({"chunk_a": members_a[x],
+                                    "chunk_b": members_a[y],
+                                    "similarity": sim})
+            else:
+                for a in members_a:
+                    for b in members_b:
+                        lo, hi = (a, b) if a < b else (b, a)
+                        out.append({"chunk_a": lo, "chunk_b": hi,
+                                    "similarity": sim})
+
+        import zlib
         for block, g in df.groupby("block", sort=False):
+            block_h = zlib.crc32(block.encode())
             g = g.drop_duplicates("chunk_id").sort_values("chunk_id")
-            # precompute sets once per row, not once per pair
-            rows = [(r.chunk_id, frozenset(r.entities),
-                     frozenset(r.relations))
-                    for r in g.itertuples(index=False)]
+            # collapse identical (entities, relations) signatures: chunks
+            # sharing a signature are pairwise similarity 1.0, and the
+            # pair loop shrinks from |chunks|^2 to |signatures|^2
+            groups: Dict = {}
+            for r in g.itertuples(index=False):
+                sig = (frozenset(r.entities), frozenset(r.relations))
+                groups.setdefault(sig, []).append(r.chunk_id)
+            sigs = sorted(groups.items(), key=lambda kv: kv[1][0])
             budget = max_block_pairs
-            for i, (cid_a, ea, ra) in enumerate(rows):
+            for i, ((ea, ra), members_a) in enumerate(sigs):
                 if budget <= 0:
                     break
+                if (len(members_a) > 1 and 1.0 >= threshold
+                        and min(ea) == block_h):
+                    emit(members_a, None, 1.0)
                 la = len(ea)
-                for cid_b, eb, rb in rows[i + 1:]:
-                    # budget bounds ITERATIONS (work), not emissions — a
-                    # hot block (an entity present in most chunks) is
-                    # quadratic otherwise; overflow is dropped, documented
+                for (eb, rb), members_b in sigs[i + 1:]:
+                    # budget bounds ITERATIONS (work) over signature
+                    # pairs; overflow is dropped (hot blocks are
+                    # quadratic otherwise) — documented approximation
                     budget -= 1
                     if budget < 0:
                         break
-                    # size-ratio upper bound: entity Jaccard ≤ min/max and
-                    # relation Jaccard ≤ 1 — prune before any set work
+                    # size-ratio upper bound: entity Jaccard ≤ min/max,
+                    # relation Jaccard ≤ 1 — prune before set work
                     lb = len(eb)
                     if 0.6 * min(la, lb) / max(la, lb, 1) + 0.4 < threshold:
                         continue
                     inter = ea & eb
-                    # each pair is OWNED by its smallest shared entity —
-                    # other shared-entity blocks skip it (dedup without a
-                    # second shuffle)
-                    if not inter or min(inter) != block:
+                    # each pair is OWNED by its smallest-hash shared
+                    # entity — other shared-entity blocks skip it
+                    # (cross-block dedup without a second shuffle)
+                    if not inter or min(inter) != block_h:
                         continue
                     eu = len(ea | eb)
                     ru = len(ra | rb)
                     sim = (0.6 * len(inter) / eu
                            + 0.4 * (len(ra & rb) / ru if ru else 0.0))
                     if sim >= threshold:
-                        out.append({"chunk_a": cid_a, "chunk_b": cid_b,
-                                    "similarity": round(sim, 6)})
+                        emit(members_a, members_b, round(sim, 6))
         return pd.DataFrame(out, columns=["chunk_a", "chunk_b",
                                           "similarity"])
 
