@@ -520,6 +520,43 @@ def q_supplier_acct_by_nation(sf_dir: str):
     return _scale_cols(out, {"total_bal": 100})
 
 
+def q_events_json_extract(sf_dir: str):
+    """JSON scalar kernel: extract props.k, aggregate per event type."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        ks = pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k")
+        return pa.table({"event_type": t["event_type"],
+                         "k": pc.cast(ks, pa.int64())})
+
+    return (rd.read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k")))
+
+
+def q_union_region_nation(sf_dir: str):
+    """Dataset.union of two sources with a type tag."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def tag(col, kind):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"name": t[col],
+                             "kind": pa.array([kind] * len(t))})
+        return f
+
+    r = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"]) \
+        .map_batches(tag("r_name", "region"), batch_format="pyarrow")
+    n = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"]) \
+        .map_batches(tag("n_name", "nation"), batch_format="pyarrow")
+    return r.union(n)
+
+
 # ---------------------------------------------------------------------------
 # KG analytics / maintenance surfaces (rows-only: non-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -730,6 +767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
+        "events_json_extract": q_events_json_extract,
+        "union_region_nation": q_union_region_nation,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
         "kg_triples": q_kg_triples,
@@ -875,6 +914,17 @@ def oracle_sql() -> dict[str, str]:
                        AS total_bal
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "events_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                        AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "union_region_nation": """
+            SELECT r_name AS name, 'region' AS kind FROM region
+            UNION ALL
+            SELECT n_name, 'nation' FROM nation
         """,
         "revenue_by_priority": """
             SELECT o_orderpriority,
