@@ -114,6 +114,9 @@ def atomic_write_parquet(ds, final_dir: str,
             ds.write_parquet(tmp, min_rows_per_file=min_rows_per_file)
         except TypeError:  # older Ray releases use num_rows_per_file
             ds.write_parquet(tmp, num_rows_per_file=min_rows_per_file)
+        # a zero-block dataset writes nothing at all — an empty directory
+        # is still a valid (0-row) artifact and keeps the rename atomic
+        os.makedirs(tmp, exist_ok=True)
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
     os.replace(tmp, final_dir)

@@ -84,3 +84,26 @@ def test_deterministic_across_runs(kg_out, corpus_dir, tmp_path):
         b = {r[0] for r in con.execute(
             f"SELECT {key} FROM parquet_scan('{res2.tables[table]}/*.parquet')").fetchall()}
         assert a == b, table
+
+
+def test_empty_and_degenerate_inputs(ray_session, tmp_path):
+    """Zero rows and a single extractorless turn must produce valid (0-row
+    or 1-row) artifacts, not crashes — poison inputs can't kill a shard."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.kg_build import build_kg
+
+    empty = rd.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "text": pa.array([], pa.string())}))
+    res = build_kg(empty, str(tmp_path / "empty"), KGConfig(),
+                   with_chunks=False)
+    assert res.metrics["n_nodes"] == 0 and res.metrics["n_triples"] == 0
+
+    one = rd.from_arrow(pa.table({
+        "conv_id": ["c1"], "turn_idx": pa.array([0], pa.int32()),
+        "text": ["zzz qqq."]}))
+    res = build_kg(one, str(tmp_path / "one"), KGConfig(), with_chunks=True)
+    assert res.metrics["n_documents"] == 1
