@@ -128,43 +128,87 @@ def minhash_lsh_groups(ds: "ray.data.Dataset", text_col: str = "text",
         return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
                              "b": pd.Series(b, dtype="int64")})
 
-    cand = bucketed_group_reduce(bandrows, ["band", "bucket"], pairs)
-    return distinct_on(cand, ["a", "b"])
+    import ray.data as rd
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    cand = bucketed_group_reduce(bandrows, ["band", "bucket"], pairs,
+                                 schema=pair_schema)
+    # zero-row anchor: a corpus with no candidate pairs must still yield a
+    # typed (schema-bearing) dataset for the downstream joins
+    return distinct_on(cand, ["a", "b"]).union(
+        rd.from_arrow(pair_schema.empty_table()))
+
+
+def _shingle_sets(texts: "ray.data.Dataset", signer: "MinHashSigner",
+                  id_col: str, text_col: str) -> "ray.data.Dataset":
+    """(id, sh: list<uint64>) — each document's word-shingle hash set."""
+    def sh(batch: pa.Table) -> pa.Table:
+        out = [np.unique(signer.shingles(t or "")).tolist()
+               for t in batch[text_col].to_pylist()]
+        return pa.Table.from_arrays(
+            [batch[id_col].combine_chunks(),
+             pa.array(out, pa.list_(pa.uint64()))],
+            names=[id_col, "sh"])
+    return texts.map_batches(sh, batch_format="pyarrow")
+
+
+def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
+                          signer: "MinHashSigner", id_col: str,
+                          text_col: str) -> "ray.data.Dataset":
+    """cand(a, b) → (a, b, jaccard): candidate pairs co-grouped with their
+    documents' shingle sets via two bucketed joins (pairs ⋈ shingles on
+    ``a``, then on ``b``) — NO driver-side text dict and no corpus
+    broadcast, so the verify stage streams at any corpus size. Shuffle
+    volume is one pass of the shingle table per join, bounded by corpus
+    token count; the pair side is the (small) LSH candidate set."""
+    from .join import cogroup_join
+    sh = _shingle_sets(texts, signer, id_col, text_col)
+    sha = sh.map_batches(lambda t: t.rename_columns(["a", "sh_a"]),
+                         batch_format="pyarrow")
+    shb = sh.map_batches(lambda t: t.rename_columns(["b", "sh_b"]),
+                         batch_format="pyarrow")
+    j = cogroup_join(cogroup_join(cand, sha, on=["a"]), shb, on=["b"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        jac = []
+        for sa, sb in zip(batch["sh_a"].to_pylist(),
+                          batch["sh_b"].to_pylist()):
+            sa, sb = set(sa or ()), set(sb or ())
+            union = len(sa | sb)
+            jac.append((len(sa & sb) / union) if union else 0.0)
+        return pa.Table.from_arrays(
+            [pc.cast(batch["a"].combine_chunks(), pa.int64()),
+             pc.cast(batch["b"].combine_chunks(), pa.int64()),
+             pa.array(jac, pa.float64())],
+            names=["a", "b", "jaccard"])
+
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                   id_col: str = "doc_id", jaccard_threshold: float = 0.8,
                   num_perm: int = 64, bands: int = 16) -> "ray.data.Dataset":
     """Near-dup dedup: LSH candidates → exact token-shingle Jaccard verify →
-    connected components → survivors (min id per component + singletons)."""
+    connected components → survivors (min id per component + singletons).
+
+    The verify stage is fully distributed (``_jaccard_scored_pairs``); only
+    the matched-duplicate id set — bounded by the number of near-dups, not
+    the corpus — is broadcast for the survivor filter."""
     import ray
-    import ray.data as rd
     from ..state.unionfind import connected_components, components_to_canonical_map
 
     texts = ds.select_columns([id_col, text_col])
     cand = minhash_lsh_groups(texts, text_col, id_col, num_perm, bands)
-
-    # verify candidates with true Jaccard over word 3-shingles; candidate
-    # sets are small → broadcast the needed texts
-    docs = {r[id_col]: r[text_col] for r in texts.iter_rows()} \
-        if texts.count() <= 200_000 else None
     signer = MinHashSigner(num_perm, bands, text_col=text_col, id_col=id_col)
-    docs_ref = ray.put(docs)
+    scored = _jaccard_scored_pairs(texts, cand, signer, id_col, text_col)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        d = ray.get(docs_ref)
-        keep_a, keep_b = [], []
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            sa = set(signer.shingles(d[a]).tolist())
-            sb = set(signer.shingles(d[b]).tolist())
-            union = len(sa | sb)
-            if union and len(sa & sb) / union >= jaccard_threshold:
-                keep_a.append(str(a)); keep_b.append(str(b))
+    def to_match(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.greater_equal(batch["jaccard"],
+                                          jaccard_threshold))
         return pa.Table.from_arrays(
-            [pa.array(keep_a, pa.string()), pa.array(keep_b, pa.string())],
+            [pc.cast(m["a"], pa.string()), pc.cast(m["b"], pa.string())],
             names=["src", "dst"])
 
-    matches = cand.map_batches(verify, batch_format="pyarrow")
+    matches = scored.map_batches(to_match, batch_format="pyarrow")
     cmap = components_to_canonical_map(connected_components(matches))
     dup_ids = {int(k) for k in cmap}
 
@@ -270,30 +314,16 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         num_perm: int = 64, bands: int = 16):
     """(a, b, jaccard) for candidate pairs above ``threshold`` — LSH
-    blocking + exact word-3-gram Jaccard verification."""
-    import ray
+    blocking + exact word-3-gram Jaccard verification, fully distributed
+    (shingle sets shipped to the pairs via bucketed joins; no driver
+    materialization of the corpus)."""
     texts = ds.select_columns([id_col, text_col])
     cand = minhash_lsh_groups(texts, text_col, id_col, num_perm, bands)
     signer = MinHashSigner(num_perm, bands, text_col=text_col, id_col=id_col)
-    docs = {r[id_col]: r[text_col] for r in texts.iter_rows()}
-    docs_ref = ray.put(docs)
-
-    def score(batch: pa.Table) -> pa.Table:
-        d = ray.get(docs_ref)
-        a_o, b_o, j_o = [], [], []
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            sa = set(signer.shingles(d[a]).tolist())
-            sb = set(signer.shingles(d[b]).tolist())
-            union = len(sa | sb)
-            j = (len(sa & sb) / union) if union else 0.0
-            if j >= threshold:
-                a_o.append(a); b_o.append(b); j_o.append(j)
-        return pa.Table.from_arrays(
-            [pa.array(a_o, pa.int64()), pa.array(b_o, pa.int64()),
-             pa.array(j_o, pa.float64())],
-            names=["a", "b", "jaccard"])
-
-    return cand.map_batches(score, batch_format="pyarrow")
+    scored = _jaccard_scored_pairs(texts, cand, signer, id_col, text_col)
+    return scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,31 @@ def cogroup_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     if overlap:
         raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
 
+    # key dtypes must agree on both sides: the bucket assignment hashes the
+    # raw values, so an int32 key and an int64 key with equal values would
+    # land in different buckets and silently drop matches. Cast the right
+    # side's keys to the left side's Arrow types up front.
+    def _as_pa(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    lkey_types = {n: _as_pa(t) for n, t in zip(lschema.names, lschema.types)
+                  if n in on}
+    rkey_types = {n: _as_pa(t) for n, t in zip(rschema.names, rschema.types)
+                  if n in on}
+    if lkey_types != rkey_types:
+        def cast_keys(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            for k, typ in lkey_types.items():
+                i = t.schema.get_field_index(k)
+                t = t.set_column(i, k, _pc.cast(t[k], typ))
+            return t
+        right = right.map_batches(cast_keys, batch_format="pyarrow")
+
     if schema is None:
         # derive the output schema so even a zero-match join yields typed,
         # named columns (a groupby over zero rows produces zero blocks and
@@ -72,8 +97,11 @@ def cogroup_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     lval = [c for c in lcols if c not in on]
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df[_SIDE] == "L"][on + lval]
-        r = df[df[_SIDE] == "R"][on + rval]
+        # reindex: a bucket whose rows all come from one side never saw the
+        # other side's columns (blocks keep their own schema through the
+        # union) — the missing columns materialize as empty/NaN
+        l = df[df[_SIDE] == "L"].reindex(columns=on + lval)
+        r = df[df[_SIDE] == "R"].reindex(columns=on + rval)
         if how == "inner":
             return l.merge(r, on=on, how="inner")
         if how == "left":

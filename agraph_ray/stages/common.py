@@ -48,6 +48,10 @@ def bucketed_group_reduce(ds: "ray.data.Dataset", keys: List[str],
     def per_bucket(g: pd.DataFrame):
         out = reduce_df(g.drop(columns=[BUCKET_COL]))
         if schema is not None:
+            if len(out) == 0:
+                # empty frames carry NaN-float dtypes that can't cast to
+                # list/typed columns — emit the typed empty table directly
+                return schema.empty_table()
             return pa.Table.from_pandas(
                 out, schema=schema,
                 preserve_index=False).replace_schema_metadata(None)

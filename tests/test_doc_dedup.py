@@ -1,0 +1,78 @@
+"""Document-dedup operators: distributed Jaccard verify (no driver text
+dict — the round-1 >200k-doc broadcast crash path is gone), exact dedup,
+and the cogroup_join key-dtype unification."""
+
+import pyarrow as pa
+import pytest
+
+
+def _corpus():
+    """Six docs: 0/1 near-identical, 2/3 near-identical, 4/5 unique."""
+    base_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    base_b = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen seventeen")
+    docs = [
+        base_a,
+        base_a + " phi",                      # ~0.9 jaccard vs doc 0
+        base_b,
+        base_b + " eighteen",                 # ~0.9 jaccard vs doc 2
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content about distributed dataframes and arrow",
+    ]
+    return pa.table({"doc_id": list(range(len(docs))), "text": docs})
+
+
+def test_minhash_dedup_distributed_verify(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import minhash_dedup
+    ds = rd.from_arrow(_corpus())
+    out = minhash_dedup(ds, jaccard_threshold=0.7)
+    ids = sorted(out.to_pandas()["doc_id"].tolist())
+    # min id survives each near-dup component; singletons untouched
+    assert ids == [0, 2, 4, 5]
+
+
+def test_ngram_jaccard_pairs_distributed(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import ngram_jaccard_pairs
+    ds = rd.from_arrow(_corpus())
+    df = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    pairs = {(a, b): j for a, b, j in
+             zip(df["a"], df["b"], df["jaccard"])}
+    assert set(pairs) == {(0, 1), (2, 3)}
+    assert all(j > 0.7 for j in pairs.values())
+
+
+def test_minhash_dedup_no_duplicates_is_identity(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import minhash_dedup
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["totally unique first document text here",
+                           "second document with nothing in common at all"]})
+    out = minhash_dedup(rd.from_arrow(t), jaccard_threshold=0.7)
+    assert sorted(out.to_pandas()["doc_id"].tolist()) == [1, 2]
+
+
+def test_exact_dedup_min_id(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import exact_dedup
+    t = pa.table({"doc_id": [5, 3, 9, 1],
+                  "text": ["same", "same", "other", "same"]})
+    out = exact_dedup(rd.from_arrow(t))
+    assert sorted(out.to_pandas()["doc_id"].tolist()) == [1, 9]
+
+
+def test_cogroup_join_mixed_key_dtypes(ray_session):
+    """int32 vs int64 keys must still match (right side is cast)."""
+    import ray.data as rd
+    from agraph_ray.ops.join import cogroup_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": ["a", "b", "c"]}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3], pa.int32()),
+        "rv": ["x", "y"]}))
+    out = cogroup_join(left, right, on=["k"], how="inner").to_pandas()
+    got = sorted(map(tuple, out[["k", "lv", "rv"]].values.tolist()))
+    assert got == [(2, "b", "x"), (3, "c", "y")]
