@@ -5,21 +5,24 @@ Replaces the reference's in-heap union-find over duplicate pairs
 expressed entirely as Ray Data groupby-aggregate shuffles, so it scales to
 edge sets far beyond one node's memory (BASELINE.json north_star step 4).
 
-Each round is two hash-shuffled group steps and no join (Ray 2.49's
-``Dataset.join`` mis-handles empty hash partitions, and a join can always be
-re-expressed as a co-grouped ``map_groups`` — the portable partitioned-join
-pattern):
+Each round is two ``bucketed_group_reduce`` shuffles with fully vectorized
+pandas bodies (merge + groupby-min) — never a per-key ``map_groups``, which
+dispatches Python once per node (stages/common.py:4-10) — and no join (Ray
+2.49's ``Dataset.join`` mis-handles empty hash partitions):
 
-  1. group (labels ∪ edges) by the *source* key: every edge row learns its
-     source's current label and forwards it to ``dst``; the node also
-     re-emits its own label tagged as "old".
-  2. group the messages by the *destination* node: new label = min over
+  1. bucket (labels ∪ edges ∪ doubling-requests) by the *key* node: every
+     requester — an edge's ``dst``, or a node v asking for L(L(v)) (pointer
+     doubling) — learns the key's current label; the key also re-emits its
+     own label tagged "old".
+  2. bucket the messages by the *destination* node: new label = min over
      (received ∪ own); a changed-flag is computed against the "old" tag.
 
-Convergence = global Sum(changed) == 0, reached in O(component diameter)
-rounds. Only edge-incident nodes participate — every other entity is a
-singleton by definition — so the shuffle volume is bounded by the match-edge
-set, not the corpus.
+Convergence = global Sum(chg) == 0. Pointer doubling makes the round count
+O(log component-diameter) (a 10k-node chain converges in ~14 rounds, not
+10k); non-convergence within ``max_iters`` raises instead of silently
+splitting components. Only edge-incident nodes participate — every other
+entity is a singleton by definition — so the shuffle volume is bounded by
+the match-edge set, not the corpus.
 """
 
 from __future__ import annotations
@@ -95,58 +98,94 @@ def connected_components(edges: "ray.data.Dataset",
     if n_edges <= driver_threshold:
         return _driver_union_find(sym_edges)
 
+    from ..stages.common import bucketed_group_reduce
+
+    # label-table partition width, proportional to the edge set and fixed
+    # across rounds (see the repartition note in the loop)
+    label_blocks = max(4, sym_edges.num_blocks())
+
     labels = (sym_edges.groupby("src")
               .aggregate(Min("src", alias_name="label"))
               .map_batches(lambda t: t.rename_columns(["node", "label"]),
-                           batch_format="pyarrow")).materialize()
+                           batch_format="pyarrow")
+              .repartition(label_blocks).materialize())
 
-    def forward(group: pd.DataFrame) -> pd.DataFrame:
-        """Group = one source node's label row + its outgoing edges."""
-        lab_rows = group.loc[group["dst"].isna(), "label"]
-        if lab_rows.empty:          # defensive: no label row for this key
-            return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                 "label": pd.Series(dtype="object"),
-                                 "old": pd.Series(dtype="object")})
-        lab = lab_rows.iloc[0]
-        dsts = group["dst"].dropna()
+    msg_schema = pa.schema([("node", pa.string()), ("cand", pa.string()),
+                            ("old", pa.string())])
+    lab_schema = pa.schema([("node", pa.string()), ("label", pa.string()),
+                            ("chg", pa.int64())])
+
+    def tag_self(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["node"].combine_chunks(), pa.nulls(len(t), pa.string()),
+             t["label"].combine_chunks()], names=["key", "out", "lab"])
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks(),
+             pa.nulls(len(t), pa.string())], names=["key", "out", "lab"])
+
+    def tag_double(t: pa.Table) -> pa.Table:
+        # pointer doubling: v asks for L(L(v)) — keyed by v's current label
+        # (every label value is itself a node in the table). Shortcuts long
+        # chains so rounds are O(log diameter), not O(diameter).
+        t2 = t.filter(pc.invert(pc.equal(t["node"], t["label"])))
+        return pa.Table.from_arrays(
+            [t2["label"].combine_chunks(), t2["node"].combine_chunks(),
+             pa.nulls(len(t2), pa.string())], names=["key", "out", "lab"])
+
+    def fwd(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket vectorized key-join: every requester (edge dst /
+        doubling asker) learns the key node's current label."""
+        selfs = df.loc[df["lab"].notna(), ["key", "lab"]]
+        reqs = df.loc[df["out"].notna(), ["key", "out"]]
+        m = reqs.merge(selfs, on="key", how="inner")
+        return pd.concat([
+            pd.DataFrame({"node": m["out"], "cand": m["lab"],
+                          "old": pd.Series([None] * len(m), dtype="object")}),
+            pd.DataFrame({"node": selfs["key"], "cand": selfs["lab"],
+                          "old": selfs["lab"]}),
+        ], ignore_index=True)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket vectorized min-resolution over all nodes at once."""
+        new = df.groupby("node", sort=False)["cand"].min()
+        # exactly one non-null "old" per node; object-dtype max trips over
+        # str/NaN comparisons, so select + reindex instead of an agg
+        old = (df.loc[df["old"].notna(), ["node", "old"]]
+               .set_index("node")["old"].reindex(new.index))
         return pd.DataFrame({
-            "node": pd.concat([dsts, pd.Series([group["key"].iloc[0]])],
-                              ignore_index=True),
-            "label": lab,
-            "old": [None] * len(dsts) + [lab],
-        })
+            "node": new.index.to_numpy(),
+            "label": new.to_numpy(),
+            "chg": (new.to_numpy() != old.to_numpy()).astype("int64")})
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        """Group = one destination node's inbound labels + its own."""
-        new = group["label"].min()
-        olds = group["old"].dropna()
-        old = olds.iloc[0] if len(olds) else None
-        return pd.DataFrame({"node": [group["node"].iloc[0]],
-                             "label": [new],
-                             "chg": [0 if new == old else 1]})
-
+    n_changed = None
     for _ in range(max_iters):
-        tagged_labels = labels.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["node"].combine_chunks(),
-                 pa.nulls(len(t), pa.string()),
-                 t["label"].combine_chunks()],
-                names=["key", "dst", "label"]),
-            batch_format="pyarrow")
-        tagged_edges = sym_edges.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["src"].combine_chunks(), t["dst"].combine_chunks(),
-                 pa.nulls(len(t), pa.string())],
-                names=["key", "dst", "label"]),
-            batch_format="pyarrow")
-        msgs = tagged_labels.union(tagged_edges).groupby("key").map_groups(
-            forward, batch_format="pandas")
-        resolved = msgs.groupby("node").map_groups(
-            resolve, batch_format="pandas").materialize()
+        tagged = (labels.map_batches(tag_self, batch_format="pyarrow")
+                  .union(sym_edges.map_batches(tag_edge,
+                                               batch_format="pyarrow"))
+                  .union(labels.map_batches(tag_double,
+                                            batch_format="pyarrow")))
+        msgs = bucketed_group_reduce(tagged, ["key"], fwd, schema=msg_schema)
+        resolved = bucketed_group_reduce(msgs, ["node"], resolve,
+                                         schema=lab_schema).materialize()
         n_changed = resolved.aggregate(Sum("chg", alias_name="n"))["n"]
-        labels = resolved.select_columns(["node", "label"]).materialize()
+        # re-bound the block count every round: a sort-shuffle's output
+        # partitioning follows its input block count, and ``tagged`` feeds
+        # ``labels`` back in twice — without this the label table's block
+        # count doubles per round (observed 3→7→15→…→2^k) and round time
+        # grows with it
+        labels = (resolved.select_columns(["node", "label"])
+                  .repartition(label_blocks).materialize())
         if not n_changed:
             break
+    if n_changed:
+        # a silently-split component would corrupt canonicalization — with
+        # pointer doubling this needs diameter > 2^max_iters, so reaching
+        # here means something is genuinely wrong
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({n_changed} labels still changing)")
     return labels
 
 

@@ -139,6 +139,37 @@ def test_connected_components_empty(ray_session):
     assert connected_components(empty).count() == 0
 
 
+def test_connected_components_long_chain_distributed(ray_session):
+    """10k-edge chain on the distributed path: pointer doubling must
+    converge in O(log n) rounds (a plain min-label walk needs 10k) and the
+    labels must match the exact driver union-find."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.state.unionfind import connected_components
+    n = 10_000
+    ids = [f"n{i:05d}" for i in range(n + 1)]
+    edges = rd.from_arrow(pa.table({"src": ids[:-1], "dst": ids[1:]}))
+    dist = {r["node"]: r["label"]
+            for r in connected_components(
+                edges, driver_threshold=0).take_all()}
+    drv = {r["node"]: r["label"]
+           for r in connected_components(
+               edges, driver_threshold=2_000_000).take_all()}
+    assert dist == drv
+    assert set(dist.values()) == {ids[0]}
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from agraph_ray.state.unionfind import connected_components
+    ids = [f"n{i:03d}" for i in range(60)]
+    edges = rd.from_arrow(pa.table({"src": ids[:-1], "dst": ids[1:]}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2, driver_threshold=0)
+
+
 # ---------------- linking / canonicalization ----------------
 
 def _node(eid, name, etype="organization", conf=0.8):
