@@ -76,26 +76,40 @@ def q_lineitem_agg(sf_dir: str):
 
 
 def q_orders_by_segment(sf_dir: str):
-    """Broadcast hash join (small dim via ray.put) + aggregate."""
+    """Dim ⋈ fact join + aggregate: broadcast (ray.put dict) while the dim
+    fits comfortably on the driver, bucketed cogroup_join above that.
+
+    The 5M-row threshold ≈ 300 MB as a python dict — safely inside one
+    worker heap; past it a broadcast stops being the cheap side and the
+    shuffle join wins (customer at 100x testdata scale is ~15M rows)."""
     import pyarrow as pa
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
-
-    def add_seg(t: "pa.Table") -> "pa.Table":
-        m = ray.get(seg_ref)
-        seg = [m.get(k) for k in t["o_custkey"].to_pylist()]
-        return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
-
-    from ray.data.aggregate import Count
+    cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    out = (orders.map_batches(add_seg, batch_format="pyarrow")
-           .groupby("c_mktsegment")
+
+    if cust_ds.count() <= 5_000_000:
+        cust = cust_ds.to_pandas()
+        seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+        def add_seg(t: "pa.Table") -> "pa.Table":
+            m = ray.get(seg_ref)
+            seg = [m.get(k) for k in t["o_custkey"].to_pylist()]
+            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+        joined = orders.map_batches(add_seg, batch_format="pyarrow")
+    else:
+        from agraph_ray.ops.join import cogroup_join
+        keyed = orders.map_batches(
+            lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
+            batch_format="pyarrow")
+        joined = cogroup_join(keyed, cust_ds, on=["c_custkey"], how="inner")
+
+    out = (joined.groupby("c_mktsegment")
            .aggregate(Sum("o_totalprice", alias_name="revenue"),
                       Count(alias_name="n_orders")))
     return _scale_cols(out, {"revenue": 100})

@@ -44,3 +44,10 @@ def chunk_id(conv_id: str, doc_seq: int, chunk_index: int) -> str:
 def stable_hash64(s: str) -> int:
     """Deterministic 64-bit hash (builtin hash() is salted per process)."""
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+@lru_cache(maxsize=1 << 17)
+def stable_hash64_signed(s: str) -> int:
+    """``stable_hash64`` shifted into signed-int64 range (fits Arrow int64
+    columns); memoized — callers hash small id vocabularies repeatedly."""
+    return stable_hash64(s) - (1 << 63)

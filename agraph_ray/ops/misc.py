@@ -92,18 +92,20 @@ def chunk_similarity_pairs(linked_chunks: "ray.data.Dataset",
     """
     from ..stages.common import bucketed_group_reduce, distinct_on
 
+    # signed-int64 stable hashes for the id lists: the ids carry 32 bits of
+    # entropy (md5[:8] hex), so at ~10^5 distinct ids a 32-bit hash
+    # (previously crc32) has expected birthday collisions that silently
+    # inflate Jaccard — 64 bits pushes collisions past 10^9 ids while still
+    # cutting shuffle bytes ~2x vs the id strings
+    from ..ids import stable_hash64_signed as _h64
+
     def fanout(t: pa.Table) -> pa.Table:
-        # id lists ride the shuffle as int64 hashes: the ids carry 32 bits
-        # of entropy (md5[:8] hex), so 64-bit hashing preserves set
-        # equality/Jaccard exactly while cutting shuffle bytes ~4x and
-        # making the pair loop intersect int sets instead of strings
-        import zlib
         cid, ent, ents, rels = [], [], [], []
         for c, es, rs in zip(t["chunk_id"].to_pylist(),
                              t["entities"].to_pylist(),
                              t["relations"].to_pylist()):
-            eh = [zlib.crc32(e.encode()) for e in es or []]
-            rh = [zlib.crc32(r.encode()) for r in rs or []]
+            eh = [_h64(e) for e in es or []]
+            rh = [_h64(r) for r in rs or []]
             for e in es or []:
                 cid.append(c)
                 ent.append(e)
@@ -132,9 +134,8 @@ def chunk_similarity_pairs(linked_chunks: "ray.data.Dataset",
                         out.append({"chunk_a": lo, "chunk_b": hi,
                                     "similarity": sim})
 
-        import zlib
         for block, g in df.groupby("block", sort=False):
-            block_h = zlib.crc32(block.encode())
+            block_h = _h64(block)
             g = g.drop_duplicates("chunk_id").sort_values("chunk_id")
             # collapse identical (entities, relations) signatures: chunks
             # sharing a signature are pairwise similarity 1.0, and the

@@ -1,0 +1,83 @@
+"""Aho-Corasick matcher: equivalence with naive substring scan, and the
+link_chunks stage built on it."""
+
+import random
+import string
+
+import pyarrow as pa
+
+
+def naive_present(patterns, text):
+    return {p for p in patterns if p in text}
+
+
+def test_ac_basic_overlap_and_nesting():
+    from agraph_ray.state.textmatch import AhoCorasick
+    pats = ["he", "she", "his", "hers", "sher"]
+    ac = AhoCorasick(pats)
+    assert ac.find_present("ushers") == {"he", "she", "hers", "sher"}
+    assert ac.find_present("this") == {"his"}
+    assert ac.find_present("xyz") == set()
+    assert ac.find_present("") == set()
+
+
+def test_ac_substring_patterns():
+    """A pattern contained in another must still be reported when the
+    longer one matches (naive `in` semantics, not leftmost-longest)."""
+    from agraph_ray.state.textmatch import AhoCorasick
+    ac = AhoCorasick(["google", "google cloud", "cloud"])
+    assert ac.find_present("uses google cloud daily") == {
+        "google", "google cloud", "cloud"}
+
+
+def test_ac_unicode():
+    from agraph_ray.state.textmatch import AhoCorasick
+    ac = AhoCorasick(["苹果公司", "清华大学", "tensorflow"])
+    assert ac.find_present("他在苹果公司用tensorflow工作") == {
+        "苹果公司", "tensorflow"}
+
+
+def test_ac_randomized_vs_naive():
+    from agraph_ray.state.textmatch import AhoCorasick
+    rng = random.Random(7)
+    alphabet = "abcd "
+    pats = {"".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            .strip() for _ in range(200)}
+    pats = sorted(p for p in pats if p)
+    ac = AhoCorasick(pats)
+    for _ in range(50):
+        text = "".join(rng.choice(alphabet) for _ in range(300))
+        assert ac.find_present(text) == naive_present(pats, text)
+
+
+def test_link_chunks_matches_naive_scan(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import link_chunks
+
+    nodes = rd.from_items([
+        {"entity_id": "e1", "name": "Alice Johnson", "aliases": ["alice"]},
+        {"entity_id": "e2", "name": "Google", "aliases": []},
+        {"entity_id": "e3", "name": "Beijing", "aliases": None},
+    ])
+    edges = rd.from_items([
+        {"relation_id": "r1", "subj": "Alice Johnson", "obj": "Google"},
+        {"relation_id": "r2", "subj": "Google", "obj": "Beijing"},
+    ])
+    chunks = rd.from_items([
+        {"chunk_id": "c1", "text": "Alice Johnson works for Google."},
+        {"chunk_id": "c2", "text": "Google opened an office in Beijing."},
+        {"chunk_id": "c3", "text": "Nothing relevant here."},
+        {"chunk_id": "c4", "text": "alice visited beijing"},
+    ])
+    out = {r["chunk_id"]: r
+           for r in link_chunks(chunks, nodes, edges).take_all()}
+    assert out["c1"]["entities"] == ["e1", "e2"]
+    assert out["c1"]["relations"] == ["r1"]
+    assert out["c2"]["entities"] == ["e2", "e3"]
+    assert out["c2"]["relations"] == ["r2"]
+    assert out["c3"]["entities"] == []
+    assert out["c3"]["relations"] == []
+    # alias hit for e1, case-insensitive name hit for e3; r1 requires
+    # Google which is absent
+    assert out["c4"]["entities"] == ["e1", "e3"]
+    assert out["c4"]["relations"] == []
