@@ -396,6 +396,121 @@ def q_media_features(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# LLM extraction engine over canned completions (oracle-checked: the canned
+# responses are analytic functions of doc_id, so DuckDB reproduces the
+# expected post-parse/normalize output without parsing any JSON)
+# ---------------------------------------------------------------------------
+
+def _make_canned_llm():
+    """Deterministic offline LLM: replays canned completions keyed by the
+    docid embedded in the text. Exercises clean / fenced / prose-wrapped /
+    broken completions (parse-repair path), the entity/relation type
+    normalization maps, in-doc dedup, fuzzy endpoint resolution, the
+    confidence floor and the validity whitelist. Self-contained closure so
+    Ray workers need not import this driver module."""
+    import json as _json
+    import re as _re
+
+    raw_etypes = ["Person", "ORG", "company", "Place", "misc",
+                  "SOFTWARE", "wizard"]
+    raw_rtypes = ["RELATED_TO", "ASSOCIATED_WITH", "DESCRIBES",
+                  "MENTIONS", "HAS"]
+
+    def llm(prompt: str) -> str:
+        i = int(_re.search(r"docid=(\d+)", prompt).group(1))
+        if '"entities"' in prompt and '"relations"' not in prompt:
+            payload = _json.dumps({"entities": [
+                {"name": f"Entity {i}", "type": raw_etypes[i % 7],
+                 "description": "canned", "aliases": [f"E{i}"]},
+                {"name": f"entity {i}", "type": "CONCEPT"},   # in-doc dup
+                {"name": f"Concept {i}", "type": "Concept"},
+            ]})
+        else:
+            payload = _json.dumps({"relations": [
+                {"head_entity": f"entity {i}",
+                 "tail_entity": f"Concept {i}",
+                 "relation_type": raw_rtypes[i % 5], "confidence": 0.9},
+                {"head_entity": "Nobody", "tail_entity": f"Concept {i}",
+                 "relation_type": "RELATED_TO", "confidence": 0.9},
+                {"head_entity": f"Entity {i}",
+                 "tail_entity": f"Concept {i}",
+                 "relation_type": "RELATED_TO", "confidence": 0.3},
+            ]})
+        v = i % 4
+        if v == 0:
+            return payload
+        if v == 1:
+            return "Sure, here is the JSON:\n```json\n" + payload + "\n```"
+        if v == 2:
+            return "Result: " + payload + " -- end of response"
+        return "I could not produce structured output."
+
+    return llm
+
+
+def _llm_parse(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.extract.llm import LLMExtractorEngine
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    canned = _make_canned_llm()
+
+    def run(t: "pa.Table") -> "pa.Table":
+        eng = LLMExtractorEngine(canned)
+        cols = {k: [] for k in ("doc_id", "kind", "name", "entity_type",
+                                "subj", "relation_type", "obj",
+                                "confidence_pct")}
+        for did in t["doc_id"].to_pylist():
+            ents, triples = eng.extract(f"docid={did}")
+            for e in ents:
+                cols["doc_id"].append(did)
+                cols["kind"].append("entity")
+                cols["name"].append(e.name)
+                cols["entity_type"].append(e.etype)
+                cols["subj"].append(None)
+                cols["relation_type"].append(None)
+                cols["obj"].append(None)
+                cols["confidence_pct"].append(int(round(e.confidence * 100)))
+            for tr in triples:
+                cols["doc_id"].append(did)
+                cols["kind"].append("triple")
+                cols["name"].append(None)
+                cols["entity_type"].append(None)
+                cols["subj"].append(tr.subj)
+                cols["relation_type"].append(tr.pred)
+                cols["obj"].append(tr.obj)
+                cols["confidence_pct"].append(int(round(tr.confidence * 100)))
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "kind": pa.array(cols["kind"], pa.string()),
+            "name": pa.array(cols["name"], pa.string()),
+            "entity_type": pa.array(cols["entity_type"], pa.string()),
+            "subj": pa.array(cols["subj"], pa.string()),
+            "relation_type": pa.array(cols["relation_type"], pa.string()),
+            "obj": pa.array(cols["obj"], pa.string()),
+            "confidence_pct": pa.array(cols["confidence_pct"], pa.int64())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def q_llm_parse_entities(sf_dir: str):
+    import pyarrow as pa
+    return _llm_parse(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "entity"))
+        .select(["doc_id", "name", "entity_type", "confidence_pct"]),
+        batch_format="pyarrow")
+
+
+def q_llm_parse_relations(sf_dir: str):
+    import pyarrow as pa
+    return _llm_parse(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "triple"))
+        .select(["doc_id", "subj", "relation_type", "obj",
+                 "confidence_pct"]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # joins / windows / graph analytics (oracle-checked where SQL-expressible)
 # ---------------------------------------------------------------------------
 
@@ -807,6 +922,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_documents": q_parse_documents,
         # multimodal plumbing
         "media_features": q_media_features,
+        # LLM extraction engine (canned completions; full oracle)
+        "llm_parse_entities": q_llm_parse_entities,
+        "llm_parse_relations": q_llm_parse_relations,
     }
 
 
@@ -993,6 +1111,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reassemble_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+        """,
+        "llm_parse_entities": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 3)
+            SELECT doc_id,
+                   'Entity ' || CAST(doc_id AS VARCHAR) AS name,
+                   CASE doc_id % 7 WHEN 0 THEN 'person'
+                        WHEN 1 THEN 'organization' WHEN 2 THEN 'organization'
+                        WHEN 3 THEN 'location' WHEN 4 THEN 'other'
+                        WHEN 5 THEN 'software' ELSE 'unknown'
+                   END AS entity_type,
+                   80 AS confidence_pct
+            FROM d
+            UNION ALL
+            SELECT doc_id, 'Concept ' || CAST(doc_id AS VARCHAR),
+                   'concept', 80
+            FROM d
+        """,
+        "llm_parse_relations": """
+            SELECT doc_id,
+                   'entity ' || CAST(doc_id AS VARCHAR) AS subj,
+                   CASE doc_id % 5 WHEN 0 THEN 'related_to'
+                        WHEN 1 THEN 'related_to' WHEN 2 THEN 'describes'
+                        ELSE 'mentions'
+                   END AS relation_type,
+                   'concept ' || CAST(doc_id AS VARCHAR) AS obj,
+                   90 AS confidence_pct
+            FROM documents
+            WHERE doc_id % 4 <> 3 AND doc_id % 5 <> 4
         """,
         # no oracle (non-SQL-expressible; driver records rows-only checks):
         # kg_triples, kg_nodes, docs_minhash_pairs, docs_simhash_pairs,
