@@ -42,6 +42,11 @@ class KGConfig:
     # 0.8 (llm_builders.py:450-469) and must pass, matching the reference's
     # >0.7 candidate cut
     link_threshold: float = 0.75
+    # weighted entity-similarity accept threshold (0.4 name-word-jaccard +
+    # 0.2 type + 0.2 alias-jaccard + 0.2 property,
+    # agraph/services/entity_merger.py:193-293); only consulted for pairs
+    # with alias/property evidence — see canonicalize.weighted_similarity
+    weighted_threshold: float = 0.8
     max_block_pairs: int = 2000    # cap on candidate pairs generated per LSH block
     max_label_prop_iters: int = 25 # bound on connected-components iterations
 

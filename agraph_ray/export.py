@@ -65,13 +65,19 @@ def write_graphml(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
                                 '</data>\n')
                 f.write('    </node>\n')
                 n += 1
-        for b in edges.select_columns(
-                ["head_id", "tail_id", "confidence"]
-        ).iter_batches(batch_format="pyarrow"):
+        edge_cols = ["head_id", "tail_id", "confidence"]
+        has_desc = "description" in edges.schema().names
+        if has_desc:
+            edge_cols.append("description")
+        for b in edges.select_columns(edge_cols).iter_batches(
+                batch_format="pyarrow"):
             for row in b.to_pylist():
                 f.write(f'    <edge source="{escape(row["head_id"])}" '
                         f'target="{escape(row["tail_id"])}">\n')
                 f.write(f'      <data key="d6">{row["confidence"]}</data>\n')
+                if has_desc and row.get("description"):
+                    f.write(f'      <data key="d7">'
+                            f'{escape(str(row["description"]))}</data>\n')
                 f.write('    </edge>\n')
                 n += 1
         f.write('  </graph>\n</graphml>\n')

@@ -258,13 +258,16 @@ class LLMExtractorEngine:
             name = str(d.get("name") or "").strip()
             if not name:
                 continue
+            props = d.get("properties")
             out.append(EntityRec(
                 name=name,
                 etype=normalize_entity_type(str(d.get("type") or "")),
                 confidence=_entity_confidence(name),
                 source=self.source,
                 description=str(d.get("description") or ""),
-                aliases=[str(a) for a in (d.get("aliases") or []) if a]))
+                aliases=[str(a) for a in (d.get("aliases") or []) if a],
+                properties={str(k): str(v) for k, v in props.items()}
+                if isinstance(props, dict) else {}))
         return RuleExtractor.dedup_local(out)
 
     # -- relations ---------------------------------------------------------
@@ -289,8 +292,12 @@ class LLMExtractorEngine:
                 conf = float(d.get("confidence", 1.0))
             except (TypeError, ValueError):
                 conf = 1.0
+            props = d.get("properties")
             t = TripleRec(head.key, head.etype, rtype, tail.key, tail.etype,
-                          conf, self.source)
+                          conf, self.source,
+                          description=str(d.get("description") or ""),
+                          properties={str(k): str(v) for k, v in props.items()}
+                          if isinstance(props, dict) else {})
             if self._valid(t):
                 out.append(t)
         return out
@@ -333,6 +340,58 @@ def parse_dedup_response(content: Optional[str], name1: str,
                 return bool(result.get("is_duplicate", False))
             break
     return (name1 or "").lower() == (name2 or "").lower()
+
+
+def judge_match_edges(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
+                      llm_factory: Callable[[], Callable[[str], str]],
+                      concurrency: int = 4,
+                      batch_size: int = 16) -> "ray.data.Dataset":
+    """Filter canonicalize match edges (src, dst, sim) through the LLM
+    pairwise judge. Node attributes are broadcast once (``ray.put`` — the
+    canonical node table is vocabulary-sized) and attached per batch; the
+    judge itself runs as an actor pool sized ``concurrency``. Drop-in
+    between ``link_entities`` and ``connected_components``."""
+    import pyarrow as pa
+    import ray
+
+    attrs = {}
+    for b in nodes.select_columns(
+            ["entity_id", "name", "entity_type", "description", "aliases"]
+    ).iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            attrs[r["entity_id"]] = r
+    ref = ray.put(attrs)
+
+    def attach(t: "pa.Table") -> "pa.Table":
+        m = ray.get(ref)
+        cols = {"name": [], "entity_type": [], "description": [],
+                "aliases": []}
+        out = t
+        for side, col in (("a", "src"), ("b", "dst")):
+            vals = {k: [] for k in cols}
+            for eid in t[col].to_pylist():
+                r = m.get(eid) or {}
+                vals["name"].append(r.get("name"))
+                vals["entity_type"].append(r.get("entity_type"))
+                vals["description"].append(r.get("description"))
+                vals["aliases"].append(list(r.get("aliases") or []))
+            out = (out.append_column(f"name_{side}",
+                                     pa.array(vals["name"], pa.string()))
+                   .append_column(f"type_{side}",
+                                  pa.array(vals["entity_type"], pa.string()))
+                   .append_column(f"desc_{side}",
+                                  pa.array(vals["description"], pa.string()))
+                   .append_column(f"aliases_{side}",
+                                  pa.array(vals["aliases"],
+                                           pa.list_(pa.string()))))
+        return out
+
+    enriched = pairs.map_batches(attach, batch_format="pyarrow")
+    judged = enriched.map_batches(
+        LLMPairJudge, fn_constructor_kwargs={"llm_factory": llm_factory},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    return judged.select_columns(list(pairs.schema().names))
 
 
 class LLMPairJudge:

@@ -171,6 +171,9 @@ class EntityRec:
     source: str
     description: str = ""
     aliases: List[str] = field(default_factory=list)
+    # free-form properties (reference Entity.properties,
+    # agraph/entities.py:13-42); merged dict-update on dedup
+    properties: Dict[str, str] = field(default_factory=dict)
     _key: str = field(default="", repr=False, compare=False)
 
     @property
@@ -190,6 +193,9 @@ class TripleRec:
     obj_type: str
     confidence: float
     source: str
+    # reference Relation.description / .properties (agraph/relations.py:17-48)
+    description: str = ""
+    properties: Dict[str, str] = field(default_factory=dict)
 
 
 def _entity_confidence(name: str) -> float:
@@ -276,6 +282,7 @@ class RuleExtractor:
                 for a in e.aliases:
                     if a not in kept.aliases:
                         kept.aliases.append(a)
+                kept.properties.update(e.properties)   # entity_extractor.py:113-115
                 if e.confidence > kept.confidence:
                     kept.confidence = e.confidence
                     kept.description = e.description or kept.description

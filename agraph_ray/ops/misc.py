@@ -231,6 +231,10 @@ def write_graph_json(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
     if n > max_rows:
         raise ValueError(f"graph.json export of {n} nodes exceeds "
                          f"max_rows={max_rows}")
+    def _props(r):
+        raw = r.get("properties")
+        return json.loads(raw) if raw else {}
+
     doc = {"name": graph_name, "entities": {}, "relations": {}}
     for b in nodes.iter_batches(batch_format="pyarrow"):
         for r in b.to_pylist():
@@ -239,6 +243,7 @@ def write_graph_json(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
                 "entity_type": r["entity_type"],
                 "description": r.get("description", ""),
                 "aliases": list(r.get("aliases") or []),
+                "properties": _props(r),
                 "confidence": r["confidence"], "source": r.get("source", "")}
     for b in edges.iter_batches(batch_format="pyarrow"):
         for r in b.to_pylist():
@@ -247,6 +252,8 @@ def write_graph_json(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
                 "head_entity_id": r["head_id"],
                 "tail_entity_id": r["tail_id"],
                 "relation_type": r["relation_type"],
+                "description": r.get("description") or "",
+                "properties": _props(r),
                 "confidence": r["confidence"], "source": r.get("source", "")}
     with open(path, "w", encoding="utf-8") as f:
         json.dump(doc, f, ensure_ascii=False)

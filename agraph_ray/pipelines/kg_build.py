@@ -68,11 +68,11 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
         pool = ThreadPoolExecutor(max_workers=4)
 
     ent_cols = ["kind", "conv_id", "entity_id", "name", "norm_name",
-                "entity_type", "description", "aliases", "confidence",
-                "source", "n_mentions", "n_convs"]
+                "entity_type", "description", "aliases", "properties",
+                "confidence", "source", "n_mentions", "n_convs"]
     tri_cols = ["kind", "conv_id", "relation_id", "subj", "subj_type", "pred",
-                "obj", "obj_type", "head_id", "tail_id", "confidence",
-                "source", "n_mentions"]
+                "obj", "obj_type", "head_id", "tail_id", "description",
+                "properties", "confidence", "source", "n_mentions"]
 
     if mentions is None:
         entities = rd.read_parquet(mentions_dir, columns=ent_cols,

@@ -58,9 +58,21 @@ def _shingle_hashes(name: str, k: int) -> np.ndarray:
          for sh in shingles), dtype=np.uint64, count=len(shingles))
 
 
+BAND_COLS = ["entity_id", "name", "entity_type", "aliases", "properties"]
+
+
 class MinHashBander:
     """map_batches callable: nodes batch → (block_key, entity_id, name,
-    entity_type) band rows. Permutation constants build once per actor."""
+    entity_type, aliases, properties) band rows. Two block families:
+
+    - minhash bands of the name's char shingles (near-identical names);
+    - alias blocks ``A:<md5(value)>:<type>`` — one per element of
+      {name} ∪ aliases, lowercased — so entities sharing an exact
+      name/alias string collide even when their display names share no
+      shingle (the reference's alias-overlap candidate signal,
+      agraph/builders/llm_builders.py:471-475).
+
+    Permutation constants build once per actor."""
 
     def __init__(self, cfg: Optional[KGConfig] = None):
         cfg = cfg or KGConfig()
@@ -77,22 +89,38 @@ class MinHashBander:
         return vals.min(axis=1)                                # (p,)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, ids, names, types = [], [], [], []
-        for eid, name, etype in zip(batch["entity_id"].to_pylist(),
-                                    batch["name"].to_pylist(),
-                                    batch["entity_type"].to_pylist()):
+        has_alias = "aliases" in batch.schema.names
+        has_props = "properties" in batch.schema.names
+        aliases_in = (batch["aliases"].to_pylist() if has_alias
+                      else [None] * len(batch))
+        props_in = (batch["properties"].to_pylist() if has_props
+                    else [None] * len(batch))
+        keys, ids, names, types, aliases, props = [], [], [], [], [], []
+
+        def emit(key, eid, name, etype, al, pr):
+            keys.append(key); ids.append(eid); names.append(name)
+            types.append(etype); aliases.append(al); props.append(pr)
+
+        for eid, name, etype, al, pr in zip(batch["entity_id"].to_pylist(),
+                                            batch["name"].to_pylist(),
+                                            batch["entity_type"].to_pylist(),
+                                            aliases_in, props_in):
+            al = list(al) if al is not None else []
             sig = self.signature(name or "")
             for band in range(self.bands):
                 chunk = sig[band * self.rows:(band + 1) * self.rows]
                 digest = hashlib.md5(chunk.tobytes()).hexdigest()[:12]
-                keys.append(f"{band}:{digest}:{etype}")
-                ids.append(eid)
-                names.append(name)
-                types.append(etype)
+                emit(f"{band}:{digest}:{etype}", eid, name, etype, al, pr)
+            for value in {(name or "").lower()} | {a.lower() for a in al}:
+                if value:
+                    digest = hashlib.md5(value.encode()).hexdigest()[:12]
+                    emit(f"A:{digest}:{etype}", eid, name, etype, al, pr)
         return pa.Table.from_arrays(
             [pa.array(keys, pa.string()), pa.array(ids, pa.string()),
-             pa.array(names, pa.string()), pa.array(types, pa.string())],
-            names=["block_key", "entity_id", "name", "entity_type"])
+             pa.array(names, pa.string()), pa.array(types, pa.string()),
+             pa.array(aliases, pa.list_(pa.string())),
+             pa.array(props, pa.string())],
+            names=["block_key"] + BAND_COLS)
 
 
 def name_similarity(a: str, b: str) -> float:
@@ -105,15 +133,84 @@ def name_similarity(a: str, b: str) -> float:
     return difflib.SequenceMatcher(None, a, b).ratio()
 
 
-def _pair_factory(threshold: float, cap: int):
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def weighted_similarity(name_a: str, name_b: str, type_a: str, type_b: str,
+                        aliases_a, aliases_b,
+                        props_a: Optional[dict],
+                        props_b: Optional[dict]) -> float:
+    """Reference EntityMerger weighted similarity
+    (agraph/services/entity_merger.py:193-293): 0.4 name word-Jaccard +
+    0.2 type equality + 0.2 alias-set Jaccard + 0.2 property similarity
+    with partial credit (case-insensitive equal 0.8, containment 0.5)."""
+    name_s = _jaccard(set((name_a or "").lower().split()),
+                      set((name_b or "").lower().split()))
+    type_s = 1.0 if type_a == type_b else 0.0
+    alias_s = _jaccard({a.lower() for a in aliases_a or []},
+                       {a.lower() for a in aliases_b or []})
+    pa_, pb = props_a or {}, props_b or {}
+    if not pa_ and not pb:
+        prop_s = 1.0
+    elif not pa_ or not pb:
+        prop_s = 0.0
+    else:
+        keys = set(pa_) | set(pb)
+        match = 0.0
+        for k in keys:
+            v1, v2 = pa_.get(k), pb.get(k)
+            if v1 == v2:
+                match += 1
+            elif isinstance(v1, str) and isinstance(v2, str):
+                if v1.lower() == v2.lower():
+                    match += 0.8
+                elif v1.lower() in v2.lower() or v2.lower() in v1.lower():
+                    match += 0.5
+        prop_s = match / len(keys)
+    return 0.4 * name_s + 0.2 * type_s + 0.2 * alias_s + 0.2 * prop_s
+
+
+def _pair_factory(threshold: float, cap: int,
+                  weighted_threshold: float = 0.8):
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """Whole-bucket reduction: iterate the (small) LSH blocks inside
-        this bucket, generating capped candidate pairs per block."""
+        """Whole-bucket reduction: iterate the (small) LSH/alias blocks
+        inside this bucket, generating capped candidate pairs per block.
+
+        Accept rules (all same-type by block-key construction):
+        - minhash blocks: name similarity >= ``threshold``
+          (llm_builders.py:437-469 scoring); pairs below it but carrying
+          alias/property evidence get a second chance at the weighted
+          score >= ``weighted_threshold`` (entity_merger.py:193-293) —
+          pure-name pairs never reach the weighted path, so the regex KG
+          (no aliases/properties) is unaffected;
+        - alias blocks (``A:`` keys): members share an exact name/alias
+          string — the reference's alias-overlap candidate signal
+          (llm_builders.py:471-475); accepted outright with the weighted
+          score recorded as the pair's sim.
+        """
+        import json as _json
         src, dst, sims = [], [], []
-        for _, g in df.groupby("block_key", sort=False):
+        has_attrs = "aliases" in df.columns
+        for block_key, g in df.groupby("block_key", sort=False):
             g = g.drop_duplicates("entity_id").sort_values("entity_id")
             ids = g["entity_id"].tolist()
             names = g["name"].tolist()
+            is_alias_block = block_key.startswith("A:")
+            if has_attrs:
+                types = g["entity_type"].tolist()
+                aliases = [list(a) if a is not None else []
+                           for a in g["aliases"]]
+                props = [(_json.loads(p) if p else {})
+                         for p in g["properties"]]
+            else:
+                types = [None] * len(ids)
+                aliases = [[] for _ in ids]
+                props = [{} for _ in ids]
             budget = cap
             n = len(ids)
             for i in range(n):
@@ -123,13 +220,46 @@ def _pair_factory(threshold: float, cap: int):
                     budget -= 1
                     if budget < 0:
                         break
+                    if is_alias_block:
+                        src.append(ids[i]); dst.append(ids[j])
+                        sims.append(weighted_similarity(
+                            names[i], names[j], types[i], types[j],
+                            aliases[i], aliases[j], props[i], props[j]))
+                        continue
                     s = name_similarity(names[i], names[j])
                     if s >= threshold:
                         src.append(ids[i]); dst.append(ids[j]); sims.append(s)
+                    elif aliases[i] or aliases[j] or props[i] or props[j]:
+                        w = weighted_similarity(
+                            names[i], names[j], types[i], types[j],
+                            aliases[i], aliases[j], props[i], props[j])
+                        if w >= weighted_threshold:
+                            src.append(ids[i]); dst.append(ids[j])
+                            sims.append(w)
         return pd.DataFrame({"src": pd.Series(src, dtype="object"),
                              "dst": pd.Series(dst, dtype="object"),
                              "sim": pd.Series(sims, dtype="float64")})
     return pairs_in_bucket
+
+
+def _collect_df(ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Driver-side collect via Arrow concat — bypasses Dataset.to_pandas's
+    tensor-extension casting, which chokes on ragged list columns."""
+    tbls = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tbls:
+        return pd.DataFrame()
+    return pa.concat_tables(tbls, promote_options="default").to_pandas()
+
+
+def _band_cols(nodes: "ray.data.Dataset") -> List[str]:
+    """Bander input columns: id/name/type always; aliases/properties when
+    the node table carries them (older tables may not)."""
+    schema = nodes.schema()
+    have = set(schema.names) if schema is not None else set()
+    base = ["entity_id", "name", "entity_type"]
+    if not have:          # zero-row table with no schema: select nothing new
+        return base
+    return base + [c for c in ("aliases", "properties") if c in have]
 
 
 def link_entities(nodes: "ray.data.Dataset",
@@ -141,11 +271,12 @@ def link_entities(nodes: "ray.data.Dataset",
     # stateless tasks: the bander's only state (perm constants) is trivially
     # cheap, and tasks can't starve sibling operators the way a full-size
     # actor pool can
-    bands = nodes.select_columns(["entity_id", "name", "entity_type"]).map_batches(
+    bands = nodes.select_columns(_band_cols(nodes)).map_batches(
         MinHashBander(cfg), batch_format="pyarrow")
     pairs = bucketed_group_reduce(
         bands, ["block_key"], _pair_factory(cfg.link_threshold,
-                                            cfg.max_block_pairs),
+                                            cfg.max_block_pairs,
+                                            cfg.weighted_threshold),
         num_buckets)
     # same pair can surface from several bands → dedup on (src, dst)
     return distinct_on(pairs, ["src", "dst"], num_buckets)
@@ -173,13 +304,13 @@ def compute_canonical_map(nodes: "ray.data.Dataset",
                                       max_iters=cfg.max_label_prop_iters)
         return components_to_canonical_map(labels)
 
-    bands = nodes.select_columns(
-        ["entity_id", "name", "entity_type"]).map_batches(
+    bands = nodes.select_columns(_band_cols(nodes)).map_batches(
         MinHashBander(cfg), batch_format="pyarrow")
-    df = bands.to_pandas()
+    df = _collect_df(bands)
     if df.empty:
         return {}
-    pairs = _pair_factory(cfg.link_threshold, cfg.max_block_pairs)(df)
+    pairs = _pair_factory(cfg.link_threshold, cfg.max_block_pairs,
+                          cfg.weighted_threshold)(df)
 
     parent: Dict[str, str] = {}
 
@@ -198,12 +329,23 @@ def compute_canonical_map(nodes: "ray.data.Dataset",
     return {n: find(n) for n in parent if find(n) != n}
 
 
+def _fill_schema_cols(df: pd.DataFrame, schema: pa.Schema) -> pd.DataFrame:
+    """Add any schema columns the frame lacks as nulls (inputs predating
+    the properties/description columns remain valid)."""
+    for f in schema:
+        if f.name not in df.columns:
+            df[f.name] = None
+    return df
+
+
 def _canonicalize_driver(nodes, edges, cmap, merge_group):
     """Whole-graph driver rewrite for dictionary-sized graphs: node merge,
     edge endpoint rewrite, self-loop drop, and signature re-dedup in one
     pandas pass — zero cluster executions. Returns (pa.Table, pa.Table)."""
     from .dedup import EDGES_SCHEMA, NODES_SCHEMA
-    ndf = nodes.to_pandas()
+    ndf = _fill_schema_cols(
+        _collect_df(nodes) if hasattr(nodes, "iter_batches")
+        else nodes.to_pandas(), NODES_SCHEMA)
     ndf["aliases"] = ndf["aliases"].map(
         lambda v: list(v) if v is not None else [])
     affected = set(cmap) | set(cmap.values())
@@ -221,7 +363,9 @@ def _canonicalize_driver(nodes, edges, cmap, merge_group):
                                    preserve_index=False
                                    ).replace_schema_metadata(None)
 
-    edf = edges.to_pandas()
+    edf = _fill_schema_cols(
+        _collect_df(edges) if hasattr(edges, "iter_batches")
+        else edges.to_pandas(), EDGES_SCHEMA)
     edf["head_id"] = edf["head_id"].map(lambda i: cmap.get(i, i))
     edf["tail_id"] = edf["tail_id"].map(lambda i: cmap.get(i, i))
     edf = edf[edf["head_id"] != edf["tail_id"]]
@@ -263,6 +407,11 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         others = sorted(set(g["name"]) - {rep["name"]})
         rep["aliases"] = sorted(
             {a for lst in g["aliases"] for a in lst} | set(others))
+        if "properties" in g.columns:
+            from .dedup import merge_properties
+            gg = g.assign(__k="x")
+            merged = merge_properties(gg, "__k")
+            rep["properties"] = merged.get("x")
         rep["n_mentions"] = int(g["n_mentions"].sum())
         rep["n_convs"] = int(g["n_convs"].sum())
         return rep.drop(labels=["canonical_id"])
@@ -298,14 +447,15 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
 
     from .common import bucketed_group_reduce
     from .dedup import EDGES_SCHEMA, NODES_SCHEMA
-    merged_df = (nodes.map_batches(keep_affected, batch_format="pyarrow")
-                 .to_pandas())
+    merged_df = _collect_df(
+        nodes.map_batches(keep_affected, batch_format="pyarrow"))
     merged_df["aliases"] = merged_df["aliases"].map(
         lambda v: list(v) if v is not None else [])
     merged_rows = (merged_df.groupby("canonical_id", sort=False)
                    .apply(_merge_group).reset_index(drop=True)
                    if len(merged_df) else merged_df.drop(
-                       columns=["canonical_id"]))
+                       columns=["canonical_id"], errors="ignore"))
+    merged_rows = _fill_schema_cols(merged_rows, NODES_SCHEMA)
     canon_nodes = nodes.map_batches(
         keep_unaffected, batch_format="pyarrow").union(
         rd.from_arrow(pa.Table.from_pandas(
@@ -328,6 +478,8 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
     def resig_dedup(df: pd.DataFrame) -> pd.DataFrame:
         """Rewritten endpoints can make two edges share a (head, type, tail)
         signature — keep the max-confidence witness (utils.py:431-452)."""
+        from .dedup import EDGES_SCHEMA as _ES
+        df = _fill_schema_cols(df, _ES)
         df = df.assign(__sig=df["head_id"] + "\x00" + df["relation_type"]
                        + "\x00" + df["tail_id"])
         s = df.sort_values(["confidence", "relation_id"],

@@ -36,6 +36,7 @@ NODES_SCHEMA = pa.schema([
     ("entity_type", pa.string()),
     ("description", pa.string()),
     ("aliases", pa.list_(pa.string())),
+    ("properties", pa.string()),      # JSON dict, null when empty
     ("confidence", pa.float64()),
     ("source", pa.string()),
     ("n_mentions", pa.int64()),
@@ -47,9 +48,33 @@ ENTITY_PARTIAL_SCHEMA = pa.schema([
     ("entity_id", pa.string()), ("name", pa.string()),
     ("norm_name", pa.string()), ("entity_type", pa.string()),
     ("description", pa.string()), ("aliases", pa.list_(pa.string())),
+    ("properties", pa.string()),
     ("confidence", pa.float64()), ("source", pa.string()),
     ("n_mentions", pa.int64()), ("n_convs", pa.int64()),
 ])
+
+
+def merge_properties(df: pd.DataFrame, key: str) -> pd.Series:
+    """Per-key merged JSON properties (reference dict-update semantics,
+    entity_extractor.py:113-115, made deterministic): records are visited
+    in the frame's order — callers pass the rep-sorted frame (confidence
+    desc, …) — and the FIRST writer of each property key wins, i.e. the
+    representative's values take precedence and lower-priority records
+    fill in missing keys. Only rows with non-null properties are touched
+    (rare in the regex path), so the loop is output-bound."""
+    import json
+    if "properties" not in df.columns:
+        return pd.Series(dtype="object")
+    has = df[df["properties"].notna()]
+    if has.empty:
+        return pd.Series(dtype="object")
+    out: dict = {}
+    for k, p in zip(has[key], has["properties"]):
+        d = out.setdefault(k, {})
+        for kk, vv in json.loads(p).items():
+            d.setdefault(kk, vv)
+    return pd.Series({k: json.dumps(v, sort_keys=True, ensure_ascii=False)
+                      for k, v in out.items()}, dtype="object")
 
 
 def _entity_partial(batch: pa.Table) -> pa.Table:
@@ -60,6 +85,8 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
     if "n_mentions" not in df:
         df["n_mentions"] = 1
         df["n_convs"] = (~df.duplicated(["norm_name", "conv_id"])).astype("int64")
+    if "properties" not in df:
+        df["properties"] = None
     s = df.sort_values(["confidence", "entity_type", "name"],
                        ascending=[False, True, True], kind="mergesort")
     rep = s.drop_duplicates("norm_name", keep="first").set_index("norm_name")
@@ -67,6 +94,8 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
     rep["confidence"] = g["confidence"].max()
     rep["n_mentions"] = g["n_mentions"].sum()
     rep["n_convs"] = g["n_convs"].sum()
+    props = merge_properties(s, "norm_name")
+    rep["properties"] = props.reindex(rep.index) if len(props) else None
     # alias union: most rows carry no aliases — explode only the few that do
     has = df[df["aliases"].map(lambda v: v is not None and len(v) > 0)]
     if len(has):
@@ -94,6 +123,7 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
     aliases = (df[["norm_name", "aliases"]].explode("aliases").dropna()
                .groupby("norm_name", sort=False)["aliases"]
                .agg(lambda s: sorted(set(s))))
+    props = merge_properties(df, "norm_name")
     out = pd.DataFrame({
         "entity_id": rep["entity_id"],
         "name": rep.index,
@@ -102,6 +132,7 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
         "description": rep["description"].fillna(""),
         "aliases": aliases.reindex(rep.index).apply(
             lambda v: v if isinstance(v, list) else []),
+        "properties": props.reindex(rep.index) if len(props) else None,
         "confidence": agg["confidence"],
         "source": rep["source"],
         "n_mentions": agg["n_mentions"].astype("int64"),
@@ -132,6 +163,8 @@ EDGES_SCHEMA = pa.schema([
     ("obj", pa.string()),
     ("subj_type", pa.string()),
     ("obj_type", pa.string()),
+    ("description", pa.string()),     # relation description (relations.py:17-48)
+    ("properties", pa.string()),      # JSON dict, null when empty
     ("confidence", pa.float64()),
     ("source", pa.string()),
     ("n_mentions", pa.int64()),
@@ -142,26 +175,37 @@ def _edge_partial(batch: pa.Table) -> pa.Table:
     df = batch.to_pandas()
     if "n_mentions" not in df:
         df["n_mentions"] = 1
+    for c in ("description", "properties"):
+        if c not in df:
+            df[c] = None
     rel_col = "pred" if "pred" in df else "relation_type"
     df = df.sort_values("confidence", ascending=False, kind="mergesort")
     agg = df.groupby("relation_id", sort=False).agg(
         head_id=("head_id", "first"), tail_id=("tail_id", "first"),
         relation_type=(rel_col, "first"), subj=("subj", "first"),
         obj=("obj", "first"), subj_type=("subj_type", "first"),
-        obj_type=("obj_type", "first"), confidence=("confidence", "max"),
+        obj_type=("obj_type", "first"),
+        description=("description", "first"),
+        confidence=("confidence", "max"),
         source=("source", "first"), n_mentions=("n_mentions", "sum"),
-    ).reset_index()
-    return pa.Table.from_pandas(agg, preserve_index=False, schema=EDGES_SCHEMA)
+    )
+    props = merge_properties(df, "relation_id")
+    agg["properties"] = props.reindex(agg.index) if len(props) else None
+    return pa.Table.from_pandas(agg.reset_index(), preserve_index=False,
+                                schema=EDGES_SCHEMA)
 
 
 def merge_edges_bucket(df: pd.DataFrame,
                        key: str = "relation_id") -> pd.DataFrame:
     """Vectorized whole-bucket edge merge: max-confidence witness per key,
-    mention counts summed."""
+    mention counts summed, properties dict-merged (witness wins)."""
     s = df.sort_values(["confidence", "source"], ascending=[False, True],
                        kind="mergesort")
     top = s.drop_duplicates(key, keep="first").set_index(key)
     top["n_mentions"] = df.groupby(key, sort=False)["n_mentions"].sum()
+    if "properties" in df.columns and df["properties"].notna().any():
+        props = merge_properties(s, key)
+        top["properties"] = props.reindex(top.index)
     return top.reset_index()
 
 

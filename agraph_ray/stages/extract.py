@@ -50,7 +50,11 @@ MENTIONS_SCHEMA = pa.schema([
     ("obj_type", pa.string()),
     ("head_id", pa.string()),
     ("tail_id", pa.string()),
-    # shared
+    # shared (``description`` above serves both branches: entity
+    # description / relation description, agraph/relations.py:17-48)
+    ("properties", pa.string()),      # JSON-encoded dict, null when empty
+                                      # (SURVEY §1.3: lossless vs reference
+                                      # Dict[str,Any] properties)
     ("confidence", pa.float64()),
     ("source", pa.string()),
     # per-document combiner outputs: occurrence count of this mention in
@@ -60,11 +64,17 @@ MENTIONS_SCHEMA = pa.schema([
 ])
 
 _ENT_FIELDS = ["kind", "conv_id", "doc_seq", "entity_id", "name", "norm_name",
-               "entity_type", "description", "aliases", "confidence",
-               "source", "n_mentions", "n_convs"]
+               "entity_type", "description", "aliases", "properties",
+               "confidence", "source", "n_mentions", "n_convs"]
 _TRI_FIELDS = ["kind", "conv_id", "doc_seq", "relation_id", "subj",
                "subj_type", "pred", "obj", "obj_type", "head_id", "tail_id",
-               "confidence", "source", "n_mentions"]
+               "description", "properties", "confidence", "source",
+               "n_mentions"]
+
+
+def _props_json(d) -> "str | None":
+    import json
+    return json.dumps(d, sort_keys=True, ensure_ascii=False) if d else None
 
 
 class ExtractStage:
@@ -103,6 +113,7 @@ class ExtractStage:
                 ent["entity_type"].append(e.etype)
                 ent["description"].append(e.description)
                 ent["aliases"].append(e.aliases)
+                ent["properties"].append(_props_json(e.properties))
                 ent["confidence"].append(e.confidence)
                 ent["source"].append(e.source)
                 ent["n_mentions"].append(1)
@@ -129,6 +140,8 @@ class ExtractStage:
                 tri["obj_type"].append(t.obj_type)
                 tri["head_id"].append(entity_id(s))
                 tri["tail_id"].append(entity_id(o))
+                tri["description"].append(t.description or None)
+                tri["properties"].append(_props_json(t.properties))
                 tri["confidence"].append(t.confidence)
                 tri["source"].append(t.source)
                 tri["n_mentions"].append(n)

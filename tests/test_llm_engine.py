@@ -186,6 +186,36 @@ def test_pair_judge_actor(ray_session):
     assert out["src"].tolist() == ["e1"]
 
 
+def test_judge_match_edges_between_link_and_components(ray_session):
+    """judge_match_edges drops judge-rejected pairs from the real
+    link_entities output shape."""
+    import ray.data as rd
+    from agraph_ray.extract.llm import judge_match_edges
+
+    def judge_llm(prompt: str) -> str:
+        import re
+        names = re.findall(r"name='([^']*)'", prompt)
+        dup = bool(names) and "globex" in names[0] and "globex" in names[1]
+        return json.dumps({"is_duplicate": dup})
+
+    pairs = rd.from_items([
+        {"src": "e1", "dst": "e2", "sim": 0.9},
+        {"src": "e1", "dst": "e3", "sim": 0.8},
+    ])
+    nodes = rd.from_items([
+        {"entity_id": "e1", "name": "globex inc", "entity_type": "organization",
+         "description": "", "aliases": []},
+        {"entity_id": "e2", "name": "globex incorporated",
+         "entity_type": "organization", "description": "", "aliases": []},
+        {"entity_id": "e3", "name": "initech", "entity_type": "organization",
+         "description": "", "aliases": []},
+    ])
+    out = judge_match_edges(pairs, nodes, lambda: judge_llm,
+                            concurrency=1).take_all()
+    assert [(r["src"], r["dst"]) for r in out] == [("e1", "e2")]
+    assert set(out[0]) == {"src", "dst", "sim"}
+
+
 def test_pair_judge_fallback_on_garbage():
     from agraph_ray.extract.llm import parse_dedup_response
     assert parse_dedup_response("not json", "Alice", "alice") is True

@@ -130,6 +130,38 @@ def test_connected_components_chain_and_islands(ray_session, driver_threshold):
     assert cmap == {"b": "a", "c": "a", "d": "a", "y": "x"}
 
 
+def test_alias_block_merges_spelled_out_entity(ray_session):
+    """'IBM' whose alias is the spelled-out name must merge with the
+    spelled-out entity even though no name shingle collides (alias-block
+    candidates, llm_builders.py:471-475; weighted scoring,
+    entity_merger.py:193-293)."""
+    import ray.data as rd
+    from agraph_ray.stages.canonicalize import compute_canonical_map
+    n1 = _node("entity_a", "ibm")
+    n1["aliases"] = ["International Business Machines"]
+    n2 = _node("entity_b", "international business machines")
+    n3 = _node("entity_c", "completely different gadgets")
+    cmap = compute_canonical_map(rd.from_items([n1, n2, n3]))
+    assert cmap == {"entity_b": "entity_a"}
+
+
+def test_weighted_similarity_reference_semantics():
+    from agraph_ray.stages.canonicalize import weighted_similarity
+    # identical everything
+    assert weighted_similarity("Acme Corp", "Acme Corp", "organization",
+                               "organization", [], [], {}, {}) == 1.0
+    # no overlap, same type, no alias/prop info: 0.2 type + 0.2 + 0.2
+    assert abs(weighted_similarity("alpha", "beta", "organization",
+                                   "organization", [], [], {}, {})
+               - 0.6) < 1e-9
+    # property partial credit: case-insensitive equal 0.8, containment 0.5
+    s = weighted_similarity("x co", "x co", "organization", "organization",
+                            ["x"], ["x"],
+                            {"hq": "Berlin", "ceo": "Ada"},
+                            {"hq": "berlin", "ceo": "Ada Lovelace"})
+    assert abs(s - (0.4 + 0.2 + 0.2 + 0.2 * ((0.8 + 0.5) / 2))) < 1e-9
+
+
 def test_connected_components_empty(ray_session):
     import ray.data as rd
     import pyarrow as pa
