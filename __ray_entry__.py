@@ -593,6 +593,101 @@ def q_supplier_part_degree(sf_dir: str):
     return degree_table(edges)
 
 
+def _supplier_part_graph(sf_dir: str):
+    """(nodes, edges) datasets for the supplier→part bipartite graph
+    derived from lineitem — the KG analytics ops on SQL-checkable input."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.stages.common import distinct_on
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        s = [f"s{k}" for k in t["l_suppkey"].to_pylist()]
+        p = [f"p{k}" for k in t["l_partkey"].to_pylist()]
+        return pa.table({"head_id": pa.array(s, pa.string()),
+                         "tail_id": pa.array(p, pa.string()),
+                         "relation_type": pa.array(["supplies"] * len(s))})
+
+    edges = distinct_on(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_partkey"])
+        .map_batches(to_edges, batch_format="pyarrow"),
+        ["head_id", "tail_id"]).materialize()
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        eid = pa.concat_arrays([t["head_id"].combine_chunks(),
+                                t["tail_id"].combine_chunks()])
+        etype = pa.concat_arrays([
+            pa.array(["supplier"] * len(t)), pa.array(["part"] * len(t))])
+        return pa.table({"entity_id": eid, "entity_type": etype})
+
+    nodes = distinct_on(
+        edges.map_batches(to_nodes, batch_format="pyarrow"), ["entity_id"])
+    return nodes, edges
+
+
+def q_graph_stats_sql(sf_dir: str):
+    """graph_statistics (the kg_statistics engine) over the supplier-part
+    graph — SQL-checkable subset (components excluded: not expressible)."""
+    import pandas as pd
+    from agraph_ray.ops.graph import graph_statistics
+    nodes, edges = _supplier_part_graph(sf_dir)
+    s = graph_statistics(nodes, edges)
+    row = {
+        "total_entities": s["total_entities"],
+        "total_relations": s["total_relations"],
+        "n_suppliers": s["entity_types"]["supplier"],
+        "n_parts": s["entity_types"]["part"],
+        "max_degree": int(s["degree_statistics"]["max_degree"]),
+        "min_degree": int(s["degree_statistics"]["min_degree"]),
+        "avg_degree_scaled": int(np.floor(
+            s["degree_statistics"]["average_degree"] * 10**6 + 0.5)),
+        "density_scaled": int(np.floor(s["density"] * 10**9 + 0.5)),
+    }
+    return pd.DataFrame([row])
+
+
+def q_graph_importance_sql(sf_dir: str):
+    """entity_importance (degree centrality) over the supplier-part graph."""
+    from agraph_ray.ops.misc import entity_importance
+    nodes, edges = _supplier_part_graph(sf_dir)
+    out = entity_importance(edges, n_entities=nodes.count())
+    return _scale_cols(out, {"importance": 10**9})
+
+
+def q_linked_vocab(sf_dir: str):
+    """link_chunks (Aho-Corasick vocabulary containment + both-endpoint
+    relation linking) over documents with the nation/region vocabulary —
+    the oracle checks the matcher against SQL substring semantics."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import link_chunks
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    rname = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    nodes = rd.from_items(
+        [{"entity_id": f"n{k}", "name": n, "aliases": []}
+         for k, n in zip(nat["n_nationkey"], nat["n_name"])]
+        + [{"entity_id": f"r{k}", "name": n, "aliases": []}
+           for k, n in zip(reg["r_regionkey"], reg["r_name"])])
+    edges = rd.from_items(
+        [{"relation_id": f"e{k}", "subj": rname[rk], "obj": n}
+         for k, rk, n in zip(nat["n_nationkey"], nat["n_regionkey"],
+                             nat["n_name"])])
+    chunks = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    linked = link_chunks(chunks, nodes, edges)
+    return linked.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_entities": pc.cast(pc.list_value_length(t["entities"]),
+                                  pa.int64()),
+            "n_relations": pc.cast(pc.list_value_length(t["relations"]),
+                                   pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_events_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user."""
     import ray.data as rd
@@ -796,6 +891,25 @@ def q_kg_retrieval(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_kg_retrieval_enhanced(sf_dir: str):
+    """Enhanced 3-way retrieval with connected-chunk expansion over the
+    sf-derived KG + linked chunks (rows-only: embedding retrieval)."""
+    import pandas as pd
+    from agraph_ray.retrieval import KnowledgeRetriever
+    nodes, edges = _kg(sf_dir)
+    kr = KnowledgeRetriever(nodes=nodes, edges=edges,
+                            chunks=_linked_chunks(sf_dir))
+    res = kr.search_knowledge_enhanced("Alice Johnson works for Google",
+                                       top_k=5, similarity_threshold=0.2)
+    rows = []
+    for kind, hits in res.items():
+        for rank, h in enumerate(hits):
+            rows.append({"kind": kind, "rank": rank,
+                         "ref": h.get("entity_id") or h.get("relation_id")
+                         or h.get("chunk_id")})
+    return pd.DataFrame(rows)
+
+
 def q_schema_entities(sf_dir: str):
     """DB-schema extraction over the testdata tables' own parquet schemas
     (deterministic columns table built from file metadata)."""
@@ -901,6 +1015,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "revenue_by_priority": q_revenue_by_priority,
         "supplier_part_degree": q_supplier_part_degree,
+        "graph_stats_sql": q_graph_stats_sql,
+        "graph_importance_sql": q_graph_importance_sql,
+        "linked_vocab": q_linked_vocab,
         "events_sessionize": q_events_sessionize,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -916,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_inferred_relations": q_kg_inferred_relations,
         "kg_linked_chunks": q_kg_linked_chunks,
         "kg_retrieval": q_kg_retrieval,
+        "kg_retrieval_enhanced": q_kg_retrieval_enhanced,
         "kg_chunk_similarity": q_kg_chunk_similarity,
         "kg_importance": q_kg_importance,
         "schema_entities": q_schema_entities,
@@ -1090,6 +1208,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(i) AS BIGINT) AS in_degree,
                    count(*) AS degree
             FROM up GROUP BY entity_id
+        """,
+        "graph_stats_sql": """
+            WITH edges AS (
+                SELECT DISTINCT 's' || l_suppkey AS head_id,
+                                'p' || l_partkey AS tail_id
+                FROM lineitem),
+            deg AS (
+                SELECT entity_id, count(*) AS degree FROM (
+                    SELECT head_id AS entity_id FROM edges
+                    UNION ALL SELECT tail_id FROM edges)
+                GROUP BY entity_id),
+            n AS (SELECT count(*) AS n_e FROM deg),
+            e AS (SELECT count(*) AS n_r FROM edges)
+            SELECT n.n_e AS total_entities,
+                   e.n_r AS total_relations,
+                   (SELECT count(DISTINCT head_id) FROM edges) AS n_suppliers,
+                   (SELECT count(DISTINCT tail_id) FROM edges) AS n_parts,
+                   (SELECT max(degree) FROM deg) AS max_degree,
+                   (SELECT min(degree) FROM deg) AS min_degree,
+                   CAST(floor((SELECT avg(degree) FROM deg) * 1000000 + 0.5)
+                        AS BIGINT) AS avg_degree_scaled,
+                   CAST(floor(e.n_r / (n.n_e * (n.n_e - 1.0)) * 1000000000
+                        + 0.5) AS BIGINT) AS density_scaled
+            FROM n, e
+        """,
+        "graph_importance_sql": """
+            WITH edges AS (
+                SELECT DISTINCT 's' || l_suppkey AS head_id,
+                                'p' || l_partkey AS tail_id
+                FROM lineitem),
+            up AS (
+                SELECT head_id AS entity_id, 1 AS o, 0 AS i FROM edges
+                UNION ALL
+                SELECT tail_id, 0, 1 FROM edges),
+            deg AS (
+                SELECT entity_id, CAST(sum(o) AS BIGINT) AS out_degree,
+                       CAST(sum(i) AS BIGINT) AS in_degree,
+                       count(*) AS degree
+                FROM up GROUP BY entity_id),
+            n AS (SELECT count(*) AS n_e FROM deg)
+            SELECT entity_id, out_degree, in_degree, degree,
+                   CAST(floor(degree / (n.n_e - 1.0) * 1000000000 + 0.5)
+                        AS BIGINT) AS importance
+            FROM deg, n
+        """,
+        "linked_vocab": """
+            SELECT d.doc_id,
+                   (SELECT count(*) FROM nation n
+                    WHERE contains(lower(d.text), lower(n.n_name)))
+                 + (SELECT count(*) FROM region r
+                    WHERE contains(lower(d.text), lower(r.r_name)))
+                   AS n_entities,
+                   (SELECT count(*) FROM nation n
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+                    WHERE contains(lower(d.text), lower(n.n_name))
+                      AND contains(lower(d.text), lower(r.r_name)))
+                   AS n_relations
+            FROM documents d
+        """,
+        "schema_entities": """
+            WITH cols AS (
+                SELECT table_name, column_name
+                FROM information_schema.columns
+                WHERE table_name IN ('region','nation','customer','supplier',
+                                     'part','orders','lineitem','events',
+                                     'documents','embeddings')),
+            tables AS (SELECT DISTINCT table_name FROM cols),
+            ents AS (
+                SELECT 'testdata' AS name, 'database' AS entity_type,
+                       CAST(1.0 AS DOUBLE) AS confidence
+                UNION ALL
+                SELECT table_name, 'table', 1.0 FROM tables
+                UNION ALL
+                SELECT table_name || '.' || column_name, 'column', 1.0
+                FROM cols
+                WHERE lower(column_name) NOT IN
+                      ('id','created_at','updated_at','deleted_at')
+                UNION ALL
+                SELECT DISTINCT m.concept, 'concept', 0.7
+                FROM (VALUES ('user','User Management'),
+                             ('customer','Customer Management'),
+                             ('order','Order Management'),
+                             ('product','Product Management'),
+                             ('inventory','Inventory Management'),
+                             ('payment','Payment Processing'),
+                             ('shipment','Shipping Management'),
+                             ('category','Category Management'),
+                             ('review','Review System'),
+                             ('cart','Shopping Cart'),
+                             ('wishlist','Wishlist Management'))
+                     AS m(kw, concept)
+                WHERE EXISTS (SELECT 1 FROM tables t
+                              WHERE contains(t.table_name, m.kw)))
+            SELECT 'entity_' || substr(md5(lower(trim(name))), 1, 8)
+                       AS entity_id,
+                   name, entity_type, confidence
+            FROM ents
         """,
         "events_sessionize": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),

@@ -20,7 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.canonicalize import _perm_constants, _MERSENNE
+from ..stages.canonicalize import (_GRAM_MULT, _MERSENNE, _hash_tokens,
+                                   _perm_constants)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -57,9 +58,12 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 class MinHashSigner:
     """map_batches callable: text → minhash band rows.
 
-    Word shingles (w-grams) hashed with a stable 64-bit hash, minhashed by
-    multiply-shift permutations (fixed constants — deterministic across the
-    cluster), banded for LSH.
+    Word shingles (w-grams) hashed with a vectorized stable 64-bit scheme —
+    per-token SipHash (one pandas C call per document) combined into w-gram
+    hashes by a fixed-constant polynomial over uint64 (wraparound) — then
+    minhashed by multiply-shift permutations (fixed constants), banded for
+    LSH. No per-shingle Python hashing anywhere: the round-1 profile showed
+    one md5 call per shingle per document dominating the signer.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16,
@@ -74,14 +78,16 @@ class MinHashSigner:
 
     def shingles(self, text: str) -> np.ndarray:
         toks = text.lower().split()
-        if len(toks) < self.w:
-            grams = [" ".join(toks)] if toks else [""]
-        else:
-            grams = {" ".join(toks[i:i + self.w])
-                     for i in range(len(toks) - self.w + 1)}
-        return np.fromiter(
-            (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-             for g in grams), dtype=np.uint64, count=len(grams))
+        n = len(toks)
+        if n < self.w:
+            return _hash_tokens([" ".join(toks) if toks else ""])
+        th = _hash_tokens(toks)
+        m = n - self.w + 1
+        with np.errstate(over="ignore"):
+            g = np.zeros(m, dtype=np.uint64)
+            for k in range(self.w):
+                g = g * _GRAM_MULT + th[k:k + m]
+        return np.unique(g)
 
     def signature(self, text: str) -> np.ndarray:
         h = self.shingles(text)
@@ -154,34 +160,72 @@ def _shingle_sets(texts: "ray.data.Dataset", signer: "MinHashSigner",
 def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
                           signer: "MinHashSigner", id_col: str,
                           text_col: str) -> "ray.data.Dataset":
-    """cand(a, b) → (a, b, jaccard): candidate pairs co-grouped with their
-    documents' shingle sets via two bucketed joins (pairs ⋈ shingles on
-    ``a``, then on ``b``) — NO driver-side text dict and no corpus
-    broadcast, so the verify stage streams at any corpus size. Shuffle
-    volume is one pass of the shingle table per join, bounded by corpus
-    token count; the pair side is the (small) LSH candidate set."""
-    from .join import cogroup_join
+    """cand(a, b) → (a, b, jaccard), fully distributed.
+
+    NO driver-side text dict and no corpus broadcast (the round-1 version
+    broadcast every document body and crashed past 200k docs). Two bucketed
+    shuffles, reading the shingle table exactly once:
+
+      1. key-join by document id: each candidate pair emits a request row
+         per endpoint; the shingle table is unioned in and each request
+         picks up its document's shingle set (vectorized pandas merge per
+         bucket). Only candidate-incident shingle sets leave this stage.
+      2. group by (a, b): the two endpoint rows meet and exact Jaccard is
+         computed per pair.
+    """
+    from ..stages.common import bucketed_group_reduce
     sh = _shingle_sets(texts, signer, id_col, text_col)
-    sha = sh.map_batches(lambda t: t.rename_columns(["a", "sh_a"]),
-                         batch_format="pyarrow")
-    shb = sh.map_batches(lambda t: t.rename_columns(["b", "sh_b"]),
-                         batch_format="pyarrow")
-    j = cogroup_join(cogroup_join(cand, sha, on=["a"]), shb, on=["b"])
 
-    def score(batch: pa.Table) -> pa.Table:
-        jac = []
-        for sa, sb in zip(batch["sh_a"].to_pylist(),
-                          batch["sh_b"].to_pylist()):
-            sa, sb = set(sa or ()), set(sb or ())
-            union = len(sa | sb)
-            jac.append((len(sa & sb) / union) if union else 0.0)
+    def tag_sh(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
-            [pc.cast(batch["a"].combine_chunks(), pa.int64()),
-             pc.cast(batch["b"].combine_chunks(), pa.int64()),
-             pa.array(jac, pa.float64())],
-            names=["a", "b", "jaccard"])
+            [pc.cast(t[id_col].combine_chunks(), pa.int64()),
+             pa.nulls(len(t), pa.int64()), pa.nulls(len(t), pa.int64()),
+             t["sh"].combine_chunks()],
+            names=["key", "a", "b", "sh"])
 
-    return j.map_batches(score, batch_format="pyarrow")
+    def tag_req(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["a"].combine_chunks(), pa.int64())
+        b = pc.cast(t["b"].combine_chunks(), pa.int64())
+        empty = pa.nulls(len(t), pa.list_(pa.uint64()))
+        ta = pa.Table.from_arrays([a, a, b, empty],
+                                  names=["key", "a", "b", "sh"])
+        tb = pa.Table.from_arrays([b, a, b, empty],
+                                  names=["key", "a", "b", "sh"])
+        return pa.concat_tables([ta, tb])
+
+    stage1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("key", pa.int64()),
+                               ("sh", pa.list_(pa.uint64()))])
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        selfs = df.loc[df["a"].isna(), ["key", "sh"]]
+        reqs = df.loc[df["a"].notna(), ["key", "a", "b"]]
+        return reqs.merge(selfs, on="key", how="inner")
+
+    tagged = (sh.map_batches(tag_sh, batch_format="pyarrow")
+              .union(cand.map_batches(tag_req, batch_format="pyarrow")))
+    fetched = bucketed_group_reduce(tagged, ["key"], fetch,
+                                    schema=stage1_schema)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        """Each (a, b) group holds exactly two rows — the a-endpoint's and
+        the b-endpoint's shingle sets (candidates are distinct ids drawn
+        from the shingle table)."""
+        a_o, b_o, j_o = [], [], []
+        for (a, b), g in df.groupby(["a", "b"], sort=False):
+            by_key = {k: set(s) for k, s in zip(g["key"], g["sh"])}
+            sa, sb = by_key.get(a, set()), by_key.get(b, set())
+            union = len(sa | sb)
+            a_o.append(a); b_o.append(b)
+            j_o.append((len(sa & sb) / union) if union else 0.0)
+        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
+                             "b": pd.Series(b_o, dtype="int64"),
+                             "jaccard": pd.Series(j_o, dtype="float64")})
+
+    return bucketed_group_reduce(
+        fetched, ["a", "b"], score,
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("jaccard", pa.float64())]))
 
 
 def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
@@ -227,9 +271,25 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 18)
+def _md5_u64(tok: str) -> int:
+    """Per-token md5 (the simhash token hash), memoized per worker —
+    natural-language token vocabularies repeat heavily, so the md5 runs
+    once per distinct token instead of once per occurrence."""
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+
+
 class SimHasher:
     """64-bit simhash over word tokens; bands of 16 bits for blocking
-    (hamming distance <= 3 guarantees one of 4 bands matches exactly)."""
+    (hamming distance <= 3 guarantees one of 4 bands matches exactly).
+
+    Output is bit-identical to a per-token md5 loop; the computation is
+    restructured as unique-tokens-with-counts + one vectorized bit-matrix
+    reduction per document (weighted by occurrence count) instead of 64
+    Python bit-ops per token occurrence."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
@@ -238,14 +298,13 @@ class SimHasher:
     def simhash64(tokens: List[str]) -> int:
         if not tokens:
             return 0
+        uniq, counts = np.unique(np.asarray(tokens, dtype=object),
+                                 return_counts=True)
+        h = np.fromiter((_md5_u64(t) for t in uniq),
+                        dtype=np.uint64, count=len(uniq))
         shifts = np.arange(64, dtype=np.uint64)
-        acc = np.zeros(64, dtype=np.int64)
-        one = np.uint64(1)
-        for tok in tokens:
-            h = np.uint64(int.from_bytes(
-                hashlib.md5(tok.encode()).digest()[:8], "little"))
-            bits = ((h >> shifts) & one).astype(np.int64)
-            acc += 2 * bits - 1
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
         return int(((acc > 0).astype(np.uint64) << shifts).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -51,6 +51,27 @@ class KnowledgeRetriever:
         self.dim = dim
         self._pools: Dict[str, AnnShardPool] = {}
         self._meta: Dict[str, Dict[str, dict]] = {}
+        # inverted link indexes for the enhanced search (built only when the
+        # chunks table carries entities/relations link columns)
+        self._chunks_by_entity: Dict[str, List[str]] = {}
+        self._chunks_by_relation: Dict[str, List[str]] = {}
+        self._chunk_links: Dict[str, dict] = {}
+        if chunks is not None and {"entities", "relations"} <= set(
+                chunks.schema().names):
+            for b in chunks.select_columns(
+                    ["chunk_id", "entities", "relations"]).iter_batches(
+                    batch_format="pyarrow"):
+                for r in b.to_pylist():
+                    es = list(r["entities"] or [])
+                    rs = list(r["relations"] or [])
+                    self._chunk_links[r["chunk_id"]] = {
+                        "entities": set(es), "relations": set(rs)}
+                    for e in es:
+                        self._chunks_by_entity.setdefault(
+                            e, []).append(r["chunk_id"])
+                    for rel in rs:
+                        self._chunks_by_relation.setdefault(
+                            rel, []).append(r["chunk_id"])
         if nodes is not None:
             self._index("entity", nodes, "entity_id", "entity", num_shards,
                         ["entity_id", "name", "entity_type", "confidence"])
@@ -111,6 +132,72 @@ class KnowledgeRetriever:
             "text_chunks": self.search_text_chunks(query, top_k),
         }
 
+    def _chunk_relevance(self, chunk_id: str, entities: List[dict],
+                         relations: List[dict]) -> float:
+        """Connection-strength relevance of a chunk to the retrieved
+        entity/relation hits (knowledge_retriever.py:401-453): per-kind
+        average hit score weighted by connection share, boosted by
+        connection count (saturating at 5)."""
+        links = self._chunk_links.get(chunk_id)
+        if not links:
+            return 0.0
+        e_n = e_s = r_n = r_s = 0.0
+        for e in entities:
+            if e.get("entity_id") in links["entities"]:
+                e_n += 1
+                e_s += e.get("score", 0.0)
+        for r in relations:
+            if r.get("relation_id") in links["relations"]:
+                r_n += 1
+                r_s += r.get("score", 0.0)
+        total = e_n + r_n
+        if total == 0:
+            return 0.0
+        avg_e = e_s / e_n if e_n else 0.0
+        avg_r = r_s / r_n if r_n else 0.0
+        score = avg_e * (e_n / total) + avg_r * (r_n / total)
+        boost = min(1.0, total / 5.0)
+        return min(1.0, score * (0.5 + 0.5 * boost))
+
+    def search_knowledge_enhanced(self, query: str, top_k: int = 10,
+                                  similarity_threshold: float = 0.0,
+                                  include_connected_chunks: bool = True
+                                  ) -> Dict:
+        """3-way search plus connected-chunk expansion
+        (knowledge_retriever.py:315-453): similarity hits below
+        ``similarity_threshold`` are dropped (the reference's threshold
+        semantics — this is what frees chunk slots), then chunks linked to
+        the retrieved entities/relations but not retrieved by embedding
+        similarity are scored by connection strength and fill the
+        remaining slots."""
+        result = self.search_knowledge(query, top_k)
+        if similarity_threshold > 0.0:
+            result = {k: [r for r in v
+                          if r.get("score", 0.0) >= similarity_threshold]
+                      for k, v in result.items()}
+        if not include_connected_chunks:
+            return result
+        have = {c.get("chunk_id") for c in result["text_chunks"]}
+        connected = set()
+        for e in result["entities"]:
+            connected.update(self._chunks_by_entity.get(
+                e.get("entity_id"), ()))
+        for r in result["relations"]:
+            connected.update(self._chunks_by_relation.get(
+                r.get("relation_id"), ()))
+        additional = []
+        for cid in connected - have:
+            score = self._chunk_relevance(cid, result["entities"],
+                                          result["relations"])
+            rec = dict(self._meta.get("text_chunk", {}).get(
+                cid, {"chunk_id": cid}))
+            rec["score"] = score
+            additional.append(rec)
+        additional.sort(key=lambda r: (-r["score"], r.get("chunk_id") or ""))
+        room = max(0, top_k - len(result["text_chunks"]))
+        result["text_chunks"] = result["text_chunks"] + additional[:room]
+        return result
+
 
 class ChatRetriever:
     """The chat/RAG surface (knowledge_retriever.py:793-1052): 3-way
@@ -128,9 +215,12 @@ class ChatRetriever:
         self.response_type = response_type
         self.history: List[str] = []
 
-    def chat(self, query: str, top_k: int = 10) -> str:
+    def chat(self, query: str, top_k: int = 10,
+             enhanced: bool = False) -> str:
         from .ops.misc import format_rag_context
-        res = self.retriever.search_knowledge(query, top_k)
+        res = (self.retriever.search_knowledge_enhanced(query, top_k)
+               if enhanced else
+               self.retriever.search_knowledge(query, top_k))
         ctx = format_rag_context(
             res["entities"], res["relations"], res["text_chunks"],
             query=query, history="\n".join(self.history[-6:]),
@@ -140,6 +230,11 @@ class ChatRetriever:
         answer = self.llm(ctx)
         self.history.extend([f"user: {query}", f"assistant: {answer}"])
         return answer
+
+    def chat_enhanced(self, query: str, top_k: int = 10) -> str:
+        """Chat over the connected-chunk-expanded retrieval
+        (knowledge_retriever.py:940-1052)."""
+        return self.chat(query, top_k, enhanced=True)
 
 
 class GraphPathFinder:

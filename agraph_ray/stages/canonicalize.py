@@ -47,15 +47,26 @@ def _perm_constants(num_perm: int) -> np.ndarray:
     return arr
 
 
+_TOKEN_HASH_KEY = "agraph-ray-tok!!"          # 16 bytes, fixed -> deterministic
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)   # odd golden-ratio constant
+
+
+def _hash_tokens(tokens) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a token/shingle array (SipHash via
+    pandas.util.hash_array with a pinned key): one C call for the whole
+    array instead of one Python md5 per element. Determinism across
+    processes is pinned by tests/test_doc_dedup.py."""
+    import pandas as _pd
+    return _pd.util.hash_array(np.asarray(tokens, dtype=object),
+                               hash_key=_TOKEN_HASH_KEY, categorize=False)
+
+
 def _shingle_hashes(name: str, k: int) -> np.ndarray:
     """Stable 64-bit hashes of the char-k shingles of a (padded) name."""
     s = f"^{name}$"
     if len(s) < k:
         s = s.ljust(k, "_")
-    shingles = {s[i:i + k] for i in range(len(s) - k + 1)}
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(sh.encode()).digest()[:8], "little")
-         for sh in shingles), dtype=np.uint64, count=len(shingles))
+    return _hash_tokens(sorted({s[i:i + k] for i in range(len(s) - k + 1)}))
 
 
 BAND_COLS = ["entity_id", "name", "entity_type", "aliases", "properties"]
