@@ -323,6 +323,18 @@ def q_ann_topk_lsh(sf_dir: str):
     return topk_cosine_lsh(ds, vecs, query_ids=ids, k=10)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF coarse-quantized ANN run exhaustively (nprobe == nlist) so the
+    brute-force oracle checks the full assign/probe/score path exactly."""
+    import ray.data as rd
+    from agraph_ray.ops.similarity import topk_cosine_ivf
+    vecs, ids = _load_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = topk_cosine_ivf(ds, vecs, query_ids=ids, k=10, nlist=8, nprobe=8)
+    return _scale_cols(out, {"sim": 10**6})
+
+
 def q_emb_near_dup(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import embedding_near_dup_pairs
@@ -1011,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         # joins / windows / graph analytics
         "customers_without_orders": q_customers_without_orders,
         "revenue_by_priority": q_revenue_by_priority,
@@ -1137,6 +1150,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+                 sims AS (SELECT q.query_id, e.vec_id,
+                                 list_cosine_similarity(
+                                     q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS s
+                          FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id,
+                   CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rank
+            FROM sims
+            QUALIFY rank <= 10
+        """,
+        "ann_topk_ivf": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 4),
                  sims AS (SELECT q.query_id, e.vec_id,

@@ -86,7 +86,8 @@ def run_bench() -> dict:
                       "docs_fingerprint", "ann_topk", "docs_minhash_pairs",
                       "docs_dedup_exact", "reassemble_docs",
                       "revenue_by_priority", "events_sessionize",
-                      "supplier_part_degree"]:
+                      "supplier_part_degree", "linked_vocab",
+                      "llm_parse_entities"]:
             t0 = time.time()
             r = qs[qname](SF_DIR)
             if hasattr(r, "materialize"):

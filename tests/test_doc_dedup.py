@@ -118,3 +118,35 @@ def test_cogroup_join_mixed_key_dtypes(ray_session):
     out = cogroup_join(left, right, on=["k"], how="inner").to_pandas()
     got = sorted(map(tuple, out[["k", "lv", "rv"]].values.tolist()))
     assert got == [(2, "b", "x"), (3, "c", "y")]
+
+
+def test_topk_cosine_ivf(ray_session):
+    """nprobe == nlist reproduces brute force exactly; a partial probe
+    keeps high recall on clustered data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.similarity import topk_cosine, topk_cosine_ivf
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = np.concatenate([c + rng.standard_normal((50, 16))
+                           for c in centers])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(len(vecs))),
+        "embedding": [v.tolist() for v in vecs]}))
+    queries = vecs[[0, 60, 120, 180]] + 0.01
+
+    def rows(d):
+        return sorted((r["query_id"], r["rank"], r["vec_id"])
+                      for r in d.take_all())
+
+    brute = rows(topk_cosine(ds, queries, k=5))
+    exhaustive = rows(topk_cosine_ivf(ds, queries, k=5, nlist=8, nprobe=8,
+                                      sample_size=200))
+    assert exhaustive == brute
+    approx = topk_cosine_ivf(ds, queries, k=5, nlist=8, nprobe=2,
+                             sample_size=200)
+    hits = {(r["query_id"], r["vec_id"]) for r in approx.take_all()}
+    truth = {(q, v) for q, _, v in brute}
+    recall = len(hits & truth) / len(truth)
+    assert recall >= 0.8
