@@ -112,12 +112,15 @@ class MinHashSigner:
 
 def minhash_lsh_groups(ds: "ray.data.Dataset", text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
-                       bands: int = 16,
-                       max_bucket: int = 1000) -> "ray.data.Dataset":
-    """→ candidate near-duplicate pairs (a, b) with a < b, deduped.
+                       bands: int = 16, max_bucket: int = 1000,
+                       dedup: bool = True) -> "ray.data.Dataset":
+    """→ candidate near-duplicate pairs (a, b) with a < b.
 
     Pairs are generated only inside (band, bucket) groups, capped at
-    ``max_bucket`` ids per bucket (cap logged via the ``truncated`` column).
+    ``max_bucket`` ids per bucket. ``dedup=False`` skips the cross-band
+    distinct (one whole shuffle round) — callers whose downstream stage
+    already groups by (a, b) (the Jaccard verify) dedup for free and
+    should pass False; the duplicate factor is bounded by ``bands``.
     """
     from ..stages.common import bucketed_group_reduce, distinct_on
     signer = MinHashSigner(num_perm, bands, text_col=text_col, id_col=id_col)
@@ -138,10 +141,11 @@ def minhash_lsh_groups(ds: "ray.data.Dataset", text_col: str = "text",
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     cand = bucketed_group_reduce(bandrows, ["band", "bucket"], pairs,
                                  schema=pair_schema)
+    if dedup:
+        cand = distinct_on(cand, ["a", "b"])
     # zero-row anchor: a corpus with no candidate pairs must still yield a
     # typed (schema-bearing) dataset for the downstream joins
-    return distinct_on(cand, ["a", "b"]).union(
-        rd.from_arrow(pair_schema.empty_table()))
+    return cand.union(rd.from_arrow(pair_schema.empty_table()))
 
 
 def _shingle_sets(texts: "ray.data.Dataset", signer: "MinHashSigner",
@@ -241,7 +245,8 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     from ..state.unionfind import connected_components, components_to_canonical_map
 
     texts = ds.select_columns([id_col, text_col])
-    cand = minhash_lsh_groups(texts, text_col, id_col, num_perm, bands)
+    cand = minhash_lsh_groups(texts, text_col, id_col, num_perm, bands,
+                              dedup=False)
     signer = MinHashSigner(num_perm, bands, text_col=text_col, id_col=id_col)
     scored = _jaccard_scored_pairs(texts, cand, signer, id_col, text_col)
 
@@ -377,7 +382,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.5,
     (shingle sets shipped to the pairs via bucketed joins; no driver
     materialization of the corpus)."""
     texts = ds.select_columns([id_col, text_col])
-    cand = minhash_lsh_groups(texts, text_col, id_col, num_perm, bands)
+    cand = minhash_lsh_groups(texts, text_col, id_col, num_perm, bands,
+                              dedup=False)
     signer = MinHashSigner(num_perm, bands, text_col=text_col, id_col=id_col)
     scored = _jaccard_scored_pairs(texts, cand, signer, id_col, text_col)
     return scored.map_batches(

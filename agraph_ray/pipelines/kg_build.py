@@ -151,16 +151,19 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
 
 
 def kg_tables(transcripts: "ray.data.Dataset",
-              cfg: Optional[KGConfig] = None, do_canonicalize: bool = False):
+              cfg: Optional[KGConfig] = None, do_canonicalize: bool = False,
+              engine=None):
     """In-memory variant for moderate inputs (driver queries / tests):
     transcripts Dataset → (nodes, edges, mentions) Datasets without any
     Parquet checkpointing. The extraction output is pinned once
     (materialize) so the node and edge branches don't re-run it; use
-    :func:`build_kg` for large corpora."""
+    :func:`build_kg` for large corpora. ``engine`` = pluggable extraction
+    engine (deterministic RuleExtractor default; extract/llm.py's
+    LLMExtractorEngine for the production path)."""
     import pyarrow.compute as pc2
     cfg = cfg or KGConfig()
     docs = reassemble(transcripts, cfg)
-    mentions = extract_mentions(docs, cfg).materialize()
+    mentions = extract_mentions(docs, cfg, engine=engine).materialize()
     entities = mentions.map_batches(
         lambda t: t.filter(pc2.equal(t["kind"], "entity")),
         batch_format="pyarrow")
