@@ -667,11 +667,9 @@ def q_graph_importance_sql(sf_dir: str):
     return _scale_cols(out, {"importance": 10**9})
 
 
-def q_linked_vocab(sf_dir: str):
-    """link_chunks (Aho-Corasick vocabulary containment + both-endpoint
-    relation linking) over documents with the nation/region vocabulary —
-    the oracle checks the matcher against SQL substring semantics."""
-    import pyarrow as pa
+def _vocab_linked_docs(sf_dir: str):
+    """documents linked against the nation/region vocabulary (shared by
+    linked_vocab and chunk_stats)."""
     import ray.data as rd
     from agraph_ray.stages.link_chunks import link_chunks
 
@@ -689,7 +687,15 @@ def q_linked_vocab(sf_dir: str):
                              nat["n_name"])])
     chunks = rd.read_parquet(f"{sf_dir}/documents.parquet",
                              columns=["doc_id", "text"])
-    linked = link_chunks(chunks, nodes, edges)
+    return link_chunks(chunks, nodes, edges)
+
+
+def q_linked_vocab(sf_dir: str):
+    """link_chunks (Aho-Corasick vocabulary containment + both-endpoint
+    relation linking) over documents with the nation/region vocabulary —
+    the oracle checks the matcher against SQL substring semantics."""
+    import pyarrow as pa
+    linked = _vocab_linked_docs(sf_dir)
     return linked.map_batches(
         lambda t: pa.table({
             "doc_id": t["doc_id"],
@@ -698,6 +704,28 @@ def q_linked_vocab(sf_dir: str):
             "n_relations": pc.cast(pc.list_value_length(t["relations"]),
                                    pa.int64())}),
         batch_format="pyarrow")
+
+
+def q_chunk_stats(sf_dir: str):
+    """chunk_statistics + orphaned_chunks over the vocabulary-linked
+    documents (base_storage.py:850-960 semantics, oracle-checked)."""
+    import pandas as pd
+    from agraph_ray.ops.graph import chunk_statistics
+    s = chunk_statistics(_vocab_linked_docs(sf_dir))
+    conn = s["connection_statistics"]
+    return pd.DataFrame([{
+        "total_chunks": s["total_chunks"],
+        "total_content_length": s["total_content_length"],
+        "avg_content_length_scaled": int(np.floor(
+            s["avg_content_length"] * 10**6 + 0.5)),
+        "chunks_with_entities": conn["chunks_with_entities"],
+        "chunks_with_relations": conn["chunks_with_relations"],
+        "orphaned_chunks": conn["orphaned_chunks"],
+        "avg_entities_scaled": int(np.floor(
+            conn["avg_entities_per_chunk"] * 10**6 + 0.5)),
+        "avg_relations_scaled": int(np.floor(
+            conn["avg_relations_per_chunk"] * 10**6 + 0.5)),
+    }])
 
 
 def q_events_sessionize(sf_dir: str):
@@ -1031,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_stats_sql": q_graph_stats_sql,
         "graph_importance_sql": q_graph_importance_sql,
         "linked_vocab": q_linked_vocab,
+        "chunk_stats": q_chunk_stats,
         "events_sessionize": q_events_sessionize,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -1332,6 +1361,36 @@ def oracle_sql() -> dict[str, str]:
                        AS entity_id,
                    name, entity_type, confidence
             FROM ents
+        """,
+        "chunk_stats": """
+            WITH linked AS (
+                SELECT d.doc_id, length(d.text) AS len,
+                       (SELECT count(*) FROM nation n
+                        WHERE contains(lower(d.text), lower(n.n_name)))
+                     + (SELECT count(*) FROM region r
+                        WHERE contains(lower(d.text), lower(r.r_name)))
+                       AS n_e,
+                       (SELECT count(*) FROM nation n
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+                        WHERE contains(lower(d.text), lower(n.n_name))
+                          AND contains(lower(d.text), lower(r.r_name)))
+                       AS n_r
+                FROM documents d)
+            SELECT count(*) AS total_chunks,
+                   CAST(sum(len) AS BIGINT) AS total_content_length,
+                   CAST(floor(sum(len) / count(*)::DOUBLE * 1000000 + 0.5)
+                        AS BIGINT) AS avg_content_length_scaled,
+                   CAST(sum(CASE WHEN n_e > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS chunks_with_entities,
+                   CAST(sum(CASE WHEN n_r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS chunks_with_relations,
+                   CAST(sum(CASE WHEN n_e = 0 AND n_r = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS orphaned_chunks,
+                   CAST(floor(sum(n_e) / count(*)::DOUBLE * 1000000 + 0.5)
+                        AS BIGINT) AS avg_entities_scaled,
+                   CAST(floor(sum(n_r) / count(*)::DOUBLE * 1000000 + 0.5)
+                        AS BIGINT) AS avg_relations_scaled
+            FROM linked
         """,
         "events_sessionize": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),

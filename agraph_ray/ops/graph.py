@@ -65,6 +65,86 @@ def degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
                 batch_format="pyarrow"))
 
 
+def chunk_statistics(chunks: "ray.data.Dataset") -> Dict:
+    """Comprehensive chunk stats (base_storage.py:850-935): totals, length
+    stats, per-type stats, connection stats. One per-batch partial pass
+    (vectorized counts per chunk_type) + one tiny groupby-sum — the shuffle
+    moves a handful of rows per (type, batch), never chunk bodies."""
+    from ray.data.aggregate import Sum
+
+    schema = chunks.schema()
+    if schema is None:       # empty, schema-less input
+        return {"total_chunks": 0}
+    has_type = "chunk_type" in schema.names
+    has_links = "entities" in schema.names
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        lens = pc.utf8_length(t["text"]).to_pandas()
+        ctype = (t["chunk_type"].to_pandas() if has_type
+                 else pd.Series(["chunk"] * len(t)))
+        df = pd.DataFrame({"chunk_type": ctype, "len": lens})
+        if has_links:
+            df["n_e"] = pc.list_value_length(t["entities"]).to_pandas()
+            df["n_r"] = pc.list_value_length(t["relations"]).to_pandas()
+        else:
+            df["n_e"] = 0
+            df["n_r"] = 0
+        g = df.groupby("chunk_type").agg(
+            n=("len", "size"), total_len=("len", "sum"),
+            sum_e=("n_e", "sum"), sum_r=("n_r", "sum"),
+            with_e=("n_e", lambda s: int((s > 0).sum())),
+            with_r=("n_r", lambda s: int((s > 0).sum())),
+            orphaned=("n_e", lambda s: 0),   # filled below (needs n_r too)
+        ).reset_index()
+        orph = df.groupby("chunk_type").apply(
+            lambda s: int(((s["n_e"] == 0) & (s["n_r"] == 0)).sum()))
+        g["orphaned"] = orph.to_numpy()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (chunks.map_batches(partial, batch_format="pyarrow")
+           .groupby("chunk_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("total_len", alias_name="total_len"),
+                      Sum("sum_e", alias_name="sum_e"),
+                      Sum("sum_r", alias_name="sum_r"),
+                      Sum("with_e", alias_name="with_e"),
+                      Sum("with_r", alias_name="with_r"),
+                      Sum("orphaned", alias_name="orphaned"))
+           .to_pandas())
+    total = int(agg["n"].sum())
+    if total == 0:
+        return {"total_chunks": 0}
+    total_len = int(agg["total_len"].sum())
+    return {
+        "total_chunks": total,
+        "total_content_length": total_len,
+        "avg_content_length": total_len / total,
+        "type_statistics": {
+            r["chunk_type"]: {"count": int(r["n"]),
+                              "total_length": int(r["total_len"]),
+                              "avg_length": r["total_len"] / r["n"]}
+            for _, r in agg.iterrows()},
+        "connection_statistics": {
+            "chunks_with_entities": int(agg["with_e"].sum()),
+            "chunks_with_relations": int(agg["with_r"].sum()),
+            "avg_entities_per_chunk": float(agg["sum_e"].sum()) / total,
+            "avg_relations_per_chunk": float(agg["sum_r"].sum()) / total,
+            "orphaned_chunks": int(agg["orphaned"].sum()),
+        },
+    }
+
+
+def orphaned_chunks(linked: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Chunks with no entity/relation connections
+    (base_storage.py:941-960) — a pure filter map."""
+    def f(t: pa.Table) -> pa.Table:
+        ne = pc.list_value_length(t["entities"])
+        nr = pc.list_value_length(t["relations"])
+        return t.filter(pc.and_(pc.equal(ne, 0), pc.equal(nr, 0)))
+    return linked.map_batches(f, batch_format="pyarrow")
+
+
 def count_by(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
     """Counts per value of ``col`` with per-batch pre-aggregation
     (graph_analyzer.py:87-122 by-type counts)."""

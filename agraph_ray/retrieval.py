@@ -114,6 +114,37 @@ class KnowledgeRetriever:
             out.append(rec)
         return out
 
+    # by-type / by-source listings (knowledge_retriever.py:455-558) — the
+    # metadata dicts are already driver-held, so these are pure filters
+    def _list(self, kind: str, limit: int, pred) -> List[dict]:
+        out = []
+        for rec in self._meta.get(kind, {}).values():
+            if pred(rec):
+                out.append(dict(rec))
+                if len(out) >= limit:
+                    break
+        return out
+
+    def list_entities(self, entity_type: Optional[str] = None,
+                      limit: int = 100) -> List[dict]:
+        return self._list("entity", limit,
+                          lambda r: entity_type is None
+                          or r.get("entity_type") == entity_type)
+
+    def list_relations(self, relation_type: Optional[str] = None,
+                       limit: int = 100) -> List[dict]:
+        return self._list("relation", limit,
+                          lambda r: relation_type is None
+                          or r.get("relation_type") == relation_type)
+
+    def get_entity(self, entity_id: str) -> Optional[dict]:
+        rec = self._meta.get("entity", {}).get(entity_id)
+        return dict(rec) if rec else None
+
+    def get_relation(self, relation_id: str) -> Optional[dict]:
+        rec = self._meta.get("relation", {}).get(relation_id)
+        return dict(rec) if rec else None
+
     # knowledge_retriever.py:80-262 surface
     def search_entities(self, query: str, top_k: int = 10) -> List[dict]:
         return self._search("entity", query, top_k)

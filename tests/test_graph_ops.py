@@ -286,3 +286,59 @@ def test_parse_registry(ray_session):
     assert out["text"][2] is None          # pdf unsupported -> error column
     assert "pypdf" in out["parse_error"][2]
     assert out["text"][3] == ""
+
+
+def test_chunk_statistics_and_orphans(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph import chunk_statistics, orphaned_chunks
+    linked = rd.from_items([
+        {"chunk_id": "c1", "chunk_type": "paragraph", "text": "abcde",
+         "entities": ["e1"], "relations": ["r1"]},
+        {"chunk_id": "c2", "chunk_type": "paragraph", "text": "xyz",
+         "entities": ["e1", "e2"], "relations": []},
+        {"chunk_id": "c3", "chunk_type": "section", "text": "pq",
+         "entities": [], "relations": []},
+    ])
+    s = chunk_statistics(linked)
+    assert s["total_chunks"] == 3
+    assert s["total_content_length"] == 10
+    assert abs(s["avg_content_length"] - 10 / 3) < 1e-9
+    assert s["type_statistics"]["paragraph"]["count"] == 2
+    assert s["type_statistics"]["paragraph"]["avg_length"] == 4.0
+    assert s["type_statistics"]["section"]["count"] == 1
+    conn = s["connection_statistics"]
+    assert conn["chunks_with_entities"] == 2
+    assert conn["chunks_with_relations"] == 1
+    assert conn["orphaned_chunks"] == 1
+    assert abs(conn["avg_entities_per_chunk"] - 1.0) < 1e-9
+    orph = orphaned_chunks(linked).take_all()
+    assert [r["chunk_id"] for r in orph] == ["c3"]
+    assert chunk_statistics(linked.filter(lambda r: False)) == {
+        "total_chunks": 0}
+
+
+def test_retriever_listings(ray_session):
+    import ray.data as rd
+    from agraph_ray.retrieval import KnowledgeRetriever
+    nodes = rd.from_items([
+        {"entity_id": "e1", "name": "acme", "entity_type": "organization",
+         "description": "", "aliases": [], "confidence": 0.9},
+        {"entity_id": "e2", "name": "bob smith", "entity_type": "person",
+         "description": "", "aliases": [], "confidence": 0.8},
+    ])
+    edges = rd.from_items([
+        {"relation_id": "r1", "subj": "bob smith",
+         "relation_type": "works_for", "obj": "acme",
+         "description": "", "confidence": 0.9},
+    ])
+    kr = KnowledgeRetriever(nodes=nodes, edges=edges)
+    orgs = kr.list_entities(entity_type="organization")
+    assert [e["entity_id"] for e in orgs] == ["e1"]
+    assert len(kr.list_entities()) == 2
+    assert kr.list_entities(limit=1)
+    assert [r["relation_id"]
+            for r in kr.list_relations(relation_type="works_for")] == ["r1"]
+    assert kr.list_relations(relation_type="nope") == []
+    assert kr.get_entity("e2")["name"] == "bob smith"
+    assert kr.get_entity("missing") is None
+    assert kr.get_relation("r1")["relation_type"] == "works_for"
