@@ -335,6 +335,52 @@ def validate_graph(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
     return dangling_issues.union(dup_issues).union(quality)
 
 
+def validation_report(nodes: "ray.data.Dataset",
+                      edges: "ray.data.Dataset",
+                      confidence_floor: float = 0.5) -> Dict:
+    """validate_graph + improvement recommendations
+    (graph_validator.py:43-120,385-423): issue counts by type, severity
+    rollup, and the reference's recommendation strings derived from the
+    observed issue types and the relation/entity ratio."""
+    issues = validate_graph(nodes, edges, confidence_floor)
+    counts = {r["issue_type"]: int(r["n"])
+              for r in count_by(issues, "issue_type").iter_rows()}
+    types = set(counts)
+    recs = []
+    if {"invalid_head_entity_reference",
+            "invalid_tail_entity_reference"} & types:
+        recs.append("Clean up relations that reference non-existent "
+                    "entities")
+    if "duplicate_entity" in types:
+        recs.append("Consider merging duplicate entities with same name "
+                    "and type")
+    if "empty_entity_name" in types:
+        recs.append("Provide meaningful names for entities with empty "
+                    "names")
+    if {"low_confidence_entity", "low_confidence_relation"} & types:
+        recs.append("Review and improve low-confidence entities and "
+                    "relations")
+    n_entities, n_relations = nodes.count(), edges.count()
+    if n_relations == 0 and n_entities > 0:
+        recs.append("Add relations between entities to create meaningful "
+                    "connections")
+    elif n_entities > 0 and n_relations / n_entities < 0.1:
+        recs.append("Consider adding more relations to increase graph "
+                    "connectivity")
+    elif n_entities > 0 and n_relations / n_entities > 10:
+        recs.append("Graph may be over-connected; review relation "
+                    "necessity")
+    return {
+        "is_valid": not any(
+            t.startswith("invalid_") for t in types),
+        "total_entities": n_entities,
+        "total_relations": n_relations,
+        "issue_counts": counts,
+        "total_issues": sum(counts.values()),
+        "recommendations": recs,
+    }
+
+
 # ---------------------------------------------------------------------------
 # implicit-relation inference
 # ---------------------------------------------------------------------------

@@ -293,6 +293,29 @@ def link_entities(nodes: "ray.data.Dataset",
     return distinct_on(pairs, ["src", "dst"], num_buckets)
 
 
+def find_similar_entities(nodes: "ray.data.Dataset",
+                          cfg: Optional[KGConfig] = None,
+                          similarity_threshold: Optional[float] = None,
+                          max_pairs: Optional[int] = None
+                          ) -> "ray.data.Dataset":
+    """Ranked similar-entity pairs (src, dst, sim), similarity descending —
+    the EntityMerger.find_similar_entities surface
+    (agraph/services/entity_merger.py:149-191) with LSH/alias blocking in
+    place of its O(n²) all-pairs scan. ``max_pairs`` mirrors the
+    auto-merge cap (entity_merger.py:295-316 max_merges)."""
+    import pyarrow.compute as pc2
+    cfg = cfg or KGConfig()
+    pairs = link_entities(nodes, cfg)
+    if similarity_threshold is not None:
+        pairs = pairs.map_batches(
+            lambda t: t.filter(pc2.greater_equal(t["sim"],
+                                                 similarity_threshold)),
+            batch_format="pyarrow")
+    ranked = pairs.sort(["sim", "src", "dst"],
+                        descending=[True, False, False])
+    return ranked.limit(max_pairs) if max_pairs else ranked
+
+
 def compute_canonical_map(nodes: "ray.data.Dataset",
                           cfg: Optional[KGConfig] = None,
                           driver_threshold: int = 200_000) -> Dict[str, str]:

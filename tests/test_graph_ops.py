@@ -342,3 +342,61 @@ def test_retriever_listings(ray_session):
     assert kr.get_entity("e2")["name"] == "bob smith"
     assert kr.get_entity("missing") is None
     assert kr.get_relation("r1")["relation_type"] == "works_for"
+
+
+def test_validation_report_recommendations(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph import validation_report
+    nodes = rd.from_items([
+        {"entity_id": "e1", "name": "acme", "entity_type": "organization",
+         "confidence": 0.9},
+        {"entity_id": "e2", "name": "acme", "entity_type": "organization",
+         "confidence": 0.3},
+    ])
+    edges = rd.from_items([
+        {"relation_id": "r1", "head_id": "e1", "tail_id": "ghost",
+         "relation_type": "related_to", "confidence": 0.9},
+    ])
+    rep = validation_report(nodes, edges)
+    assert rep["is_valid"] is False          # dangling tail reference
+    assert rep["issue_counts"]["invalid_tail_entity_reference"] == 1
+    assert rep["issue_counts"]["duplicate_entity"] == 1
+    assert rep["issue_counts"]["low_confidence_entity"] == 1
+    assert any("non-existent" in r for r in rep["recommendations"])
+    assert any("duplicate" in r for r in rep["recommendations"])
+    assert any("low-confidence" in r for r in rep["recommendations"])
+
+    clean_nodes = rd.from_items([
+        {"entity_id": "e1", "name": "acme", "entity_type": "organization",
+         "confidence": 0.9}])
+    empty_edges = rd.from_items([
+        {"relation_id": "r0", "head_id": "e1", "tail_id": "e1",
+         "relation_type": "related_to", "confidence": 0.9}]).filter(
+        lambda r: False)
+    rep2 = validation_report(clean_nodes, empty_edges)
+    assert rep2["is_valid"] is True
+    assert any("Add relations" in r for r in rep2["recommendations"])
+
+
+def test_find_similar_entities_ranked(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.canonicalize import find_similar_entities
+    nodes = rd.from_items([
+        {"entity_id": "e1", "name": "globex incorporated",
+         "entity_type": "organization", "aliases": [], "properties": None},
+        {"entity_id": "e2", "name": "globex incorporated.",
+         "entity_type": "organization", "aliases": [], "properties": None},
+        {"entity_id": "e3", "name": "globex inc",
+         "entity_type": "organization", "aliases": [], "properties": None},
+        {"entity_id": "e4", "name": "unrelated gadget works",
+         "entity_type": "organization", "aliases": [], "properties": None},
+    ])
+    rows = find_similar_entities(nodes).take_all()
+    assert rows, "expected at least one similar pair"
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    top = rows[0]
+    assert {top["src"], top["dst"]} == {"e1", "e2"}   # containment, 0.8+
+    assert all("e4" not in (r["src"], r["dst"]) for r in rows)
+    capped = find_similar_entities(nodes, max_pairs=1).take_all()
+    assert len(capped) == 1

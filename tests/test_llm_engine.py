@@ -225,3 +225,53 @@ def test_pair_judge_fallback_on_garbage():
     assert parse_dedup_response(
         json.dumps({"is_duplicate": False}), "same", "same") is False
     assert parse_dedup_response(None, "same", "same") is True
+
+# ---------------------------------------------------------------------------
+# full-pipeline e2e with the LLM engine plugged in
+# ---------------------------------------------------------------------------
+
+def test_llm_engine_full_pipeline(ray_session, tmp_path):
+    """build_kg with engine=LLMExtractorEngine(mock) end-to-end: the LLM
+    path drives reassembly → extraction → dedup → canonicalize → parquet,
+    and the output graph contains exactly the mock's entities/relations
+    (deduped across documents), with no dangling edges."""
+    import duckdb
+    from agraph_ray.config import KGConfig
+    from agraph_ray.extract.llm import LLMExtractorEngine
+    from agraph_ray.pipelines.kg_build import build_kg
+    from agraph_ray.synth import generate_transcripts
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    generate_transcripts(str(src), n_convs=8, seed=7, num_shards=2)
+    res = build_kg(str(src), str(out),
+                   KGConfig(hot_conv_turns=100, salt_span=64),
+                   engine=LLMExtractorEngine(_make_mock_llm()))
+    # every document yields the same 2 entities + 1 relation; global dedup
+    # collapses them to exactly those 2 nodes and 1 edge
+    assert res.metrics["n_documents"] == 8
+    assert res.metrics["n_nodes"] == 2
+    assert res.metrics["n_edges"] == 1
+
+    con = duckdb.connect()
+    names = {r[0] for r in con.sql(
+        f"select name from read_parquet('{out}/nodes/*.parquet')").fetchall()}
+    assert names == {"ada lovelace", "analytical engine"}
+    srcs = {r[0] for r in con.sql(
+        f"select source from read_parquet('{out}/nodes/*.parquet')").fetchall()}
+    assert srcs == {"llm_extraction"}
+    edges = con.sql(f"""
+        select e.relation_type, hn.name, tn.name, e.n_mentions
+        from read_parquet('{out}/edges/*.parquet') e
+        join read_parquet('{out}/nodes/*.parquet') hn on e.head_id = hn.entity_id
+        join read_parquet('{out}/nodes/*.parquet') tn on e.tail_id = tn.entity_id
+    """).fetchall()
+    assert len(edges) == 1
+    rel, hname, tname, n_mentions = edges[0]
+    assert (rel, hname, tname) == ("related_to", "ada lovelace",
+                                   "analytical engine")
+    assert n_mentions == 8   # one mention per document, summed on dedup
+    # aliases survive the merge
+    aliases = con.sql(f"""select aliases from read_parquet(
+        '{out}/nodes/*.parquet') where name = 'ada lovelace'""").fetchone()[0]
+    assert "ada" in [a.lower() for a in aliases]
