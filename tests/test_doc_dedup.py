@@ -44,6 +44,26 @@ def test_ngram_jaccard_pairs_distributed(ray_session):
     assert all(j > 0.7 for j in pairs.values())
 
 
+def test_jaccard_verify_semi_join_paths_agree(ray_session):
+    """The semi-join shingle filter (default) and the full-shuffle fallback
+    (semi_join_cap=0 forces it) score identical pairs."""
+    import ray.data as rd
+    from agraph_ray.ops.dedup import (MinHashSigner, _jaccard_scored_pairs,
+                                      minhash_lsh_groups)
+    texts = rd.from_arrow(_corpus())
+    cand = minhash_lsh_groups(texts, dedup=False)
+    signer = MinHashSigner()
+
+    def rows(cap):
+        out = _jaccard_scored_pairs(texts, cand, signer, "doc_id", "text",
+                                    semi_join_cap=cap).to_pandas()
+        return sorted((a, b, round(j, 9)) for a, b, j in
+                      zip(out["a"], out["b"], out["jaccard"]))
+
+    filtered, full = rows(20_000_000), rows(0)
+    assert filtered == full and filtered, "paths diverged or found nothing"
+
+
 def test_minhash_dedup_no_duplicates_is_identity(ray_session):
     import ray.data as rd
     from agraph_ray.ops.dedup import minhash_dedup
