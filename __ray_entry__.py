@@ -259,6 +259,24 @@ def q_docs_fingerprint(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_docs_repetition(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.text import add_word_repetition
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(lambda t: add_word_repetition(t).drop(["text"]),
+                         batch_format="pyarrow")
+    return _scale_cols(out, {"dup_word_fraction": 10**6,
+                             "top_word_fraction": 10**6})
+
+
+def q_docs_top_words(sf_dir: str):
+    import ray.data as rd
+    from agraph_ray.ops.text import top_words
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_words(ds, k=20)
+
+
 def q_docs_dedup_exact(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import exact_dedup
@@ -1040,6 +1058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "docs_token_count": q_docs_token_count,
         "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
+        "docs_top_words": q_docs_top_words,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         # dedup family
@@ -1159,6 +1179,39 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1)::DOUBLE
                          * 1000000 + 0.5) AS BIGINT) AS alpha_ratio
             FROM documents
+        """,
+        "docs_repetition": r"""
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ), c AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM w GROUP BY doc_id, w
+            ), m AS (
+                SELECT doc_id, w, c,
+                       max(c)  OVER (PARTITION BY doc_id) AS mc,
+                       sum(c)  OVER (PARTITION BY doc_id) AS total,
+                       count(*) OVER (PARTITION BY doc_id) AS distinct_words
+                FROM c
+            )
+            SELECT doc_id,
+                   CAST(max(total) AS BIGINT) AS word_total,
+                   CAST(max(distinct_words) AS BIGINT) AS distinct_words,
+                   CAST(floor((1 - max(distinct_words)
+                        / greatest(max(total), 1)::DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS dup_word_fraction,
+                   min(w) FILTER (WHERE c = mc) AS top_word,
+                   CAST(floor(max(mc) / greatest(max(total), 1)::DOUBLE
+                        * 1000000 + 0.5) AS BIGINT) AS top_word_fraction
+            FROM m GROUP BY doc_id
+        """,
+        "docs_top_words": r"""
+            SELECT w AS word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w
+            ORDER BY cnt DESC, w
+            LIMIT 20
         """,
         "docs_langid": r"""
             SELECT doc_id,

@@ -82,6 +82,84 @@ def add_fingerprint(batch: pa.Table, col: str = "text",
     return batch.append_column(out, pa.array(fp, pa.string()))
 
 
+def add_word_repetition(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style word-repetition quality signals (vectorized):
+
+    - ``word_total``        total single-space-split tokens
+    - ``distinct_words``    distinct tokens
+    - ``dup_word_fraction`` 1 - distinct/total
+    - ``top_word``          most frequent token (alphabetic min on ties)
+    - ``top_word_fraction`` occurrences of top token / total
+
+    Split is a literal single space (DuckDB ``string_split(text, ' ')``)
+    so the oracle matches exactly, empty strings included. One pandas
+    groupby per batch — no per-row Python."""
+    import pandas as pd
+    n = len(batch)
+    t = batch[col].combine_chunks()
+    lists = pc.split_pattern(t, " ")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    parents = np.repeat(np.arange(n, dtype=np.int64),
+                        np.asarray(lens, dtype=np.int64))
+    words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+    df = pd.DataFrame({"p": parents, "w": words})
+    cc = df.groupby(["p", "w"], sort=False).size().reset_index(name="c")
+    agg = cc.groupby("p", sort=False)["c"].agg(
+        total="sum", distinct="count", mc="max")
+    tops = cc.merge(agg[["mc"]], left_on="p", right_index=True)
+    tops = tops[tops["c"] == tops["mc"]].groupby("p", sort=False)["w"].min()
+    idx = np.arange(n)
+    total = agg["total"].reindex(idx).fillna(0).to_numpy(dtype=np.int64)
+    distinct = agg["distinct"].reindex(idx).fillna(0).to_numpy(dtype=np.int64)
+    mc = agg["mc"].reindex(idx).fillna(0).to_numpy(dtype=np.int64)
+    denom = np.maximum(total, 1).astype(np.float64)
+    batch = batch.append_column("word_total", pa.array(total))
+    batch = batch.append_column("distinct_words", pa.array(distinct))
+    batch = batch.append_column(
+        "dup_word_fraction", pa.array(1.0 - distinct / denom))
+    batch = batch.append_column(
+        "top_word", pa.array(tops.reindex(idx).to_numpy(dtype=object),
+                             pa.string()))
+    batch = batch.append_column(
+        "top_word_fraction", pa.array(mc / denom))
+    return batch
+
+
+def corpus_word_counts(ds: "ray.data.Dataset",
+                       col: str = "text") -> "ray.data.Dataset":
+    """Distributed wordcount with a per-batch combiner: each batch emits
+    its (word, cnt) partials (one ``np.unique`` per batch), so the shuffle
+    carries at most |batch vocabulary| rows per batch — not one row per
+    token occurrence — before the small keyed sum."""
+    from ..stages.common import bucketed_group_reduce
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        if len(words) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(words, return_counts=True)
+        return pa.table({"word": pa.array(u, pa.string()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", as_index=False, sort=False)["cnt"].sum()
+
+    return bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), ["word"], reduce_df,
+        schema=pa.schema([("word", pa.string()), ("cnt", pa.int64())]))
+
+
+def top_words(ds: "ray.data.Dataset", k: int = 20,
+              col: str = "text") -> "ray.data.Dataset":
+    """Global top-k words by count, ties broken by word ascending (fully
+    deterministic result set)."""
+    return corpus_word_counts(ds, col).sort(
+        ["cnt", "word"], descending=[True, False]).limit(k)
+
+
 def analyze_documents(ds: "ray.data.Dataset", col: str = "text"):
     """Full text-analysis pass: quality + lang + fingerprint + tokens."""
     def _stage(batch: pa.Table) -> pa.Table:

@@ -101,3 +101,21 @@ def test_path_enumeration(ray_session):
     assert sorted(paths) == [["a", "b", "c"], ["a", "c"]]
     cycles = pf.find_cycles()
     assert any(set(c) == {"a", "b", "c"} for c in cycles)
+
+
+def test_word_repetition_edge_cases():
+    import pyarrow as pa
+    from agraph_ray.ops.text import add_word_repetition
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b a b a",        # top 'a' 3/5
+                           "x x x x",          # all same
+                           "",                 # splits to one '' token
+                           "tie tie bee bee"]})  # tie -> min word 'bee'
+    out = add_word_repetition(t)
+    assert out["word_total"].to_pylist() == [5, 4, 1, 4]
+    assert out["distinct_words"].to_pylist() == [2, 1, 1, 2]
+    assert out["top_word"].to_pylist() == ["a", "x", "", "bee"]
+    fr = out["top_word_fraction"].to_pylist()
+    assert fr == [3 / 5, 1.0, 1.0, 0.5]
+    dup = out["dup_word_fraction"].to_pylist()
+    assert dup == [1 - 2 / 5, 0.75, 0.0, 0.5]
