@@ -9,7 +9,9 @@ merge per-shard top-k on the caller (``AnnShardPool``).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+import json
+import os
+from typing import List, Optional, Tuple
 
 import numpy as np
 import ray
@@ -17,14 +19,43 @@ import ray
 
 @ray.remote
 class AnnIndexActor:
-    """One shard of a cosine-similarity index."""
+    """One shard of a cosine-similarity index.
 
-    def __init__(self, ids: List[str], matrix: np.ndarray):
+    Built either from in-memory (ids, matrix) or from a parquet shard file
+    (``path=``) the actor reads itself — on load the driver never touches
+    vector data, so pool size is bounded by cluster memory, not driver
+    heap."""
+
+    def __init__(self, ids: Optional[List[str]] = None,
+                 matrix: Optional[np.ndarray] = None,
+                 path: Optional[str] = None):
+        if path is not None:
+            import pyarrow.parquet as pq
+            t = pq.read_table(path)
+            ids = t["id"].to_pylist()
+            matrix = np.asarray(t["vec"].to_pylist(), dtype=np.float32)
         self.ids = np.asarray(ids)
         m = np.asarray(matrix, dtype=np.float32)
+        if m.ndim == 1:
+            m = m.reshape(len(self.ids), -1)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         self.matrix = m / norms   # normalize once at build time
+
+    def save(self, path: str) -> int:
+        """Persist this shard (normalized vectors; normalization is
+        idempotent on reload). Written by the actor — the matrix never
+        rides through the driver."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        dim = self.matrix.shape[1] if self.matrix.size else 0
+        t = pa.table({
+            "id": pa.array(self.ids.tolist(), pa.string()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(self.matrix.reshape(-1), pa.float32()), dim),
+        })
+        pq.write_table(t, path)
+        return len(self.ids)
 
     def query(self, vecs: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """(q, d) query matrix → (ids[q,k], sims[q,k]), cosine descending."""
@@ -64,3 +95,26 @@ class AnnShardPool:
         order = np.argsort(-sims[row, part], kind="stable", axis=1)
         top = part[row, order]
         return ids[row, top], sims[row, top]
+
+    def save(self, out_dir: str) -> dict:
+        """Persist the pool as one parquet file per shard + manifest.json.
+        Shards write themselves concurrently."""
+        os.makedirs(out_dir, exist_ok=True)
+        files = [f"shard-{i:05d}.parquet" for i in range(len(self.shards))]
+        counts = ray.get([s.save.remote(os.path.join(out_dir, f))
+                          for s, f in zip(self.shards, files)])
+        manifest = {"shards": files, "counts": counts}
+        with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        return manifest
+
+    @classmethod
+    def load(cls, out_dir: str) -> "AnnShardPool":
+        """Rebuild a pool from :meth:`save` output — each actor reads its
+        own shard file; no vector data crosses the driver."""
+        with open(os.path.join(out_dir, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        pool = cls.__new__(cls)
+        pool.shards = [AnnIndexActor.remote(path=os.path.join(out_dir, f))
+                       for f in manifest["shards"]]
+        return pool

@@ -400,3 +400,22 @@ def test_find_similar_entities_ranked(ray_session):
     assert all("e4" not in (r["src"], r["dst"]) for r in rows)
     capped = find_similar_entities(nodes, max_pairs=1).take_all()
     assert len(capped) == 1
+
+
+def test_ann_pool_save_load_roundtrip(ray_session, tmp_path):
+    import numpy as np
+    from agraph_ray.state.ann import AnnShardPool
+    rng = np.random.default_rng(3)
+    ids = [f"v{i}" for i in range(57)]
+    mat = rng.normal(size=(57, 16)).astype("float32")
+    pool = AnnShardPool(ids, mat, num_shards=3)
+    q = rng.normal(size=(4, 16)).astype("float32")
+    ids1, sims1 = pool.query(q, k=5)
+
+    manifest = pool.save(str(tmp_path / "ann"))
+    assert len(manifest["shards"]) == 3 and sum(manifest["counts"]) == 57
+
+    loaded = AnnShardPool.load(str(tmp_path / "ann"))
+    ids2, sims2 = loaded.query(q, k=5)
+    assert ids1.tolist() == ids2.tolist()
+    assert np.allclose(sims1, sims2, atol=1e-6)
