@@ -756,6 +756,29 @@ def q_events_sessionize(sf_dir: str):
     return _scale_cols(out, {"duration_sec": 10**6})
 
 
+def q_events_asof_order(sf_dir: str):
+    """Each event matched to the customer's latest order at-or-before the
+    event time (as-of backward join; ties on date -> max orderkey)."""
+    import pyarrow.compute as pc2
+    import ray.data as rd
+    from agraph_ray.ops.join import asof_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = asof_join(ev, orders, left_on="ts", right_on="o_orderdate",
+                    left_by="user_id", right_by="o_custkey",
+                    tie_break="o_orderkey")
+    out = out.map_batches(   # oracle is an inner asof: drop unmatched
+        lambda t: t.filter(pc2.is_valid(t["o_orderkey"])),
+        batch_format="pyarrow")
+    return _scale_cols(
+        out.select_columns(["event_id", "user_id", "o_orderkey",
+                            "o_totalprice"]),
+        {"o_totalprice": 100})
+
+
 def q_orders_date_stats(sf_dir: str):
     """min/max date + count per order status (date + string kernels)."""
     import pyarrow as pa
@@ -1081,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linked_vocab": q_linked_vocab,
         "chunk_stats": q_chunk_stats,
         "events_sessionize": q_events_sessionize,
+        "events_asof_order": q_events_asof_order,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -1462,6 +1486,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((max(ts_us) - min(ts_us)) / 1e6 * 1000000
                         + 0.5) AS BIGINT) AS duration_sec
             FROM s GROUP BY user_id, session_id
+        """,
+        "events_asof_order": """
+            SELECT e.event_id, e.user_id, o.o_orderkey,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS o_totalprice
+            FROM events e JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            QUALIFY row_number() OVER (
+                PARTITION BY e.event_id
+                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
         """,
         "reassemble_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents

@@ -122,6 +122,98 @@ def cogroup_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     return joined.union(rd.from_arrow(schema.empty_table()))
 
 
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_on: str, right_on: str,
+              left_by: str, right_by: str,
+              tie_break: Optional[str] = None,
+              direction: str = "backward",
+              num_buckets: int = 64) -> "ray.data.Dataset":
+    """Distributed as-of join: for each left row, attach the right row
+    sharing the ``by`` key with the greatest ``right_on`` <= ``left_on``
+    (``direction='backward'``; ``'forward'`` = least >=). Left-join
+    semantics — unmatched left rows keep nulls.
+
+    Ray Data has no asof primitive; this is the bucketed co-group
+    composition: both sides hash-partition by the equality key (the right
+    side's key renamed/cast to the left's), and each bucket runs ONE
+    vectorized ``pd.merge_asof`` — the same partitioning assumption as
+    ``cogroup_join`` (all rows of one ``by`` key co-located; skew bounded
+    by the hottest single key).
+
+    ``tie_break``: right column sorted ascending before the asof pick, so
+    equal ``right_on`` values resolve to the row with its maximum —
+    deterministic output (plain merge_asof tie order is input order).
+    """
+    import numpy as np
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction={direction!r}")
+    lschema, rschema = left.schema(), right.schema()
+    lcols = lschema.names
+    rcols = [c for c in rschema.names if c != right_by]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    by_type = _pa_type(ltypes[left_by])
+    fields = ([(n, _pa_type(ltypes[n])) for n in lcols]
+              + [(n, _pa_type(rtypes[n])) for n in rcols])
+    schema = pa.schema(fields)
+    int_rcols = [n for n in rcols
+                 if pa.types.is_integer(_pa_type(rtypes[n]))]
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        return t.append_column(_SIDE, pa.array(["L"] * len(t)))
+
+    def tag_r(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(right_by)
+        t = t.set_column(i, left_by, _pc.cast(t[right_by], by_type))
+        return t.append_column(_SIDE, pa.array(["R"] * len(t)))
+
+    both = (left.map_batches(tag_l, batch_format="pyarrow")
+            .union(right.map_batches(tag_r, batch_format="pyarrow")))
+
+    # merge_asof picks the LAST qualifying row going backward and the FIRST
+    # going forward; sorting ties ascending (backward) / descending
+    # (forward) makes both resolve to the max tie_break value
+    rsort = [right_on] + ([tie_break] if tie_break else [])
+    rasc = [True] + ([direction == "backward"] if tie_break else [])
+    lcols2 = [c for c in lcols if c != left_by]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = (df[df[_SIDE] == "L"].reindex(columns=[left_by] + lcols2)
+             .sort_values(left_on, kind="stable"))
+        r = (df[df[_SIDE] == "R"].reindex(columns=[left_by] + rcols)
+             .sort_values(rsort, ascending=rasc, kind="stable"))
+        if len(l) == 0:
+            return l.reindex(columns=lcols + rcols)
+        if len(r) == 0:
+            out = l.reindex(columns=lcols + rcols)
+        else:
+            out = pd.merge_asof(l, r, left_on=left_on, right_on=right_on,
+                                by=left_by, direction=direction)
+            out = out.reindex(columns=lcols + rcols)
+        for c in int_rcols:    # NaN-bearing ints -> arrow-safe nullables
+            out[c] = out[c].astype("Int64")
+        return out
+
+    joined = bucketed_group_reduce(both, [left_by], merge, num_buckets,
+                                   schema=schema)
+    return joined.union(rd.from_arrow(schema.empty_table()))
+
+
 def broadcast_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
                    on: str, columns: Sequence[str],
                    how: str = "inner") -> "ray.data.Dataset":

@@ -92,3 +92,34 @@ def test_tumbling_window(ray_session):
     out = out.sort_values("window_start")
     assert len(out) == 2
     assert out.iloc[0]["sum_value"] == 3.0 and out.iloc[1]["sum_value"] == 4.0
+
+
+def test_asof_join_backward_with_ties_and_unmatched(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.join import asof_join
+    left = rd.from_items([
+        {"eid": 1, "t": 10, "k": 1},
+        {"eid": 2, "t": 5,  "k": 1},   # before any right row -> unmatched
+        {"eid": 3, "t": 30, "k": 2},
+        {"eid": 4, "t": 10, "k": 3},   # key with no right rows at all
+    ])
+    right = rd.from_items([
+        {"rid": 100, "rt": 7,  "rk": 1, "v": 1.0},
+        {"rid": 101, "rt": 7,  "rk": 1, "v": 2.0},   # tie on rt -> max rid
+        {"rid": 102, "rt": 9,  "rk": 1, "v": 3.0},
+        {"rid": 200, "rt": 30, "rk": 2, "v": 4.0},   # exact match allowed
+    ])
+    out = {r["eid"]: r for r in asof_join(
+        left, right, left_on="t", right_on="rt",
+        left_by="k", right_by="rk", tie_break="rid").take_all()}
+    assert out[1]["rid"] == 102 and out[1]["v"] == 3.0
+    assert out[2]["rid"] is None and out[2]["v"] is None
+    assert out[3]["rid"] == 200
+    assert out[4]["rid"] is None
+
+    fwd = {r["eid"]: r for r in asof_join(
+        left, right, left_on="t", right_on="rt",
+        left_by="k", right_by="rk", tie_break="rid",
+        direction="forward").take_all()}
+    assert fwd[2]["rid"] == 101   # least rt >= 5 is the tie pair; max rid
+    assert fwd[1]["rid"] is None  # nothing at/after t=10 for k=1
