@@ -779,6 +779,18 @@ def q_events_asof_order(sf_dir: str):
         {"o_totalprice": 100})
 
 
+def q_lineitem_quantiles(sf_dir: str):
+    """Exact per-returnflag price quantiles (distributed co-grouped sort,
+    nearest-rank half-up on the (n-1) scale)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_quantiles(ds, "l_returnflag", "l_extendedprice",
+                            qs=(0.25, 0.5, 0.75))
+    return _scale_cols(out, {"q25": 100, "q50": 100, "q75": 100})
+
+
 def q_orders_date_stats(sf_dir: str):
     """min/max date + count per order status (date + string kernels)."""
     import pyarrow as pa
@@ -1105,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_stats": q_chunk_stats,
         "events_sessionize": q_events_sessionize,
         "events_asof_order": q_events_asof_order,
+        "lineitem_quantiles": q_lineitem_quantiles,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -1486,6 +1499,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((max(ts_us) - min(ts_us)) / 1e6 * 1000000
                         + 0.5) AS BIGINT) AS duration_sec
             FROM s GROUP BY user_id, session_id
+        """,
+        "lineitem_quantiles": """
+            WITH s AS (
+                SELECT l_returnflag, l_extendedprice AS v,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) - 1 AS r,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(floor(max(v) FILTER (WHERE r =
+                        CAST(floor(0.25 * (n - 1) + 0.5) AS BIGINT))
+                        * 100 + 0.5) AS BIGINT) AS q25,
+                   CAST(floor(max(v) FILTER (WHERE r =
+                        CAST(floor(0.50 * (n - 1) + 0.5) AS BIGINT))
+                        * 100 + 0.5) AS BIGINT) AS q50,
+                   CAST(floor(max(v) FILTER (WHERE r =
+                        CAST(floor(0.75 * (n - 1) + 0.5) AS BIGINT))
+                        * 100 + 0.5) AS BIGINT) AS q75,
+                   max(n) AS n
+            FROM s GROUP BY l_returnflag
         """,
         "events_asof_order": """
             SELECT e.event_id, e.user_id, o.o_orderkey,

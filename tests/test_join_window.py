@@ -123,3 +123,19 @@ def test_asof_join_backward_with_ties_and_unmatched(ray_session):
         direction="forward").take_all()}
     assert fwd[2]["rid"] == 101   # least rt >= 5 is the tie pair; max rid
     assert fwd[1]["rid"] is None  # nothing at/after t=10 for k=1
+
+
+def test_grouped_quantiles_exact_rank_rule(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_quantiles
+    # group a: sorted values 1..5 -> q25 idx floor(.25*4+.5)=1 -> 2
+    #          q50 idx 2 -> 3, q75 idx floor(3.5)=3 -> 4
+    # group b: single value
+    rows = ([{"k": "a", "v": float(x)} for x in (5, 1, 3, 2, 4)]
+            + [{"k": "b", "v": 9.0}])
+    out = {r["k"]: r for r in grouped_quantiles(
+        rd.from_items(rows), "k", "v").take_all()}
+    assert (out["a"]["q25"], out["a"]["q50"], out["a"]["q75"]) == (2, 3, 4)
+    assert out["a"]["n"] == 5
+    assert (out["b"]["q25"], out["b"]["q50"], out["b"]["q75"]) == (9, 9, 9)
+    assert out["b"]["n"] == 1
