@@ -80,16 +80,32 @@ def chunk_similarity_pairs(linked_chunks: "ray.data.Dataset",
                            threshold: float = 0.2,
                            num_buckets: int = 64,
                            max_block_pairs: int = 200_000,
+                           semi_join_cap: int = 10_000_000,
                            ) -> "ray.data.Dataset":
     """Chunk pairs with entity/relation-overlap similarity ≥ threshold
     (text.py:277-297: 0.6 * entity Jaccard + 0.4 * relation Jaccard).
 
-    Blocked by shared entity id (chunks with no entity in common have
-    similarity ≤ 0.4 * rel-overlap, and no relation without its endpoints —
-    so entity-disjoint pairs score 0): each chunk row fans out one row per
-    linked entity, pairs form within entity blocks, deduped on the pair
-    key. The all-pairs reference scan is O(n²); this is output-bound.
+    Two phases, so relation lists never ride the blocking fanout (chunks
+    can link 100x more relations than entities — the single-phase version
+    shipped every chunk's full relation list once per linked entity,
+    ~700 MB of list payload for a 500-chunk corpus):
+
+    1. Entity blocking: one fanout row per (chunk, linked entity) carrying
+       only the chunk's entity-hash list; candidate pairs form within
+       entity blocks with their exact entity Jaccard. Pairs whose upper
+       bound 0.6*eJ + 0.4 (relation Jaccard ≤ 1) misses the threshold are
+       pruned here. Entity-disjoint pairs score 0 (no relation without
+       its endpoints), so blocking is lossless.
+    2. Relation Jaccard is attached by co-grouping the candidates with the
+       relation lists of ONLY candidate-incident chunks (their ids — never
+       the lists — are collected and broadcast; above ``semi_join_cap``
+       ids the filter is skipped and the full table rides the shuffle).
+
+    The all-pairs reference scan is O(n²); this is candidate-bound.
     """
+    import numpy as np
+    import ray
+    import ray.data as rd
     from ..stages.common import bucketed_group_reduce, distinct_on
 
     # signed-int64 stable hashes for the id lists: the ids carry 32 bits of
@@ -100,60 +116,54 @@ def chunk_similarity_pairs(linked_chunks: "ray.data.Dataset",
     from ..ids import stable_hash64_signed as _h64
 
     def fanout(t: pa.Table) -> pa.Table:
-        cid, ent, ents, rels = [], [], [], []
-        for c, es, rs in zip(t["chunk_id"].to_pylist(),
-                             t["entities"].to_pylist(),
-                             t["relations"].to_pylist()):
+        cid, ent, ents = [], [], []
+        for c, es in zip(t["chunk_id"].to_pylist(),
+                         t["entities"].to_pylist()):
             eh = [_h64(e) for e in es or []]
-            rh = [_h64(r) for r in rs or []]
             for e in es or []:
                 cid.append(c)
                 ent.append(e)
                 ents.append(eh)
-                rels.append(rh)
         return pa.table({
             "block": pa.array(ent, pa.string()),
             "chunk_id": pa.array(cid, pa.string()),
-            "entities": pa.array(ents, pa.list_(pa.int64())),
-            "relations": pa.array(rels, pa.list_(pa.int64()))})
+            "entities": pa.array(ents, pa.list_(pa.int64()))})
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out: List[Dict] = []
 
-        def emit(members_a, members_b, sim):
+        def emit(members_a, members_b, esim):
             if members_b is None:   # intra-signature-group pairs
                 for x in range(len(members_a)):
                     for y in range(x + 1, len(members_a)):
                         out.append({"chunk_a": members_a[x],
                                     "chunk_b": members_a[y],
-                                    "similarity": sim})
+                                    "e_sim": esim})
             else:
                 for a in members_a:
                     for b in members_b:
                         lo, hi = (a, b) if a < b else (b, a)
                         out.append({"chunk_a": lo, "chunk_b": hi,
-                                    "similarity": sim})
+                                    "e_sim": esim})
 
         for block, g in df.groupby("block", sort=False):
             block_h = _h64(block)
             g = g.drop_duplicates("chunk_id").sort_values("chunk_id")
-            # collapse identical (entities, relations) signatures: chunks
-            # sharing a signature are pairwise similarity 1.0, and the
-            # pair loop shrinks from |chunks|^2 to |signatures|^2
+            # collapse identical entity signatures: the pair loop shrinks
+            # from |chunks|^2 to |signatures|^2
             groups: Dict = {}
             for r in g.itertuples(index=False):
-                sig = (frozenset(r.entities), frozenset(r.relations))
-                groups.setdefault(sig, []).append(r.chunk_id)
+                groups.setdefault(frozenset(r.entities), []).append(
+                    r.chunk_id)
             sigs = sorted(groups.items(), key=lambda kv: kv[1][0])
             budget = max_block_pairs
-            for i, ((ea, ra), members_a) in enumerate(sigs):
+            for i, (ea, members_a) in enumerate(sigs):
                 if budget <= 0:
                     break
-                if (len(members_a) > 1 and 1.0 >= threshold
-                        and min(ea) == block_h):
+                if len(members_a) > 1 and min(ea) == block_h:
                     emit(members_a, None, 1.0)
                 la = len(ea)
-                for (eb, rb), members_b in sigs[i + 1:]:
+                for eb, members_b in sigs[i + 1:]:
                     # budget bounds ITERATIONS (work) over signature
                     # pairs; overflow is dropped (hot blocks are
                     # quadratic otherwise) — documented approximation
@@ -171,23 +181,108 @@ def chunk_similarity_pairs(linked_chunks: "ray.data.Dataset",
                     # (cross-block dedup without a second shuffle)
                     if not inter or min(inter) != block_h:
                         continue
-                    eu = len(ea | eb)
-                    ru = len(ra | rb)
-                    sim = (0.6 * len(inter) / eu
-                           + 0.4 * (len(ra & rb) / ru if ru else 0.0))
-                    if sim >= threshold:
-                        emit(members_a, members_b, round(sim, 6))
-        return pd.DataFrame(out, columns=["chunk_a", "chunk_b",
-                                          "similarity"])
+                    ej = len(inter) / len(ea | eb)
+                    if 0.6 * ej + 0.4 >= threshold:
+                        emit(members_a, members_b, ej)
+        return pd.DataFrame(out, columns=["chunk_a", "chunk_b", "e_sim"])
 
-    schema = pa.schema([("chunk_a", pa.string()), ("chunk_b", pa.string()),
-                        ("similarity", pa.float64())])
+    cand_schema = pa.schema([("chunk_a", pa.string()),
+                             ("chunk_b", pa.string()),
+                             ("e_sim", pa.float64())])
     fanned = linked_chunks.select_columns(
-        ["chunk_id", "entities", "relations"]).map_batches(
-        fanout, batch_format="pyarrow")
-    raw = bucketed_group_reduce(fanned, ["block"], pairs, num_buckets,
-                                schema=schema)
-    return distinct_on(raw, ["chunk_a", "chunk_b"], num_buckets)
+        ["chunk_id", "entities"]).map_batches(fanout, batch_format="pyarrow")
+    cand = distinct_on(
+        bucketed_group_reduce(fanned, ["block"], pairs, num_buckets,
+                              schema=cand_schema),
+        ["chunk_a", "chunk_b"], num_buckets).materialize()
+
+    # ---- phase 2: relation Jaccard for the candidates only ----
+    ids: Optional[set] = set()
+    for b in cand.select_columns(["chunk_a", "chunk_b"]).iter_batches(
+            batch_format="pyarrow"):
+        ids.update(b["chunk_a"].to_pylist())
+        ids.update(b["chunk_b"].to_pylist())
+        if len(ids) > semi_join_cap:
+            ids = None
+            break
+
+    rels = linked_chunks.select_columns(["chunk_id", "relations"])
+    if ids is not None:
+        if not ids:
+            return rd.from_arrow(pa.schema(
+                [("chunk_a", pa.string()), ("chunk_b", pa.string()),
+                 ("similarity", pa.float64())]).empty_table())
+        wanted_ref = ray.put(ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            w = ray.get(wanted_ref)
+            return t.filter(pa.array(
+                [c in w for c in t["chunk_id"].to_pylist()]))
+
+        rels = rels.map_batches(keep, batch_format="pyarrow")
+
+    def hash_rels(t: pa.Table) -> pa.Table:
+        rh = [sorted({_h64(r) for r in rs or []})
+              for rs in t["relations"].to_pylist()]
+        return pa.table({
+            "key": t["chunk_id"].combine_chunks(),
+            "chunk_a": pa.nulls(len(t), pa.string()),
+            "chunk_b": pa.nulls(len(t), pa.string()),
+            "e_sim": pa.nulls(len(t), pa.float64()),
+            "rh": pa.array(rh, pa.list_(pa.int64()))})
+
+    def tag_req(t: pa.Table) -> pa.Table:
+        a = t["chunk_a"].combine_chunks()
+        b = t["chunk_b"].combine_chunks()
+        e = t["e_sim"].combine_chunks()
+        empty = pa.nulls(len(t), pa.list_(pa.int64()))
+        ta = pa.Table.from_arrays([a, a, b, e, empty],
+                                  names=["key", "chunk_a", "chunk_b",
+                                         "e_sim", "rh"])
+        tb = pa.Table.from_arrays([b, a, b, e, empty],
+                                  names=["key", "chunk_a", "chunk_b",
+                                         "e_sim", "rh"])
+        return pa.concat_tables([ta, tb])
+
+    fetched_schema = pa.schema([("chunk_a", pa.string()),
+                                ("chunk_b", pa.string()),
+                                ("e_sim", pa.float64()),
+                                ("key", pa.string()),
+                                ("rh", pa.list_(pa.int64()))])
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        selfs = df.loc[df["chunk_a"].isna(), ["key", "rh"]]
+        reqs = df.loc[df["chunk_a"].notna(),
+                      ["key", "chunk_a", "chunk_b", "e_sim"]]
+        return reqs.merge(selfs, on="key", how="inner")
+
+    tagged = (rels.map_batches(hash_rels, batch_format="pyarrow")
+              .union(cand.map_batches(tag_req, batch_format="pyarrow")))
+    fetched = bucketed_group_reduce(tagged, ["key"], fetch, num_buckets,
+                                    schema=fetched_schema)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        a_o, b_o, s_o = [], [], []
+        for (a, b), g in df.groupby(["chunk_a", "chunk_b"], sort=False):
+            by_key = {k: set(s) for k, s in zip(g["key"], g["rh"])}
+            ra, rb = by_key.get(a, set()), by_key.get(b, set())
+            ru = len(ra | rb)
+            sim = (0.6 * g["e_sim"].iloc[0]
+                   + 0.4 * (len(ra & rb) / ru if ru else 0.0))
+            if sim >= threshold:
+                a_o.append(a)
+                b_o.append(b)
+                s_o.append(round(sim, 6))
+        return pd.DataFrame({
+            "chunk_a": pd.Series(a_o, dtype=object),
+            "chunk_b": pd.Series(b_o, dtype=object),
+            "similarity": pd.Series(s_o, dtype="float64")})
+
+    return bucketed_group_reduce(
+        fetched, ["chunk_a", "chunk_b"], score, num_buckets,
+        schema=pa.schema([("chunk_a", pa.string()),
+                          ("chunk_b", pa.string()),
+                          ("similarity", pa.float64())]))
 
 
 def format_rag_context(entities: List[dict], relations: List[dict],

@@ -26,17 +26,6 @@ from .stages.embed import HashEmbedder, embed_dataset
 from .state.ann import AnnShardPool
 
 
-def _collect_vectors(ds: "ray.data.Dataset", id_col: str):
-    ids: List[str] = []
-    mats: List[np.ndarray] = []
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        ids.extend(b[id_col].to_pylist())
-        mats.append(np.asarray(b["embedding"].to_pylist(), dtype=np.float32))
-    mat = (np.concatenate(mats) if mats
-           else np.zeros((0, 1), dtype=np.float32))
-    return ids, mat
-
-
 class KnowledgeRetriever:
     """Query-side handle over nodes/edges/chunks Datasets.
 
@@ -88,17 +77,30 @@ class KnowledgeRetriever:
                num_shards: int, meta_cols: Sequence[str]):
         if "embedding" not in ds.schema().names:
             ds = embed_dataset(ds, render=render, dim=self.dim)
-        ds = ds.materialize()
-        ids, mat = _collect_vectors(
-            ds.select_columns([id_col, "embedding"]), id_col)
+        # ONE streaming pass collects ids + vectors + metadata together —
+        # separate select_columns/iter_batches rounds each re-execute a
+        # projection of the dataset (3 extra executions at 200k edges)
+        cols = list(dict.fromkeys([id_col, "embedding"] + list(meta_cols)))
+        ids: List[str] = []
+        mats: List[np.ndarray] = []
+        meta: Dict[str, dict] = {}
+        for b in ds.select_columns(cols).iter_batches(batch_format="pyarrow"):
+            bids = b[id_col].to_pylist()
+            ids.extend(bids)
+            col = b["embedding"].combine_chunks()
+            if isinstance(col, pa.FixedSizeListArray):   # zero-copy reshape
+                mats.append(np.asarray(
+                    col.flatten().to_numpy(zero_copy_only=False),
+                    dtype=np.float32).reshape(-1, col.type.list_size))
+            else:
+                mats.append(np.asarray(col.to_pylist(), dtype=np.float32))
+            for i, row in zip(bids,
+                              b.select(list(meta_cols)).to_pylist()):
+                meta[i] = row
         if not ids:
             return
+        mat = np.concatenate(mats)
         self._pools[kind] = AnnShardPool(ids, mat, num_shards)
-        meta: Dict[str, dict] = {}
-        for b in ds.select_columns(list(meta_cols)).iter_batches(
-                batch_format="pyarrow"):
-            for row in b.to_pylist():
-                meta[row[id_col]] = row
         self._meta[kind] = meta
 
     def _search(self, kind: str, query: str, top_k: int) -> List[dict]:
