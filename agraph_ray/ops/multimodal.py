@@ -75,6 +75,111 @@ def extract_media_features(ds: "ray.data.Dataset", fake: bool = True,
                           concurrency=concurrency)
 
 
+class MediaResizer:
+    """Actor-pool stage: image payload → resized payload (width/height
+    metadata updated). ``fake=True`` emits a deterministic payload digest
+    of the requested size; ``fake=False`` raises at the decode boundary
+    (plug PIL here — resize itself stays an actor-held kernel so the
+    library loads once per actor)."""
+
+    def __init__(self, width: int, height: int, fake: bool = True):
+        self.w, self.h = int(width), int(height)
+        self.fake = fake
+
+    def _resize(self, payload: bytes) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "real image resize requires PIL — plug the decoder in here")
+        need = max(1, (self.w * self.h) // 64)
+        out = bytearray()
+        seed = payload or b""
+        while len(out) < need:
+            seed = hashlib.md5(seed).digest()
+            out.extend(seed)
+        return bytes(out[:need])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        resized = [self._resize(p) if k == "image" else p
+                   for p, k in zip(batch["payload"].to_pylist(),
+                                   batch["kind"].to_pylist())]
+        is_img = pc.equal(batch["kind"], "image")
+        w = pc.if_else(is_img, pa.scalar(self.w, pa.int32()),
+                       batch["width"].combine_chunks())
+        h = pc.if_else(is_img, pa.scalar(self.h, pa.int32()),
+                       batch["height"].combine_chunks())
+        t = batch.set_column(batch.schema.get_field_index("payload"),
+                             "payload", pa.array(resized, pa.binary()))
+        t = t.set_column(t.schema.get_field_index("width"), "width", w)
+        return t.set_column(t.schema.get_field_index("height"), "height", h)
+
+
+FRAMES_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("frame_idx", pa.int32()),
+    ("ts_ms", pa.int32()),
+    ("payload", pa.binary()),
+])
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: one video row → one row per sampled frame
+    (every ``every_ms`` through ``duration_ms``). The decode kernel is the
+    stub boundary (``fake=False`` raises — plug ffmpeg here); the row
+    expansion, frame schema and timestamps are real. Non-video rows are
+    dropped."""
+
+    def __init__(self, every_ms: int = 500, fake: bool = True):
+        self.every_ms = int(every_ms)
+        self.fake = fake
+
+    def _frame(self, payload: bytes, ts_ms: int) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "real frame extraction requires ffmpeg — plug in here")
+        return hashlib.md5((payload or b"")
+                           + ts_ms.to_bytes(4, "little")).digest()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, idxs, tss, frames = [], [], [], []
+        for mid, kind, payload, dur in zip(
+                batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+                batch["payload"].to_pylist(),
+                batch["duration_ms"].to_pylist()):
+            if kind != "video" or not dur or dur <= 0:
+                continue
+            for i, ts in enumerate(range(0, dur, self.every_ms)):
+                mids.append(mid)
+                idxs.append(i)
+                tss.append(ts)
+                frames.append(self._frame(payload, ts))
+        return pa.Table.from_arrays(
+            [pa.array(mids, pa.string()), pa.array(idxs, pa.int32()),
+             pa.array(tss, pa.int32()), pa.array(frames, pa.binary())],
+            schema=FRAMES_SCHEMA)
+
+
+def resize_images(ds: "ray.data.Dataset", width: int, height: int,
+                  fake: bool = True, batch_size: int = 16,
+                  concurrency: Optional[int] = 2):
+    return ds.map_batches(MediaResizer,
+                          fn_constructor_kwargs={"width": width,
+                                                 "height": height,
+                                                 "fake": fake},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_video_frames(ds: "ray.data.Dataset", every_ms: int = 500,
+                        fake: bool = True, batch_size: int = 16,
+                        concurrency: Optional[int] = 2):
+    return ds.map_batches(VideoFrameSampler,
+                          fn_constructor_kwargs={"every_ms": every_ms,
+                                                 "fake": fake},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
 def synth_media(n: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic fake media table for tests."""
     rng = np.random.default_rng(seed)

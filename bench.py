@@ -87,7 +87,8 @@ def run_bench() -> dict:
                       "docs_dedup_exact", "reassemble_docs",
                       "revenue_by_priority", "events_sessionize",
                       "supplier_part_degree", "linked_vocab",
-                      "llm_parse_entities"]:
+                      "llm_parse_entities", "docs_repetition",
+                      "events_asof_order", "lineitem_quantiles"]:
             t0 = time.time()
             r = qs[qname](SF_DIR)
             if hasattr(r, "materialize"):

@@ -1,0 +1,63 @@
+"""Multimodal plumbing: binary media columns through actor-pool stages
+(decode kernels stubbed — the schemas, batching, expansion and
+determinism are the real contract under test)."""
+
+import pytest
+
+
+def test_media_features_deterministic(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.multimodal import extract_media_features, synth_media
+    ds = rd.from_arrow(synth_media(n=12, seed=5))
+    a = {r["media_id"]: r["feature"]
+         for r in extract_media_features(ds, fake=True).take_all()}
+    b = {r["media_id"]: r["feature"]
+         for r in extract_media_features(ds, fake=True).take_all()}
+    assert a == b and len(a) == 12
+    assert all(len(v) == 16 for v in a.values())
+
+
+def test_resize_images_updates_dims_and_payload(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.multimodal import resize_images, synth_media
+    src = synth_media(n=9, seed=5)
+    out = {r["media_id"]: r for r in
+           resize_images(rd.from_arrow(src), 32, 32, fake=True).take_all()}
+    assert len(out) == 9
+    for orig in src.to_pylist():
+        r = out[orig["media_id"]]
+        if orig["kind"] == "image":
+            assert (r["width"], r["height"]) == (32, 32)
+            assert len(r["payload"]) == 32 * 32 // 64
+            assert r["payload"] != orig["payload"]
+        else:   # non-images pass through untouched
+            assert r["payload"] == orig["payload"]
+            assert r["width"] == orig["width"]
+
+
+def test_video_frame_sampling(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.multimodal import sample_video_frames, synth_media
+    src = synth_media(n=9, seed=5)     # 3 videos, duration 1000ms each
+    frames = sample_video_frames(rd.from_arrow(src), every_ms=250,
+                                 fake=True).take_all()
+    vids = {r["media_id"] for r in src.to_pylist() if r["kind"] == "video"}
+    assert {f["media_id"] for f in frames} == vids
+    per = {}
+    for f in frames:
+        per.setdefault(f["media_id"], []).append((f["frame_idx"], f["ts_ms"]))
+    for mid, fr in per.items():
+        assert sorted(fr) == [(0, 0), (1, 250), (2, 500), (3, 750)]
+    payloads = {f["payload"] for f in frames}
+    assert len(payloads) == len(frames)   # distinct frame payloads
+
+
+def test_real_decode_paths_are_marked_stubs(ray_session):
+    from agraph_ray.ops.multimodal import (MediaFeatureExtractor,
+                                           MediaResizer, VideoFrameSampler)
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(fake=False)._decode_and_embed(b"x", "image")
+    with pytest.raises(NotImplementedError):
+        MediaResizer(8, 8, fake=False)._resize(b"x")
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(fake=False)._frame(b"x", 0)
