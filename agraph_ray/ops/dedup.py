@@ -535,7 +535,8 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset",
     planes = [rng.standard_normal((num_planes, 64)) for _ in range(num_tables)]
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float32)
+        vl = batch[vec_col].to_pylist()
+        vecs = np.asarray(vl, dtype=np.float32)
         ids = batch[id_col].to_pylist()
         o_ids, o_tbl, o_key, o_vec = [], [], [], []
         for t, P in enumerate(planes):
@@ -545,7 +546,7 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset",
             o_ids.extend(ids)
             o_tbl.extend([t] * len(ids))
             o_key.extend(keys.tolist())
-            o_vec.extend(batch[vec_col].to_pylist())
+            o_vec.extend(vl)
         return pa.Table.from_arrays(
             [pa.array(o_ids), pa.array(o_tbl, pa.int32()),
              pa.array(o_key, pa.int64()),
