@@ -161,6 +161,30 @@ ALWAYS_VALID_RELATION_TYPES = frozenset({RELATED_TO, MENTIONS, DESCRIBES})
 _WORD_RE = re.compile(r"\b[a-zA-Z]{3,}\b")
 _SENTENCE_SPLIT_RE = re.compile(r"[.!?]+")
 
+# "(.+?)<optional space>(?:alternatives)<optional space>" prefix shape
+_TRIGGER_SHAPE_RE = re.compile(r"^\(\.\+\?\)( ?)\(\?:([^()]+)\)( ?)")
+# "(.+?)<pure literal run>(" prefix shape, e.g. "(.+?) of (.+)"
+_TRIGGER_LITERAL_RE = re.compile(r"^\(\.\+\?\)([^()\\\[\]+*?|{}^$.]+)\(")
+
+
+def _required_literals(pattern_src: str) -> Optional[List[str]]:
+    """Middle-literal alternatives (lowercased, with their literal
+    surrounding spaces) of a ``(.+?)(?:a|b)…`` or ``(.+?)lit(…`` pattern,
+    or None when the pattern doesn't have either shape / the alternatives
+    aren't pure literals. One of these substrings occurring in the text
+    is a NECESSARY condition for the pattern to match."""
+    m = _TRIGGER_SHAPE_RE.match(pattern_src)
+    if m:
+        pre, body, post = m.group(1), m.group(2), m.group(3)
+        alts = body.split("|")
+        if any(re.escape(a) != a for a in alts):
+            return None
+        return [f"{pre}{a.lower()}{post}" for a in alts]
+    m = _TRIGGER_LITERAL_RE.match(pattern_src)
+    if m:
+        return [m.group(1).lower()]
+    return None
+
 
 @dataclass
 class EntityRec:
@@ -237,6 +261,18 @@ class RuleExtractor:
             (rtype, re.compile(p, re.IGNORECASE))
             for rtype, pats in RELATION_PATTERN_SPECS for p in pats
         ]
+        # literal-trigger prefilter: a pattern shaped
+        # "(.+?)<sp>(?:lit|lit…)<sp>…" can only match when one of its
+        # middle literals (with its surrounding literal spaces) occurs in
+        # the text — a C substring check vs a lazy-prefix regex scan that
+        # retries from every position. None = shape not recognized, always
+        # scan. EXACTNESS: skipping only when no required literal is
+        # present cannot change the match set (pinned by
+        # test_fixture_parity + test_trigger_prefilter_is_lossless).
+        self._relation_triggers: List[Optional[List[str]]] = [
+            _required_literals(p)
+            for _, pats in RELATION_PATTERN_SPECS for p in pats
+        ]
 
     # -- entities ----------------------------------------------------------
 
@@ -297,7 +333,11 @@ class RuleExtractor:
         entity_map: Dict[str, EntityRec] = {e.name.lower(): e for e in entities}
         out: List[TripleRec] = []
 
-        for rtype, pat in self.relation_patterns:
+        tl = text.lower()
+        for (rtype, pat), trig in zip(self.relation_patterns,
+                                      self._relation_triggers):
+            if trig is not None and not any(t in tl for t in trig):
+                continue
             for m in pat.finditer(text):
                 g = m.groups()
                 if len(g) < 2 or g[0] is None or g[1] is None:

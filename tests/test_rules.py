@@ -75,3 +75,25 @@ def test_ids_deterministic():
     import hashlib
     # exact reference scheme: entity_<md5(name)[:8]>
     assert entity_id("apple") == "entity_" + hashlib.md5(b"apple").hexdigest()[:8]
+
+
+def test_trigger_prefilter_is_lossless():
+    """The literal-trigger prefilter skips a relation pattern only when a
+    required substring is absent — extraction output must be identical to
+    a prefilter-disabled run on a large varied corpus."""
+    from agraph_ray.extract.rules import RuleExtractor
+    from agraph_ray.synth import ground_truth_documents
+    eng = RuleExtractor()
+    base = RuleExtractor()
+    base._relation_triggers = [None] * len(base.relation_patterns)
+    n_trig = sum(t is not None for t in eng._relation_triggers)
+    assert n_trig >= len(eng.relation_patterns) * 0.6, \
+        f"prefilter derived for only {n_trig} patterns"
+    docs = list(ground_truth_documents(80, seed=11).values())
+    docs += ["Alice works for Google. Google is part of Alphabet of X.",
+             "iPhone and iPad are similar", ""]
+    total = 0
+    for d in docs:
+        assert eng.extract(d) == base.extract(d)
+        total += len(base.extract(d)[1])
+    assert total > 0
