@@ -779,6 +779,23 @@ def q_events_asof_order(sf_dir: str):
         {"o_totalprice": 100})
 
 
+def q_docs_sample(sf_dir: str):
+    """Deterministic 25% Bernoulli sample by doc_id hash bucket."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import hash_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_sample(ds, "doc_id", 0.25)
+
+
+def q_events_stratified(sf_dir: str):
+    """Deterministic 50-per-event-type stratum sample (hash-ranked)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import stratified_sample
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+    return stratified_sample(ds, "event_type", "event_id", 50)
+
+
 def q_lineitem_quantiles(sf_dir: str):
     """Exact per-returnflag price quantiles (distributed co-grouped sort,
     nearest-rank half-up on the (n-1) scale)."""
@@ -1118,6 +1135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q_events_sessionize,
         "events_asof_order": q_events_asof_order,
         "lineitem_quantiles": q_lineitem_quantiles,
+        "docs_sample": q_docs_sample,
+        "events_stratified": q_events_stratified,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -1499,6 +1518,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((max(ts_us) - min(ts_us)) / 1e6 * 1000000
                         + 0.5) AS BIGINT) AS duration_sec
             FROM s GROUP BY user_id, session_id
+        """,
+        "docs_sample": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::UBIGINT % 1000000 < 250000
+        """,
+        "events_stratified": """
+            SELECT event_id, event_type FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                          1, 8))::UBIGINT, event_id) <= 50
         """,
         "lineitem_quantiles": """
             WITH s AS (

@@ -22,6 +22,51 @@ import pyarrow as pa
 from ..stages.common import bucketed_group_reduce
 
 
+def _key_hash32(vals) -> np.ndarray:
+    """Deterministic 32-bit hash of each value's string form — the first
+    8 hex digits of md5(str(v)), matching DuckDB
+    ``('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::UBIGINT`` exactly
+    (pinned by the sampling oracles)."""
+    import hashlib
+    return np.fromiter(
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+         for v in vals),
+        dtype=np.uint64, count=len(vals))
+
+
+def hash_sample(ds: "ray.data.Dataset", key: str,
+                fraction: float) -> "ray.data.Dataset":
+    """Deterministic Bernoulli sample: keep rows whose key-hash bucket
+    (mod 1e6) falls below ``fraction``. Same key → same decision on any
+    worker, any run, any engine — resumable and oracle-reproducible,
+    unlike ``Dataset.random_sample``. Pure map-side filter, no shuffle."""
+    cut = int(round(fraction * 1_000_000))
+
+    def f(t: pa.Table) -> pa.Table:
+        h = _key_hash32(t[key].to_pylist()) % np.uint64(1_000_000)
+        return t.filter(pa.array(h < cut))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(ds: "ray.data.Dataset", group_col: str, key: str,
+                      n_per_group: int,
+                      num_buckets: int = 64) -> "ray.data.Dataset":
+    """Deterministic n-per-group sample: within each group keep the n
+    rows with the smallest (key-hash, key) rank — a uniform-ish,
+    run-stable stratum sample (the classic "cap each language/quality
+    bucket" training-data op). One bucketed shuffle on the group key."""
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__h=_key_hash32(df[key].tolist()))
+        df = df.sort_values(["__h", key], kind="stable")
+        return (df.groupby(group_col, sort=False).head(n_per_group)
+                .drop(columns="__h"))
+
+    schema = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
+    return bucketed_group_reduce(ds, [group_col], reduce_df, num_buckets,
+                                 schema=schema)
+
+
 def grouped_quantiles(ds: "ray.data.Dataset", key: str, value_col: str,
                       qs: Sequence[float] = (0.25, 0.5, 0.75),
                       num_buckets: int = 64) -> "ray.data.Dataset":

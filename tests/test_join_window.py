@@ -139,3 +139,24 @@ def test_grouped_quantiles_exact_rank_rule(ray_session):
     assert out["a"]["n"] == 5
     assert (out["b"]["q25"], out["b"]["q50"], out["b"]["q75"]) == (9, 9, 9)
     assert out["b"]["n"] == 1
+
+
+def test_sampling_deterministic(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.stats import hash_sample, stratified_sample
+    rows = [{"id": i, "grp": "ab"[i % 2]} for i in range(400)]
+    ds = rd.from_items(rows)
+    a = sorted(r["id"] for r in hash_sample(ds, "id", 0.3).take_all())
+    b = sorted(r["id"] for r in hash_sample(ds, "id", 0.3).take_all())
+    assert a == b and 60 < len(a) < 180          # ~120 expected
+    sub = set(sorted(r["id"] for r in hash_sample(ds, "id", 0.1).take_all()))
+    assert sub <= set(a)                          # nested fractions
+
+    s = stratified_sample(ds, "grp", "id", 10).take_all()
+    per = {}
+    for r in s:
+        per.setdefault(r["grp"], set()).add(r["id"])
+    assert set(per) == {"a", "b"}
+    assert all(len(v) == 10 for v in per.values())
+    s2 = stratified_sample(ds, "grp", "id", 10).take_all()
+    assert {r["id"] for r in s2} == {r["id"] for r in s}
