@@ -779,6 +779,17 @@ def q_events_asof_order(sf_dir: str):
         {"o_totalprice": 100})
 
 
+def q_events_hopping(sf_dir: str):
+    """4h windows hopping by 1h per user — every event in 4 windows."""
+    import ray.data as rd
+    from agraph_ray.ops.window import hopping_window
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = hopping_window(ds, key="user_id", ts_col="ts",
+                         width_sec=4 * 3600, hop_sec=3600, agg_col="value")
+    return _scale_cols(out, {"sum_value": 100})
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 25% Bernoulli sample by doc_id hash bucket."""
     import ray.data as rd
@@ -1136,6 +1147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": q_events_asof_order,
         "lineitem_quantiles": q_lineitem_quantiles,
         "docs_sample": q_docs_sample,
+        "events_hopping": q_events_hopping,
         "events_stratified": q_events_stratified,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -1518,6 +1530,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((max(ts_us) - min(ts_us)) / 1e6 * 1000000
                         + 0.5) AS BIGINT) AS duration_sec
             FROM s GROUP BY user_id, session_id
+        """,
+        "events_hopping": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us, value
+                       FROM events),
+            x AS (SELECT user_id, value, us,
+                         (us // 3600000000) * 3600000000
+                             - i * 3600000000 AS window_start
+                  FROM e, range(0, 4) t(i))
+            SELECT user_id, window_start, count(*) AS n,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value
+            FROM x
+            WHERE window_start >= 0
+              AND us < window_start + 14400000000
+            GROUP BY user_id, window_start
         """,
         "docs_sample": """
             SELECT doc_id FROM documents

@@ -160,3 +160,24 @@ def test_sampling_deterministic(ray_session):
     assert all(len(v) == 10 for v in per.values())
     s2 = stratified_sample(ds, "grp", "id", 10).take_all()
     assert {r["id"] for r in s2} == {r["id"] for r in s}
+
+
+def test_hopping_window_membership(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.window import hopping_window
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    # width=60min hop=30min: each event lands in exactly 2 hop-aligned
+    # (epoch-aligned) windows
+    ds = rd.from_items([
+        {"k": 1, "ts": base + dt.timedelta(minutes=90), "v": 2.0},
+        {"k": 1, "ts": base + dt.timedelta(minutes=10), "v": 1.0},
+    ])
+    rows = hopping_window(ds, key="k", ts_col="ts", width_sec=3600,
+                          hop_sec=1800, agg_col="v").take_all()
+    # t=10min -> windows [-30, 30) and [0, 60) rel. midnight;
+    # t=90min -> windows [60, 120) and [90, 150)
+    epoch0 = min(r["window_start"] for r in rows)   # the -30-minute window
+    wins = {(r["window_start"] - epoch0) // 60_000_000: (r["n"], r["sum_v"])
+            for r in rows}
+    assert wins == {0: (1, 1.0), 30: (1, 1.0), 90: (1, 2.0), 120: (1, 2.0)}
