@@ -790,6 +790,84 @@ def q_events_hopping(sf_dir: str):
     return _scale_cols(out, {"sum_value": 100})
 
 
+def _cents(ds, col: str):
+    """value -> integer cents BEFORE any windowed/pivoted sum: integer
+    sums are exact in both engines, where float accumulation order (cumsum
+    here, segment trees in DuckDB) would drift near rounding boundaries."""
+    import pyarrow as pa
+
+    def f(t: "pa.Table") -> "pa.Table":
+        i = t.schema.get_field_index(col)
+        v = pc.cast(t[col], pa.float64())
+        return t.set_column(
+            i, col,
+            pc.floor(pc.add(pc.multiply(v, 100.0), 0.5)))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_events_rolling(sf_dir: str):
+    """Per-event trailing-24h count + sum per user (RANGE window)."""
+    import ray.data as rd
+    from agraph_ray.ops.window import rolling_range_agg
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_range_agg(_cents(ds, "value"), key="user_id",
+                            ts_col="ts", value_col="value",
+                            range_sec=86400, id_col="event_id")
+    return _scale_cols(out, {"roll_sum": 1})
+
+
+def q_events_lag_delta(sf_dir: str):
+    """Microseconds since each user's previous event (LAG; -1 = first)."""
+    import ray.data as rd
+    from agraph_ray.ops.window import lag_delta
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return lag_delta(ds, key="user_id", ts_col="ts", id_col="event_id")
+
+
+def q_events_pivot(sf_dir: str):
+    """Per-user wide pivot: count + value sum per event type."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import pivot_counts
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    out = pivot_counts(_cents(ds, "value"), key="user_id",
+                       pivot_col="event_type", categories=types,
+                       value_col="value")
+    return _scale_cols(out, {f"sum_{t}": 1 for t in types})
+
+
+def q_events_click_attrib(sf_dir: str):
+    """Attribution range join: every click by the same user in the 24h
+    window before each purchase."""
+    import pyarrow.compute as pc2
+    import ray.data as rd
+    from agraph_ray.ops.join import range_join
+    day = 86400 * 1_000_000
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def split(kind):
+        return (ev.map_batches(
+            lambda t, k=kind: t.filter(
+                pc2.equal(t["event_type"], k)).drop_columns(["event_type"]),
+            batch_format="pyarrow"))
+
+    purchases = split("purchase")
+    clicks = split("click").rename_columns(
+        {"event_id": "click_id", "ts": "click_ts"})
+    out = range_join(purchases, clicks,
+                     left_by="user_id", right_by="user_id",
+                     left_on="ts", right_on="click_ts",
+                     before_us=day, after_us=0)
+    return (out.select_columns(["event_id", "user_id", "click_id",
+                                "click_ts"])
+            .rename_columns({"click_ts": "click_ts_us"}))
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 25% Bernoulli sample by doc_id hash bucket."""
     import ray.data as rd
@@ -1148,6 +1226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles": q_lineitem_quantiles,
         "docs_sample": q_docs_sample,
         "events_hopping": q_events_hopping,
+        "events_rolling": q_events_rolling,
+        "events_lag_delta": q_events_lag_delta,
+        "events_pivot": q_events_pivot,
+        "events_click_attrib": q_events_click_attrib,
         "events_stratified": q_events_stratified,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -1544,6 +1626,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE window_start >= 0
               AND us < window_start + 14400000000
             GROUP BY user_id, window_start
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   count(*) OVER w AS roll_n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        OVER w AS BIGINT) AS roll_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 86400000000 PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "events_lag_delta": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id), -1) AS delta_us
+            FROM events
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5)
+                       AS BIGINT)) FILTER (event_type = 'click'), 0)
+                       AS BIGINT) AS sum_click,
+                   CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5)
+                       AS BIGINT)) FILTER (event_type = 'error'), 0)
+                       AS BIGINT) AS sum_error,
+                   CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5)
+                       AS BIGINT)) FILTER (event_type = 'purchase'), 0)
+                       AS BIGINT) AS sum_purchase,
+                   CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5)
+                       AS BIGINT)) FILTER (event_type = 'signup'), 0)
+                       AS BIGINT) AS sum_signup,
+                   CAST(COALESCE(sum(CAST(floor(value * 100 + 0.5)
+                       AS BIGINT)) FILTER (event_type = 'view'), 0)
+                       AS BIGINT) AS sum_view
+            FROM events GROUP BY user_id
+        """,
+        "events_click_attrib": """
+            SELECT p.event_id, p.user_id, c.event_id AS click_id,
+                   epoch_us(c.ts) AS click_ts_us
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 86400000000
+                                    AND epoch_us(p.ts)
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         """,
         "docs_sample": """
             SELECT doc_id FROM documents

@@ -214,6 +214,126 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     return joined.union(rd.from_arrow(schema.empty_table()))
 
 
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               left_by: str, right_by: str,
+               left_on: str, right_on: str,
+               before_us: int, after_us: int,
+               num_buckets: int = 64) -> "ray.data.Dataset":
+    """Distributed inner range join: pairs with equal ``by`` keys whose
+    ``right_on`` falls in ``[left_on - before_us, left_on + after_us]``
+    (inclusive both ends). Timestamp/date ``on`` columns are normalized to
+    epoch microseconds (int64) in the output.
+
+    Same partitioning contract as ``cogroup_join``/``asof_join`` (one
+    ``by`` key's rows co-located per bucket); per bucket the matches are
+    found with two ``searchsorted`` calls over the key-segmented right
+    timeline and materialized with an output-sized ``np.repeat`` gather —
+    never a per-key cross product, so per-task memory is
+    O(bucket + matches)."""
+    import numpy as np
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols = lschema.names
+    rcols = [c for c in rschema.names if c != right_by]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"non-key columns overlap: {sorted(overlap)}")
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    by_type = _pa_type(ltypes[left_by])
+
+    def _norm_us(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+        t = col.type
+        if pa.types.is_date(t):
+            col = _pc.cast(col, pa.timestamp("us"))
+        elif pa.types.is_timestamp(t) and t.unit != "us":
+            col = _pc.cast(col, pa.timestamp("us", tz=t.tz))
+        return _pc.cast(col, pa.int64())
+
+    def _out_type(name, types):
+        t = _pa_type(types[name])
+        if name in (left_on, right_on) and (
+                pa.types.is_date(t) or pa.types.is_timestamp(t)):
+            return pa.int64()
+        return t
+
+    fields = ([(n, _out_type(n, ltypes)) for n in lcols]
+              + [(n, _out_type(n, rtypes)) for n in rcols])
+    schema = pa.schema(fields)
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(left_on)
+        t = t.set_column(i, left_on, _norm_us(t[left_on]))
+        return t.append_column(_SIDE, pa.array(["L"] * len(t)))
+
+    def tag_r(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(right_on)
+        t = t.set_column(i, right_on, _norm_us(t[right_on]))
+        i = t.schema.get_field_index(right_by)
+        t = t.set_column(i, left_by, _pc.cast(t[right_by], by_type))
+        return t.append_column(_SIDE, pa.array(["R"] * len(t)))
+
+    both = (left.map_batches(tag_l, batch_format="pyarrow")
+            .union(right.map_batches(tag_r, batch_format="pyarrow")))
+    lcols2 = [c for c in lcols if c != left_by]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(columns=lcols + rcols)
+        l = df[df[_SIDE] == "L"].reindex(columns=[left_by] + lcols2)
+        r = df[df[_SIDE] == "R"].reindex(columns=[left_by] + rcols)
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        codes, _ = pd.factorize(
+            pd.concat([l[left_by], r[left_by]], ignore_index=True),
+            sort=False)
+        lk = codes[:len(l)].astype(np.int64)
+        rk = codes[len(l):].astype(np.int64)
+        lts = l[left_on].to_numpy(dtype=np.int64)
+        rts = r[right_on].to_numpy(dtype=np.int64)
+        t0 = min(lts.min(), rts.min())
+        big = np.int64(max(lts.max(), rts.max()) - t0) + before_us \
+            + after_us + 1
+        n_keys = codes.max() + 1
+        if int(n_keys) * int(big) >= (1 << 62):   # would overflow int64
+            raise ValueError("range_join: key-count x time-span too large "
+                             "for segment offsets; reduce the time span or "
+                             "pre-bucket by coarse time")
+        r_adj = rk * big + (rts - t0)
+        order = np.argsort(r_adj, kind="stable")
+        r_adj = r_adj[order]
+        l_base = lk * big + (lts - t0)
+        lo = np.searchsorted(r_adj, l_base - before_us, side="left")
+        hi = np.searchsorted(r_adj, l_base + after_us, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(len(l), dtype=np.int64), counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        ri = order[np.repeat(lo, counts) + offs]
+        out = pd.concat(
+            [l.iloc[li].reset_index(drop=True),
+             r.iloc[ri].drop(columns=[left_by]).reset_index(drop=True)],
+            axis=1)
+        return out.reindex(columns=lcols + rcols)
+
+    joined = bucketed_group_reduce(both, [left_by], merge, num_buckets,
+                                   schema=schema)
+    return joined.union(rd.from_arrow(schema.empty_table()))
+
+
 def broadcast_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
                    on: str, columns: Sequence[str],
                    how: str = "inner") -> "ray.data.Dataset":

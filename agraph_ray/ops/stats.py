@@ -13,7 +13,7 @@ always an element of the input.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -65,6 +65,45 @@ def stratified_sample(ds: "ray.data.Dataset", group_col: str, key: str,
     schema = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
     return bucketed_group_reduce(ds, [group_col], reduce_df, num_buckets,
                                  schema=schema)
+
+
+def pivot_counts(ds: "ray.data.Dataset", key: str, pivot_col: str,
+                 categories: Sequence[str],
+                 value_col: Optional[str] = None) -> "ray.data.Dataset":
+    """Wide per-key aggregate: one ``n_<cat>`` count column (and, with
+    ``value_col``, one ``sum_<cat>`` column) per category — the SQL
+    ``count(*) FILTER (WHERE ...)`` pivot. Per-batch partial pivot first
+    (each batch collapses to <= |keys-in-batch| rows), so the shuffle
+    carries pre-aggregated wide rows, never events; unknown categories
+    are dropped (the caller pins the category set)."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    ncols = [f"n_{c}" for c in cats]
+    scols = [f"sum_{c}" for c in cats] if value_col else []
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = (df.pivot_table(index=key, columns=pivot_col, aggfunc="size",
+                              fill_value=0)
+               .reindex(columns=cats, fill_value=0))
+        cnt.columns = ncols
+        out = cnt
+        if value_col:
+            sm = (df.pivot_table(index=key, columns=pivot_col,
+                                 values=value_col, aggfunc="sum",
+                                 fill_value=0.0)
+                  .reindex(columns=cats, fill_value=0.0))
+            sm.columns = scols
+            out = pd.concat([cnt, sm.astype("float64")], axis=1)
+        return out.reset_index()
+
+    cols = [key, pivot_col] + ([value_col] if value_col else [])
+    aggs = ([Sum(c, alias_name=c) for c in ncols]
+            + [Sum(c, alias_name=c) for c in scols])
+    return (ds.select_columns(cols)
+            .map_batches(partial, batch_format="pandas")
+            .groupby(key)
+            .aggregate(*aggs))
 
 
 def grouped_quantiles(ds: "ray.data.Dataset", key: str, value_col: str,

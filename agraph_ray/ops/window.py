@@ -81,6 +81,93 @@ def hopping_window(ds: "ray.data.Dataset", key: str, ts_col: str,
                        Sum(agg_col, alias_name=f"sum_{agg_col}")))
 
 
+def rolling_range_agg(ds: "ray.data.Dataset", key: str, ts_col: str,
+                      value_col: str, range_sec: int, id_col: str,
+                      num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-event trailing aggregate: for each row, count and sum of
+    ``value_col`` over the same key's rows with timestamp in
+    ``[ts - range_sec, ts]`` — SQL ``RANGE BETWEEN x PRECEDING AND
+    CURRENT ROW`` semantics exactly (timestamp peers are included on both
+    ends). One hash shuffle on the key; per bucket a single sort +
+    prefix-sum + two ``searchsorted`` calls handle every key at once
+    (segments isolated by a per-segment offset, with a per-segment
+    fallback loop only when the offset would overflow int64)."""
+    r_us = range_sec * 1_000_000
+
+    schema = pa.schema([(id_col, pa.int64()), (key, pa.int64()),
+                        ("ts_us", pa.int64()), ("roll_n", pa.int64()),
+                        ("roll_sum", pa.float64())])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], key: t[key],
+                         "ts_us": _ts_us(t[ts_col]),
+                         "v": pc.cast(t[value_col], pa.float64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "ts_us", id_col], kind="mergesort")
+        n = len(df)
+        k = df[key].to_numpy()
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        v = df["v"].to_numpy(dtype=np.float64)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1                    # segment ordinal per row
+        csum = np.concatenate(([0.0], np.cumsum(v)))
+        ts0 = ts - ts.min()
+        big = np.int64(ts0.max()) + r_us + 1        # > any in-segment span
+        if int(len(starts)) * int(big) < (1 << 62):
+            adj = ts0 + seg * big                   # monotone, segment-local
+            lo = np.searchsorted(adj, adj - r_us, side="left")
+            hi = np.searchsorted(adj, adj, side="right")
+        else:                                       # rare: huge ts span
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - r_us, "left")
+                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], "right")
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), key: k,
+                             "ts_us": ts, "roll_n": hi - lo,
+                             "roll_sum": csum[hi] - csum[lo]})
+
+    evs = ds.select_columns([id_col, key, ts_col, value_col]).map_batches(
+        to_us, batch_format="pyarrow")
+    return bucketed_group_reduce(evs, [key], per_bucket, num_buckets,
+                                 schema=schema)
+
+
+def lag_delta(ds: "ray.data.Dataset", key: str, ts_col: str, id_col: str,
+              num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-event microseconds since the key's previous event (ordered by
+    timestamp, ties broken by ``id_col``); -1 for each key's first event —
+    SQL ``LAG`` with ``COALESCE(..., -1)``. One hash shuffle, one
+    vectorized sort + diff per bucket."""
+    schema = pa.schema([(id_col, pa.int64()), (key, pa.int64()),
+                        ("ts_us", pa.int64()), ("delta_us", pa.int64())])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], key: t[key],
+                         "ts_us": _ts_us(t[ts_col])})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "ts_us", id_col], kind="mergesort")
+        n = len(df)
+        k = df[key].to_numpy()
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        delta = np.empty(n, dtype=np.int64)
+        delta[0] = -1
+        delta[1:] = np.where(k[1:] == k[:-1], ts[1:] - ts[:-1], -1)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), key: k,
+                             "ts_us": ts, "delta_us": delta})
+
+    evs = ds.select_columns([id_col, key, ts_col]).map_batches(
+        to_us, batch_format="pyarrow")
+    return bucketed_group_reduce(evs, [key], per_bucket, num_buckets,
+                                 schema=schema)
+
+
 SESSION_SCHEMA_COLS = ["user_id", "session_id", "n_events", "session_start",
                        "session_end", "duration_sec"]
 

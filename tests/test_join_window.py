@@ -181,3 +181,80 @@ def test_hopping_window_membership(ray_session):
     wins = {(r["window_start"] - epoch0) // 60_000_000: (r["n"], r["sum_v"])
             for r in rows}
     assert wins == {0: (1, 1.0), 30: (1, 1.0), 90: (1, 2.0), 120: (1, 2.0)}
+
+
+def test_rolling_range_agg_peers_and_bounds(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.window import rolling_range_agg
+    # key 1: ts 0, 50, 100, 100 (peers), 161 with range 100 (sec->us via
+    # int64 ts? use raw int64 ts col)  -- feed int64 microsecond ts
+    rows = [
+        {"id": 1, "k": 1, "ts": 0, "v": 1.0},
+        {"id": 2, "k": 1, "ts": 50_000_000, "v": 2.0},
+        {"id": 3, "k": 1, "ts": 100_000_000, "v": 4.0},
+        {"id": 4, "k": 1, "ts": 100_000_000, "v": 8.0},   # ts peer of id 3
+        {"id": 5, "k": 1, "ts": 161_000_000, "v": 16.0},  # 0 falls out
+        {"id": 6, "k": 2, "ts": 100_000_000, "v": 32.0},  # other key
+    ]
+    out = rolling_range_agg(rd.from_items(rows), key="k", ts_col="ts",
+                            value_col="v", range_sec=100, id_col="id")
+    got = {r["id"]: (r["roll_n"], r["roll_sum"]) for r in out.take_all()}
+    # RANGE semantics: peers included both ends; window = [ts-100s, ts]
+    assert got == {1: (1, 1.0), 2: (2, 3.0),
+                   3: (4, 15.0), 4: (4, 15.0),   # both peers see 1+2+4+8
+                   5: (3, 28.0),                 # [61s,161s]: 100,100,161
+                   6: (1, 32.0)}
+
+
+def test_lag_delta_first_and_ties(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.window import lag_delta
+    rows = [
+        {"id": 11, "k": 1, "ts": 500},
+        {"id": 10, "k": 1, "ts": 500},   # tie -> ordered by id
+        {"id": 12, "k": 1, "ts": 900},
+        {"id": 20, "k": 2, "ts": 700},
+    ]
+    out = lag_delta(rd.from_items(rows), key="k", ts_col="ts", id_col="id")
+    got = {r["id"]: r["delta_us"] for r in out.take_all()}
+    assert got == {10: -1, 11: 0, 12: 400, 20: -1}
+
+
+def test_pivot_counts_zero_fill(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.stats import pivot_counts
+    rows = [
+        {"k": 1, "c": "x", "v": 1.0},
+        {"k": 1, "c": "x", "v": 2.0},
+        {"k": 1, "c": "y", "v": 4.0},
+        {"k": 2, "c": "y", "v": 8.0},
+        {"k": 2, "c": "zzz", "v": 99.0},   # not in category list: dropped
+    ]
+    out = pivot_counts(rd.from_items(rows), key="k", pivot_col="c",
+                       categories=["x", "y", "z"], value_col="v")
+    got = {r["k"]: r for r in out.take_all()}
+    assert (got[1]["n_x"], got[1]["n_y"], got[1]["n_z"]) == (2, 1, 0)
+    assert (got[1]["sum_x"], got[1]["sum_y"], got[1]["sum_z"]) == (3.0, 4.0, 0.0)
+    assert (got[2]["n_x"], got[2]["n_y"], got[2]["n_z"]) == (0, 1, 0)
+    assert got[2]["sum_y"] == 8.0
+
+
+def test_range_join_inclusive_bounds(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.join import range_join
+    left = rd.from_items([
+        {"lk": 1, "lts": 1000, "lid": 1},
+        {"lk": 2, "lts": 1000, "lid": 2},   # key with no right rows
+    ])
+    right = rd.from_items([
+        {"rk": 1, "rts": 900, "rid": 10},    # == lts - before: included
+        {"rk": 1, "rts": 899, "rid": 11},    # just outside
+        {"rk": 1, "rts": 1050, "rid": 12},   # == lts + after: included
+        {"rk": 1, "rts": 1051, "rid": 13},   # just outside
+        {"rk": 3, "rts": 1000, "rid": 14},   # other key
+    ])
+    out = range_join(left, right, left_by="lk", right_by="rk",
+                     left_on="lts", right_on="rts",
+                     before_us=100, after_us=50)
+    rows = out.take_all()
+    assert {(r["lid"], r["rid"]) for r in rows} == {(1, 10), (1, 12)}
