@@ -868,6 +868,15 @@ def q_events_click_attrib(sf_dir: str):
             .rename_columns({"click_ts": "click_ts_us"}))
 
 
+def q_docs_tfidf(sf_dir: str):
+    """Top-5 TF-IDF terms per document (smoothed idf, word-asc ties)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import tfidf_top_terms
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _scale_cols(tfidf_top_terms(ds, k=5), {"score": 10**6})
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 25% Bernoulli sample by doc_id hash bucket."""
     import ray.data as rd
@@ -1230,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": q_events_lag_delta,
         "events_pivot": q_events_pivot,
         "events_click_attrib": q_events_click_attrib,
+        "docs_tfidf": q_docs_tfidf,
         "events_stratified": q_events_stratified,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -1667,6 +1677,26 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT)) FILTER (event_type = 'view'), 0)
                        AS BIGINT) AS sum_view
             FROM events GROUP BY user_id
+        """,
+        "docs_tfidf": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM tok GROUP BY doc_id, word),
+            dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.word, tf.tf, dft.df,
+                       tf.tf * (ln((n.n + 1.0) / (dft.df + 1.0)) + 1.0)
+                           AS fscore
+                FROM tf, dft, n WHERE tf.word = dft.word)
+            SELECT doc_id, word, tf, df,
+                   CAST(floor(fscore * 1000000 + 0.5) AS BIGINT) AS score
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY fscore DESC, word ASC) <= 5
         """,
         "events_click_attrib": """
             SELECT p.event_id, p.user_id, c.event_id AS click_id,

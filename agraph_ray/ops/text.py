@@ -160,6 +160,85 @@ def top_words(ds: "ray.data.Dataset", k: int = 20,
         ["cnt", "word"], descending=[True, False]).limit(k)
 
 
+def tfidf_top_terms(ds: "ray.data.Dataset", k: int = 5,
+                    col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-document top-k terms by smoothed TF-IDF:
+    ``score = tf * (ln((N+1)/(df+1)) + 1)``, ties broken by word
+    ascending. Tokenization is single-space split (same rule as
+    ``corpus_word_counts`` — SQL ``string_split(text, ' ')``).
+
+    Fully distributed, no corpus broadcast:
+      1. per-batch (doc, word, tf) partials — one pandas ``groupby.size``
+         per batch, so the word shuffle carries per-doc vocabularies,
+         never token occurrences;
+      2. document frequency by one word-keyed reduce;
+      3. tf rows co-grouped with their word's df (word-keyed join — hot
+         stopwords cost lookups, not cross products);
+      4. per-doc top-k by one doc-keyed reduce.
+    """
+    import pandas as pd
+    from ..stages.common import bucketed_group_reduce
+    from .join import cogroup_join
+
+    n_docs = ds.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        flat = lists.flatten()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        docs = np.repeat(
+            batch[id_col].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"doc": docs,
+                           "word": flat.to_pandas().to_numpy(dtype=object)})
+        out = df.groupby(["doc", "word"], sort=False).size().reset_index(
+            name="tf")
+        return pa.table({id_col: pa.array(out["doc"], pa.int64()),
+                         "word": pa.array(out["word"], pa.string()),
+                         "tf": pa.array(out["tf"], pa.int64())})
+
+    tf_rows = ds.select_columns([id_col, col]).map_batches(
+        tf_partial, batch_format="pyarrow")
+    # a doc split across read blocks would double-count: Ray parquet reads
+    # keep rows of one row-group together, and our corpora write one doc
+    # per row — but guard anyway with a cheap re-reduce on (doc, word)
+    tf_rows = bucketed_group_reduce(
+        tf_rows, [id_col, "word"],
+        lambda d: d.groupby([id_col, "word"], as_index=False,
+                            sort=False)["tf"].sum(),
+        num_buckets,
+        schema=pa.schema([(id_col, pa.int64()), ("word", pa.string()),
+                          ("tf", pa.int64())]))
+    df_table = bucketed_group_reduce(
+        tf_rows.select_columns(["word"]),
+        ["word"],
+        lambda d: d.groupby("word", as_index=False, sort=False).size()
+        .rename(columns={"size": "df"}),
+        num_buckets,
+        schema=pa.schema([("word", pa.string()), ("df", pa.int64())]))
+    joined = cogroup_join(tf_rows, df_table, on=["word"], how="inner",
+                          num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = pc.cast(t["tf"], pa.float64()).to_numpy(zero_copy_only=False)
+        dfv = pc.cast(t["df"], pa.float64()).to_numpy(zero_copy_only=False)
+        s = tf * (np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0)
+        return t.append_column("score", pa.array(s, pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def topk(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(["score", "word"], ascending=[False, True],
+                          kind="mergesort")
+        return d.groupby(id_col, sort=False).head(k)
+
+    return bucketed_group_reduce(
+        scored, [id_col], topk, num_buckets,
+        schema=pa.schema([(id_col, pa.int64()), ("word", pa.string()),
+                          ("tf", pa.int64()), ("df", pa.int64()),
+                          ("score", pa.float64())]))
+
+
 def analyze_documents(ds: "ray.data.Dataset", col: str = "text"):
     """Full text-analysis pass: quality + lang + fingerprint + tokens."""
     def _stage(batch: pa.Table) -> pa.Table:

@@ -119,3 +119,30 @@ def test_word_repetition_edge_cases():
     assert fr == [3 / 5, 1.0, 1.0, 0.5]
     dup = out["dup_word_fraction"].to_pylist()
     assert dup == [1 - 2 / 5, 0.75, 0.0, 0.5]
+
+
+def test_tfidf_top_terms(ray_session):
+    import math
+
+    import ray.data as rd
+    from agraph_ray.ops.text import tfidf_top_terms
+
+    docs = [
+        {"doc_id": 1, "text": "apple banana apple"},
+        {"doc_id": 2, "text": "banana cherry"},
+        {"doc_id": 3, "text": "cherry cherry cherry"},
+    ]
+    out = tfidf_top_terms(rd.from_items(docs), k=2).take_all()
+    got = {(r["doc_id"], r["word"]): (r["tf"], r["df"], r["score"])
+           for r in out}
+
+    def idf(df):
+        return math.log(4.0 / (df + 1.0)) + 1.0
+
+    # doc 1: apple tf=2 df=1 -> top; banana tf=1 df=2
+    assert got[(1, "apple")] == (2, 1, 2 * idf(1))
+    assert got[(1, "banana")] == (1, 2, 1 * idf(2))
+    # doc 3 has a single distinct term -> only 1 row despite k=2
+    assert [k for k in got if k[0] == 3] == [(3, "cherry")]
+    assert got[(3, "cherry")] == (3, 2, 3 * idf(2))
+    assert len(out) == 5
