@@ -168,18 +168,19 @@ def tfidf_top_terms(ds: "ray.data.Dataset", k: int = 5,
     ascending. Tokenization is single-space split (same rule as
     ``corpus_word_counts`` — SQL ``string_split(text, ' ')``).
 
-    Fully distributed, no corpus broadcast:
+    Fully distributed, no corpus broadcast, exactly TWO shuffles:
       1. per-batch (doc, word, tf) partials — one pandas ``groupby.size``
-         per batch, so the word shuffle carries per-doc vocabularies,
-         never token occurrences;
-      2. document frequency by one word-keyed reduce;
-      3. tf rows co-grouped with their word's df (word-keyed join — hot
-         stopwords cost lookups, not cross products);
-      4. per-doc top-k by one doc-keyed reduce.
+         per batch (a document is one input row, so its tokens can never
+         split across batches and the per-batch tf is final). The word
+         shuffle then carries per-doc vocabularies, never occurrences;
+      2. word-keyed reduce: all rows of a word co-locate, so df is a
+         vectorized ``transform('size')`` attached in-bucket — no
+         separate df table, no join (hot stopwords cost group size
+         counting, not cross products);
+      3. per-doc top-k by one doc-keyed reduce.
     """
     import pandas as pd
     from ..stages.common import bucketed_group_reduce
-    from .join import cogroup_join
 
     n_docs = ds.count()
 
@@ -199,33 +200,20 @@ def tfidf_top_terms(ds: "ray.data.Dataset", k: int = 5,
 
     tf_rows = ds.select_columns([id_col, col]).map_batches(
         tf_partial, batch_format="pyarrow")
-    # a doc split across read blocks would double-count: Ray parquet reads
-    # keep rows of one row-group together, and our corpora write one doc
-    # per row — but guard anyway with a cheap re-reduce on (doc, word)
-    tf_rows = bucketed_group_reduce(
-        tf_rows, [id_col, "word"],
-        lambda d: d.groupby([id_col, "word"], as_index=False,
-                            sort=False)["tf"].sum(),
-        num_buckets,
+
+    def attach_df_and_score(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.copy()
+        d["df"] = d.groupby("word", sort=False)["word"].transform("size")
+        d["score"] = d["tf"].to_numpy(dtype=np.float64) * (
+            np.log((n_docs + 1.0)
+                   / (d["df"].to_numpy(dtype=np.float64) + 1.0)) + 1.0)
+        return d
+
+    scored = bucketed_group_reduce(
+        tf_rows, ["word"], attach_df_and_score, num_buckets,
         schema=pa.schema([(id_col, pa.int64()), ("word", pa.string()),
-                          ("tf", pa.int64())]))
-    df_table = bucketed_group_reduce(
-        tf_rows.select_columns(["word"]),
-        ["word"],
-        lambda d: d.groupby("word", as_index=False, sort=False).size()
-        .rename(columns={"size": "df"}),
-        num_buckets,
-        schema=pa.schema([("word", pa.string()), ("df", pa.int64())]))
-    joined = cogroup_join(tf_rows, df_table, on=["word"], how="inner",
-                          num_buckets=num_buckets)
-
-    def score(t: pa.Table) -> pa.Table:
-        tf = pc.cast(t["tf"], pa.float64()).to_numpy(zero_copy_only=False)
-        dfv = pc.cast(t["df"], pa.float64()).to_numpy(zero_copy_only=False)
-        s = tf * (np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0)
-        return t.append_column("score", pa.array(s, pa.float64()))
-
-    scored = joined.map_batches(score, batch_format="pyarrow")
+                          ("tf", pa.int64()), ("df", pa.int64()),
+                          ("score", pa.float64())]))
 
     def topk(d: pd.DataFrame) -> pd.DataFrame:
         d = d.sort_values(["score", "word"], ascending=[False, True],

@@ -88,7 +88,9 @@ def run_bench() -> dict:
                       "revenue_by_priority", "events_sessionize",
                       "supplier_part_degree", "linked_vocab",
                       "llm_parse_entities", "docs_repetition",
-                      "events_asof_order", "lineitem_quantiles"]:
+                      "events_asof_order", "lineitem_quantiles",
+                      "events_rolling", "events_click_attrib",
+                      "docs_tfidf"]:
             t0 = time.time()
             r = qs[qname](SF_DIR)
             if hasattr(r, "materialize"):
