@@ -842,22 +842,18 @@ def q_events_pivot(sf_dir: str):
 def q_events_click_attrib(sf_dir: str):
     """Attribution range join: every click by the same user in the 24h
     window before each purchase."""
-    import pyarrow.compute as pc2
+    import pyarrow.dataset as pads
     import ray.data as rd
     from agraph_ray.ops.join import range_join
     day = 86400 * 1_000_000
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "ts", "user_id",
-                                  "event_type"])
 
-    def split(kind):
-        return (ev.map_batches(
-            lambda t, k=kind: t.filter(
-                pc2.equal(t["event_type"], k)).drop_columns(["event_type"]),
-            batch_format="pyarrow"))
+    def side(kind):   # row-group/page-level predicate pushdown at the read
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id"],
+                               filter=pads.field("event_type") == kind)
 
-    purchases = split("purchase")
-    clicks = split("click").rename_columns(
+    purchases = side("purchase")
+    clicks = side("click").rename_columns(
         {"event_id": "click_id", "ts": "click_ts"})
     out = range_join(purchases, clicks,
                      left_by="user_id", right_by="user_id",
@@ -875,6 +871,37 @@ def q_docs_tfidf(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _scale_cols(tfidf_top_terms(ds, k=5), {"score": 10**6})
+
+
+def q_docs_top_trigrams(sf_dir: str):
+    """Global top-20 word trigrams (combiner, ties by gram asc)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import top_ngrams
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_ngrams(ds, n=3, k=20)
+
+
+_CONTAM_NEEDLES = ["hash join", "table scan", "sort merge",
+                   "spark window", "vector join"]
+
+
+def q_docs_contamination(sf_dir: str):
+    """Benchmark-leakage scan: docs containing any needle substring."""
+    import ray.data as rd
+    from agraph_ray.ops.text import scan_contains
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return scan_contains(ds, _CONTAM_NEEDLES)
+
+
+def q_docs_redact(sf_dir: str):
+    """Regex scrub of flagged tokens (PII-removal shape)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import redact_pattern
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return redact_pattern(ds, r"(spark|hash)", "[X]").select_columns(
+        ["doc_id", "redacted"])
 
 
 def q_docs_sample(sf_dir: str):
@@ -1240,6 +1267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "events_click_attrib": q_events_click_attrib,
         "docs_tfidf": q_docs_tfidf,
+        "docs_top_trigrams": q_docs_top_trigrams,
+        "docs_contamination": q_docs_contamination,
+        "docs_redact": q_docs_redact,
         "events_stratified": q_events_stratified,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -1697,6 +1727,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY doc_id
                 ORDER BY fscore DESC, word ASC) <= 5
+        """,
+        "docs_top_trigrams": """
+            WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+            g AS (SELECT unnest(list_transform(
+                      generate_series(1, len(l) - 2),
+                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS gram
+                  FROM t)
+            SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+            ORDER BY cnt DESC, gram LIMIT 20
+        """,
+        "docs_contamination": """
+            SELECT d.doc_id, t.needle
+            FROM documents d, (VALUES ('hash join'), ('table scan'),
+                                      ('sort merge'), ('spark window'),
+                                      ('vector join')) AS t(needle)
+            WHERE contains(d.text, t.needle)
+        """,
+        "docs_redact": """
+            SELECT doc_id, regexp_replace(text, '(spark|hash)', '[X]', 'g')
+                AS redacted
+            FROM documents
         """,
         "events_click_attrib": """
             SELECT p.event_id, p.user_id, c.event_id AS click_id,

@@ -160,6 +160,105 @@ def top_words(ds: "ray.data.Dataset", k: int = 20,
         ["cnt", "word"], descending=[True, False]).limit(k)
 
 
+def corpus_ngram_counts(ds: "ray.data.Dataset", n: int = 3,
+                        col: str = "text",
+                        num_buckets: int = 64) -> "ray.data.Dataset":
+    """(gram, cnt) over word n-grams (single-space tokenization, grams
+    never span documents). Per-batch combiner: the shuffle carries each
+    batch's distinct grams, not occurrences. The gram construction is one
+    vectorized pandas shift-concat over the batch's flattened token
+    stream, with cross-document positions masked out."""
+    import pandas as pd
+    from ..stages.common import bucketed_group_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        s = pd.Series(lists.flatten().to_pandas().to_numpy(dtype=object))
+        g = s
+        for i in range(1, n):
+            g = g + " " + s.shift(-i)
+        # position within its doc: gram starting here must fit entirely
+        pos = np.arange(total) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        valid = pos <= np.repeat(lens, lens) - n
+        grams = g.to_numpy(dtype=object)[valid]
+        if len(grams) == 0:
+            return empty
+        u, c = np.unique(grams, return_counts=True)
+        return pa.table({"gram": pa.array(u, pa.string()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    return bucketed_group_reduce(
+        ds.select_columns([col]).map_batches(partial,
+                                             batch_format="pyarrow"),
+        ["gram"],
+        lambda d: d.groupby("gram", as_index=False, sort=False)["cnt"].sum(),
+        num_buckets,
+        schema=pa.schema([("gram", pa.string()), ("cnt", pa.int64())]))
+
+
+def top_ngrams(ds: "ray.data.Dataset", n: int = 3, k: int = 20,
+               col: str = "text") -> "ray.data.Dataset":
+    """Global top-k word n-grams by count, ties broken by gram ascending."""
+    return corpus_ngram_counts(ds, n, col).sort(
+        ["cnt", "gram"], descending=[True, False]).limit(k)
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=4)
+def _contains_matcher(needles: tuple):
+    from ..state.textmatch import AhoCorasick
+    return AhoCorasick(needles)
+
+
+def scan_contains(ds: "ray.data.Dataset", needles: "List[str]",
+                  col: str = "text",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Contamination scan: one (id, needle) row per needle occurring
+    verbatim as a substring of the document — the benchmark-leakage check
+    run over every pretraining corpus. The needle set is compiled into an
+    Aho-Corasick automaton ONCE PER WORKER PROCESS (module-level
+    lru_cache keyed on the needle tuple), so each document costs
+    O(|text| + matches) regardless of how many needles are screened."""
+    needles_t = tuple(sorted({s for s in needles if s}))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ac = _contains_matcher(needles_t)
+        ids_out, hits_out = [], []
+        for i, text in zip(batch[id_col].to_pylist(),
+                           batch[col].to_pylist()):
+            for h in sorted(ac.find_present(text or "")):
+                ids_out.append(i)
+                hits_out.append(h)
+        return pa.table({id_col: pa.array(ids_out, pa.int64()),
+                         "needle": pa.array(hits_out, pa.string())})
+
+    return ds.select_columns([id_col, col]).map_batches(
+        f, batch_format="pyarrow")
+
+
+def redact_pattern(ds: "ray.data.Dataset", pattern: str,
+                   replacement: str = "[REDACTED]", col: str = "text",
+                   out_col: str = "redacted") -> "ray.data.Dataset":
+    """Regex scrub (PII removal shape): RE2 ``pattern`` occurrences
+    replaced in a single vectorized ``replace_substring_regex`` kernel —
+    identical semantics to DuckDB ``regexp_replace(text, pattern, r,
+    'g')`` so the oracle can verify the rewrite byte-for-byte."""
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_col, pc.replace_substring_regex(batch[col], pattern,
+                                                replacement))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def tfidf_top_terms(ds: "ray.data.Dataset", k: int = 5,
                     col: str = "text", id_col: str = "doc_id",
                     num_buckets: int = 64) -> "ray.data.Dataset":

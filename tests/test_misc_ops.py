@@ -146,3 +146,44 @@ def test_tfidf_top_terms(ray_session):
     assert [k for k in got if k[0] == 3] == [(3, "cherry")]
     assert got[(3, "cherry")] == (3, 2, 3 * idf(2))
     assert len(out) == 5
+
+
+def test_top_ngrams_no_doc_spanning(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.text import top_ngrams
+
+    docs = [
+        {"doc_id": 1, "text": "a b c d"},    # grams: "a b c", "b c d"
+        {"doc_id": 2, "text": "c d a"},      # gram: "c d a" (no span to d1)
+        {"doc_id": 3, "text": "x y"},        # too short: none
+        {"doc_id": 4, "text": "a b c"},      # gram: "a b c"
+    ]
+    rows = top_ngrams(rd.from_items(docs), n=3, k=10).take_all()
+    got = {r["gram"]: r["cnt"] for r in rows}
+    assert got == {"a b c": 2, "b c d": 1, "c d a": 1}
+
+
+def test_scan_contains_aho(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.text import scan_contains
+
+    docs = [
+        {"doc_id": 1, "text": "the hash join beats the sort merge here"},
+        {"doc_id": 2, "text": "nothing to see"},
+        {"doc_id": 3, "text": "hash joins overlap: hash join hash join"},
+    ]
+    rows = scan_contains(rd.from_items(docs),
+                         ["hash join", "sort merge", "absent"]).take_all()
+    got = {(r["doc_id"], r["needle"]) for r in rows}
+    # one row per (doc, needle) no matter how many occurrences
+    assert got == {(1, "hash join"), (1, "sort merge"), (3, "hash join")}
+
+
+def test_redact_pattern(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.text import redact_pattern
+
+    ds = rd.from_items([{"doc_id": 1, "text": "call 555-1234 or 555-9999"}])
+    out = redact_pattern(ds, r"\d{3}-\d{4}", "[TEL]").take_all()
+    assert out[0]["redacted"] == "call [TEL] or [TEL]"
+    assert out[0]["text"] == "call 555-1234 or 555-9999"   # original kept
