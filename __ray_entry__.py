@@ -904,6 +904,29 @@ def q_docs_redact(sf_dir: str):
         ["doc_id", "redacted"])
 
 
+def q_lineitem_exact_quantiles(sf_dir: str):
+    """Exact corpus-wide price quantiles via radix selection (no sort,
+    no driver materialization)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import exact_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    df = exact_quantiles(ds, "l_extendedprice", qs=(0.25, 0.5, 0.75, 0.99))
+    import numpy as np
+    df["q_pct"] = np.floor(df["q"] * 100 + 0.5).astype("int64")
+    df["value"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+    return df[["q_pct", "value"]]
+
+
+def q_events_user_type_distinct(sf_dir: str):
+    """Exact distinct event types per user (pair-combiner + keyed reduce)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_count_distinct
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return grouped_count_distinct(ds, "user_id", "event_type")
+
+
 def q_docs_sample(sf_dir: str):
     """Deterministic 25% Bernoulli sample by doc_id hash bucket."""
     import ray.data as rd
@@ -1270,6 +1293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_trigrams": q_docs_top_trigrams,
         "docs_contamination": q_docs_contamination,
         "docs_redact": q_docs_redact,
+        "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
+        "events_user_type_distinct": q_events_user_type_distinct,
         "events_stratified": q_events_stratified,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -1748,6 +1773,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, regexp_replace(text, '(spark|hash)', '[X]', 'g')
                 AS redacted
             FROM documents
+        """,
+        "lineitem_exact_quantiles": """
+            WITH s AS (SELECT l_extendedprice AS v FROM lineitem),
+            n AS (SELECT count(*) AS n FROM s),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+            SELECT CAST(floor(q * 100 + 0.5) AS BIGINT) AS q_pct,
+                   CAST(floor(r.v * 100 + 0.5) AS BIGINT) AS value
+            FROM (VALUES (0.25), (0.5), (0.75), (0.99)) t(q), r, n
+            WHERE r.rn = CAST(floor(q * (n.n - 1) + 0.5) AS BIGINT) + 1
+        """,
+        "events_user_type_distinct": """
+            SELECT user_id, count(DISTINCT event_type) AS n_distinct
+            FROM events GROUP BY user_id
         """,
         "events_click_attrib": """
             SELECT p.event_id, p.user_id, c.event_id AS click_id,

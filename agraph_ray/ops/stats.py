@@ -67,6 +67,120 @@ def stratified_sample(ds: "ray.data.Dataset", group_col: str, key: str,
                                  schema=schema)
 
 
+def _f64_to_ordered_u64(v: np.ndarray) -> np.ndarray:
+    """Monotone bijection double -> uint64: negative floats get bit-flipped,
+    positives get the sign bit set, so unsigned order == numeric order
+    (NaNs sort above +inf; -0.0 < +0.0)."""
+    b = v.astype(np.float64).view(np.uint64)
+    neg = (b >> np.uint64(63)) == 1
+    out = np.where(neg, ~b, b | np.uint64(1 << 63))
+    return out.astype(np.uint64)
+
+
+def _ordered_u64_to_f64(u: int) -> float:
+    b = np.uint64(u)
+    if (b >> np.uint64(63)) == 1:
+        b = b & ~np.uint64(1 << 63)
+    else:
+        b = ~b
+    return float(np.array([b], dtype=np.uint64).view(np.float64)[0])
+
+
+def exact_quantiles(ds: "ray.data.Dataset", value_col: str,
+                    qs: Sequence[float] = (0.25, 0.5, 0.75)) -> "pd.DataFrame":
+    """EXACT corpus-wide quantiles of a double column without sorting or
+    collecting the data: multi-pass radix selection. Values map through a
+    monotone float64->uint64 bijection; four MSB-first 16-bit-digit
+    histogram passes (each a ``map_batches`` + 64Ki-counter reduce) narrow
+    every requested rank to its exact bit pattern. Driver state is
+    O(65536 x passes), independent of dataset size; ties and degenerate
+    distributions (all values equal) cost nothing extra.
+
+    Rank rule matches ``grouped_quantiles``: index floor(q*(n-1)+0.5)
+    into the ascending sort. Returns a small pandas DataFrame
+    (q, value) — a driver-side result, like any aggregate."""
+    src = ds.select_columns([value_col])
+    n = src.count()
+    if n == 0:
+        return pd.DataFrame({"q": list(qs), "value": [float("nan")] * len(qs)})
+    targets = {q: int(np.floor(q * (n - 1) + 0.5)) for q in qs}
+    # state per target: resolved bit prefix + rank within the prefix group
+    prefix = {q: np.uint64(0) for q in qs}
+    rank = {q: targets[q] for q in qs}
+
+    for p in range(4):                      # digits: bits 48, 32, 16, 0
+        shift = np.uint64(48 - 16 * p)
+        pre_shift = np.uint64(64 - 16 * p)  # bits resolved so far
+        probes = sorted({(int(prefix[q]), int(rank[q])) for q in qs})
+        pre_list = [pr for pr, _ in probes]
+
+        def hist(batch: "pa.Table", _pre=tuple(pre_list), _ps=pre_shift,
+                 _sh=shift) -> "pa.Table":
+            v = batch[value_col].to_numpy(zero_copy_only=False)
+            u = _f64_to_ordered_u64(np.asarray(v, dtype=np.float64))
+            outs = []
+            for pi, pr in enumerate(_pre):
+                sel = u if _ps == np.uint64(64) else u[
+                    (u >> _ps) == np.uint64(pr)]
+                dig = ((sel >> _sh) & np.uint64(0xFFFF)).astype(np.int64)
+                cnt = np.bincount(dig, minlength=65536)
+                nz = np.flatnonzero(cnt)
+                outs.append(pa.table({
+                    "probe": pa.array(np.full(len(nz), pi), pa.int32()),
+                    "digit": pa.array(nz, pa.int32()),
+                    "cnt": pa.array(cnt[nz], pa.int64())}))
+            return pa.concat_tables(outs) if outs else pa.table(
+                {"probe": pa.array([], pa.int32()),
+                 "digit": pa.array([], pa.int32()),
+                 "cnt": pa.array([], pa.int64())})
+
+        from ray.data.aggregate import Sum
+        agg = (src.map_batches(hist, batch_format="pyarrow")
+               .groupby(["probe", "digit"])
+               .aggregate(Sum("cnt", alias_name="cnt")).take_all())
+        counts = {}
+        for r in agg:
+            counts.setdefault(r["probe"], {})[r["digit"]] = r["cnt"]
+        for q in qs:
+            pi = pre_list.index(int(prefix[q]))
+            c = counts.get(pi, {})
+            acc = 0
+            for d in sorted(c):
+                if acc + c[d] > rank[q]:
+                    prefix[q] = (prefix[q] << np.uint64(16)) | np.uint64(d)
+                    rank[q] = rank[q] - acc
+                    break
+                acc += c[d]
+
+    return pd.DataFrame({
+        "q": list(qs),
+        "value": [_ordered_u64_to_f64(int(prefix[q])) for q in qs]})
+
+
+def grouped_count_distinct(ds: "ray.data.Dataset", key: str, value_col: str,
+                           num_buckets: int = 64) -> "ray.data.Dataset":
+    """Exact per-key distinct count of ``value_col``. Per-batch combiner
+    first (each batch emits its distinct (key, value) pairs once), so the
+    shuffle carries pair cardinality, not row count; one keyed reduce
+    computes ``nunique`` vectorized."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates([key, value_col])
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([key, value_col])
+        out = df.groupby(key, sort=False, as_index=False)[value_col].count()
+        return out.rename(columns={value_col: "n_distinct"})
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    return bucketed_group_reduce(
+        ds.select_columns([key, value_col]).map_batches(
+            partial, batch_format="pandas"),
+        [key], reduce_df, num_buckets,
+        schema=pa.schema([(key, ktype if isinstance(ktype, pa.DataType)
+                           else pa.from_numpy_dtype(ktype)),
+                          ("n_distinct", pa.int64())]))
+
+
 def pivot_counts(ds: "ray.data.Dataset", key: str, pivot_col: str,
                  categories: Sequence[str],
                  value_col: Optional[str] = None) -> "ray.data.Dataset":

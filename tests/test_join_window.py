@@ -258,3 +258,35 @@ def test_range_join_inclusive_bounds(ray_session):
                      before_us=100, after_us=50)
     rows = out.take_all()
     assert {(r["lid"], r["rid"]) for r in rows} == {(1, 10), (1, 12)}
+
+
+def test_exact_quantiles_radix(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from agraph_ray.ops.stats import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.normal(0, 100, 5000),
+                           np.full(500, -3.25),      # heavy duplicates
+                           np.array([-1e300, 1e300, 0.0, -0.0])])
+    ds = rd.from_arrow(__import__("pyarrow").table({"v": vals}))
+    qs = (0.0, 0.25, 0.5, 0.75, 1.0)
+    got = exact_quantiles(ds, "v", qs=qs)
+    srt = np.sort(vals)
+    for q, v in zip(got["q"], got["value"]):
+        idx = int(np.floor(q * (len(vals) - 1) + 0.5))
+        assert v == srt[idx], (q, v, srt[idx])
+
+    one = exact_quantiles(rd.from_items([{"v": 42.5}]), "v", qs=(0.5,))
+    assert list(one["value"]) == [42.5]
+
+
+def test_grouped_count_distinct(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_count_distinct
+
+    rows = ([{"k": 1, "v": x} for x in "aabbc"]
+            + [{"k": 2, "v": x} for x in "zz"])
+    out = {r["k"]: r["n_distinct"] for r in grouped_count_distinct(
+        rd.from_items(rows), "k", "v").take_all()}
+    assert out == {1: 3, 2: 1}
