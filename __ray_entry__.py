@@ -844,6 +844,58 @@ def q_events_pivot(sf_dir: str):
     return _scale_cols(out, {f"sum_{t}": 1 for t in types})
 
 
+def q_events_running(sf_dir: str):
+    """Per-event running row_number + min/max of value (cents) per user —
+    ROWS UNBOUNDED PRECEDING window, order-exact (no float accumulation)."""
+    import ray.data as rd
+    from agraph_ray.ops.window import running_agg
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return running_agg(_cents(ds, "value"), key="user_id", ts_col="ts",
+                       id_col="event_id", value_col="value")
+
+
+def q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): count + exact cents sum at all
+    three rollup levels, input read once, coarser levels derived from the
+    finest aggregate."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import rollup_agg
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderstatus",
+                                  "o_totalprice"])
+    return rollup_agg(_cents(ds, "o_totalprice"),
+                      ["o_orderpriority", "o_orderstatus"],
+                      value_col="o_totalprice")
+
+
+def q_full_outer_parts(sf_dir: str):
+    """FULL OUTER co-group join: large parts (p_size >= 48) vs
+    heavily-ordered partkeys (lineitem count >= 8) — unmatched rows
+    survive from BOTH sides with NULLs for the absent side."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from agraph_ray.ops.join import cogroup_join
+
+    left = (rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand"],
+                            filter=pads.field("p_size") >= 48)
+            .rename_columns({"p_partkey": "partkey"}))
+
+    def part_counts(t: "pa.Table") -> "pa.Table":
+        return t.group_by(["l_partkey"]).aggregate([("l_partkey", "count")])
+
+    right = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey"])
+             .map_batches(part_counts, batch_format="pyarrow")
+             .groupby("l_partkey")
+             .aggregate(Sum("l_partkey_count", alias_name="cnt"))
+             .filter(expr="cnt >= 8")
+             .rename_columns({"l_partkey": "partkey"}))
+    return cogroup_join(left, right, on=["partkey"], how="full")
+
+
 def q_events_click_attrib(sf_dir: str):
     """Attribution range join: every click by the same user in the 24h
     window before each purchase."""
@@ -1293,6 +1345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q_events_rolling,
         "events_lag_delta": q_events_lag_delta,
         "events_pivot": q_events_pivot,
+        "events_running": q_events_running,
+        "rollup_orders": q_rollup_orders,
+        "full_outer_parts": q_full_outer_parts,
         "events_click_attrib": q_events_click_attrib,
         "docs_tfidf": q_docs_tfidf,
         "docs_top_trigrams": q_docs_top_trigrams,
@@ -1713,6 +1768,31 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY epoch_us(ts), event_id), -1) AS delta_us
             FROM events
+        """,
+        "events_running": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(row_number() OVER w AS BIGINT) AS row_num,
+                   min(floor(value * 100 + 0.5)) OVER w AS run_min,
+                   max(floor(value * 100 + 0.5)) OVER w AS run_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "rollup_orders": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_v
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "full_outer_parts": """
+            WITH l AS (SELECT p_partkey AS partkey, p_brand
+                       FROM part WHERE p_size >= 48),
+                 r AS (SELECT l_partkey AS partkey, count(*) AS cnt
+                       FROM lineitem GROUP BY 1 HAVING count(*) >= 8)
+            SELECT COALESCE(l.partkey, r.partkey) AS partkey, p_brand, cnt
+            FROM l FULL OUTER JOIN r ON l.partkey = r.partkey
         """,
         "events_pivot": """
             SELECT user_id,

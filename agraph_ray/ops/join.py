@@ -29,8 +29,11 @@ def cogroup_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                  on: Sequence[str], how: str = "inner",
                  num_buckets: int = 64,
                  schema: Optional[pa.Schema] = None) -> "ray.data.Dataset":
-    """Join two Datasets on ``on`` columns. ``how``: inner | left | semi |
-    anti (left-anti). Non-key column names must be disjoint."""
+    """Join two Datasets on ``on`` columns. ``how``: inner | left | right |
+    full | semi | anti (left-anti). Non-key column names must be disjoint.
+    Outer variants emit NULL for the absent side's columns (integer columns
+    pass through pandas' nullable Int dtypes so the pinned Arrow schema
+    keeps its integer types instead of drifting to float)."""
     import ray.data as rd
     on = list(on)
     lschema = left.schema()
@@ -80,7 +83,7 @@ def cogroup_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         ltypes = dict(zip(lschema.names, lschema.types))
         rtypes = dict(zip(rschema.names, rschema.types))
         fields = [(n, _pa_type(ltypes[n])) for n in lcols]
-        if how in ("inner", "left"):
+        if how in ("inner", "left", "right", "full"):
             fields += [(n, _pa_type(rtypes[n]))
                        for n in rcols if n not in on]
         schema = pa.schema(fields)
@@ -106,6 +109,23 @@ def cogroup_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             return l.merge(r, on=on, how="inner")
         if how == "left":
             return l.merge(r, on=on, how="left")
+        if how in ("right", "full"):
+            out = l.merge(r, on=on,
+                          how="right" if how == "right" else "outer")
+            # unmatched rows surface the other side's columns as NaN,
+            # which silently promotes ints to float64 — restore the
+            # pinned schema's integer/bool types via nullable dtypes
+            for f in schema:
+                if f.name in out.columns:
+                    d = out[f.name].dtype
+                    if d == "float64" or d == "float32":
+                        if pa.types.is_integer(f.type):
+                            out[f.name] = out[f.name].astype(
+                                str(f.type).capitalize().replace(
+                                    "Uint", "UInt"))
+                        elif pa.types.is_boolean(f.type):
+                            out[f.name] = out[f.name].astype("boolean")
+            return out
         if how == "semi":
             keys = r[on].drop_duplicates()
             return l.merge(keys, on=on, how="inner")

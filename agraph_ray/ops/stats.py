@@ -252,3 +252,74 @@ def grouped_quantiles(ds: "ray.data.Dataset", key: str, value_col: str,
     return bucketed_group_reduce(ds.select_columns([key, value_col]),
                                  [key], reduce_df, num_buckets,
                                  schema=schema)
+
+
+def rollup_agg(ds: "ray.data.Dataset", keys: Sequence[str],
+               value_col: Optional[str] = None,
+               num_buckets: int = 64) -> "ray.data.Dataset":
+    """SQL ``GROUP BY ROLLUP(*keys)``: ``cnt`` (and, with ``value_col``, an
+    exact integer ``sum_v``) at every rollup level — the finest
+    ``(k1..kn)``, each prefix ``(k1..ki, NULL...)``, and the grand total
+    (all keys NULL). The input is read ONCE: a per-batch combiner collapses
+    each batch to its distinct finest groups, one bucketed reduce finishes
+    the finest level, and every coarser level re-aggregates the finest
+    *result* (rows bounded by group cardinality, tiny next to the input) —
+    no second input pass, no extra wide shuffle. Pass an integer
+    ``value_col`` (pre-scale floats to cents) so sums are order-exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    vals = ["cnt"] + (["sum_v"] if value_col else [])
+    named = dict(zip(ds.schema().names, ds.schema().types))
+
+    def _as_pa(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    kfields = [(k, _as_pa(named[k])) for k in keys]
+    schema = pa.schema(kfields + [(c, pa.int64()) for c in vals])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        aggs = {"cnt": (keys[0], "size")}
+        if value_col:
+            aggs["sum_v"] = (value_col, "sum")
+        return g.agg(**aggs).reset_index()
+
+    def _resum(level_keys):
+        def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(level_keys, sort=False, dropna=False,
+                           as_index=False)[vals].sum()
+            for k in keys:
+                if k not in level_keys:
+                    g[k] = None
+            return g[keys + vals]
+        return reduce_df
+
+    cols = keys + ([value_col] if value_col else [])
+    finest = bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(partial, batch_format="pandas"),
+        keys, _resum(keys), num_buckets, schema=schema).materialize()
+
+    levels = [finest]
+    for i in range(len(keys) - 1, 0, -1):
+        levels.append(bucketed_group_reduce(
+            finest, keys[:i], _resum(keys[:i]), num_buckets=8,
+            schema=schema))
+
+    # grand total: a scalar reduce of the (small) finest result
+    tot = finest.aggregate(*[Sum(c, alias_name=c) for c in vals])
+    grand = pa.Table.from_pylist(
+        [{**{k: None for k in keys},
+          **{c: int(tot[c]) if tot[c] is not None else 0 for c in vals}}],
+        schema=schema)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.union(rd.from_arrow(grand))

@@ -168,6 +168,41 @@ def lag_delta(ds: "ray.data.Dataset", key: str, ts_col: str, id_col: str,
                                  schema=schema)
 
 
+def running_agg(ds: "ray.data.Dataset", key: str, ts_col: str, id_col: str,
+                value_col: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-event running aggregates over the key's full history ordered by
+    (timestamp, ``id_col``): 1-based row number and running min/max of
+    ``value_col`` — SQL ``ROW_NUMBER() / MIN() / MAX() OVER (PARTITION BY
+    key ORDER BY ts, id)``. Min/max are order-exact (no float accumulation
+    drift, unlike a running SUM). One hash shuffle on the key; per bucket
+    one sort + cython grouped cumcount/cummin/cummax over every key at
+    once."""
+    schema = pa.schema([(id_col, pa.int64()), (key, pa.int64()),
+                        ("ts_us", pa.int64()), ("row_num", pa.int64()),
+                        ("run_min", pa.float64()),
+                        ("run_max", pa.float64())])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], key: t[key],
+                         "ts_us": _ts_us(t[ts_col]),
+                         "v": pc.cast(t[value_col], pa.float64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "ts_us", id_col], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(), key: df[key].to_numpy(),
+            "ts_us": df["ts_us"].to_numpy(),
+            "row_num": (g.cumcount() + 1).to_numpy(),
+            "run_min": g["v"].cummin().to_numpy(),
+            "run_max": g["v"].cummax().to_numpy()})
+
+    evs = ds.select_columns([id_col, key, ts_col, value_col]).map_batches(
+        to_us, batch_format="pyarrow")
+    return bucketed_group_reduce(evs, [key], per_bucket, num_buckets,
+                                 schema=schema)
+
+
 SESSION_SCHEMA_COLS = ["user_id", "session_id", "n_events", "session_start",
                        "session_end", "duration_sec"]
 

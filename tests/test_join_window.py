@@ -290,3 +290,66 @@ def test_grouped_count_distinct(ray_session):
     out = {r["k"]: r["n_distinct"] for r in grouped_count_distinct(
         rd.from_items(rows), "k", "v").take_all()}
     assert out == {1: 3, 2: 1}
+
+
+def test_full_and_right_join(lr):
+    from agraph_ray.ops.join import cogroup_join
+    left, right = lr
+    full = cogroup_join(left, right, on=["k"], how="full").to_pandas()
+    # 1,4 left-only; 2,3x2 matched; 5 right-only
+    assert len(full) == 6
+    assert full[full["k"] == 5]["lv"].isna().all()
+    assert full[full["k"] == 1]["rv"].isna().all()
+    # int key survives as an integer dtype despite the NULL-bearing rows
+    assert str(full["k"].dtype).lower().startswith("int")
+    assert sorted(full["k"].tolist()) == [1, 2, 3, 3, 4, 5]
+    rj = cogroup_join(left, right, on=["k"], how="right").to_pandas()
+    assert sorted(rj["k"].tolist()) == [2, 3, 3, 5]
+    assert rj[rj["k"] == 5]["lv"].isna().all()
+
+
+def test_running_agg_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.window import running_agg
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 20, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "value": rng.normal(size=n)})
+    out = (running_agg(rd.from_pandas(df), key="user_id", ts_col="ts",
+                       id_col="event_id", value_col="value")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    ref = df.sort_values(["user_id", "ts", "event_id"])
+    g = ref.groupby("user_id", sort=False)
+    ref = ref.assign(row_num=g.cumcount() + 1,
+                     run_min=g["value"].cummin(),
+                     run_max=g["value"].cummax())
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert (out["row_num"] == ref["row_num"]).all()
+    assert np.allclose(out["run_min"], ref["run_min"])
+    assert np.allclose(out["run_max"], ref["run_max"])
+
+
+def test_rollup_agg_levels(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import rollup_agg
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", "q"],
+        "v": [1, 2, 3, 4, 5]})
+    out = rollup_agg(rd.from_pandas(df), ["a", "b"],
+                     value_col="v").to_pandas()
+    # 4 finest groups + 2 level-(a) rows + 1 grand total
+    assert len(out) == 7
+    grand = out[out["a"].isna() & out["b"].isna()]
+    assert grand["cnt"].iloc[0] == 5 and grand["sum_v"].iloc[0] == 15
+    lvl_a = out[out["a"].notna() & out["b"].isna()].set_index("a")
+    assert lvl_a.loc["x", "cnt"] == 2 and lvl_a.loc["x", "sum_v"] == 3
+    assert lvl_a.loc["y", "cnt"] == 3 and lvl_a.loc["y", "sum_v"] == 12
+    finest = out[out["b"].notna()].set_index(["a", "b"])
+    assert finest.loc[("y", "p"), "sum_v"] == 7
