@@ -869,6 +869,42 @@ def q_rollup_orders(sf_dir: str):
                       value_col="o_totalprice")
 
 
+def q_events_ranked(sf_dir: str):
+    """Ranking-function family per user over value cents: RANK /
+    DENSE_RANK / PERCENT_RANK / CUME_DIST (SQL tie semantics) plus a
+    deterministic NTILE(4) ordered by (value, event_id)."""
+    import ray.data as rd
+    from agraph_ray.ops.window import ranked_agg
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    return ranked_agg(_cents(ds, "value"), key="user_id",
+                      value_col="value", id_col="event_id", ntiles=4)
+
+
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(priority, status): count + exact cents sum for all
+    four grouping sets, input read once (coarser sets derived from the
+    finest aggregate)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import cube_agg
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderstatus",
+                                  "o_totalprice"])
+    return cube_agg(_cents(ds, "o_totalprice"),
+                    ["o_orderpriority", "o_orderstatus"],
+                    value_col="o_totalprice")
+
+
+def q_lineitem_price_hist(sf_dir: str):
+    """Fixed-width 22-bin histogram of l_extendedprice over [0, 110000) —
+    per-batch np.bincount combiner, O(nbins) rows through the shuffle."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import histogram
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    return histogram(ds, "l_extendedprice", lo=0.0, hi=110000.0, nbins=22)
+
+
 def q_full_outer_parts(sf_dir: str):
     """FULL OUTER co-group join: large parts (p_size >= 48) vs
     heavily-ordered partkeys (lineitem count >= 8) — unmatched rows
@@ -1347,6 +1383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "events_running": q_events_running,
         "rollup_orders": q_rollup_orders,
+        "events_ranked": q_events_ranked,
+        "cube_orders": q_cube_orders,
+        "lineitem_price_hist": q_lineitem_price_hist,
         "full_outer_parts": q_full_outer_parts,
         "events_click_attrib": q_events_click_attrib,
         "docs_tfidf": q_docs_tfidf,
@@ -1785,6 +1824,34 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_v
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "events_ranked": """
+            SELECT event_id, user_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume_dist,
+                   CAST(ntile(4) OVER wt AS BIGINT) AS tile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY floor(value * 100 + 0.5)),
+                   wt AS (PARTITION BY user_id
+                          ORDER BY floor(value * 100 + 0.5), event_id)
+        """,
+        "cube_orders": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_v
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "lineitem_price_hist": """
+            WITH b AS (SELECT LEAST(GREATEST(CAST(floor(
+                           l_extendedprice / 5000.0) AS BIGINT), 0), 21)
+                       AS bin FROM lineitem)
+            SELECT bin, bin * 5000.0 AS bin_lo, count(*) AS cnt
+            FROM b GROUP BY bin
         """,
         "full_outer_parts": """
             WITH l AS (SELECT p_partkey AS partkey, p_brand

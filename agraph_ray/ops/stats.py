@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.common import bucketed_group_reduce
 
@@ -323,3 +324,111 @@ def rollup_agg(ds: "ray.data.Dataset", keys: Sequence[str],
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out.union(rd.from_arrow(grand))
+
+
+def cube_agg(ds: "ray.data.Dataset", keys: Sequence[str],
+             value_col: Optional[str] = None,
+             num_buckets: int = 64) -> "ray.data.Dataset":
+    """SQL ``GROUP BY CUBE(*keys)``: ``cnt`` (and, with an integer
+    ``value_col``, an exact ``sum_v``) for EVERY subset of the keys —
+    2^n grouping sets. Same one-input-pass shape as :func:`rollup_agg`:
+    the finest level is computed with a per-batch combiner + one bucketed
+    reduce, and every other grouping set re-aggregates the finest
+    *result* (bounded by group cardinality), so adding 2^n - 1 levels
+    costs no extra wide shuffle over the input."""
+    import itertools
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    vals = ["cnt"] + (["sum_v"] if value_col else [])
+    named = dict(zip(ds.schema().names, ds.schema().types))
+
+    def _as_pa(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    schema = pa.schema([(k, _as_pa(named[k])) for k in keys]
+                       + [(c, pa.int64()) for c in vals])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        aggs = {"cnt": (keys[0], "size")}
+        if value_col:
+            aggs["sum_v"] = (value_col, "sum")
+        return g.agg(**aggs).reset_index()
+
+    def _resum(level_keys):
+        def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(level_keys, sort=False, dropna=False,
+                           as_index=False)[vals].sum()
+            for k in keys:
+                if k not in level_keys:
+                    g[k] = None
+            return g[keys + vals]
+        return reduce_df
+
+    cols = keys + ([value_col] if value_col else [])
+    finest = bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(partial, batch_format="pandas"),
+        keys, _resum(keys), num_buckets, schema=schema).materialize()
+
+    levels = [finest]
+    for size in range(len(keys) - 1, 0, -1):
+        for subset in itertools.combinations(keys, size):
+            levels.append(bucketed_group_reduce(
+                finest, list(subset), _resum(list(subset)), num_buckets=8,
+                schema=schema))
+
+    tot = finest.aggregate(*[Sum(c, alias_name=c) for c in vals])
+    grand = pa.Table.from_pylist(
+        [{**{k: None for k in keys},
+          **{c: int(tot[c]) if tot[c] is not None else 0 for c in vals}}],
+        schema=schema)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.union(rd.from_arrow(grand))
+
+
+def histogram(ds: "ray.data.Dataset", value_col: str, lo: float, hi: float,
+              nbins: int) -> "ray.data.Dataset":
+    """Fixed-width histogram of ``value_col`` over [lo, hi): one row per
+    non-empty bin ``(bin, bin_lo, cnt)``; values outside the range clamp
+    into the edge bins. Each batch collapses to <= nbins partial rows via
+    ``np.bincount`` (the combiner), so the shuffle moves O(nbins x
+    num_blocks) tiny rows regardless of input size."""
+    width = (hi - lo) / nbins
+    schema = pa.schema([("bin", pa.int64()), ("bin_lo", pa.float64()),
+                        ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        b = np.clip(np.floor((v - lo) / width).astype(np.int64), 0,
+                    nbins - 1)
+        cnt = np.bincount(b, minlength=nbins)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_arrays(
+            [pa.array(nz, pa.int64()),
+             pa.array(cnt[nz], pa.int64())], names=["bin", "cnt"])
+
+    from ray.data.aggregate import Sum
+    agg = (ds.select_columns([value_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("bin").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(b, pa.int64()), pa.array(lo + b * width),
+             pc.cast(t["cnt"], pa.int64())],
+            names=["bin", "bin_lo", "cnt"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")

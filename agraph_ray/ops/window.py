@@ -203,6 +203,60 @@ def running_agg(ds: "ray.data.Dataset", key: str, ts_col: str, id_col: str,
                                  schema=schema)
 
 
+def ranked_agg(ds: "ray.data.Dataset", key: str, value_col: str,
+               id_col: str, ntiles: int = 4,
+               num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-row ranking functions over each key's partition ordered by
+    ``value_col`` — SQL ``RANK() / DENSE_RANK() / PERCENT_RANK() /
+    CUME_DIST() OVER (PARTITION BY key ORDER BY v)`` plus
+    ``NTILE(ntiles)`` ordered by ``(v, id)`` (ties broken so the tile
+    assignment is deterministic; the rank family keeps SQL tie
+    semantics). One hash shuffle on the key; per bucket one mergesort +
+    cython grouped ranks over every key at once.
+
+    ``percent_rank``/``cume_dist`` are exact double divisions of the same
+    integers DuckDB divides, so they hash-match bit-for-bit."""
+    schema = pa.schema([(id_col, pa.int64()), (key, pa.int64()),
+                        ("v", pa.int64()), ("rnk", pa.int64()),
+                        ("dense_rnk", pa.int64()),
+                        ("pct_rank", pa.float64()),
+                        ("cume_dist", pa.float64()),
+                        ("tile", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], key: t[key],
+                         "v": pc.cast(t[value_col], pa.int64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "v", id_col], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        n = g[key].transform("size").to_numpy(dtype=np.int64)
+        rnk = g["v"].rank(method="min").to_numpy().astype(np.int64)
+        dense = g["v"].rank(method="dense").to_numpy().astype(np.int64)
+        rmax = g["v"].rank(method="max").to_numpy().astype(np.int64)
+        pct = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1), 0.0)
+        cume = rmax / n
+        # NTILE over 0-based in-partition position `pos`: the first
+        # (n % b) tiles get (n // b + 1) rows, the rest n // b.
+        pos = g.cumcount().to_numpy(dtype=np.int64)
+        b = ntiles
+        q, r = n // b, n % b
+        big_span = r * (q + 1)
+        tile = np.where(
+            pos < big_span,
+            pos // np.maximum(q + 1, 1) + 1,
+            r + (pos - big_span) // np.maximum(q, 1) + 1)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(), key: df[key].to_numpy(),
+            "v": df["v"].to_numpy(), "rnk": rnk, "dense_rnk": dense,
+            "pct_rank": pct, "cume_dist": cume, "tile": tile})
+
+    evs = ds.select_columns([id_col, key, value_col]).map_batches(
+        prep, batch_format="pyarrow")
+    return bucketed_group_reduce(evs, [key], per_bucket, num_buckets,
+                                 schema=schema)
+
+
 SESSION_SCHEMA_COLS = ["user_id", "session_id", "n_events", "session_start",
                        "session_end", "duration_sec"]
 

@@ -353,3 +353,75 @@ def test_rollup_agg_levels(ray_session):
     assert lvl_a.loc["y", "cnt"] == 3 and lvl_a.loc["y", "sum_v"] == 12
     finest = out[out["b"].notna()].set_index(["a", "b"])
     assert finest.loc[("y", "p"), "sum_v"] == 7
+
+
+def test_cube_agg_all_grouping_sets(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import cube_agg
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", "q"],
+        "v": [1, 2, 3, 4, 5]})
+    out = cube_agg(rd.from_pandas(df), ["a", "b"], value_col="v").to_pandas()
+    # 4 finest + 2 (a) + 2 (b) + 1 grand = 9 rows
+    assert len(out) == 9
+    lvl_b = out[out["a"].isna() & out["b"].notna()].set_index("b")
+    assert lvl_b.loc["p", "cnt"] == 3 and lvl_b.loc["p", "sum_v"] == 8
+    assert lvl_b.loc["q", "cnt"] == 2 and lvl_b.loc["q", "sum_v"] == 7
+    grand = out[out["a"].isna() & out["b"].isna()]
+    assert grand["cnt"].iloc[0] == 5 and grand["sum_v"].iloc[0] == 15
+
+
+def test_ranked_agg_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.window import ranked_agg
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 13, n),
+        # few distinct values -> plenty of rank ties
+        "value": rng.integers(0, 9, n).astype("int64")})
+    out = (ranked_agg(rd.from_pandas(df), key="user_id", value_col="value",
+                      id_col="event_id", ntiles=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    ref = df.sort_values(["user_id", "value", "event_id"])
+    g = ref.groupby("user_id", sort=False)
+    nn = g["value"].transform("size")
+    rmin = g["value"].rank(method="min")
+    ref = ref.assign(
+        rnk=rmin.astype("int64"),
+        dense_rnk=g["value"].rank(method="dense").astype("int64"),
+        pct_rank=np.where(nn > 1, (rmin - 1) / (nn - 1).clip(lower=1), 0.0),
+        cume_dist=g["value"].rank(method="max") / nn,
+    ).sort_values("event_id").reset_index(drop=True)
+    for c in ["rnk", "dense_rnk"]:
+        assert (out[c] == ref[c]).all(), c
+    for c in ["pct_rank", "cume_dist"]:
+        assert np.allclose(out[c], ref[c]), c
+    # ntile: per user tiles are 1..4, sizes differ by at most one and are
+    # non-increasing in tile order
+    for _, grp in out.groupby("user_id"):
+        sizes = grp["tile"].value_counts().sort_index()
+        assert sizes.index.min() == 1
+        assert sizes.max() - sizes.min() <= 1
+        assert (sizes.diff().dropna() <= 0).all()
+
+
+def test_histogram_counts(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import histogram
+    rng = np.random.default_rng(3)
+    v = np.concatenate([rng.uniform(0, 100, 3000), [-5.0, 105.0]])
+    out = (histogram(rd.from_pandas(pd.DataFrame({"v": v})), "v",
+                     lo=0.0, hi=100.0, nbins=10)
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    ref = np.bincount(np.clip((v // 10).astype(int), 0, 9), minlength=10)
+    assert out["cnt"].sum() == len(v)
+    assert (out["cnt"].to_numpy() == ref[out["bin"].to_numpy()]).all()
+    assert np.allclose(out["bin_lo"], out["bin"] * 10.0)
