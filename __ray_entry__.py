@@ -905,6 +905,70 @@ def q_lineitem_price_hist(sf_dir: str):
     return histogram(ds, "l_extendedprice", lo=0.0, hi=110000.0, nbins=22)
 
 
+def _coorder_part_edges(sf_dir: str):
+    """Distinct undirected (a, b) part pairs co-occurring in an order —
+    the co-occurrence edge builder over SQL-checkable input."""
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import pairs_within_groups
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    return pairs_within_groups(li, group_col="l_orderkey",
+                               item_col="l_partkey")
+
+
+def q_part_triangles(sf_dir: str):
+    """Exact per-part triangle counts over the co-ordered-parts graph —
+    degree-ordered distributed node-iterator (no all-pairs step)."""
+    from agraph_ray.ops.graph_algo import triangle_counts
+    return triangle_counts(_coorder_part_edges(sf_dir))
+
+
+def q_supplier_components(sf_dir: str):
+    """Connected components (min-label) of the sparse supplier–part
+    bipartite graph restricted to l_quantity = 50 lineitems — the
+    union-find/label-propagation core on SQL-checkable input (DuckDB
+    oracle: recursive-CTE transitive closure)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from agraph_ray.state.unionfind import connected_components
+
+    def to_edges(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        s = pc.binary_join_element_wise(
+            "s", pc.cast(t["l_suppkey"], pa.string()), "")
+        p = pc.binary_join_element_wise(
+            "p", pc.cast(t["l_partkey"], pa.string()), "")
+        return pa.table({"src": s, "dst": p}).group_by(
+            ["src", "dst"]).aggregate([])
+
+    edges = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_suppkey", "l_partkey"],
+                             filter=pads.field("l_quantity") == 50.0)
+             .map_batches(to_edges, batch_format="pyarrow"))
+    return connected_components(edges)
+
+
+def q_part_pagerank(sf_dir: str):
+    """PageRank over the co-ordered-parts graph (each undirected edge as
+    two directed edges), 20 power-iteration rounds, dangling mass
+    redistributed. Iterative float fixpoint — not SQL-expressible, so
+    rows-only; exactness is pytest-pinned against a dense numpy
+    power iteration."""
+    import pyarrow as pa
+    from agraph_ray.ops.graph_algo import pagerank
+
+    def both_dirs(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "src": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["b"].combine_chunks(),
+                                     t["a"].combine_chunks()])})
+
+    edges = _coorder_part_edges(sf_dir).map_batches(
+        both_dirs, batch_format="pyarrow")
+    return pagerank(edges, damping=0.85, iters=20)
+
+
 def q_full_outer_parts(sf_dir: str):
     """FULL OUTER co-group join: large parts (p_size >= 48) vs
     heavily-ordered partkeys (lineitem count >= 8) — unmatched rows
@@ -1386,6 +1450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ranked": q_events_ranked,
         "cube_orders": q_cube_orders,
         "lineitem_price_hist": q_lineitem_price_hist,
+        "part_triangles": q_part_triangles,
+        "supplier_components": q_supplier_components,
+        "part_pagerank": q_part_pagerank,
         "full_outer_parts": q_full_outer_parts,
         "events_click_attrib": q_events_click_attrib,
         "docs_tfidf": q_docs_tfidf,
@@ -1852,6 +1919,33 @@ def oracle_sql() -> dict[str, str]:
                        AS bin FROM lineitem)
             SELECT bin, bin * 5000.0 AS bin_lo, count(*) AS cnt
             FROM b GROUP BY bin
+        """,
+        "part_triangles": """
+            WITH e AS (SELECT DISTINCT l1.l_partkey AS a,
+                                       l2.l_partkey AS b
+                       FROM lineitem l1 JOIN lineitem l2
+                         ON l1.l_orderkey = l2.l_orderkey
+                        AND l1.l_partkey < l2.l_partkey),
+                 t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                       FROM e e1
+                       JOIN e e2 ON e2.a = e1.b
+                       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+                 c AS (SELECT x AS node FROM t
+                       UNION ALL SELECT y FROM t
+                       UNION ALL SELECT z FROM t)
+            SELECT node, count(*) AS n_tri FROM c GROUP BY node
+        """,
+        "supplier_components": """
+            WITH RECURSIVE
+              e AS (SELECT DISTINCT 's' || l_suppkey AS a,
+                                    'p' || l_partkey AS b
+                    FROM lineitem WHERE l_quantity = 50),
+              ee AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+              reach(n, lbl) AS (
+                SELECT a, a FROM ee
+                UNION
+                SELECT ee.b, r.lbl FROM reach r JOIN ee ON ee.a = r.n)
+            SELECT n AS node, min(lbl) AS label FROM reach GROUP BY n
         """,
         "full_outer_parts": """
             WITH l AS (SELECT p_partkey AS partkey, p_brand

@@ -1,0 +1,442 @@
+"""Distributed graph algorithms over edge-list Datasets.
+
+Complements the KG-side graph utilities (ops/graph.py, state/unionfind.py)
+with the classic large-graph kernels a training-data / analytics engine
+needs: co-occurrence edge building, exact triangle counting, and PageRank.
+All three follow the repo's shuffle discipline — per-batch combiners before
+every wide step, ``bucketed_group_reduce`` with vectorized pandas bodies
+instead of per-key ``map_groups``, and small sides broadcast via
+``ray.put`` with a size-guarded fallback to a co-grouped shuffle join.
+
+Reference parity: the reference keeps whole graphs in one process
+(networkx-style dict graphs, agraph/graph/knowledge_graph.py); these
+kernels are the scale-out replacements for its degree / connectivity
+analytics (agraph/graph/operations.py) on graphs that exceed one heap.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.common import bucketed_group_reduce, distinct_on
+
+__all__ = ["pairs_within_groups", "triangle_counts", "pagerank"]
+
+
+def pairs_within_groups(ds: "ray.data.Dataset", group_col: str,
+                        item_col: str, max_group: int = 10_000,
+                        num_buckets: int = 64) -> "ray.data.Dataset":
+    """Distinct unordered co-occurrence pairs ``(a, b)`` (a < b) of items
+    sharing a group — e.g. parts appearing in the same order. One hash
+    shuffle on the group id; per bucket one lexsort + per-size-class
+    ``triu_indices`` expansion (no per-group Python dispatch). Groups
+    larger than ``max_group`` are truncated to their ``max_group``
+    smallest items (quadratic blowup guard; log-worthy at call sites)."""
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def dedup_in_batch(t: pa.Table) -> pa.Table:
+        # combiner: drop duplicate (group, item) rows before the shuffle
+        return pa.Table.from_pandas(
+            t.select([group_col, item_col]).to_pandas()
+            .drop_duplicates([group_col, item_col]), preserve_index=False)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        g = df[group_col].to_numpy(dtype=np.int64)
+        v = df[item_col].to_numpy(dtype=np.int64)
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.minimum(np.diff(np.append(starts, n)), max_group)
+        out_a, out_b = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            st = starts[sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_a.append(v[(st[:, None] + iu[None, :]).reshape(-1)])
+            out_b.append(v[(st[:, None] + ju[None, :]).reshape(-1)])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        keep = a != b          # dedup_in_batch makes this vacuous; belt
+        return (pd.DataFrame({"a": a[keep], "b": b[keep]})
+                .drop_duplicates())
+
+    cand = bucketed_group_reduce(
+        ds.select_columns([group_col, item_col])
+        .map_batches(dedup_in_batch, batch_format="pyarrow"),
+        [group_col], pairs, num_buckets, schema=pair_schema)
+    return distinct_on(cand, ["a", "b"])
+
+
+def _degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(node, deg) over undirected distinct edges (a < b) — per-batch
+    bincount combiner, one small groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "d": pa.array(c, pa.int64())})
+
+    return (edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("d", alias_name="deg")))
+
+
+def triangle_counts(edges: "ray.data.Dataset",
+                    deg_broadcast_cap: int = 20_000_000,
+                    num_buckets: int = 128) -> "ray.data.Dataset":
+    """Exact per-node triangle counts over an undirected edge list
+    ``(a, b)`` (any order, duplicates tolerated) → ``(node, n_tri)`` for
+    every node in at least one triangle.
+
+    Degree-ordered node-iterator algorithm (the MapReduce classic from
+    Suri & Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): orient each edge from its lower-(deg, id) endpoint
+    to the higher, emit "wedges" only between a node's *out*-neighbors
+    (bounding per-node work by O(sqrt(m)) out-degree, total wedge volume
+    by O(m^1.5)), and close wedges against the oriented edge set with one
+    hash co-group — no all-pairs step anywhere.
+
+    The (node → degree) lookup is broadcast once via ``ray.put`` as two
+    sorted numpy arrays when |V| <= ``deg_broadcast_cap`` (160 MB at the
+    cap), else attached with two co-grouped shuffle joins. Node ids must
+    fit in uint32 (packed (deg << 32 | id) orientation key)."""
+    import ray
+
+    from .join import cogroup_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return (pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+                .to_pandas().drop_duplicates().pipe(
+                    pa.Table.from_pandas, preserve_index=False))
+
+    und = distinct_on(
+        edges.select_columns(["a", "b"]).map_batches(
+            norm, batch_format="pyarrow"),
+        ["a", "b"]).materialize()
+    deg = _degree_table(und).materialize()
+    n_nodes = deg.count()
+
+    if n_nodes <= deg_broadcast_cap:
+        ids = np.empty(n_nodes, dtype=np.int64)
+        ds_ = np.empty(n_nodes, dtype=np.int64)
+        off = 0
+        for bt in deg.sort("node").iter_batches(batch_format="pyarrow"):
+            k = len(bt)
+            ids[off:off + k] = bt["node"].to_numpy(zero_copy_only=False)
+            ds_[off:off + k] = bt["deg"].to_numpy(zero_copy_only=False)
+            off += k
+        ref = ray.put((ids, ds_))
+
+        def orient(t: pa.Table) -> pa.Table:
+            nid, ndeg = ray.get(ref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            da = ndeg[np.searchsorted(nid, a)]
+            db = ndeg[np.searchsorted(nid, b)]
+            orda = (da.astype(np.uint64) << np.uint64(32)) | a.astype(np.uint64)
+            ordb = (db.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+            a_first = orda < ordb
+            return pa.table({
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+                "dord": pa.array(np.where(a_first, ordb, orda)
+                                 .astype(np.int64))})
+
+        oriented = und.map_batches(orient, batch_format="pyarrow")
+    else:
+        # shuffle-join path: attach deg to each endpoint, then orient.
+        # (explicit pyarrow rename: Ray 2.49's Dataset.rename_columns
+        # calls .rename_columns on the raw block and breaks on pandas
+        # blocks, which bucketed reduces emit)
+        def _ren(ds2, mapping):
+            def f(t: pa.Table) -> pa.Table:
+                return t.rename_columns(
+                    [mapping.get(c, c) for c in t.column_names])
+            return ds2.map_batches(f, batch_format="pyarrow")
+
+        withdeg = _ren(cogroup_join(
+            _ren(und, {"a": "node"}), deg, on=["node"],
+            how="inner"), {"node": "a", "deg": "da"})
+        withdeg = _ren(cogroup_join(
+            _ren(withdeg, {"b": "node"}), deg, on=["node"],
+            how="inner"), {"node": "b", "deg": "db"})
+
+        def orient2(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            da = t["da"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            db = t["db"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            orda = (da << np.uint64(32)) | a.astype(np.uint64)
+            ordb = (db << np.uint64(32)) | b.astype(np.uint64)
+            a_first = orda < ordb
+            return pa.table({
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+                "dord": pa.array(np.where(a_first, ordb, orda)
+                                 .astype(np.int64))})
+
+        oriented = withdeg.map_batches(orient2, batch_format="pyarrow")
+
+    oriented = oriented.materialize()   # consumed by wedges AND closing
+
+    wedge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64()),
+                              ("u", pa.int64())])
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        """All out-neighbor pairs per center, pair ordered by the
+        orientation key so the wedge key (x, y) matches the oriented
+        edge (src, dst) exactly."""
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("x", "y", "u")})
+        src = df["src"].to_numpy(dtype=np.int64)
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        dord = df["dord"].to_numpy(dtype=np.int64)
+        order = np.lexsort((dord, src))
+        src, dst = src[order], dst[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        xs, ys, us = [], [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            st = starts[sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            xs.append(dst[(st[:, None] + iu[None, :]).reshape(-1)])
+            ys.append(dst[(st[:, None] + ju[None, :]).reshape(-1)])
+            us.append(np.repeat(src[st], len(iu)))
+        if not xs:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("x", "y", "u")})
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys),
+                             "u": np.concatenate(us)})
+
+    wedge_rows = bucketed_group_reduce(oriented, ["src"], wedges,
+                                       num_buckets, schema=wedge_schema)
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table({"x": t["src"], "y": t["dst"],
+                         "u": pa.nulls(len(t), pa.int64())})
+
+    cnt_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        """Per bucket: match wedges against the edge set and collapse the
+        three corners of each closed triangle to partial counts."""
+        is_edge = df["u"].isna()
+        edge_keys = pd.MultiIndex.from_frame(df.loc[is_edge, ["x", "y"]])
+        w = df.loc[~is_edge]
+        hit = pd.MultiIndex.from_frame(w[["x", "y"]]).isin(edge_keys)
+        tri = w.loc[hit]
+        if len(tri) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        corners = np.concatenate([tri["x"].to_numpy(dtype=np.int64),
+                                  tri["y"].to_numpy(dtype=np.int64),
+                                  tri["u"].to_numpy(dtype=np.int64)])
+        u, c = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"node": u, "c": c})
+
+    from ray.data.aggregate import Sum
+    tagged = wedge_rows.union(
+        oriented.map_batches(tag_edge, batch_format="pyarrow"))
+    partial = bucketed_group_reduce(tagged, ["x", "y"], close, num_buckets,
+                                    schema=cnt_schema)
+    return (partial.groupby("node").aggregate(Sum("c", alias_name="n_tri")))
+
+
+def _driver_pagerank(ed: "ray.data.Dataset", damping: float, iters: int,
+                     round_to: Optional[int]) -> "ray.data.Dataset":
+    """Exact numpy power iteration for edge sets that fit the driver —
+    a label-propagation-style distributed round costs several
+    whole-cluster executions, pure overhead for a few-million-edge
+    graph (same size-adaptive rationale as state/unionfind.py)."""
+    import ray.data as rd
+    srcs, dsts = [], []
+    for b in ed.iter_batches(batch_format="pyarrow"):
+        srcs.append(b["src"].to_numpy(zero_copy_only=False))
+        dsts.append(b["dst"].to_numpy(zero_copy_only=False))
+    src = np.concatenate(srcs).astype(np.int64)
+    dst = np.concatenate(dsts).astype(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    if n == 0:
+        return rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.float64())}))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=n)
+    sinks = outdeg == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = r[si] / outdeg[si]
+        insum = np.bincount(di, weights=contrib, minlength=n)
+        dang = r[sinks].sum()
+        r = (1.0 - damping) / n + damping * (insum + dang / n)
+    if round_to is not None:
+        r = np.round(r, round_to)
+    return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()),
+                                   "rank": pa.array(r, pa.float64())}))
+
+
+def pagerank(edges: "ray.data.Dataset", damping: float = 0.85,
+             iters: int = 20, src_col: str = "src", dst_col: str = "dst",
+             num_buckets: int = 64, round_to: Optional[int] = 8,
+             driver_threshold: int = 5_000_000,
+             assume_no_dangling: bool = False) -> "ray.data.Dataset":
+    """Exact power-iteration PageRank over a directed edge list →
+    ``(node, rank)`` for every node incident to an edge. Dangling mass
+    (nodes with no out-edges) is redistributed uniformly each round, so
+    ranks sum to 1.
+
+    Size-adaptive: at or below ``driver_threshold`` edges, one numpy
+    power iteration on the driver (a distributed round is several
+    whole-cluster executions — pure overhead for small graphs). Above
+    it, per round: one bucketed shuffle keyed on the source node (every
+    edge picks up its source's current rank/out-degree and emits a
+    contribution to its destination — a vectorized per-bucket merge, no
+    per-node dispatch) and one keyed on the destination (sum + damping).
+    The edge set is materialized once and re-streamed each round; rank
+    state is O(|V|) rows. Iteration count is fixed (deterministic
+    results), the standard 10-30 rounds of web-graph practice.
+    ``assume_no_dangling=True`` skips the per-round dangling-mass pass
+    (correct for symmetrized/undirected graphs, where every node has an
+    out-edge)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    # explicit pyarrow select+rename (Dataset.rename_columns breaks on
+    # pandas blocks in Ray 2.49)
+    ed = (edges.select_columns([src_col, dst_col])
+          .map_batches(lambda t: t.rename_columns(["src", "dst"]),
+                       batch_format="pyarrow")
+          .materialize())
+    if ed.count() <= driver_threshold:
+        return _driver_pagerank(ed, damping, iters, round_to)
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u_all = np.unique(np.concatenate([s, d]))
+        us, cs = np.unique(s, return_counts=True)
+        out = np.zeros(len(u_all), dtype=np.int64)
+        out[np.searchsorted(u_all, us)] = cs
+        return pa.table({"node": pa.array(u_all, pa.int64()),
+                         "o": pa.array(out, pa.int64())})
+
+    state = (ed.map_batches(node_partial, batch_format="pyarrow")
+             .groupby("node").aggregate(Sum("o", alias_name="outdeg"))
+             .materialize())
+    n = state.count()
+    if n == 0:
+        return rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.float64())}))
+
+    r0 = 1.0 / n
+    state = state.map_batches(
+        lambda t: t.append_column("rank", pa.array(
+            np.full(len(t), r0), pa.float64())),
+        batch_format="pyarrow").materialize()
+
+    msg_schema = pa.schema([("node", pa.int64()), ("w", pa.float64()),
+                            ("outdeg", pa.int64())])
+    state_schema = pa.schema([("node", pa.int64()), ("outdeg", pa.int64()),
+                              ("rank", pa.float64())])
+
+    def tag_state(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["node"], "dst": pa.nulls(len(t), pa.int64()),
+                         "rank": t["rank"], "outdeg": t["outdeg"]})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["src"], "dst": t["dst"],
+                         "rank": pa.nulls(len(t), pa.float64()),
+                         "outdeg": pa.nulls(len(t), pa.int64())})
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        """Every edge learns its source's rank/outdeg; the state row
+        re-emits itself with w=0 so sinks and no-inbound nodes survive."""
+        selfs = df.loc[df["dst"].isna(), ["key", "rank", "outdeg"]]
+        reqs = df.loc[df["dst"].notna(), ["key", "dst"]]
+        m = reqs.merge(selfs, on="key", how="inner")
+        give = m["rank"].to_numpy() / m["outdeg"].to_numpy()
+        # combiner: collapse same-destination contributions in-bucket
+        part = (pd.DataFrame({"node": m["dst"].astype("int64"), "w": give})
+                .groupby("node", as_index=False)["w"].sum())
+        part["outdeg"] = pd.array([None] * len(part), dtype="Int64")
+        keep = pd.DataFrame({"node": selfs["key"].astype("int64"),
+                             "w": 0.0,
+                             "outdeg": pd.array(selfs["outdeg"],
+                                                dtype="Int64")})
+        return pd.concat([part, keep], ignore_index=True)
+
+    for _ in range(iters):
+        if assume_no_dangling:
+            base = (1.0 - damping) / n
+        else:
+            dang = state.map_batches(
+                lambda t: pa.table({"dm": pa.array(
+                    [float(np.where(
+                        t["outdeg"].to_numpy(zero_copy_only=False) == 0,
+                        t["rank"].to_numpy(zero_copy_only=False),
+                        0.0).sum())],
+                    pa.float64())}),
+                batch_format="pyarrow").aggregate(Sum("dm", alias_name="dm"))
+            base = ((1.0 - damping) / n
+                    + damping * float(dang["dm"] or 0.0) / n)
+
+        tagged = (state.map_batches(tag_state, batch_format="pyarrow")
+                  .union(ed.map_batches(tag_edge, batch_format="pyarrow")))
+        msgs = bucketed_group_reduce(tagged, ["key"], contrib, num_buckets,
+                                     schema=msg_schema)
+
+        def resolve(df: pd.DataFrame, _base=base) -> pd.DataFrame:
+            g = df.groupby("node", sort=False)
+            insum = g["w"].sum()
+            od = g["outdeg"].max()    # exactly one non-null per node
+            return pd.DataFrame({
+                "node": insum.index.to_numpy(),
+                "outdeg": od.to_numpy(dtype="float64").astype("int64"),
+                "rank": _base + damping * insum.to_numpy()})
+
+        state = bucketed_group_reduce(msgs, ["node"], resolve, num_buckets,
+                                      schema=state_schema).materialize()
+
+    out = state.select_columns(["node", "rank"])
+    if round_to is not None:
+        out = out.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "rank": pc.round(t["rank"],
+                                                 ndigits=round_to)}),
+            batch_format="pyarrow")
+    return out

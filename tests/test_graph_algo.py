@@ -1,0 +1,125 @@
+"""Graph-kernel tests: co-occurrence pairs, triangle counts, PageRank.
+
+Distributed paths are forced with threshold=0 / the shuffle-join branch and
+compared against brute-force numpy references on random graphs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _random_edges(n_nodes: int, n_edges: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    return pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+
+def _brute_triangles(df: pd.DataFrame) -> dict:
+    adj = {}
+    for a, b in zip(df["a"], df["b"]):
+        lo, hi = (a, b) if a < b else (b, a)
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    counts = {}
+    seen = set()
+    for u, nb in adj.items():
+        for v in nb:
+            if v <= u:
+                continue
+            for w in adj[v]:
+                if w <= v or w not in nb:
+                    continue
+                key = (u, v, w)
+                if key in seen:
+                    continue
+                seen.add(key)
+                for x in key:
+                    counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def test_pairs_within_groups(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import pairs_within_groups
+    df = pd.DataFrame({"g": [1, 1, 1, 2, 2, 3, 1],
+                       "v": [10, 11, 12, 10, 20, 5, 10]})
+    out = (pairs_within_groups(rd.from_pandas(df), "g", "v")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    exp = {(10, 11), (10, 12), (11, 12), (10, 20)}
+    got = set(zip(out["a"], out["b"]))
+    assert got == exp
+
+
+def test_triangle_counts_vs_brute(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import triangle_counts
+    df = _random_edges(60, 400, seed=5)
+    exp = _brute_triangles(df)
+    out = triangle_counts(rd.from_pandas(df)).to_pandas()
+    got = dict(zip(out["node"], out["n_tri"]))
+    assert got == exp
+
+
+def test_triangle_counts_shuffle_join_path(ray_session):
+    """deg_broadcast_cap=0 forces the cogroup-join degree attachment."""
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import triangle_counts
+    df = _random_edges(40, 200, seed=9)
+    exp = _brute_triangles(df)
+    out = triangle_counts(rd.from_pandas(df),
+                          deg_broadcast_cap=0).to_pandas()
+    got = dict(zip(out["node"], out["n_tri"]))
+    assert got == exp
+
+
+def _dense_pagerank(df: pd.DataFrame, damping: float, iters: int):
+    nodes = np.unique(np.concatenate([df["src"], df["dst"]]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, df["src"].to_numpy())
+    di = np.searchsorted(nodes, df["dst"].to_numpy())
+    outdeg = np.bincount(si, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = r[si] / outdeg[si]
+        insum = np.bincount(di, weights=contrib, minlength=n)
+        dang = r[outdeg == 0].sum()
+        r = (1 - damping) / n + damping * (insum + dang / n)
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_driver_path(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import pagerank
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"src": rng.integers(0, 30, 200),
+                       "dst": rng.integers(0, 30, 200)})
+    exp = _dense_pagerank(df, 0.85, 15)
+    out = pagerank(rd.from_pandas(df), damping=0.85, iters=15,
+                   round_to=None).to_pandas()
+    got = dict(zip(out["node"], out["rank"]))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_distributed_matches_driver(ray_session):
+    """driver_threshold=0 forces the shuffle rounds; ranks must match the
+    dense reference (dangling nodes included)."""
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import pagerank
+    rng = np.random.default_rng(4)
+    # include guaranteed sinks: nodes 50..54 never appear as src
+    df = pd.DataFrame({"src": rng.integers(0, 50, 300),
+                       "dst": rng.integers(0, 55, 300)})
+    exp = _dense_pagerank(df, 0.85, 8)
+    out = pagerank(rd.from_pandas(df), damping=0.85, iters=8,
+                   round_to=None, driver_threshold=0).to_pandas()
+    got = dict(zip(out["node"], out["rank"]))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9
