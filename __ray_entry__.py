@@ -905,6 +905,16 @@ def q_lineitem_price_hist(sf_dir: str):
     return histogram(ds, "l_extendedprice", lo=0.0, hi=110000.0, nbins=22)
 
 
+def q_docs_unigram_lp(sf_dir: str):
+    """Per-document average log-likelihood under the corpus's own unigram
+    LM (micro-scaled integer) — the cheap LM-quality signal."""
+    import ray.data as rd
+    from agraph_ray.ops.text import unigram_logprob
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
 def _coorder_part_edges(sf_dir: str):
     """Distinct undirected (a, b) part pairs co-occurring in an order —
     the co-occurrence edge builder over SQL-checkable input."""
@@ -1450,6 +1460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ranked": q_events_ranked,
         "cube_orders": q_cube_orders,
         "lineitem_price_hist": q_lineitem_price_hist,
+        "docs_unigram_lp": q_docs_unigram_lp,
         "part_triangles": q_part_triangles,
         "supplier_components": q_supplier_components,
         "part_pagerank": q_part_pagerank,
@@ -1919,6 +1930,18 @@ def oracle_sql() -> dict[str, str]:
                        AS bin FROM lineitem)
             SELECT bin, bin * 5000.0 AS bin_lo, count(*) AS cnt
             FROM b GROUP BY bin
+        """,
+        "docs_unigram_lp": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                          FROM documents),
+                 cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+                 tot AS (SELECT count(*) AS t FROM toks)
+            SELECT toks.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(floor(avg(ln(cnt.c / CAST(tot.t AS DOUBLE)))
+                              * 1000000 + 0.5) AS BIGINT) AS lp_micro
+            FROM toks, tot JOIN cnt ON toks.w = cnt.w
+            GROUP BY toks.doc_id
         """,
         "part_triangles": """
             WITH e AS (SELECT DISTINCT l1.l_partkey AS a,

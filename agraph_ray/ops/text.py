@@ -152,8 +152,128 @@ def corpus_word_counts(ds: "ray.data.Dataset",
         schema=pa.schema([("word", pa.string()), ("cnt", pa.int64())]))
 
 
-def top_words(ds: "ray.data.Dataset", k: int = 20,
-              col: str = "text") -> "ray.data.Dataset":
+def unigram_logprob(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                    col: str = "text",
+                    broadcast_cap: int = 5_000_000) -> "ray.data.Dataset":
+    """Corpus-unigram-LM document scoring → ``(id, n_tokens, lp_micro)``
+    with ``lp_micro = floor(mean_w ln(count(w)/total_tokens) * 1e6 + 0.5)``
+    — the per-token average log-likelihood under the corpus's own unigram
+    distribution, the classic cheap LM-quality signal (low = rare-word
+    soup / noise, high = common-word text).
+
+    Two passes over the corpus: (1) the combiner word count
+    (:func:`corpus_word_counts` — shuffle volume bounded by per-batch
+    vocabulary), (2) a scoring ``map_batches``. The (word → ln p) model
+    is broadcast once via ``ray.put`` while the vocabulary fits
+    ``broadcast_cap`` (a 5M-word model is ~100 MB); above it the score
+    pass switches to a word-keyed shuffle join: per-batch (doc, word,
+    occ) partials meet the count table in one bucketed reduce, then a
+    second reduce keyed on the document sums ``occ * ln p`` — no driver
+    materialization of anything corpus-sized."""
+    import pandas as pd
+
+    import ray
+    from ray.data.aggregate import Sum
+    from ..stages.common import bucketed_group_reduce
+
+    counts = corpus_word_counts(ds.select_columns([id_col, col]), col
+                                ).materialize()
+    total = float(counts.aggregate(Sum("cnt", alias_name="t"))["t"] or 0.0)
+    vocab = counts.count()
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("lp_micro", pa.int64())])
+
+    def _tokens(batch: pa.Table):
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        lens = np.asarray(pc.list_value_length(lists)
+                          .to_numpy(zero_copy_only=False), dtype=np.int64)
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        return ids, lens, words, parents
+
+    if vocab <= broadcast_cap:
+        wl, cl = [], []
+        for b in counts.iter_batches(batch_format="pyarrow"):
+            wl.append(np.asarray(b["word"].to_pylist(), dtype=object))
+            cl.append(b["cnt"].to_numpy(zero_copy_only=False))
+        w_all = np.concatenate(wl) if wl else np.empty(0, dtype=object)
+        c_all = (np.concatenate(cl).astype(np.float64)
+                 if cl else np.empty(0))
+        order = np.argsort(w_all)
+        model_ref = ray.put((w_all[order], np.log(c_all[order] / total)))
+
+        def score(batch: pa.Table) -> pa.Table:
+            wv, lp = ray.get(model_ref)
+            ids, lens, words, parents = _tokens(batch)
+            tok_lp = lp[np.searchsorted(wv, words)]
+            sums = np.bincount(parents, weights=tok_lp,
+                               minlength=len(batch))
+            mean = sums / np.maximum(lens, 1)
+            return pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "lp_micro": pa.array(
+                    np.floor(mean * 1e6 + 0.5).astype(np.int64))})
+
+        return ds.select_columns([id_col, col]).map_batches(
+            score, batch_format="pyarrow")
+
+    # distributed path: ship (doc, word, occ) partials to the word key
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        ids, lens, words, parents = _tokens(batch)
+        df = (pd.DataFrame({"d": ids[parents] if len(parents) else
+                            np.empty(0, dtype=np.int64),
+                            "word": words})
+              .groupby(["d", "word"], sort=False).size()
+              .reset_index(name="occ"))
+        return pa.Table.from_pandas(
+            df.rename(columns={"d": id_col}), preserve_index=False)
+
+    def tag_counts(t: pa.Table) -> pa.Table:
+        return pa.table({"word": t["word"],
+                         id_col: pa.nulls(len(t), pa.int64()),
+                         "occ": pa.nulls(len(t), pa.int64()),
+                         "cnt": t["cnt"]})
+
+    def tag_occ(t: pa.Table) -> pa.Table:
+        return pa.table({"word": t["word"], id_col: t[id_col],
+                         "occ": t["occ"],
+                         "cnt": pa.nulls(len(t), pa.int64())})
+
+    join_schema = pa.schema([(id_col, pa.int64()), ("occ", pa.int64()),
+                             ("wlp", pa.float64())])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        selfs = df.loc[df["cnt"].notna(), ["word", "cnt"]]
+        reqs = df.loc[df["occ"].notna(), ["word", id_col, "occ"]]
+        m = reqs.merge(selfs, on="word", how="inner")
+        return pd.DataFrame({
+            id_col: m[id_col].astype("int64"),
+            "occ": m["occ"].astype("int64"),
+            "wlp": np.log(m["cnt"].to_numpy(dtype=np.float64) / total)})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False)
+        n = g["occ"].sum()
+        s = (df.assign(x=df["occ"] * df["wlp"])
+             .groupby(id_col, sort=False)["x"].sum())
+        return pd.DataFrame({
+            id_col: n.index.to_numpy(),
+            "n_tokens": n.to_numpy(dtype=np.int64),
+            "lp_micro": np.floor(
+                s.to_numpy() / np.maximum(n.to_numpy(), 1) * 1e6
+                + 0.5).astype(np.int64)})
+
+    occ = ds.select_columns([id_col, col]).map_batches(
+        occ_partial, batch_format="pyarrow")
+    tagged = (counts.map_batches(tag_counts, batch_format="pyarrow")
+              .union(occ.map_batches(tag_occ, batch_format="pyarrow")))
+    attached = bucketed_group_reduce(tagged, ["word"], attach,
+                                     schema=join_schema)
+    return bucketed_group_reduce(attached, [id_col], finish,
+                                 schema=out_schema)
     """Global top-k words by count, ties broken by word ascending (fully
     deterministic result set)."""
     return corpus_word_counts(ds, col).sort(

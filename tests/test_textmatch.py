@@ -81,3 +81,24 @@ def test_link_chunks_matches_naive_scan(ray_session):
     # Google which is absent
     assert out["c4"]["entities"] == ["e1", "e3"]
     assert out["c4"]["relations"] == []
+
+
+def test_unigram_logprob_paths_agree(ray_session):
+    """The word-join (broadcast_cap=0) path must produce the same scores
+    as the broadcast-model path."""
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.text import unigram_logprob
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a c", "a a a a", "c c d", "b"]})
+    ds = rd.from_pandas(docs)
+    bc = (unigram_logprob(ds).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    dist = (unigram_logprob(ds, broadcast_cap=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert (bc["n_tokens"] == [4, 4, 3, 1]).all()
+    assert (bc["n_tokens"] == dist["n_tokens"]).all()
+    assert (bc["lp_micro"] == dist["lp_micro"]).all()
+    # doc 2 is all-'a' (the most common word) -> highest likelihood
+    assert bc.loc[1, "lp_micro"] == bc["lp_micro"].max()
