@@ -915,6 +915,60 @@ def q_docs_unigram_lp(sf_dir: str):
     return unigram_logprob(ds)
 
 
+def q_emb_label_centroids(sf_dir: str):
+    """Per-label embedding centroids, exploded to (label, dim, n,
+    c_micro) long form so the DuckDB unnest oracle checks every
+    component exactly (micro-scaled floor ints)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.embedding import label_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    cent = label_centroids(ds)
+
+    def explode(t: "pa.Table") -> "pa.Table":
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["centroid"].combine_chunks()
+        flat = c.flatten().to_numpy(zero_copy_only=False)
+        dims = np.diff(np.asarray(c.offsets))
+        parents = np.repeat(np.arange(len(t)), dims)
+        dim_idx = np.concatenate([np.arange(1, d + 1) for d in dims]) \
+            if len(t) else np.empty(0, dtype=np.int64)
+        return pa.table({
+            "label": pa.array(lab[parents], pa.int64()),
+            "dim": pa.array(dim_idx, pa.int64()),
+            "n": pa.array(n[parents], pa.int64()),
+            "c_micro": pa.array(
+                np.floor(flat * 1e6 + 0.5).astype(np.int64))})
+
+    return cent.map_batches(explode, batch_format="pyarrow")
+
+
+def q_emb_outliers(sf_dir: str):
+    """Cosine of each vector to its own label centroid (micro ints) —
+    label-quality / outlier signal, centroids broadcast once."""
+    import ray.data as rd
+    from agraph_ray.ops.embedding import centroid_outlier_scores
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    return centroid_outlier_scores(ds)
+
+
+def q_emb_semdedup(sf_dir: str):
+    """SemDeDup survivors: k-means-cluster embeddings, drop within-cluster
+    cosine >= 0.97 duplicates (keep min id per component). Iterative
+    clustering — rows-only; exactness pytest-pinned with planted dups."""
+    import ray.data as rd
+    from agraph_ray.ops.embedding import semdedup
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    return semdedup(ds, threshold=0.97, n_clusters=16).select_columns(
+        ["vec_id", "label"])
+
+
 def _coorder_part_edges(sf_dir: str):
     """Distinct undirected (a, b) part pairs co-occurring in an order —
     the co-occurrence edge builder over SQL-checkable input."""
@@ -1461,6 +1515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": q_cube_orders,
         "lineitem_price_hist": q_lineitem_price_hist,
         "docs_unigram_lp": q_docs_unigram_lp,
+        "emb_label_centroids": q_emb_label_centroids,
+        "emb_outliers": q_emb_outliers,
+        "emb_semdedup": q_emb_semdedup,
         "part_triangles": q_part_triangles,
         "supplier_components": q_supplier_components,
         "part_pagerank": q_part_pagerank,
@@ -1942,6 +1999,34 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000 + 0.5) AS BIGINT) AS lp_micro
             FROM toks, tot JOIN cnt ON toks.w = cnt.w
             GROUP BY toks.doc_id
+        """,
+        "emb_label_centroids": """
+            WITH u AS (SELECT label,
+                              generate_subscripts(embedding, 1) AS dim,
+                              unnest(embedding) AS v
+                       FROM embeddings)
+            SELECT label, dim, count(*) AS n,
+                   CAST(floor(avg(CAST(v AS DOUBLE)) * 1000000 + 0.5)
+                        AS BIGINT) AS c_micro
+            FROM u GROUP BY label, dim
+        """,
+        "emb_outliers": """
+            WITH u AS (SELECT vec_id, label,
+                              generate_subscripts(embedding, 1) AS dim,
+                              CAST(unnest(embedding) AS DOUBLE) AS v
+                       FROM embeddings),
+                 c AS (SELECT label, dim, avg(v) AS cv
+                       FROM u GROUP BY label, dim),
+                 j AS (SELECT u.vec_id, u.label,
+                              sum(u.v * c.cv) AS dot,
+                              sqrt(sum(u.v * u.v)) AS nv,
+                              sqrt(sum(c.cv * c.cv)) AS nc
+                       FROM u JOIN c ON u.label = c.label AND u.dim = c.dim
+                       GROUP BY u.vec_id, u.label)
+            SELECT vec_id, label,
+                   CAST(floor(dot / greatest(nv * nc, 1e-300)
+                              * 1000000 + 0.5) AS BIGINT) AS cos_micro
+            FROM j
         """,
         "part_triangles": """
             WITH e AS (SELECT DISTINCT l1.l_partkey AS a,

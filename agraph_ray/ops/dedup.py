@@ -331,7 +331,7 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     the matched-duplicate id set — bounded by the number of near-dups, not
     the corpus — is broadcast for the survivor filter."""
     import ray
-    from ..state.unionfind import connected_components, components_to_canonical_map
+    from ..state.unionfind import connected_components
 
     texts = ds.select_columns([id_col, text_col])
     cand = minhash_lsh_groups(texts, text_col, id_col, num_perm, bands,
@@ -347,8 +347,19 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
             names=["src", "dst"])
 
     matches = scored.map_batches(to_match, batch_format="pyarrow")
-    cmap = components_to_canonical_map(connected_components(matches))
-    dup_ids = {int(k) for k in cmap}
+    labels = connected_components(matches)
+    # survivor = NUMERIC min id per component (the string component label
+    # is the lexicographic min — "102" < "2"); membership is bounded by
+    # the matched-duplicate set, never the corpus
+    comp_min: dict = {}
+    members = []
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        for node, lab in zip(b["node"].to_pylist(), b["label"].to_pylist()):
+            v = int(node)
+            members.append((v, lab))
+            if lab not in comp_min or v < comp_min[lab]:
+                comp_min[lab] = v
+    dup_ids = {v for v, lab in members if v != comp_min[lab]}
 
     dup_ref = ray.put(dup_ids)
 

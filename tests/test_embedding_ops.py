@@ -1,0 +1,68 @@
+"""Embedding analytics: centroids, outlier scores, SemDeDup."""
+
+import numpy as np
+import pandas as pd
+
+
+def _emb_frame(n=120, dim=8, n_labels=4, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    labels = rng.integers(0, n_labels, n)
+    return pd.DataFrame({"vec_id": np.arange(n),
+                         "label": labels.astype("int32"),
+                         "embedding": [v.astype("float32") for v in vecs]})
+
+
+def test_label_centroids_match_numpy(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.embedding import label_centroids
+    df = _emb_frame()
+    out = label_centroids(rd.from_pandas(df)).to_pandas()
+    for _, row in out.iterrows():
+        members = np.stack(df.loc[df["label"] == row["label"],
+                                  "embedding"].to_numpy()).astype(np.float64)
+        assert row["n"] == len(members)
+        assert np.allclose(np.asarray(row["centroid"]), members.mean(axis=0),
+                           atol=1e-12)
+
+
+def test_centroid_outlier_scores(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.embedding import centroid_outlier_scores
+    df = _emb_frame(seed=9)
+    out = (centroid_outlier_scores(rd.from_pandas(df)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert len(out) == len(df)
+    # recompute one label end-to-end
+    lab = int(df["label"].iloc[0])
+    members = np.stack(df.loc[df["label"] == lab,
+                              "embedding"].to_numpy()).astype(np.float64)
+    cent = members.mean(axis=0)
+    ids = df.loc[df["label"] == lab, "vec_id"].to_numpy()
+    for i, v in zip(ids, members):
+        cos = v @ cent / (np.linalg.norm(v) * np.linalg.norm(cent))
+        got = out.loc[out["vec_id"] == i, "cos_micro"].iloc[0]
+        assert got == int(np.floor(cos * 1e6 + 0.5))
+
+
+def test_semdedup_removes_planted_duplicates(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.embedding import semdedup, semdedup_pairs
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(50, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+    # plant 10 near-duplicates of the first 10 vectors (tiny jitter)
+    for j in range(10):
+        rows.append((100 + j, base[j] + rng.normal(scale=1e-4, size=16)))
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                       "label": 0,
+                       "embedding": [r[1].astype("float32") for r in rows]})
+    ds = rd.from_pandas(df)
+    pairs = semdedup_pairs(ds, threshold=0.99, n_clusters=8).to_pandas()
+    got_pairs = set(zip(pairs["a"], pairs["b"]))
+    assert {(j, 100 + j) for j in range(10)} <= got_pairs
+    surv = semdedup(ds, threshold=0.99, n_clusters=8).to_pandas()
+    kept = set(surv["vec_id"])
+    assert kept == set(range(50))       # min-id survivor per dup pair
