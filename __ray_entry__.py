@@ -969,6 +969,28 @@ def q_emb_semdedup(sf_dir: str):
         ["vec_id", "label"])
 
 
+def q_customer_fuzzy_names(sf_dir: str):
+    """All customer-name pairs within Levenshtein distance 1 — SymSpell
+    deletion-neighborhood blocking (exact superset) + DP verify; the
+    DuckDB oracle is the all-pairs levenshtein() cross join."""
+    import ray.data as rd
+    from agraph_ray.ops.fuzzy import fuzzy_self_join
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    return fuzzy_self_join(ds, "c_name", max_edits=1)
+
+
+def q_events_hll_users(sf_dir: str):
+    """Approximate distinct users per event type via mergeable
+    HyperLogLog sketches (p=12, ~1.6% err). Deterministic but
+    sketch-valued — rows-only; the error bound and merge-associativity
+    are pytest-pinned against exact counts."""
+    import ray.data as rd
+    from agraph_ray.ops.sketch import hll_count_distinct
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return hll_count_distinct(ds, key="event_type", value_col="user_id")
+
+
 def _coorder_part_edges(sf_dir: str):
     """Distinct undirected (a, b) part pairs co-occurring in an order —
     the co-occurrence edge builder over SQL-checkable input."""
@@ -1515,6 +1537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": q_cube_orders,
         "lineitem_price_hist": q_lineitem_price_hist,
         "docs_unigram_lp": q_docs_unigram_lp,
+        "customer_fuzzy_names": q_customer_fuzzy_names,
+        "events_hll_users": q_events_hll_users,
         "emb_label_centroids": q_emb_label_centroids,
         "emb_outliers": q_emb_outliers,
         "emb_semdedup": q_emb_semdedup,
@@ -1999,6 +2023,14 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000 + 0.5) AS BIGINT) AS lp_micro
             FROM toks, tot JOIN cnt ON toks.w = cnt.w
             GROUP BY toks.doc_id
+        """,
+        "customer_fuzzy_names": """
+            WITH n AS (SELECT DISTINCT c_name FROM customer)
+            SELECT x.c_name AS a, y.c_name AS b,
+                   CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS dist
+            FROM n x JOIN n y
+              ON x.c_name < y.c_name
+             AND levenshtein(x.c_name, y.c_name) <= 1
         """,
         "emb_label_centroids": """
             WITH u AS (SELECT label,

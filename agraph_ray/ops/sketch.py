@@ -1,0 +1,111 @@
+"""Mergeable sketches for corpus-scale statistics.
+
+HyperLogLog grouped count-distinct: the scale path for cardinalities
+where the exact operators (ops/stats.py ``grouped_count_distinct``,
+``exact_quantiles``) would shuffle every distinct value. A sketch row is
+a fixed ``m``-byte register array — per-group shuffle volume is O(m x
+num_blocks), independent of the number of distinct values — and register
+merge is an element-wise max, so partial sketches combine associatively
+(the property pinned by tests/test_sketch.py).
+
+The estimator is the standard HLL with the small-range linear-counting
+correction (Flajolet et al. 2007). Deterministic: the value hash is the
+repo's pinned SipHash (stages/canonicalize.py:_hash_tokens), so the same
+input yields the same estimate at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.canonicalize import _hash_tokens
+from ..stages.common import bucketed_group_reduce
+
+__all__ = ["hll_count_distinct"]
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _estimate(regs: np.ndarray, m: int) -> float:
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((regs == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_count_distinct(ds: "ray.data.Dataset", key: str, value_col: str,
+                       p: int = 12,
+                       num_buckets: int = 32) -> "ray.data.Dataset":
+    """Approximate distinct ``value_col`` count per ``key`` group →
+    ``(key, approx_distinct)`` with standard error ~1.04/sqrt(2^p)
+    (~1.6 % at the default p=12 / 4 KiB of registers per group).
+
+    Per batch, one vectorized pass collapses all values to one register
+    array per in-batch group (``np.maximum.at``); one bucketed reduce
+    element-wise-maxes the partials. Nothing value-shaped crosses the
+    shuffle."""
+    m = 1 << p
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    if not isinstance(ktype, pa.DataType):
+        ktype = pa.from_numpy_dtype(ktype)
+    part_schema = pa.schema([(key, ktype),
+                             ("regs", pa.list_(pa.uint8()))])
+    out_schema = pa.schema([(key, ktype),
+                            ("approx_distinct", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        vals = batch[value_col].to_pylist()
+        h = _hash_tokens([str(v) for v in vals]).astype(np.uint64)
+        idx = (h & np.uint64(m - 1)).astype(np.int64)
+        rest = h >> np.uint64(p)
+        # rho = position of first set bit of the remaining 64-p bits,
+        # 1-based; all-zero rest -> 64-p+1
+        width = 64 - p
+        rho = np.full(len(h), width + 1, dtype=np.uint8)
+        nz = rest != 0
+        # trailing... we want leading position within `width` bits:
+        # number of leading zeros of rest (as a width-bit int) + 1
+        bl = np.zeros(len(h), dtype=np.int64)
+        r = rest[nz]
+        # bit_length via log2 on uint64 is unsafe near 2^53; compute by
+        # repeated shifts on the byte view instead (vectorized, 8 steps)
+        bits = np.zeros(r.shape, dtype=np.int64)
+        cur = r.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = cur >= (np.uint64(1) << np.uint64(shift))
+            bits[big] += shift
+            cur[big] >>= np.uint64(shift)
+        bl[nz] = bits + 1                  # bit_length of rest
+        rho[nz] = (width - bl[nz] + 1).astype(np.uint8)
+
+        u, inv = np.unique(k, return_inverse=True)
+        regs = np.zeros((len(u), m), dtype=np.uint8)
+        np.maximum.at(regs, (inv, idx), rho)
+        return pa.Table.from_pydict({key: u, "regs": list(regs)},
+                                    schema=part_schema)
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in df.groupby(key, sort=False):
+            regs = np.max(np.stack(
+                [np.asarray(r, dtype=np.uint8) for r in g["regs"]]), axis=0)
+            rows.append((kv, int(round(_estimate(regs, m)))))
+        return pd.DataFrame(rows, columns=[key, "approx_distinct"])
+
+    return bucketed_group_reduce(
+        ds.select_columns([key, value_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        [key], reduce_df, num_buckets, schema=out_schema)
