@@ -1055,6 +1055,15 @@ def q_part_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=20)
 
 
+def q_part_kcore(sf_dir: str):
+    """80-core of the co-ordered-parts graph: the densely co-purchased
+    part cluster after iterative peeling — (node, deg-in-core).
+    Iterative fixpoint, not SQL-expressible; rows-only, exactness
+    pytest-pinned against brute-force peeling."""
+    from agraph_ray.ops.graph_algo import k_core
+    return k_core(_coorder_part_edges(sf_dir), k=80)
+
+
 def q_full_outer_parts(sf_dir: str):
     """FULL OUTER co-group join: large parts (p_size >= 48) vs
     heavily-ordered partkeys (lineitem count >= 8) — unmatched rows
@@ -1545,6 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": q_part_triangles,
         "supplier_components": q_supplier_components,
         "part_pagerank": q_part_pagerank,
+        "part_kcore": q_part_kcore,
         "full_outer_parts": q_full_outer_parts,
         "events_click_attrib": q_events_click_attrib,
         "docs_tfidf": q_docs_tfidf,

@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 
 from ..stages.common import bucketed_group_reduce, distinct_on
 
-__all__ = ["pairs_within_groups", "triangle_counts", "pagerank"]
+__all__ = ["pairs_within_groups", "triangle_counts", "pagerank",
+           "k_core"]
 
 
 def pairs_within_groups(ds: "ray.data.Dataset", group_col: str,
@@ -440,3 +441,83 @@ def pagerank(edges: "ray.data.Dataset", damping: float = 0.85,
                                                  ndigits=round_to)}),
             batch_format="pyarrow")
     return out
+
+
+def _driver_k_core(edges_df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Vectorized peeling on the driver: repeatedly drop nodes with
+    degree < k until fixpoint."""
+    a = edges_df["a"].to_numpy(dtype=np.int64)
+    b = edges_df["b"].to_numpy(dtype=np.int64)
+    while True:
+        if len(a) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "deg": pd.Series(dtype="int64")})
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        deg = np.bincount(inv, minlength=len(nodes))
+        bad = nodes[deg < k]
+        if len(bad) == 0:
+            return pd.DataFrame({"node": nodes, "deg": deg})
+        keep = ~(np.isin(a, bad) | np.isin(b, bad))
+        a, b = a[keep], b[keep]
+
+
+def k_core(edges: "ray.data.Dataset", k: int,
+           driver_threshold: int = 5_000_000,
+           max_rounds: int = 1000) -> "ray.data.Dataset":
+    """The k-core of an undirected edge list ``(a, b)`` → ``(node, deg)``
+    for every node of the maximal subgraph where all degrees are >= k
+    (``deg`` = the node's degree *inside* the core).
+
+    Size-adaptive like :func:`pagerank`: small edge sets peel on the
+    driver with vectorized numpy rounds. The distributed path peels one
+    round per pass — degree count (per-batch combiner + one small
+    groupby), then two anti-joins drop edges incident to sub-k nodes —
+    and each pass strictly shrinks the edge set, so later rounds get
+    cheaper; round count is the graph's peeling depth (low for real
+    co-occurrence graphs; ``max_rounds`` guards pathological chains)."""
+    import ray.data as rd
+
+    from .join import cogroup_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return (pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+                .to_pandas().drop_duplicates().pipe(
+                    pa.Table.from_pandas, preserve_index=False))
+
+    und = distinct_on(
+        edges.select_columns(["a", "b"]).map_batches(
+            norm, batch_format="pyarrow"),
+        ["a", "b"]).materialize()
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64())})
+    if und.count() <= driver_threshold:
+        return rd.from_arrow(pa.Table.from_pandas(
+            _driver_k_core(und.to_pandas(), k), preserve_index=False)
+            .cast(empty.schema) if und.count() else empty)
+
+    def _ren(ds2, mapping):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names])
+        return ds2.map_batches(f, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        deg = _degree_table(und).materialize()
+        bad = deg.filter(expr=f"deg < {k}").select_columns(["node"]
+                                                           ).materialize()
+        if bad.count() == 0:
+            return deg
+        und = _ren(cogroup_join(_ren(und, {"a": "node"}), bad,
+                                on=["node"], how="anti"), {"node": "a"})
+        und = _ren(cogroup_join(_ren(und, {"b": "node"}), bad,
+                                on=["node"], how="anti"), {"node": "b"})
+        und = und.materialize()
+        if und.count() == 0:
+            return rd.from_arrow(empty)
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

@@ -123,3 +123,32 @@ def test_pagerank_distributed_matches_driver(ray_session):
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-9, k
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def _brute_k_core(df: pd.DataFrame, k: int) -> dict:
+    edges = set(map(tuple, np.sort(df[["a", "b"]].to_numpy(), axis=1)))
+    edges = {(a, b) for a, b in edges if a != b}
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        edges = {(a, b) for a, b in edges
+                 if a not in bad and b not in bad}
+
+
+def test_k_core_both_paths(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import k_core
+    df = _random_edges(50, 300, seed=8)
+    for k in (2, 3, 5):
+        exp = _brute_k_core(df, k)
+        got = dict(zip(*(lambda o: (o["node"], o["deg"]))(
+            k_core(rd.from_pandas(df), k).to_pandas())))
+        assert got == exp, f"driver k={k}"
+        got_d = dict(zip(*(lambda o: (o["node"], o["deg"]))(
+            k_core(rd.from_pandas(df), k, driver_threshold=0).to_pandas())))
+        assert got_d == exp, f"distributed k={k}"
