@@ -565,6 +565,64 @@ def q_customers_without_orders(sf_dir: str):
             if batches else schema.empty_table())
 
 
+def q_lineitem_bloom_semi(sf_dir: str):
+    """Bloom-runtime-filter semi join: lineitem rows whose part falls in a
+    5% sliver of the part table. The bloom bitmap is OR-reduced over the
+    build side, broadcast once (``ray.put``), and drops ~95% of the probe
+    map-side *before* the exact verify shuffle — shuffle volume scales with
+    |matches|, not |lineitem|. Exactness is guaranteed by the verify join
+    over bloom positives (ops/bloom.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from agraph_ray.ops.bloom import bloom_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity", "l_returnflag"])
+
+    def sliver(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"]
+        mod = pc.subtract(k, pc.multiply(
+            pc.divide(k, pa.scalar(20, pa.int64())),
+            pa.scalar(20, pa.int64())))
+        return (t.filter(pc.equal(mod, pa.scalar(3, pa.int64())))
+                .select(["p_partkey"]).rename_columns(["l_partkey"]))
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+        sliver, batch_format="pyarrow")
+    out = bloom_join(li, part, on="l_partkey", how="semi")
+    agg = (out.groupby("l_returnflag")
+           .aggregate(Count(alias_name="n"),
+                      Sum("l_quantity", alias_name="sum_qty")))
+    return _scale_cols(agg, {"sum_qty": 100})
+
+
+def q_orders_bloom_anti(sf_dir: str):
+    """Bloom anti join: orders whose customer is NOT in the BUILDING
+    segment. Bloom-negative probe rows are definitely-not-present and pass
+    through with ZERO shuffle (~80% of orders here); only the positive
+    slice is re-verified exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from agraph_ray.ops.bloom import bloom_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    def building(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))
+        return (t.filter(m).select(["c_custkey"])
+                .rename_columns(["o_custkey"]))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        building, batch_format="pyarrow")
+    out = bloom_join(orders, cust, on="o_custkey", how="anti")
+    return out.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+
+
 def q_revenue_by_priority(sf_dir: str):
     """Fact-fact shuffle join (lineitem ⋈ orders) with lineitem
     pre-aggregated per order key before the join — the combine-first
@@ -1526,6 +1584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         # joins / windows / graph analytics
         "customers_without_orders": q_customers_without_orders,
+        "lineitem_bloom_semi": q_lineitem_bloom_semi,
+        "orders_bloom_anti": q_orders_bloom_anti,
         "revenue_by_priority": q_revenue_by_priority,
         "supplier_part_degree": q_supplier_part_degree,
         "graph_stats_sql": q_graph_stats_sql,
@@ -1785,6 +1845,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_orderkey, sum(l_extendedprice) AS rev
                 FROM lineitem GROUP BY l_orderkey
             ) li ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "lineitem_bloom_semi": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT)
+                       AS sum_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_partkey % 20 = 3)
+            GROUP BY l_returnflag
+        """,
+        "orders_bloom_anti": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING')
             GROUP BY o_orderpriority
         """,
         "supplier_part_degree": """
