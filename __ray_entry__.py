@@ -623,6 +623,30 @@ def q_orders_bloom_anti(sf_dir: str):
     return out.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
 
 
+def q_lineitem_skew_join(sf_dir: str):
+    """Skew-aware inner join lineitem ⋈ part: keys hotter than the
+    threshold are joined map-side against a broadcast build slice, the
+    rest through the cogroup shuffle — both paths exact, result
+    path-invariant (ops/join.py::skew_join). The threshold is set low
+    enough here that BOTH paths carry rows at every sf."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from agraph_ray.ops.join import skew_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity"])
+    part = (rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand"])
+            .map_batches(lambda t: t.rename_columns(
+                ["l_partkey", "p_brand"]), batch_format="pyarrow"))
+    out = skew_join(li, part, on="l_partkey", how="inner",
+                    hot_threshold=25, max_hot=16)
+    agg = (out.groupby("p_brand")
+           .aggregate(Count(alias_name="n"),
+                      Sum("l_quantity", alias_name="sum_qty")))
+    return _scale_cols(agg, {"sum_qty": 100})
+
+
 def q_revenue_by_priority(sf_dir: str):
     """Fact-fact shuffle join (lineitem ⋈ orders) with lineitem
     pre-aggregated per order key before the join — the combine-first
@@ -1586,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "lineitem_bloom_semi": q_lineitem_bloom_semi,
         "orders_bloom_anti": q_orders_bloom_anti,
+        "lineitem_skew_join": q_lineitem_skew_join,
         "revenue_by_priority": q_revenue_by_priority,
         "supplier_part_degree": q_supplier_part_degree,
         "graph_stats_sql": q_graph_stats_sql,
@@ -1863,6 +1888,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_custkey FROM customer
                 WHERE c_mktsegment = 'BUILDING')
             GROUP BY o_orderpriority
+        """,
+        "lineitem_skew_join": """
+            SELECT p_brand, count(*) AS n,
+                   CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT)
+                       AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         "supplier_part_degree": """
             WITH edges AS (

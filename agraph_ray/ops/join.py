@@ -354,6 +354,136 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     return joined.union(rd.from_arrow(schema.empty_table()))
 
 
+def heavy_hitter_keys(ds: "ray.data.Dataset", on: str, k: int = 64,
+                      cap: int = 8192) -> dict:
+    """Bounded heavy-hitter counts over one column: per-block value_counts
+    accumulated into a dict pruned to the ``cap`` largest entries
+    (Misra-Gries flavor — counts of surviving keys are exact-or-under,
+    state is O(cap) regardless of cardinality, so the reduce never holds
+    the full key domain). Returns {key: count} for the top ``k``."""
+    from ray.data.aggregate import AggregateFn
+
+    def _prune(d: dict) -> dict:
+        if len(d) <= cap:
+            return d
+        return dict(sorted(d.items(), key=lambda x: -x[1])[:cap])
+
+    def acc_block(acc: dict, block) -> dict:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(
+            block)
+        if len(t) == 0:
+            return acc
+        vc = t[on].to_pandas().value_counts()   # vectorized count per block
+        out = dict(acc)
+        for key, c in vc.items():
+            out[key] = out.get(key, 0) + int(c)
+        return _prune(out)
+
+    def merge(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for key, c in b.items():
+            out[key] = out.get(key, 0) + c
+        return _prune(out)
+
+    counts = ds.select_columns([on]).aggregate(AggregateFn(
+        init=lambda _k: {}, accumulate_block=acc_block, merge=merge,
+        name="hh"))["hh"]
+    top = sorted(counts.items(), key=lambda x: (-x[1], str(x[0])))[:k]
+    return dict(top)
+
+
+def skew_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
+              on: str, how: str = "inner", num_buckets: int = 64,
+              max_hot: int = 32, hot_threshold: int = 1_000_000,
+              max_broadcast_rows: int = 2_000_000) -> "ray.data.Dataset":
+    """Skew-aware join: probe keys hotter than ``hot_threshold`` (found
+    with bounded heavy-hitter counting, no full shuffle) are joined
+    map-side against a broadcast of the build rows for JUST those keys;
+    everything else goes through the normal ``cogroup_join`` shuffle.
+
+    This is the standard salting alternative for power-law keys: a single
+    key with 10^9 probe rows would pin one co-group task for hours, while
+    here its rows never shuffle at all — each probe block merges against
+    the tiny broadcast build slice in place. Both paths are exact, so
+    mis-classifying a key merely moves it to the other (still correct)
+    path; results are path-invariant.
+
+    ``how``: inner | left. The broadcast slice is capped at
+    ``max_broadcast_rows`` (falls back to the plain shuffle join above it).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner/left, got {how!r}")
+    import pyarrow.compute as _pc
+
+    hh = heavy_hitter_keys(probe, on, k=max_hot)
+    hot = sorted((k for k, c in hh.items() if c >= hot_threshold), key=str)
+    if not hot:
+        return cogroup_join(probe, build, on=[on], how=how,
+                            num_buckets=num_buckets)
+
+    # build rows for the hot keys only — by construction a tiny slice
+    # (|hot| dimension keys), collected once and broadcast via ray.put
+    hot_arr = pa.array(hot)
+
+    def _hot_mask(t: pa.Table):
+        vs = hot_arr if hot_arr.type.equals(t.column(on).type) \
+            else hot_arr.cast(t.column(on).type)
+        return _pc.is_in(t[on], value_set=vs)
+
+    def only_hot(t: pa.Table) -> pa.Table:
+        return t.filter(_hot_mask(t))
+
+    def only_cold(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.invert(_hot_mask(t)))
+
+    build_hot = pa.concat_tables(
+        list(build.map_batches(only_hot, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    if len(build_hot) > max_broadcast_rows:
+        return cogroup_join(probe, build, on=[on], how=how,
+                            num_buckets=num_buckets)
+    bdf_ref = ray.put(build_hot.to_pandas())
+
+    lschema, rschema = probe.schema(), build.schema()
+    rval = [c for c in rschema.names if c != on]
+
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    schema = pa.schema(
+        [(n, _pa_type(t)) for n, t in zip(lschema.names, lschema.types)]
+        + [(n, _pa_type(t)) for n, t in zip(rschema.names, rschema.types)
+           if n != on])
+
+    def hot_merge(t: pa.Table) -> pa.Table:
+        t = only_hot(t)
+        if len(t) == 0:
+            return schema.empty_table()
+        out = t.to_pandas().merge(ray.get(bdf_ref), on=on, how=how)
+        for f in schema:        # left-join NaNs must not drift ints->float
+            if how == "left" and f.name in rval and pa.types.is_integer(
+                    f.type) and out[f.name].dtype.kind == "f":
+                out[f.name] = out[f.name].astype(
+                    str(f.type).capitalize().replace("Uint", "UInt"))
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False)
+
+    hot_joined = probe.map_batches(hot_merge, batch_format="pyarrow")
+    cold_probe = probe.map_batches(only_cold, batch_format="pyarrow")
+    # inner: hot build rows can never match a cold probe row, prune them
+    # from the shuffle too; left: same, cold probe keys are disjoint
+    cold_build = build.map_batches(only_cold, batch_format="pyarrow")
+    cold_joined = cogroup_join(cold_probe, cold_build, on=[on], how=how,
+                               num_buckets=num_buckets, schema=schema)
+    return hot_joined.union(cold_joined)
+
+
 def broadcast_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
                    on: str, columns: Sequence[str],
                    how: str = "inner") -> "ray.data.Dataset":
