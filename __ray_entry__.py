@@ -277,6 +277,17 @@ def q_docs_top_words(sf_dir: str):
     return top_words(ds, k=20)
 
 
+def q_docs_corpus_filter(sf_dir: str):
+    """Gopher/C4-style composite quality gate: keep/drop + failed-rule
+    reasons per document, all map-side (ops/text.py::add_corpus_filter)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import add_corpus_filter
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return (ds.map_batches(add_corpus_filter, batch_format="pyarrow")
+            .select_columns(["doc_id", "keep", "reasons"]))
+
+
 def q_docs_dedup_exact(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import exact_dedup
@@ -1596,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_words": q_docs_top_words,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_corpus_filter": q_docs_corpus_filter,
         # dedup family
         "docs_dedup_exact": q_docs_dedup_exact,
         "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -1795,6 +1807,62 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                        AS fingerprint
             FROM documents
+        """,
+        "docs_corpus_filter": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       (length(text) - len(regexp_extract_all(text, '\s')))
+                         / greatest(len(regexp_extract_all(text, '\S+')),
+                                    1)::DOUBLE AS avg_token_len,
+                       len(regexp_extract_all(text, '[[:punct:]]'))
+                         / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+                       CASE WHEN len(regexp_extract_all(
+                                     text, '[\x{4e00}-\x{9fff}]'))
+                                 / greatest(length(text), 1)::DOUBLE > 0.2
+                                THEN 'zh'
+                            WHEN len(regexp_extract_all(text, '[A-Za-z]'))
+                                 / greatest(length(text), 1)::DOUBLE > 0.6
+                                THEN 'en'
+                            ELSE 'other' END AS lang_pred
+                FROM documents),
+            wc AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id, w),
+            w AS (
+                SELECT doc_id,
+                       sum(c) AS word_total,
+                       1 - count(*) / greatest(sum(c), 1)::DOUBLE
+                           AS dup_word_fraction,
+                       max(c) / greatest(sum(c), 1)::DOUBLE
+                           AS top_word_fraction
+                FROM wc GROUP BY doc_id),
+            f AS (
+                SELECT q.doc_id,
+                       (w.word_total < 5) AS few_words,
+                       (w.word_total > 100000) AS many_words,
+                       (avg_token_len < 2.0 OR avg_token_len > 12.0)
+                           AS word_len,
+                       (punct_ratio > 0.30) AS punct,
+                       (lang_pred = 'other') AS lang,
+                       (dup_word_fraction > 0.50) AS dup_words,
+                       (top_word_fraction > 0.30 AND w.word_total >= 5)
+                           AS top_word
+                FROM q JOIN w USING (doc_id))
+            SELECT doc_id,
+                   NOT (few_words OR many_words OR word_len OR punct
+                        OR lang OR dup_words OR top_word) AS keep,
+                   rtrim(concat(
+                       CASE WHEN few_words THEN 'few_words;' ELSE '' END,
+                       CASE WHEN many_words THEN 'many_words;' ELSE '' END,
+                       CASE WHEN word_len THEN 'word_len;' ELSE '' END,
+                       CASE WHEN punct THEN 'punct;' ELSE '' END,
+                       CASE WHEN lang THEN 'lang;' ELSE '' END,
+                       CASE WHEN dup_words THEN 'dup_words;' ELSE '' END,
+                       CASE WHEN top_word THEN 'top_word;' ELSE '' END),
+                       ';') AS reasons
+            FROM f
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

@@ -66,6 +66,59 @@ def add_lang_id(batch: pa.Table, col: str = "text",
     return batch.append_column(out, lang)
 
 
+def add_corpus_filter(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher/C4-style composite quality gate (vectorized, map-side only —
+    no shuffle; the rules are per-document projections). Appends:
+
+    - ``keep``     bool — document passes every rule
+    - ``reasons``  ';'-joined names of the FAILED rules, '' when kept
+
+    Rules (constants pinned; mirrors Gopher's doc-level filters on the
+    signals this module already computes and the oracle already verifies):
+
+    - ``few_words``    word_total < 5
+    - ``many_words``   word_total > 100000
+    - ``word_len``     avg_token_len outside [2, 12]
+    - ``punct``        punct_ratio > 0.30
+    - ``lang``         lang_pred == 'other'
+    - ``dup_words``    dup_word_fraction > 0.50
+    - ``top_word``     top_word_fraction > 0.30 (and word_total >= 5)
+
+    Every signal is a float64 expression over integer counts, computed with
+    the same operations DuckDB uses — bitwise-identical values, so the
+    threshold comparisons agree exactly with the SQL oracle."""
+    work = add_quality(pa.table({col: batch[col]}), col)
+    work = add_word_repetition(work, col)
+    work = add_lang_id(work, col)
+
+    def gt(c, v):
+        return pc.greater(work[c], pa.scalar(v))
+
+    fails = [
+        ("few_words", pc.less(work["word_total"], pa.scalar(5))),
+        ("many_words", gt("word_total", 100_000)),
+        ("word_len", pc.or_(pc.less(work["avg_token_len"], pa.scalar(2.0)),
+                            gt("avg_token_len", 12.0))),
+        ("punct", gt("punct_ratio", 0.30)),
+        ("lang", pc.equal(work["lang_pred"], pa.scalar("other"))),
+        ("dup_words", gt("dup_word_fraction", 0.50)),
+        ("top_word", pc.and_(gt("top_word_fraction", 0.30),
+                             pc.greater_equal(work["word_total"],
+                                              pa.scalar(5)))),
+    ]
+    keep = None
+    parts = []
+    for name, mask in fails:
+        keep = mask if keep is None else pc.or_(keep, mask)
+        parts.append(pc.if_else(mask, pa.scalar(name + ";"), pa.scalar("")))
+    reasons = parts[0]
+    for p in parts[1:]:
+        reasons = pc.binary_join_element_wise(reasons, p, "")
+    reasons = pc.utf8_rtrim(reasons, ";")
+    batch = batch.append_column("keep", pc.invert(keep))
+    return batch.append_column("reasons", reasons)
+
+
 def _md5_hex(arr: np.ndarray) -> np.ndarray:
     return np.fromiter((hashlib.md5(s.encode("utf-8")).hexdigest()
                         for s in arr), dtype=object, count=len(arr))

@@ -121,6 +121,30 @@ def test_word_repetition_edge_cases():
     assert dup == [1 - 2 / 5, 0.75, 0.0, 0.5]
 
 
+def test_corpus_filter_rules():
+    import pyarrow as pa
+    from agraph_ray.ops.text import add_corpus_filter
+    good = ("The quick brown fox jumps over the lazy sleeping dog and "
+            "then runs far away into the quiet green forest tonight")
+    t = pa.table({"doc_id": [1, 2, 3, 4, 5],
+                  "text": [good,
+                           "one two",                      # few_words
+                           "spam spam spam spam spam spam",  # dup+top
+                           "!!! ??? ... ;;; ::: ,,,",      # punct (+lang)
+                           ""]})                           # empty
+    out = add_corpus_filter(t)
+    keep = out["keep"].to_pylist()
+    reasons = out["reasons"].to_pylist()
+    assert keep == [True, False, False, False, False]
+    assert reasons[0] == ""
+    assert "few_words" in reasons[1]
+    assert "dup_words" in reasons[2] and "top_word" in reasons[2]
+    assert "punct" in reasons[3]
+    assert "few_words" in reasons[4]
+    # reasons are ';'-joined in fixed rule order, no trailing separator
+    assert not any(r.endswith(";") for r in reasons)
+
+
 def test_tfidf_top_terms(ray_session):
     import math
 
