@@ -1157,6 +1157,15 @@ def q_part_kcore(sf_dir: str):
     return k_core(_coorder_part_edges(sf_dir), k=80)
 
 
+def q_part_communities(sf_dir: str):
+    """Label-propagation communities over the co-ordered-parts graph —
+    (node, community) with the community id = its smallest member.
+    Iterative fixpoint, not SQL-expressible; rows-only, exactness
+    pytest-pinned (distributed path == driver path label-for-label)."""
+    from agraph_ray.ops.graph_algo import label_propagation
+    return label_propagation(_coorder_part_edges(sf_dir), iters=10)
+
+
 def q_full_outer_parts(sf_dir: str):
     """FULL OUTER co-group join: large parts (p_size >= 48) vs
     heavily-ordered partkeys (lineitem count >= 8) — unmatched rows
@@ -1652,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_components": q_supplier_components,
         "part_pagerank": q_part_pagerank,
         "part_kcore": q_part_kcore,
+        "part_communities": q_part_communities,
         "full_outer_parts": q_full_outer_parts,
         "events_click_attrib": q_events_click_attrib,
         "docs_tfidf": q_docs_tfidf,

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 from ..stages.common import bucketed_group_reduce, distinct_on
 
 __all__ = ["pairs_within_groups", "triangle_counts", "pagerank",
-           "k_core"]
+           "k_core", "label_propagation"]
 
 
 def pairs_within_groups(ds: "ray.data.Dataset", group_col: str,
@@ -521,3 +521,177 @@ def k_core(edges: "ray.data.Dataset", k: int,
         if und.count() == 0:
             return rd.from_arrow(empty)
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+def _lpa_pick(node: np.ndarray, label: np.ndarray,
+              cnt: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Per node: the label with the highest vote count, ties to the
+    smallest label — fully vectorized (sort by (node, -cnt, label), take
+    each node's first row)."""
+    order = np.lexsort((label, -cnt, node))
+    n_s, l_s = node[order], label[order]
+    first = np.ones(len(n_s), dtype=bool)
+    first[1:] = n_s[1:] != n_s[:-1]
+    return n_s[first], l_s[first]
+
+
+def _driver_lpa(df: pd.DataFrame, iters: int) -> pd.DataFrame:
+    a = df["a"].to_numpy(dtype=np.int64)
+    b = df["b"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[:len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)   # dense label = node index
+    for _ in range(iters):
+        # votes: each edge endpoint votes its neighbor's label; each node
+        # votes its own current label once (self-vote damps the classic
+        # synchronous-LPA two-coloring oscillation, deterministically)
+        vn = np.concatenate([ai, bi, np.arange(len(nodes))])
+        vl = np.concatenate([lab[bi], lab[ai], lab])
+        pairs = vn.astype(np.int64) * np.int64(len(nodes)) + vl
+        uniq, cnt = np.unique(pairs, return_counts=True)
+        n_id = (uniq // len(nodes)).astype(np.int64)
+        l_id = (uniq % len(nodes)).astype(np.int64)
+        pick_n, pick_l = _lpa_pick(n_id, l_id, cnt.astype(np.int64))
+        new = lab.copy()
+        new[pick_n] = pick_l
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    # canonical community id = the min node id carrying each label
+    comm = nodes[lab]
+    order = np.argsort(comm, kind="stable")
+    uniq_c, first_idx = np.unique(comm[order], return_index=True)
+    rep = np.minimum.reduceat(nodes[order], first_idx)
+    comm = rep[np.searchsorted(uniq_c, comm)]
+    return pd.DataFrame({"node": nodes, "community": comm})
+
+
+def label_propagation(edges: "ray.data.Dataset", iters: int = 10,
+                      num_buckets: int = 64,
+                      driver_threshold: int = 5_000_000
+                      ) -> "ray.data.Dataset":
+    """Label-propagation community detection over an undirected edge list
+    ``(a, b)`` → ``(node, community)``; the community id is the smallest
+    node id in the community.
+
+    Synchronous LPA with two deterministic pins: ties go to the smallest
+    label, and every node casts one vote for its own current label (the
+    self-vote prevents the two-coloring flip-flop synchronous LPA is
+    known for). Fixed ``iters`` rounds (early exit when labels stop
+    changing), so results are reproducible across runs and partitionings.
+
+    Size-adaptive like :func:`pagerank`: small graphs run vectorized numpy
+    rounds on the driver; above ``driver_threshold`` edges each round is
+    two bucketed shuffles — (1) every edge picks up its source endpoint's
+    current label and emits a vote to the other endpoint (plus the
+    self-vote), with an in-bucket (node, label) combiner so the second
+    shuffle carries pre-summed counts, and (2) per node, vectorized
+    argmax-with-min-tie over the vote counts. Label state is O(|V|) rows;
+    the edge set is materialized once and re-streamed per round.
+
+    Not SQL-expressible (iterative fixpoint) — exactness is pytest-pinned:
+    the distributed path must equal the driver path label-for-label.
+    """
+    import ray.data as rd
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return (pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+                .to_pandas().drop_duplicates().pipe(
+                    pa.Table.from_pandas, preserve_index=False))
+
+    und = distinct_on(
+        edges.select_columns(["a", "b"]).map_batches(
+            norm, batch_format="pyarrow"),
+        ["a", "b"]).materialize()
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "community": pa.array([], pa.int64())})
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+    if und.count() <= driver_threshold:
+        return rd.from_arrow(pa.Table.from_pandas(
+            _driver_lpa(und.to_pandas(), iters),
+            preserve_index=False).cast(empty.schema))
+
+    # state: (node, label), initialized label = node
+    def init_state(t: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["b"].to_numpy(zero_copy_only=False).astype(np.int64)]))
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "label": pa.array(n, pa.int64())})
+
+    state = distinct_on(
+        und.map_batches(init_state, batch_format="pyarrow"),
+        ["node"]).materialize()
+
+    vote_schema = pa.schema([("node", pa.int64()), ("label", pa.int64()),
+                             ("c", pa.int64())])
+    state_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def tag_state(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["node"],
+                         "other": pa.nulls(len(t), pa.int64()),
+                         "label": t["label"]})
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        # each undirected edge keyed on BOTH endpoints so one shuffle
+        # serves both directions
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        return pa.table({"key": pa.concat_arrays([a, b]),
+                         "other": pa.concat_arrays([b, a]),
+                         "label": pa.nulls(2 * len(t), pa.int64())})
+
+    def votes(df: pd.DataFrame) -> pd.DataFrame:
+        own = df.loc[df["other"].isna(), ["key", "label"]]
+        ed = df.loc[df["other"].notna(), ["key", "other"]]
+        m = ed.merge(own, on="key", how="inner")
+        out = pd.concat([
+            pd.DataFrame({"node": m["other"].astype("int64"),
+                          "label": m["label"].astype("int64")}),
+            pd.DataFrame({"node": own["key"].astype("int64"),
+                          "label": own["label"].astype("int64")})],
+            ignore_index=True)
+        # in-bucket combiner: the argmax shuffle carries (node,label,c)
+        return (out.groupby(["node", "label"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["node", "label"], as_index=False)["c"].sum())
+        n, l = _lpa_pick(g["node"].to_numpy(dtype=np.int64),
+                         g["label"].to_numpy(dtype=np.int64),
+                         g["c"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"node": n, "label": l})
+
+    for _ in range(iters):
+        tagged = (state.map_batches(tag_state, batch_format="pyarrow")
+                  .union(und.map_batches(tag_edges,
+                                         batch_format="pyarrow")))
+        vote_counts = bucketed_group_reduce(tagged, ["key"], votes,
+                                            num_buckets,
+                                            schema=vote_schema)
+        state = bucketed_group_reduce(vote_counts, ["node"], argmax,
+                                      num_buckets,
+                                      schema=state_schema).materialize()
+
+    # canonical community id = min node id per label (labels ARE node ids,
+    # but a community's surviving label may not be its smallest member)
+    def relabel_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("label", as_index=False)["node"].min().rename(
+            columns={"node": "rep"})
+
+    reps = bucketed_group_reduce(
+        state, ["label"], relabel_partial, num_buckets,
+        schema=pa.schema([("label", pa.int64()), ("rep", pa.int64())]))
+    from .join import cogroup_join
+    out = cogroup_join(state, reps, on=["label"], how="inner",
+                       num_buckets=num_buckets)
+    return out.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "community": t["rep"]}),
+        batch_format="pyarrow")
