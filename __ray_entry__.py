@@ -658,6 +658,70 @@ def q_lineitem_skew_join(sf_dir: str):
     return _scale_cols(agg, {"sum_qty": 100})
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3-style 3-way join composing the engine's primitives:
+    BUILDING customers bloom-semi-joined into date-filtered orders (the
+    runtime filter drops ~80% of orders before any shuffle), lineitem
+    revenue pre-aggregated per order key BEFORE the fact-fact join
+    (combine-first: the shuffle carries |orders| rows, not |lineitem|),
+    then top-10 by revenue. Every filter sits on a column-pruned read."""
+    import datetime as dt
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.bloom import bloom_join
+    from agraph_ray.ops.join import cogroup_join
+    from agraph_ray.stages.common import bucketed_group_reduce
+
+    cutoff = dt.datetime(1996, 6, 1)
+
+    def building(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))
+        return (t.filter(m).select(["c_custkey"])
+                .rename_columns(["o_custkey"]))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        building, batch_format="pyarrow")
+
+    def order_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff)))
+        day = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "od_day": pc.cast(day, pa.int64())})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        order_filter, batch_format="pyarrow")
+    qual = (bloom_join(orders, cust, on="o_custkey", how="semi")
+            .select_columns(["o_orderkey", "od_day"]))
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(li_rev, batch_format="pyarrow")
+    rev = bucketed_group_reduce(
+        li, ["o_orderkey"],
+        lambda df: df.groupby("o_orderkey", as_index=False)["rev"].sum(),
+        schema=pa.schema([("o_orderkey", pa.int64()),
+                          ("rev", pa.float64())]))
+    joined = cogroup_join(rev, qual, on=["o_orderkey"], how="inner")
+    scaled = _scale_cols(joined, {"rev": 100}).map_batches(
+        lambda t: t.rename_columns(
+            [{"rev": "revenue"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    return scaled.sort(["revenue", "o_orderkey"],
+                       descending=[True, False]).limit(10)
+
+
 def q_revenue_by_priority(sf_dir: str):
     """Fact-fact shuffle join (lineitem ⋈ orders) with lineitem
     pre-aggregated per order key before the join — the combine-first
@@ -1632,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_bloom_semi": q_lineitem_bloom_semi,
         "orders_bloom_anti": q_orders_bloom_anti,
         "lineitem_skew_join": q_lineitem_skew_join,
+        "tpch_q3": q_tpch_q3,
         "revenue_by_priority": q_revenue_by_priority,
         "supplier_part_degree": q_supplier_part_degree,
         "graph_stats_sql": q_graph_stats_sql,
@@ -1973,6 +2038,28 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "tpch_q3": """
+            WITH r AS (
+                SELECT l_orderkey AS o_orderkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1996-06-01'
+                GROUP BY l_orderkey),
+            q AS (
+                SELECT o_orderkey,
+                       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS od_day
+                FROM orders
+                WHERE o_orderdate < TIMESTAMP '1996-06-01'
+                  AND o_custkey IN (SELECT c_custkey FROM customer
+                                    WHERE c_mktsegment = 'BUILDING'))
+            SELECT q.o_orderkey,
+                   CAST(floor(r.rev * 100 + 0.5) AS BIGINT) AS revenue,
+                   od_day
+            FROM r JOIN q USING (o_orderkey)
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
         """,
         "supplier_part_degree": """
             WITH edges AS (

@@ -205,6 +205,14 @@ def corpus_word_counts(ds: "ray.data.Dataset",
         schema=pa.schema([("word", pa.string()), ("cnt", pa.int64())]))
 
 
+def top_words(ds: "ray.data.Dataset", k: int = 20,
+              col: str = "text") -> "ray.data.Dataset":
+    """Global top-k words by count, ties broken by word ascending (fully
+    deterministic result set)."""
+    return corpus_word_counts(ds, col).sort(
+        ["cnt", "word"], descending=[True, False]).limit(k)
+
+
 def unigram_logprob(ds: "ray.data.Dataset", id_col: str = "doc_id",
                     col: str = "text",
                     broadcast_cap: int = 5_000_000) -> "ray.data.Dataset":
