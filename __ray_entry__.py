@@ -277,6 +277,16 @@ def q_docs_top_words(sf_dir: str):
     return top_words(ds, k=20)
 
 
+def q_docs_top_words_sketch(sf_dir: str):
+    """Sketch-guided exact top-k words: bounded heavy-hitter candidates
+    (O(cap) state, no vocabulary shuffle) + exact recount of candidates
+    only — same oracle as docs_top_words, scale-path execution."""
+    import ray.data as rd
+    from agraph_ray.ops.text import top_words_sketch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_words_sketch(ds, k=20)
+
+
 def q_docs_corpus_filter(sf_dir: str):
     """Gopher/C4-style composite quality gate: keep/drop + failed-rule
     reasons per document, all map-side (ops/text.py::add_corpus_filter)."""
@@ -1681,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_corpus_filter": q_docs_corpus_filter,
+        "docs_top_words_sketch": q_docs_top_words_sketch,
         # dedup family
         "docs_dedup_exact": q_docs_dedup_exact,
         "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -1861,6 +1872,14 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY doc_id
         """,
         "docs_top_words": r"""
+            SELECT w AS word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w
+            ORDER BY cnt DESC, w
+            LIMIT 20
+        """,
+        "docs_top_words_sketch": r"""
             SELECT w AS word, count(*) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS w
                   FROM documents)

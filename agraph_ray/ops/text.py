@@ -213,6 +213,85 @@ def top_words(ds: "ray.data.Dataset", k: int = 20,
         ["cnt", "word"], descending=[True, False]).limit(k)
 
 
+def top_words_sketch(ds: "ray.data.Dataset", k: int = 20,
+                     col: str = "text", cap: int = 8192
+                     ) -> "ray.data.Dataset":
+    """Sketch-guided exact top-k words: two corpus scans, ZERO
+    full-vocabulary shuffle.
+
+    Pass 1 finds candidates with a bounded heavy-hitter accumulator (per
+    batch: one ``np.unique`` wordcount folded into a dict pruned to the
+    ``cap`` largest entries — Misra-Gries flavor, O(cap) state regardless
+    of vocabulary size, merged as one tree-reduce). Pass 2 recounts ONLY
+    the candidate words exactly (a map-side ``is_in`` filter, then a
+    tiny <=cap-key sum) and returns the top ``k`` of those exact counts.
+
+    vs :func:`top_words`: that shuffles |corpus vocabulary| partial rows
+    per batch; this shuffles at most ``cap`` rows per batch after a free
+    map-side filter — the 100-TB path. The result equals ``top_words``
+    whenever every true top-k word survives pass 1 (guaranteed for any
+    word with count >= total/cap; on Zipf-distributed text candidates
+    exceed the top-k by orders of magnitude). Same determinism pin:
+    ties break by word ascending."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import AggregateFn
+    from ..stages.common import bucketed_group_reduce
+
+    def _prune(d: dict) -> dict:
+        if len(d) <= cap:
+            return d
+        return dict(sorted(d.items(), key=lambda x: -x[1])[:cap])
+
+    def acc_block(acc: dict, block) -> dict:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(
+            block)
+        if len(t) == 0:
+            return acc
+        lists = pc.split_pattern(t[col].combine_chunks(), " ")
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        if len(words) == 0:
+            return acc
+        u, c = np.unique(words, return_counts=True)
+        out = dict(acc)
+        for w, n in zip(u, c):
+            out[w] = out.get(w, 0) + int(n)
+        return _prune(out)
+
+    def merge(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for w, n in b.items():
+            out[w] = out.get(w, 0) + n
+        return _prune(out)
+
+    sk = ds.select_columns([col]).aggregate(AggregateFn(
+        init=lambda _k: {}, accumulate_block=acc_block, merge=merge,
+        name="hw"))["hw"]
+    cand = pa.array(sorted(sk.keys()), pa.string())
+    ref = ray.put(cand)
+
+    def recount(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t[col].combine_chunks(), " ")
+        flat = lists.flatten()
+        hits = flat.filter(pc.is_in(flat, value_set=ray.get(ref)))
+        if len(hits) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(np.asarray(hits.to_pylist(), dtype=object),
+                         return_counts=True)
+        return pa.table({"word": pa.array(u, pa.string()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", as_index=False, sort=False)["cnt"].sum()
+
+    exact = bucketed_group_reduce(
+        ds.map_batches(recount, batch_format="pyarrow"), ["word"],
+        reduce_df,
+        schema=pa.schema([("word", pa.string()), ("cnt", pa.int64())]))
+    return exact.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
 def unigram_logprob(ds: "ray.data.Dataset", id_col: str = "doc_id",
                     col: str = "text",
                     broadcast_cap: int = 5_000_000) -> "ray.data.Dataset":

@@ -121,6 +121,20 @@ def test_word_repetition_edge_cases():
     assert dup == [1 - 2 / 5, 0.75, 0.0, 0.5]
 
 
+def test_top_words_sketch_equals_exact(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.text import top_words, top_words_sketch
+    texts = []
+    for i in range(300):
+        texts.append(f"the quick fox number {i} jumps over the lazy dog "
+                     + ("spam " * (i % 7)).strip())
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(6)
+    exact = top_words(ds, k=10).to_pandas()
+    sk = top_words_sketch(ds, k=10, cap=64).to_pandas()
+    assert list(exact.word) == list(sk.word)
+    assert list(exact.cnt) == list(sk.cnt)
+
+
 def test_corpus_filter_rules():
     import pyarrow as pa
     from agraph_ray.ops.text import add_corpus_filter
