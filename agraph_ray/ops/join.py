@@ -436,10 +436,24 @@ def skew_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
     def only_cold(t: pa.Table) -> pa.Table:
         return t.filter(_pc.invert(_hot_mask(t)))
 
-    build_hot = pa.concat_tables(
-        list(build.map_batches(only_hot, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")),
-        promote_options="default")
+    hot_batches = list(build.map_batches(only_hot, batch_format="pyarrow")
+                       .iter_batches(batch_format="pyarrow"))
+    build_hot = (pa.concat_tables(hot_batches, promote_options="default")
+                 if hot_batches else None)
+    if build_hot is None:
+        # a probe-hot key with zero build rows: empty build slice with the
+        # build side's real schema (hot probe rows then inner-drop /
+        # left-null exactly like the shuffle path would)
+        def _bt(t):
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()
+        bs = build.schema()
+        build_hot = pa.schema(
+            [(n, _bt(t)) for n, t in zip(bs.names, bs.types)]).empty_table()
     if len(build_hot) > max_broadcast_rows:
         return cogroup_join(probe, build, on=[on], how=how,
                             num_buckets=num_buckets)

@@ -66,6 +66,28 @@ def test_heavy_hitter_detection_bounded_state(ray_session):
     assert len(hh) <= 4
 
 
+def test_skew_hot_key_absent_from_build(ray_session):
+    """The detected hot key has ZERO build rows — the broadcast slice is
+    empty; inner drops the hot rows, left keeps them with nulls."""
+    import ray.data as rd
+    from agraph_ray.ops.join import skew_join
+    probe = pd.DataFrame({"k": np.concatenate([
+        np.full(5_000, 999, dtype=np.int64),
+        np.arange(0, 50, dtype=np.int64)]),
+        "v": np.arange(5_050, dtype=np.int64)})
+    build = pd.DataFrame({"k": np.arange(0, 50, dtype=np.int64),
+                          "name": [f"n{i}" for i in range(50)]})
+    p = rd.from_pandas(probe).repartition(4)
+    b = rd.from_pandas(build).repartition(2)
+    inner = skew_join(p, b, on="k", how="inner",
+                      hot_threshold=1_000).to_pandas()
+    assert len(inner) == 50 and 999 not in set(inner.k)
+    left = skew_join(p, b, on="k", how="left",
+                     hot_threshold=1_000).to_pandas()
+    assert len(left) == 5_050
+    assert left[left.k == 999].name.isna().all()
+
+
 def test_skew_rejects_bad_how(ray_session):
     from agraph_ray.ops.join import skew_join
     probe, build, _, _ = _skewed(ray_session)
