@@ -306,6 +306,31 @@ def q_docs_dedup_exact(sf_dir: str):
     return exact_dedup(ds).select_columns(["doc_id"])
 
 
+def q_docs_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup of a 'new crawl batch' (doc_id % 5 == 0)
+    against the 'existing corpus' (the rest): bloom-accelerated anti join
+    on content hashes — the existing corpus is reduced to a fixed-size
+    bitmap, never shuffled (ops/dedup.py::dedup_against)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.dedup import dedup_against
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def part(t: pa.Table, is_new: bool) -> pa.Table:
+        k = t["doc_id"]
+        five = pa.scalar(5, pa.int64())
+        mod = pc.subtract(k, pc.multiply(pc.divide(k, five), five))
+        m = pc.equal(mod, pa.scalar(0, pa.int64()))
+        return t.filter(m if is_new else pc.invert(m))
+
+    new = docs.map_batches(lambda t: part(t, True), batch_format="pyarrow")
+    old = docs.map_batches(lambda t: part(t, False),
+                           batch_format="pyarrow")
+    return dedup_against(new, old)
+
+
 def q_docs_minhash_pairs(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import ngram_jaccard_pairs
@@ -1694,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_words_sketch": q_docs_top_words_sketch,
         # dedup family
         "docs_dedup_exact": q_docs_dedup_exact,
+        "docs_dedup_incremental": q_docs_dedup_incremental,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -1957,6 +1983,16 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN top_word THEN 'top_word;' ELSE '' END),
                        ';') AS reasons
             FROM f
+        """,
+        "docs_dedup_incremental": """
+            WITH h AS (SELECT doc_id, md5(text) AS content_hash
+                       FROM documents),
+            new_reps AS (
+                SELECT content_hash, min(doc_id) AS doc_id
+                FROM h WHERE doc_id % 5 = 0 GROUP BY content_hash)
+            SELECT doc_id, content_hash FROM new_reps
+            WHERE content_hash NOT IN (
+                SELECT content_hash FROM h WHERE doc_id % 5 <> 0)
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text

@@ -50,6 +50,44 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     return reps
 
 
+def dedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  m_bits: int = 1 << 23) -> "ray.data.Dataset":
+    """Incremental exact dedup: rows of ``new`` whose text content does
+    NOT already occur in ``existing`` — the corpus-growth primitive (a
+    fresh crawl batch against a 100-TB corpus).
+
+    Both sides reduce to 16-byte content hashes map-side; the existing
+    side's hashes feed a Bloom bitmap (ops/bloom.py — fixed-size,
+    OR-reduced, broadcast once), so the typical mostly-novel batch passes
+    through with ZERO shuffle of the existing corpus: only bloom-positive
+    new rows (true dups + <1% false positives) are re-verified exactly
+    against the existing hash set. Within ``new`` itself, exact
+    duplicates collapse to the min-id representative first (same rule as
+    :func:`exact_dedup`). Returns (id_col, content_hash) of survivors."""
+    from ray.data.aggregate import Min
+
+    from .bloom import bloom_join
+
+    def sig(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest()
+             for s in batch[text_col].to_pylist()]
+        return pa.Table.from_arrays(
+            [batch[id_col].combine_chunks(), pa.array(h, pa.string())],
+            names=[id_col, "content_hash"])
+
+    new_reps = (new.select_columns([id_col, text_col])
+                .map_batches(sig, batch_format="pyarrow")
+                .groupby("content_hash")
+                .aggregate(Min(id_col, alias_name=id_col)))
+    old_hashes = (existing.select_columns([id_col, text_col])
+                  .map_batches(sig, batch_format="pyarrow")
+                  .select_columns(["content_hash"]))
+    out = bloom_join(new_reps, old_hashes, on="content_hash", how="anti",
+                     m_bits=m_bits)
+    return out.select_columns([id_col, "content_hash"])
+
+
 # ---------------------------------------------------------------------------
 # minhash-LSH near-dup
 # ---------------------------------------------------------------------------

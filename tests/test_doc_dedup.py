@@ -170,3 +170,25 @@ def test_topk_cosine_ivf(ray_session):
     truth = {(q, v) for q, _, v in brute}
     recall = len(hits & truth) / len(truth)
     assert recall >= 0.8
+
+
+def test_dedup_against_incremental(ray_session):
+    """New-batch dedup vs an existing corpus: cross-batch dups dropped,
+    in-batch dups collapse to min id, novel docs survive."""
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.dedup import dedup_against
+    old = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha corpus text", "beta corpus text", "gamma text"]})
+    new = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13, 14],
+        "text": ["alpha corpus text",      # dup of existing -> dropped
+                 "delta novel text",        # novel -> kept
+                 "delta novel text",        # in-batch dup -> collapsed
+                 "epsilon novel text",      # novel -> kept
+                 "beta corpus text"]})      # dup of existing -> dropped
+    out = dedup_against(rd.from_pandas(new).repartition(3),
+                        rd.from_pandas(old).repartition(2),
+                        m_bits=1 << 14).to_pandas()
+    assert sorted(out.doc_id) == [11, 13]
