@@ -230,6 +230,17 @@ def q_docs_token_count(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_docs_bpe_tokens(sf_dir: str):
+    """BPE-pre-tokenizer-style token count (letter/digit/symbol runs,
+    RE2 pattern identical in pyarrow and the DuckDB oracle)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import add_bpe_token_count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(lambda t: add_bpe_token_count(t).drop(["text"]),
+                          batch_format="pyarrow")
+
+
 def q_docs_quality(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.text import add_quality
@@ -1711,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "docs_token_count": q_docs_token_count,
         "docs_quality": q_docs_quality,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
         "docs_repetition": q_docs_repetition,
         "docs_top_words": q_docs_top_words,
         "docs_langid": q_docs_langid,
@@ -1855,6 +1867,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_count": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, '\S+')) AS token_count
+            FROM documents
+        """,
+        "docs_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+'))
+                       AS bpe_token_count
             FROM documents
         """,
         "docs_quality": r"""
