@@ -1696,6 +1696,66 @@ def q_parse_documents(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# sequence packing / sampling / stream dedup / conversation analytics
+# ---------------------------------------------------------------------------
+
+def q_docs_pack_concat(sf_dir: str):
+    """Concat-and-cut sequence packing of documents into 512-token
+    training sequences (global doc_id order; distributed prefix sum)."""
+    import ray.data as rd
+    from agraph_ray.ops.pack import pack_concat
+    from agraph_ray.ops.text import add_token_count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    toks = ds.map_batches(lambda t: add_token_count(t).drop(["text"]),
+                          batch_format="pyarrow")
+    return pack_concat(toks, "token_count", cap=512, order_col="doc_id")
+
+
+def q_docs_pack_greedy(sf_dir: str):
+    """First-fit-decreasing bin packing into ≤512-token bins within hash
+    partitions (bin layout is an iterative greedy — rows-only; invariants
+    pytest-pinned)."""
+    import ray.data as rd
+    from agraph_ray.ops.pack import pack_greedy
+    from agraph_ray.ops.text import add_token_count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    toks = ds.map_batches(lambda t: add_token_count(t).drop(["text"]),
+                          batch_format="pyarrow")
+    return pack_greedy(toks, "token_count", cap=512, id_col="doc_id")
+
+
+def q_events_window_dedup(sf_dir: str):
+    """Earliest event per (user, type) per 1-hour tumbling window."""
+    import ray.data as rd
+    from agraph_ray.ops.window import window_dedup
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    out = window_dedup(ds, ["user_id", "event_type"], "ts",
+                       width_sec=3600, tie_col="event_id")
+    return out.select_columns(["event_id", "user_id", "event_type",
+                               "window_start"])
+
+
+def q_supplier_neighbor_sample(sf_dir: str):
+    """Deterministic 5-neighbor sample per supplier over the
+    supplier–part co-purchase graph (GNN fan-out primitive)."""
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import sample_neighbors
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+    return sample_neighbors(ds, "l_suppkey", "l_partkey", k=5)
+
+
+def q_conv_stats(sf_dir: str):
+    """Per-conversation turn/role/char statistics off the transcripts."""
+    from agraph_ray.stages.reassemble import conversation_stats
+    from agraph_ray.synth import transcripts_from_documents
+    return conversation_stats(transcripts_from_documents(sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -1785,6 +1845,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_exact_quantiles": q_lineitem_exact_quantiles,
         "events_user_type_distinct": q_events_user_type_distinct,
         "events_stratified": q_events_stratified,
+        "docs_pack_concat": q_docs_pack_concat,
+        "docs_pack_greedy": q_docs_pack_greedy,
+        "events_window_dedup": q_events_window_dedup,
+        "supplier_neighbor_sample": q_supplier_neighbor_sample,
+        "conv_stats": q_conv_stats,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -2551,6 +2616,57 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY event_type
                 ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
                           1, 8))::UBIGINT, event_id) <= 50
+        """,
+        "docs_pack_concat": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS token_count
+                FROM documents),
+            p AS (
+                SELECT doc_id, token_count,
+                       COALESCE(SUM(token_count) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS prefix
+                FROM toks)
+            SELECT doc_id, token_count,
+                   CAST(prefix // 512 AS BIGINT) AS seq_id,
+                   CAST(prefix % 512 AS BIGINT) AS seq_offset
+            FROM p
+        """,
+        "events_window_dedup": """
+            WITH w AS (
+                SELECT event_id, user_id, event_type,
+                       (epoch_us(ts) // 3600000000) * 3600000000
+                           AS window_start,
+                       epoch_us(ts) AS ts_us
+                FROM events)
+            SELECT event_id, user_id, event_type, window_start FROM w
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type, window_start
+                ORDER BY ts_us, event_id) = 1
+        """,
+        "supplier_neighbor_sample": """
+            WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+            SELECT l_suppkey, l_partkey FROM e
+            QUALIFY row_number() OVER (
+                PARTITION BY l_suppkey
+                ORDER BY ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                          1, 8))::UBIGINT, l_partkey) <= 5
+        """,
+        "conv_stats": """
+            SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                   CAST(CEIL(GREATEST(LENGTH(text), 1) / 80.0) AS BIGINT)
+                       AS n_turns,
+                   CAST(CEIL(CEIL(GREATEST(LENGTH(text), 1) / 80.0) / 2.0)
+                       AS BIGINT) AS n_user,
+                   CAST(FLOOR(CEIL(GREATEST(LENGTH(text), 1) / 80.0) / 2.0)
+                       AS BIGINT) AS n_assistant,
+                   CAST(0 AS BIGINT) AS n_tool_calls,
+                   CAST(LENGTH(text) AS BIGINT) AS total_chars,
+                   CAST(LEAST(LENGTH(text), 80) AS BIGINT) AS max_turn_chars
+            FROM documents
         """,
         "lineitem_quantiles": """
             WITH s AS (

@@ -695,3 +695,27 @@ def label_propagation(edges: "ray.data.Dataset", iters: int = 10,
         lambda t: pa.table({"node": t["node"],
                             "community": t["rep"]}),
         batch_format="pyarrow")
+
+
+def sample_neighbors(edges: "ray.data.Dataset", src: str, dst: str,
+                     k: int, num_buckets: int = 64) -> "ray.data.Dataset":
+    """Deterministic k-neighbor sample per source node — the GraphSAGE /
+    GNN-minibatch fan-out primitive. Within each ``src`` group keep the
+    ``k`` edges with the smallest (md5-hash(dst), dst) rank: a uniform-ish
+    run-stable sample (same rule as ops/stats.py::stratified_sample, so
+    the DuckDB oracle is a row_number window over the same md5 prefix).
+    One bucketed shuffle on ``src``; vectorized per-bucket body."""
+    from .stats import _key_hash32
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(__h=_key_hash32(df[dst].tolist()))
+        df = df.sort_values(["__h", dst], kind="stable")
+        return (df.groupby(src, sort=False).head(k).drop(columns="__h"))
+
+    dd = distinct_on(edges.select_columns([src, dst]), [src, dst],
+                     num_buckets)
+    from ..stages.common import arrow_col_type
+    schema = pa.schema([(src, arrow_col_type(edges, src)),
+                        (dst, arrow_col_type(edges, dst))])
+    return bucketed_group_reduce(dd, [src], reduce_df, num_buckets,
+                                 schema=schema)

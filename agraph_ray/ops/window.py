@@ -304,3 +304,35 @@ def sessionize(ds: "ray.data.Dataset", key: str, ts_col: str,
         to_us, batch_format="pyarrow")
     return bucketed_group_reduce(evs, [key], per_bucket, num_buckets,
                                  schema=schema)
+
+
+def window_dedup(ds: "ray.data.Dataset", keys: List[str], ts_col: str,
+                 width_sec: int, tie_col: str,
+                 num_buckets: int = 64) -> "ray.data.Dataset":
+    """Keep the earliest row per (keys, tumbling window) — event-stream
+    dedup ("one signup event per user per hour"; near-identical article
+    re-crawls within a window). Deterministic: ties on the timestamp
+    break by ``tie_col``. One bucketed shuffle on (keys, window); the
+    per-bucket body is a vectorized lexsort + drop_duplicates."""
+    us = width_sec * 1_000_000
+
+    def add_win(t: pa.Table) -> pa.Table:
+        micros = _ts_us(t[ts_col])
+        win = pc.multiply(pc.divide(micros, us), us)
+        t = t.append_column("window_start", pc.cast(win, pa.int64()))
+        return t.append_column("__ts_us", pc.cast(micros, pa.int64()))
+
+    group = keys + ["window_start"]
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__ts_us", tie_col], kind="stable")
+        return df.drop_duplicates(group, keep="first").drop(
+            columns="__ts_us")
+
+    from ..stages.common import arrow_col_type
+    names = ds.schema().names
+    schema = pa.schema([(n, arrow_col_type(ds, n)) for n in names]
+                       + [("window_start", pa.int64())])
+    return bucketed_group_reduce(
+        ds.map_batches(add_win, batch_format="pyarrow"),
+        group, reduce_df, num_buckets, schema=schema)

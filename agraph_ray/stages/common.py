@@ -69,3 +69,18 @@ def distinct_on(ds: "ray.data.Dataset", keys: List[str],
     def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(keys, keep="first")
     return bucketed_group_reduce(ds, keys, reduce_df, num_buckets)
+
+
+def arrow_col_type(ds: "ray.data.Dataset", col: str) -> pa.DataType:
+    """Arrow type of a Dataset column. ``Dataset.schema().types`` can hold
+    plain Python classes (e.g. ``str``) for simple-block datasets — fall
+    back to the underlying Arrow schema, then to a Python-type map."""
+    sch = ds.schema()
+    t = dict(zip(sch.names, sch.types))[col]
+    if isinstance(t, pa.DataType):
+        return t
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.field(col).type
+    return {str: pa.string(), int: pa.int64(),
+            float: pa.float64(), bool: pa.bool_()}.get(t, pa.string())

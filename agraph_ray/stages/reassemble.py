@@ -110,3 +110,46 @@ def reassemble(ds: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
     from .common import bucketed_group_reduce
     return bucketed_group_reduce(keyed, ["group_key"], assemble_bucket,
                                  num_buckets=256, schema=DOCS_SCHEMA)
+
+
+def conversation_stats(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-conversation shape statistics straight off the turns table —
+    the triage pass a transcript corpus gets before any KG work:
+    ``(conv_id, n_turns, n_user, n_assistant, n_tool_calls, total_chars,
+    max_turn_chars)``. Per-batch combiner (one partial row per conv per
+    batch) before a single small groupby-sum — no text ever rides the
+    shuffle, only per-conv counters."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        chars = pc.utf8_length(pc.fill_null(t["text"], ""))
+        df = pd.DataFrame({
+            "conv_id": t["conv_id"].to_pandas(),
+            "n_turns": 1,
+            "n_user": pc.equal(t["role"], "user").to_pandas().astype(
+                "int64"),
+            "n_assistant": pc.equal(
+                t["role"], "assistant").to_pandas().astype("int64"),
+            "n_tool_calls": pc.not_equal(
+                pc.fill_null(t["tool"], ""), "").to_pandas().astype("int64"),
+            "total_chars": chars.to_pandas().astype("int64"),
+            "max_turn_chars": chars.to_pandas().astype("int64"),
+        })
+        agg = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"), n_user=("n_user", "sum"),
+            n_assistant=("n_assistant", "sum"),
+            n_tool_calls=("n_tool_calls", "sum"),
+            total_chars=("total_chars", "sum"),
+            max_turn_chars=("max_turn_chars", "max"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = transcripts.select_columns(
+        ["conv_id", "role", "text", "tool"]).map_batches(
+        partial, batch_format="pyarrow")
+    return (partials.groupby("conv_id")
+            .aggregate(Sum("n_turns", alias_name="n_turns"),
+                       Sum("n_user", alias_name="n_user"),
+                       Sum("n_assistant", alias_name="n_assistant"),
+                       Sum("n_tool_calls", alias_name="n_tool_calls"),
+                       Sum("total_chars", alias_name="total_chars"),
+                       Max("max_turn_chars", alias_name="max_turn_chars")))

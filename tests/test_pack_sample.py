@@ -1,0 +1,154 @@
+"""Sequence packing, windowed stream dedup, neighbor sampling,
+conversation stats."""
+
+import numpy as np
+import pandas as pd
+
+
+def _tok_df(n=300, seed=11, max_tok=400):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "token_count": rng.integers(1, max_tok, n).astype(np.int64)})
+
+
+def test_ordered_prefix_sum_matches_numpy(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.pack import ordered_prefix_sum
+    df = _tok_df()
+    # shuffled + repartitioned input: the op owns the ordering
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    out = (ordered_prefix_sum(rd.from_pandas(shuffled).repartition(7),
+                              "doc_id", "token_count")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    expect = np.concatenate(
+        [[0], np.cumsum(df["token_count"].to_numpy()[:-1])])
+    assert (out["doc_id"].to_numpy() == df["doc_id"].to_numpy()).all()
+    assert (out["prefix"].to_numpy() == expect).all()
+
+
+def test_ordered_prefix_sum_string_keys(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.pack import ordered_prefix_sum
+    # keys whose lexicographic and numeric orders differ ("10" < "9")
+    df = pd.DataFrame({"k": [str(i) for i in range(15)],
+                       "v": np.arange(1, 16, dtype=np.int64)})
+    out = (ordered_prefix_sum(rd.from_pandas(df).repartition(4), "k", "v")
+           .to_pandas())
+    ordered = df.sort_values("k").reset_index(drop=True)  # lexicographic
+    expect = np.concatenate([[0], np.cumsum(ordered["v"].to_numpy()[:-1])])
+    got = out.set_index("k").loc[ordered["k"], "prefix"].to_numpy()
+    assert (got == expect).all()
+
+
+def test_pack_concat_cut_semantics(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.pack import pack_concat
+    df = _tok_df(n=200, seed=5)
+    cap = 256
+    out = (pack_concat(rd.from_pandas(df).repartition(5), "token_count",
+                       cap=cap, order_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    prefix = np.concatenate(
+        [[0], np.cumsum(df["token_count"].to_numpy()[:-1])])
+    assert (out["seq_id"].to_numpy() == prefix // cap).all()
+    assert (out["seq_offset"].to_numpy() == prefix % cap).all()
+    # sequence ids are dense from 0 to total//cap
+    total = int(df["token_count"].sum())
+    assert out["seq_id"].max() == (total - int(df["token_count"].iloc[-1])) // cap
+
+
+def test_pack_greedy_invariants(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.pack import pack_greedy
+    cap = 300
+    df = _tok_df(n=400, seed=9, max_tok=500)   # some docs exceed the cap
+    out = pack_greedy(rd.from_pandas(df).repartition(6), "token_count",
+                      cap=cap, id_col="doc_id").to_pandas()
+    # every document packed exactly once, token counts preserved
+    assert sorted(out["doc_id"]) == sorted(df["doc_id"])
+    merged = out.merge(df, on="doc_id", suffixes=("", "_in"))
+    assert (merged["token_count"] == merged["token_count_in"]).all()
+    # bin loads: consistent with membership, ≤ cap unless singleton
+    loads = out.groupby(["partition", "bin"])["token_count"].sum()
+    sizes = out.groupby(["partition", "bin"])["doc_id"].count()
+    declared = out.groupby(["partition", "bin"])["bin_tokens"].first()
+    assert (loads == declared).all()
+    over = loads[loads > cap]
+    assert (sizes.loc[over.index] == 1).all()      # only oversized singles
+    # determinism across partition-count-agnostic reruns of same input
+    out2 = pack_greedy(rd.from_pandas(df).repartition(11), "token_count",
+                       cap=cap, id_col="doc_id").to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # not wasteful: first-fit guarantees at most ONE bin at ≤ half
+    # capacity per partition (two half-empty bins would have merged)
+    for part, g in out.groupby("partition"):
+        bl = g.groupby("bin")["token_count"].sum()
+        assert (bl <= cap / 2).sum() <= 1, (part, bl.tolist())
+
+
+def test_window_dedup_keeps_earliest(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.window import window_dedup
+    rng = np.random.default_rng(4)
+    n = 500
+    base = 1_700_000_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 10, n).astype(np.int64),
+        "etype": rng.choice(["a", "b"], n),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 6 * 3600, n), unit="s")})
+    out = window_dedup(rd.from_pandas(df).repartition(5),
+                       ["user_id", "etype"], "ts", width_sec=3600,
+                       tie_col="event_id").to_pandas()
+    us = df["ts"].astype("int64") // 1000
+    win = (us // 3_600_000_000) * 3_600_000_000
+    expect = (df.assign(window_start=win, us=us)
+              .sort_values(["us", "event_id"], kind="stable")
+              .drop_duplicates(["user_id", "etype", "window_start"]))
+    got = out.sort_values("event_id")["event_id"].tolist()
+    assert got == sorted(expect["event_id"].tolist())
+
+
+def test_sample_neighbors_bounds_and_determinism(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import sample_neighbors
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "src": rng.integers(0, 30, 3000).astype(np.int64),
+        "dst": rng.integers(0, 200, 3000).astype(np.int64)})
+    out = sample_neighbors(rd.from_pandas(df).repartition(6),
+                           "src", "dst", k=5).to_pandas()
+    dd = df.drop_duplicates()
+    # sample is a subset of the distinct edge set
+    assert out.merge(dd, on=["src", "dst"]).shape[0] == len(out)
+    counts = out.groupby("src")["dst"].count()
+    deg = dd.groupby("src")["dst"].count()
+    for s, c in counts.items():
+        assert c == min(5, deg[s])
+    # partitioning-invariant
+    out2 = sample_neighbors(rd.from_pandas(df).repartition(13),
+                            "src", "dst", k=5).to_pandas()
+    a = out.sort_values(["src", "dst"]).reset_index(drop=True)
+    b = out2.sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_conversation_stats(ray_session, corpus_dir):
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import conversation_stats
+    ds = rd.read_parquet(corpus_dir)
+    out = conversation_stats(ds).to_pandas().set_index("conv_id")
+    df = ds.to_pandas()
+    g = df.groupby("conv_id")
+    assert (out["n_turns"].sort_index()
+            == g.size().sort_index()).all()
+    nu = g.apply(lambda x: (x["role"] == "user").sum())
+    assert (out["n_user"].sort_index() == nu.sort_index()).all()
+    tc = g.apply(lambda x: x["text"].str.len().sum())
+    assert (out["total_chars"].sort_index() == tc.sort_index()).all()
+    mx = g.apply(lambda x: x["text"].str.len().max())
+    assert (out["max_turn_chars"].sort_index() == mx.sort_index()).all()
