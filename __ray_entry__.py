@@ -1726,6 +1726,16 @@ def q_docs_pack_greedy(sf_dir: str):
     return pack_greedy(toks, "token_count", cap=512, id_col="doc_id")
 
 
+def q_docs_dup_ngrams(sf_dir: str):
+    """Per-document duplicated-8-gram occurrence counts (the substring-
+    dedup signal from Lee et al. 2022)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import duplicate_ngram_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return duplicate_ngram_stats(ds, n=8, min_count=2)
+
+
 def q_events_window_dedup(sf_dir: str):
     """Earliest event per (user, type) per 1-hour tumbling window."""
     import ray.data as rd
@@ -1846,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_distinct": q_events_user_type_distinct,
         "events_stratified": q_events_stratified,
         "docs_pack_concat": q_docs_pack_concat,
+        "docs_dup_ngrams": q_docs_dup_ngrams,
         "docs_pack_greedy": q_docs_pack_greedy,
         "events_window_dedup": q_events_window_dedup,
         "supplier_neighbor_sample": q_supplier_neighbor_sample,
@@ -2634,6 +2645,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prefix // 512 AS BIGINT) AS seq_id,
                    CAST(prefix % 512 AS BIGINT) AS seq_offset
             FROM p
+        """,
+        "docs_dup_ngrams": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         array_to_string(list_slice(ws, i, i + 7), ' ')
+                             AS gram
+                  FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+            c AS (SELECT gram, count(*) AS total FROM g GROUP BY gram),
+            d AS (SELECT g.doc_id, count(*) AS n,
+                         sum(CASE WHEN c.total >= 2 THEN 1 ELSE 0 END) AS dup
+                  FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+            SELECT doc_id,
+                   CAST(COALESCE(d.n, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(d.dup, 0) AS BIGINT) AS n_dup_ngrams
+            FROM documents LEFT JOIN d USING (doc_id)
         """,
         "events_window_dedup": """
             WITH w AS (

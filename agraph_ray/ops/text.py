@@ -609,3 +609,85 @@ def analyze_documents(ds: "ray.data.Dataset", col: str = "text"):
         batch = add_fingerprint(batch, col)
         return batch
     return ds.map_batches(_stage, batch_format="pyarrow")
+
+
+def duplicate_ngram_stats(ds: "ray.data.Dataset", n: int = 8,
+                          min_count: int = 2, col: str = "text",
+                          id_col: str = "doc_id",
+                          num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-document duplicated-n-gram statistics — the signal behind
+    suffix/substring training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for each document,
+    how many of its word n-gram occurrences belong to an n-gram seen at
+    least ``min_count`` times corpus-wide.
+
+    → ``(doc_id, n_ngrams, n_dup_ngrams)`` for every document (0/0 for
+    documents shorter than ``n`` words).
+
+    Scale shape (mirrors tfidf_top_terms): per-batch combiner collapses a
+    document's n-grams to 64-bit hashes with per-doc occurrence counts
+    (the gram shuffle carries distinct (doc, gram) rows, never text or
+    positions); the gram-keyed reduce attaches the corpus total with one
+    in-bucket ``transform('sum')`` (no join, no broadcast) and folds to
+    per-doc partials; one final tiny doc-keyed sum. Token hashing is the
+    pinned SipHash scheme from the minhash signer; single-space
+    tokenization keeps the DuckDB oracle exact (collisions at 2^-64 are
+    the accepted trade for never shuffling gram text)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import _GRAM_MULT, _hash_tokens
+    from ..stages.common import bucketed_group_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        out_doc, out_gram, out_k = [], [], []
+        toks_flat = lists.flatten().to_pandas().to_numpy(dtype=object)
+        th_flat = _hash_tokens(toks_flat) if len(toks_flat) else \
+            np.empty(0, np.uint64)
+        starts = np.cumsum(lens) - lens
+        for d in range(len(batch)):
+            L = int(lens[d])
+            m = L - n + 1
+            if m <= 0:
+                out_doc.append(np.array([ids[d]], dtype=object))
+                out_gram.append(np.zeros(1, np.int64))
+                out_k.append(np.zeros(1, np.int64))
+                continue
+            th = th_flat[starts[d]:starts[d] + L]
+            with np.errstate(over="ignore"):
+                g = np.zeros(m, dtype=np.uint64)
+                for i in range(n):
+                    g = g * _GRAM_MULT + th[i:i + m]
+            u, c = np.unique(g, return_counts=True)
+            out_doc.append(np.full(len(u), ids[d], dtype=object))
+            out_gram.append(u.view(np.int64))
+            out_k.append(c.astype(np.int64))
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_doc)),
+            "gram": pa.array(np.concatenate(out_gram), pa.int64()),
+            "k": pa.array(np.concatenate(out_k), pa.int64())})
+
+    def attach_total(df: pd.DataFrame) -> pd.DataFrame:
+        # k=0 placeholder rows (short docs, sentinel gram 0) contribute
+        # nothing to totals or dup counts but keep the doc in the output
+        df = df.assign(total=df.groupby("gram")["k"].transform("sum"))
+        dup = np.where(df["total"] >= min_count, df["k"], 0)
+        out = pd.DataFrame({id_col: df[id_col], "n": df["k"],
+                            "d": dup})
+        return out.groupby(id_col, as_index=False, sort=False).sum()
+
+    id_type = None
+    from ..stages.common import arrow_col_type
+    id_type = arrow_col_type(ds, id_col)
+    partials = bucketed_group_reduce(
+        ds.select_columns([id_col, col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["gram"], attach_total, num_buckets,
+        schema=pa.schema([(id_col, id_type), ("n", pa.int64()),
+                          ("d", pa.int64())]))
+    return (partials.groupby(id_col)
+            .aggregate(Sum("n", alias_name="n_ngrams"),
+                       Sum("d", alias_name="n_dup_ngrams")))

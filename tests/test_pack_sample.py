@@ -152,3 +152,32 @@ def test_conversation_stats(ray_session, corpus_dir):
     assert (out["total_chars"].sort_index() == tc.sort_index()).all()
     mx = g.apply(lambda x: x["text"].str.len().max())
     assert (out["max_turn_chars"].sort_index() == mx.sort_index()).all()
+
+
+def test_duplicate_ngram_stats(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.text import duplicate_ngram_stats
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "a b c d",          # trigrams: "a b c", "b c d"
+            "a b c x",          # shares "a b c"
+            "q r s t u",        # all unique
+            "z z z z z",        # within-doc repeat: "z z z" x3 → dup
+            "short",            # < n words → 0/0
+            "",                 # empty → 0/0
+        ]})
+    out = (duplicate_ngram_stats(rd.from_pandas(docs).repartition(3),
+                                 n=3, min_count=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0].tolist() == [2, 1]     # "a b c" dup'd across docs
+    assert out.loc[1].tolist() == [2, 1]
+    assert out.loc[2].tolist() == [3, 0]
+    assert out.loc[3].tolist() == [3, 3]     # within-doc repetition counts
+    assert out.loc[4].tolist() == [0, 0]
+    assert out.loc[5].tolist() == [0, 0]
+    # partitioning-invariant
+    out2 = (duplicate_ngram_stats(rd.from_pandas(docs).repartition(6),
+                                  n=3, min_count=2)
+            .to_pandas().set_index("doc_id").sort_index())
+    pd.testing.assert_frame_equal(out, out2)
