@@ -1726,6 +1726,53 @@ def q_docs_pack_greedy(sf_dir: str):
     return pack_greedy(toks, "token_count", cap=512, id_col="doc_id")
 
 
+def q_docs_prep_pipeline(sf_dir: str):
+    """Composed end-to-end training-data prep, every stage exact vs the
+    oracle: Gopher/C4 quality filter → exact dedup (min-id per content
+    hash) → token counts → concat-and-cut packing into 512-token
+    sequences → deterministic 95/5 train/val split by id hash. No text
+    rides any shuffle: the dedup shuffles (hash, id, token_count), the
+    pack shuffles counts only."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.pack import pack_concat
+    from agraph_ray.ops.stats import _key_hash32
+    from agraph_ray.ops.text import add_corpus_filter, add_token_count
+    from agraph_ray.stages.common import bucketed_group_reduce
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def filter_and_sig(t: pa.Table) -> pa.Table:
+        t = add_corpus_filter(t)
+        t = t.filter(t["keep"])
+        t = add_token_count(t)
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest()
+             for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "token_count": t["token_count"],
+                         "h": pa.array(h, pa.string())})
+
+    sigs = docs.map_batches(filter_and_sig, batch_format="pyarrow")
+    survivors = bucketed_group_reduce(
+        sigs, ["h"],
+        lambda df: df.sort_values("doc_id").drop_duplicates("h"),
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("token_count", pa.int64()),
+                          ("h", pa.string())])).drop_columns(["h"])
+    packed = pack_concat(survivors, "token_count", cap=512,
+                         order_col="doc_id")
+
+    def add_split(t: pa.Table) -> pa.Table:
+        hv = _key_hash32(t["doc_id"].to_pylist()) % np.uint64(100)
+        return t.append_column(
+            "split", pa.array(np.where(hv < 95, "train", "val")))
+
+    return packed.map_batches(add_split, batch_format="pyarrow")
+
+
 def q_docs_dup_ngrams(sf_dir: str):
     """Per-document duplicated-8-gram occurrence counts (the substring-
     dedup signal from Lee et al. 2022)."""
@@ -1857,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stratified": q_events_stratified,
         "docs_pack_concat": q_docs_pack_concat,
         "docs_dup_ngrams": q_docs_dup_ngrams,
+        "docs_prep_pipeline": q_docs_prep_pipeline,
         "docs_pack_greedy": q_docs_pack_greedy,
         "events_window_dedup": q_events_window_dedup,
         "supplier_neighbor_sample": q_supplier_neighbor_sample,
@@ -2644,6 +2692,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token_count,
                    CAST(prefix // 512 AS BIGINT) AS seq_id,
                    CAST(prefix % 512 AS BIGINT) AS seq_offset
+            FROM p
+        """,
+        "docs_prep_pipeline": r"""
+            WITH q AS (
+                SELECT doc_id,
+                       (length(text) - len(regexp_extract_all(text, '\s')))
+                         / greatest(len(regexp_extract_all(text, '\S+')),
+                                    1)::DOUBLE AS avg_token_len,
+                       len(regexp_extract_all(text, '[[:punct:]]'))
+                         / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+                       CASE WHEN len(regexp_extract_all(
+                                     text, '[\x{4e00}-\x{9fff}]'))
+                                 / greatest(length(text), 1)::DOUBLE > 0.2
+                                THEN 'zh'
+                            WHEN len(regexp_extract_all(text, '[A-Za-z]'))
+                                 / greatest(length(text), 1)::DOUBLE > 0.6
+                                THEN 'en'
+                            ELSE 'other' END AS lang_pred
+                FROM documents),
+            wc AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id, w),
+            w AS (
+                SELECT doc_id,
+                       sum(c) AS word_total,
+                       1 - count(*) / greatest(sum(c), 1)::DOUBLE
+                           AS dup_word_fraction,
+                       max(c) / greatest(sum(c), 1)::DOUBLE
+                           AS top_word_fraction
+                FROM wc GROUP BY doc_id),
+            keepers AS (
+                SELECT q.doc_id
+                FROM q JOIN w USING (doc_id)
+                WHERE NOT (w.word_total < 5 OR w.word_total > 100000
+                           OR avg_token_len < 2.0 OR avg_token_len > 12.0
+                           OR punct_ratio > 0.30
+                           OR lang_pred = 'other'
+                           OR dup_word_fraction > 0.50
+                           OR (top_word_fraction > 0.30
+                               AND w.word_total >= 5))),
+            t AS (
+                SELECT d.doc_id, md5(d.text) AS h,
+                       CAST(len(regexp_extract_all(d.text, '\S+'))
+                            AS BIGINT) AS token_count
+                FROM documents d JOIN keepers USING (doc_id)),
+            reps AS (SELECT h, min(doc_id) AS doc_id FROM t GROUP BY h),
+            s AS (SELECT t.doc_id, t.token_count
+                  FROM t JOIN reps ON t.doc_id = reps.doc_id),
+            p AS (
+                SELECT doc_id, token_count,
+                       COALESCE(SUM(token_count) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS prefix
+                FROM s)
+            SELECT doc_id, token_count,
+                   CAST(prefix // 512 AS BIGINT) AS seq_id,
+                   CAST(prefix % 512 AS BIGINT) AS seq_offset,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 8))::UBIGINT % 100 < 95
+                        THEN 'train' ELSE 'val' END AS split
             FROM p
         """,
         "docs_dup_ngrams": """
