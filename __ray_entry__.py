@@ -1805,6 +1805,19 @@ def q_supplier_neighbor_sample(sf_dir: str):
     return sample_neighbors(ds, "l_suppkey", "l_partkey", k=5)
 
 
+def q_kg_negative_samples(sf_dir: str):
+    """Deterministic 2-per-edge negative sampling over the supplier→part
+    graph (KG-embedding training corruption, hash-pick from the part
+    pool)."""
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import negative_sample_edges
+    edges = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_partkey"])
+    pool = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    return negative_sample_edges(edges, "l_suppkey", "l_partkey",
+                                 pool, "p_partkey", k=2)
+
+
 def q_conv_stats(sf_dir: str):
     """Per-conversation turn/role/char statistics off the transcripts."""
     from agraph_ray.stages.reassemble import conversation_stats
@@ -1908,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_greedy": q_docs_pack_greedy,
         "events_window_dedup": q_events_window_dedup,
         "supplier_neighbor_sample": q_supplier_neighbor_sample,
+        "kg_negative_samples": q_kg_negative_samples,
         "conv_stats": q_conv_stats,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -2792,6 +2806,24 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY l_suppkey
                 ORDER BY ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
                           1, 8))::UBIGINT, l_partkey) <= 5
+        """,
+        "kg_negative_samples": """
+            WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+            pool AS (SELECT p_partkey,
+                            row_number() OVER (ORDER BY p_partkey) - 1 AS r
+                     FROM (SELECT DISTINCT p_partkey FROM part)),
+            n AS (SELECT count(*) AS cnt FROM pool),
+            x AS (SELECT e.l_suppkey, e.l_partkey, t.j,
+                         ('0x' || substr(md5(
+                              CAST(e.l_suppkey AS VARCHAR) || '|' ||
+                              CAST(e.l_partkey AS VARCHAR) || '|' ||
+                              CAST(t.j AS VARCHAR)), 1, 8))::UBIGINT
+                             % (SELECT cnt FROM n) AS r
+                  FROM e, UNNEST([0, 1]) AS t(j))
+            SELECT x.l_suppkey, x.l_partkey,
+                   CAST(x.j AS INTEGER) AS neg_idx,
+                   CAST(pool.p_partkey AS BIGINT) AS neg_p_partkey
+            FROM x JOIN pool ON x.r = pool.r
         """,
         "conv_stats": """
             SELECT CAST(doc_id AS VARCHAR) AS conv_id,

@@ -719,3 +719,56 @@ def sample_neighbors(edges: "ray.data.Dataset", src: str, dst: str,
                         (dst, arrow_col_type(edges, dst))])
     return bucketed_group_reduce(dd, [src], reduce_df, num_buckets,
                                  schema=schema)
+
+
+def negative_sample_edges(edges: "ray.data.Dataset", src: str, dst: str,
+                          pool: "ray.data.Dataset", pool_col: str,
+                          k: int = 2, num_buckets: int = 64,
+                          broadcast_cap: int = 20_000_000
+                          ) -> "ray.data.Dataset":
+    """Deterministic negative sampling for KG-embedding training: for
+    each distinct edge and each j in [0, k), corrupt the tail by a
+    hash-picked candidate from ``pool`` → ``(src, dst, neg_idx,
+    neg_<pool_col>)``. The pick is ``md5("src|dst|j") % |pool|`` over the
+    pool sorted ascending — same on any worker/run, and reproducible in
+    SQL (row_number join). Unfiltered sampling (a negative may collide
+    with a true edge) — the standard trade in LCWA training; filter
+    downstream with an anti join if needed.
+
+    The pool rides as a broadcast sorted numpy array (``ray.put`` once)
+    up to ``broadcast_cap`` ids (160 MB at the cap); above it, swap the
+    lookup for a rank-keyed ``cogroup_join`` — raised explicitly rather
+    than silently degrading."""
+    import ray
+
+    from .stats import _key_hash32
+
+    pool_ids = np.sort(np.asarray(
+        [r[pool_col] for r in pool.select_columns([pool_col])
+         .take_all()], dtype=np.int64))
+    pool_ids = np.unique(pool_ids)
+    if len(pool_ids) > broadcast_cap:
+        raise NotImplementedError(
+            "pool exceeds broadcast cap — use a rank-keyed cogroup_join")
+    ref = ray.put(pool_ids)
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        cnt = np.uint64(len(ids))
+        s = t[src].to_numpy(zero_copy_only=False)
+        d = t[dst].to_numpy(zero_copy_only=False)
+        n = len(t)
+        out_s = np.repeat(s, k)
+        out_d = np.repeat(d, k)
+        out_j = np.tile(np.arange(k, dtype=np.int32), n)
+        keys = [f"{a}|{b}|{j}"
+                for a, b, j in zip(out_s, out_d, out_j)]
+        idx = (_key_hash32(keys) % cnt).astype(np.int64)
+        return pa.table({src: pa.array(out_s),
+                         dst: pa.array(out_d),
+                         "neg_idx": pa.array(out_j, pa.int32()),
+                         f"neg_{pool_col}": pa.array(ids[idx], pa.int64())})
+
+    dd = distinct_on(edges.select_columns([src, dst]), [src, dst],
+                     num_buckets)
+    return dd.map_batches(sample, batch_format="pyarrow")

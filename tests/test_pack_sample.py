@@ -181,3 +181,30 @@ def test_duplicate_ngram_stats(ray_session):
                                   n=3, min_count=2)
             .to_pandas().set_index("doc_id").sort_index())
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_negative_sample_edges(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import negative_sample_edges
+    rng = np.random.default_rng(2)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 20, 500).astype(np.int64),
+        "dst": rng.integers(0, 50, 500).astype(np.int64)})
+    pool = pd.DataFrame({"e": np.arange(100, 200, dtype=np.int64)})
+    out = negative_sample_edges(
+        rd.from_pandas(edges).repartition(4), "src", "dst",
+        rd.from_pandas(pool), "e", k=3).to_pandas()
+    dd = edges.drop_duplicates()
+    assert len(out) == 3 * len(dd)
+    assert set(out["neg_e"]).issubset(set(pool["e"]))
+    assert sorted(out["neg_idx"].unique()) == [0, 1, 2]
+    # every distinct edge gets exactly k negatives
+    per = out.groupby(["src", "dst"]).size()
+    assert (per == 3).all()
+    # partitioning-invariant
+    out2 = negative_sample_edges(
+        rd.from_pandas(edges).repartition(9), "src", "dst",
+        rd.from_pandas(pool), "e", k=3).to_pandas()
+    a = out.sort_values(["src", "dst", "neg_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["src", "dst", "neg_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
