@@ -1805,6 +1805,22 @@ def q_supplier_neighbor_sample(sf_dir: str):
     return sample_neighbors(ds, "l_suppkey", "l_partkey", k=5)
 
 
+_BM25_QUERIES = {0: ["table", "scan", "fast"],
+                 1: ["window", "agg", "batch"],
+                 2: ["customer", "query"],
+                 3: ["spark", "stream"]}
+
+
+def q_docs_bm25(sf_dir: str):
+    """BM25 top-10 documents for 4 pinned term queries (lexical
+    retrieval; integer-scaled scores so ranking is float-noise-proof)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import bm25_topk
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=10)
+
+
 def q_kg_negative_samples(sf_dir: str):
     """Deterministic 2-per-edge negative sampling over the supplier→part
     graph (KG-embedding training corruption, hash-pick from the part
@@ -1922,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": q_events_window_dedup,
         "supplier_neighbor_sample": q_supplier_neighbor_sample,
         "kg_negative_samples": q_kg_negative_samples,
+        "docs_bm25": q_docs_bm25,
         "conv_stats": q_conv_stats,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -2806,6 +2823,45 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY l_suppkey
                 ORDER BY ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
                           1, 8))::UBIGINT, l_partkey) <= 5
+        """,
+        "docs_bm25": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM d),
+            stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+            q(query_id, term) AS (VALUES
+                (0, 'table'), (0, 'scan'), (0, 'fast'),
+                (1, 'window'), (1, 'agg'), (1, 'batch'),
+                (2, 'customer'), (2, 'query'),
+                (3, 'spark'), (3, 'stream')),
+            w AS (SELECT doc_id, w AS term,
+                         CAST(count(*) AS DOUBLE) AS tf
+                  FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+                  GROUP BY doc_id, w),
+            dft AS (SELECT term, count(*) AS df FROM w
+                    WHERE term IN (SELECT DISTINCT term FROM q)
+                    GROUP BY term),
+            m AS (SELECT q.query_id, w.doc_id,
+                         ln(1 + (stats.n - dft.df + 0.5)
+                                / (dft.df + 0.5))
+                           * w.tf * (1.2::DOUBLE + 1)
+                           / (w.tf + 1.2::DOUBLE
+                              * (1 - 0.75::DOUBLE
+                                 + 0.75::DOUBLE * dl.dl / stats.avgdl))
+                             AS s
+                  FROM q JOIN w USING (term) JOIN dft USING (term)
+                       JOIN dl ON w.doc_id = dl.doc_id, stats),
+            agg AS (SELECT query_id, doc_id,
+                           CAST(floor(sum(s) * 1000000 + 0.5) AS BIGINT)
+                               AS score_scaled
+                    FROM m GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id, score_scaled,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_scaled DESC, doc_id) AS BIGINT)
+                       AS rank
+            FROM agg
+            QUALIFY rank <= 10
         """,
         "kg_negative_samples": """
             WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),

@@ -691,3 +691,124 @@ def duplicate_ngram_stats(ds: "ray.data.Dataset", n: int = 8,
     return (partials.groupby(id_col)
             .aggregate(Sum("n", alias_name="n_ngrams"),
                        Sum("d", alias_name="n_dup_ngrams")))
+
+
+def bm25_topk(ds: "ray.data.Dataset", queries: dict, k: int = 10,
+              k1: float = 1.2, b: float = 0.75, col: str = "text",
+              id_col: str = "doc_id",
+              num_buckets: int = 16) -> "ray.data.Dataset":
+    """Per-query BM25 top-k documents → ``(query_id, doc_id,
+    score_scaled, rank)`` with ``score_scaled = floor(score·10⁶ + 0.5)``
+    (ranking happens on the scaled integer so engine-level float noise
+    below 10⁻⁶ can never reorder the cut; ties break by doc id).
+
+    ``queries``: {query_id: [term, ...]} — a small driver-side dict, as
+    in any search serving path. Single-space tokenization (SQL
+    ``string_split`` parity); idf = ln(1 + (N − df + ½)/(df + ½)).
+
+    Scale shape: one corpus pass emits per-doc (term, tf, dl) rows ONLY
+    for query terms (shuffle volume ∝ matching docs × matched terms, not
+    corpus size); df/N/avgdl reduce to a ≤|terms|-row driver table;
+    scoring is map-side against the broadcast idf dict; one bucketed
+    shuffle on (query, doc) sums term contributions and one tiny
+    query-keyed reduce takes the top k."""
+    import ray
+
+    from ..stages.common import bucketed_group_reduce
+
+    terms = sorted({t for ts in queries.values() for t in ts})
+    term_set = set(terms)
+    by_term: dict = {}
+    for qid, ts in queries.items():
+        for t in ts:
+            by_term.setdefault(t, []).append(qid)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        toks = lists.flatten().to_pandas().to_numpy(dtype=object)
+        docs = np.repeat(np.arange(len(batch)), lens)
+        o_doc, o_term, o_tf, o_dl = [], [], [], []
+        hit = np.fromiter((t in term_set for t in toks), dtype=bool,
+                          count=len(toks))
+        if hit.any():
+            import pandas as pd
+            hits = pd.DataFrame({"d": docs[hit], "t": toks[hit]})
+            g = hits.groupby(["d", "t"], sort=False).size().reset_index()
+            o_doc = ids[g["d"].to_numpy()]
+            o_dl = lens[g["d"].to_numpy()]
+            o_term = g["t"].to_numpy(dtype=object)
+            o_tf = g[0].to_numpy()
+        # one (dl-carrier, term="") row per doc keeps N/avgdl derivable
+        # from this single pass's output
+        return pa.table({
+            id_col: pa.array(np.concatenate([ids, np.asarray(o_doc)])),
+            "term": pa.array(np.concatenate(
+                [np.full(len(batch), "", dtype=object),
+                 np.asarray(o_term, dtype=object)]), pa.string()),
+            "tf": pa.array(np.concatenate(
+                [np.zeros(len(batch), np.int64),
+                 np.asarray(o_tf, dtype=np.int64)]), pa.int64()),
+            "dl": pa.array(np.concatenate(
+                [lens.astype(np.int64),
+                 np.asarray(o_dl, dtype=np.int64)]), pa.int64())})
+
+    rows = ds.select_columns([id_col, col]).map_batches(
+        tf_rows, batch_format="pyarrow").materialize()
+
+    # tiny reductions: N + avgdl from the dl-carrier rows, df per term
+    from ray.data.aggregate import Count, Sum
+    carrier = rows.map_batches(
+        lambda t: t.filter(pc.equal(t["term"], "")),
+        batch_format="pyarrow")
+    st = carrier.aggregate(Count(alias_name="n"),
+                           Sum("dl", alias_name="sdl"))
+    n_docs, sum_dl = st["n"], st["sdl"]
+    avgdl = (sum_dl or 0) / max(n_docs, 1)
+    dfs = {r["term"]: r["df"] for r in
+           rows.map_batches(
+               lambda t: t.filter(pc.not_equal(t["term"], "")),
+               batch_format="pyarrow")
+           .groupby("term").aggregate(Count(alias_name="df")).take_all()}
+    idf = {t: float(np.log(1.0 + (n_docs - dfs.get(t, 0) + 0.5)
+                           / (dfs.get(t, 0) + 0.5))) for t in terms}
+    ref = ray.put((idf, by_term, float(avgdl)))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        idf_, by_term_, avgdl_ = ray.get(ref)
+        t = t.filter(pc.not_equal(t["term"], ""))
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dlv = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tv = t["term"].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = np.fromiter((idf_[x] for x in tv), dtype=np.float64,
+                        count=len(tv))
+        sc = w * tfv * (k1 + 1) / (tfv + k1 * (1 - b + b * dlv / avgdl_))
+        o_q, o_id, o_s = [], [], []
+        for i, x in enumerate(tv):
+            for qid in by_term_[x]:
+                o_q.append(qid); o_id.append(ids[i]); o_s.append(sc[i])
+        return pa.table({"query_id": pa.array(o_q, pa.int32()),
+                         id_col: pa.array(o_id),
+                         "s": pa.array(o_s, pa.float64())})
+
+    import pandas as pd
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["query_id", id_col], as_index=False)["s"].sum()
+        agg["score_scaled"] = np.floor(
+            agg["s"] * 1_000_000 + 0.5).astype(np.int64)
+        agg = agg.sort_values(["score_scaled", id_col],
+                              ascending=[False, True], kind="stable")
+        out = agg.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return out[["query_id", id_col, "score_scaled", "rank"]]
+
+    scored = rows.map_batches(contrib, batch_format="pyarrow")
+    return bucketed_group_reduce(
+        scored, ["query_id"], topk, num_buckets,
+        schema=pa.schema([("query_id", pa.int32()),
+                          (id_col, pa.int64()),
+                          ("score_scaled", pa.int64()),
+                          ("rank", pa.int64())]))

@@ -208,3 +208,46 @@ def test_negative_sample_edges(ray_session):
     a = out.sort_values(["src", "dst", "neg_idx"]).reset_index(drop=True)
     b = out2.sort_values(["src", "dst", "neg_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bm25_matches_bruteforce(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.text import bm25_topk
+    rng = np.random.default_rng(6)
+    vocab = np.array(["aa", "bb", "cc", "dd", "ee", "ff"])
+    docs = pd.DataFrame({
+        "doc_id": np.arange(80, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, rng.integers(3, 30)))
+                 for _ in range(80)]})
+    queries = {0: ["aa", "cc"], 1: ["ff"]}
+    out = (bm25_topk(rd.from_pandas(docs).repartition(5), queries, k=7)
+           .to_pandas())
+    # brute-force reference
+    k1, b = 1.2, 0.75
+    toks = [t.split(" ") for t in docs["text"]]
+    dl = np.array([len(t) for t in toks], dtype=float)
+    avgdl = dl.mean()
+    N = len(docs)
+    rows = []
+    for qid, terms in queries.items():
+        scores = np.zeros(N)
+        for term in terms:
+            tf = np.array([t.count(term) for t in toks], dtype=float)
+            df = int((tf > 0).sum())
+            idf = np.log(1 + (N - df + 0.5) / (df + 0.5))
+            with np.errstate(invalid="ignore"):
+                scores += np.where(
+                    tf > 0,
+                    idf * tf * (k1 + 1)
+                    / (tf + k1 * (1 - b + b * dl / avgdl)), 0)
+        ss = np.floor(scores * 1_000_000 + 0.5).astype(np.int64)
+        order = sorted(range(N), key=lambda i: (-ss[i], i))
+        for r, i in enumerate([i for i in order if ss[i] > 0][:7], 1):
+            rows.append((qid, i, ss[i], r))
+    expect = pd.DataFrame(rows, columns=["query_id", "doc_id",
+                                         "score_scaled", "rank"])
+    got = (out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+           .astype({"query_id": np.int64, "doc_id": np.int64}))
+    pd.testing.assert_frame_equal(
+        got, expect.astype({"query_id": np.int64, "doc_id": np.int64,
+                            "score_scaled": np.int64, "rank": np.int64}))
