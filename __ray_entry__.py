@@ -1805,6 +1805,63 @@ def q_supplier_neighbor_sample(sf_dir: str):
     return sample_neighbors(ds, "l_suppkey", "l_partkey", k=5)
 
 
+def q_docs_corpus_drift(sf_dir: str):
+    """Jensen-Shannon divergence between the even- and odd-doc_id halves
+    of the corpus (the train-snapshot vs fresh-crawl drift monitor)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.text import corpus_js_divergence
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64())
+            return t.filter(pc.equal(
+                pc.bit_wise_and(ids, 1), parity))
+        return f
+
+    a = docs.map_batches(half(0), batch_format="pyarrow")
+    b = docs.map_batches(half(1), batch_format="pyarrow")
+    return corpus_js_divergence(a, b)
+
+
+def q_events_trending(sf_dir: str):
+    """Top-3 event types per day by count (windowed top-k: tumbling
+    window groupby + per-window ranked head)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from agraph_ray.stages.common import bucketed_group_reduce
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return t.append_column(
+            "day", pc.cast(pc.divide(us, 86_400_000_000), pa.int64()))
+
+    counts = (ds.map_batches(add_day, batch_format="pyarrow")
+              .groupby(["day", "event_type"])
+              .aggregate(Count(alias_name="n")))
+
+    def topk(df):
+        df = df.sort_values(["n", "event_type"],
+                            ascending=[False, True], kind="stable")
+        out = df.groupby("day", sort=False).head(3).copy()
+        out["rank"] = out.groupby("day", sort=False).cumcount() + 1
+        return out[["day", "event_type", "n", "rank"]]
+
+    return bucketed_group_reduce(
+        counts, ["day"], topk, num_buckets=16,
+        schema=pa.schema([("day", pa.int64()),
+                          ("event_type", pa.string()),
+                          ("n", pa.int64()), ("rank", pa.int64())]))
+
+
 _BM25_QUERIES = {0: ["table", "scan", "fast"],
                  1: ["window", "agg", "batch"],
                  2: ["customer", "query"],
@@ -1939,6 +1996,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_neighbor_sample": q_supplier_neighbor_sample,
         "kg_negative_samples": q_kg_negative_samples,
         "docs_bm25": q_docs_bm25,
+        "events_trending": q_events_trending,
+        "docs_corpus_drift": q_docs_corpus_drift,
         "conv_stats": q_conv_stats,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -2823,6 +2882,44 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY l_suppkey
                 ORDER BY ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
                           1, 8))::UBIGINT, l_partkey) <= 5
+        """,
+        "docs_corpus_drift": """
+            WITH wa AS (SELECT w AS word, CAST(count(*) AS DOUBLE) AS c
+                        FROM (SELECT unnest(string_split(text, ' ')) AS w
+                              FROM documents WHERE doc_id % 2 = 0)
+                        GROUP BY w),
+            wb AS (SELECT w AS word, CAST(count(*) AS DOUBLE) AS c
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents WHERE doc_id % 2 = 1)
+                   GROUP BY w),
+            ta AS (SELECT sum(c) AS s FROM wa),
+            tb AS (SELECT sum(c) AS s FROM wb),
+            j AS (SELECT COALESCE(wa.c, 0) / (SELECT s FROM ta) AS p,
+                         COALESCE(wb.c, 0) / (SELECT s FROM tb) AS q
+                  FROM wa FULL OUTER JOIN wb ON wa.word = wb.word)
+            SELECT CAST((SELECT s FROM ta) AS BIGINT) AS words_a,
+                   CAST((SELECT s FROM tb) AS BIGINT) AS words_b,
+                   CAST(count(*) AS BIGINT) AS vocab_union,
+                   CAST(floor(sum(
+                       CASE WHEN p > 0
+                            THEN 0.5 * p * ln(p / (0.5 * (p + q)))
+                            ELSE 0 END
+                     + CASE WHEN q > 0
+                            THEN 0.5 * q * ln(q / (0.5 * (p + q)))
+                            ELSE 0 END) * 1000000 + 0.5) AS BIGINT)
+                       AS js_scaled
+            FROM j
+        """,
+        "events_trending": """
+            WITH c AS (
+                SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                       event_type, count(*) AS n
+                FROM events GROUP BY day, event_type)
+            SELECT day, event_type, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY day
+                       ORDER BY n DESC, event_type) AS BIGINT) AS rank
+            FROM c QUALIFY rank <= 3
         """,
         "docs_bm25": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws

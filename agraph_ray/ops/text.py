@@ -812,3 +812,67 @@ def bm25_topk(ds: "ray.data.Dataset", queries: dict, k: int = 10,
                           (id_col, pa.int64()),
                           ("score_scaled", pa.int64()),
                           ("rank", pa.int64())]))
+
+
+def corpus_js_divergence(ds_a: "ray.data.Dataset", ds_b: "ray.data.Dataset",
+                         col: str = "text", scale: int = 1_000_000,
+                         num_buckets: int = 64) -> "ray.data.Dataset":
+    """Jensen-Shannon divergence between two corpora's word distributions
+    — the drift monitor between a training snapshot and a fresh crawl.
+    → one row ``(words_a, words_b, vocab_union, js_scaled)`` with
+    ``js_scaled = floor(JS·scale + 0.5)`` (nats).
+
+    Scale shape: each side reduces to (word, count) via the per-batch
+    combiner in ``corpus_word_counts``; the two count tables union into
+    ONE word-keyed bucketed reduce that pairs them and emits per-word JS
+    contributions (zeros handled natively: a word absent from one side
+    contributes only the other side's half-term); contributions fold
+    through a per-batch partial sum, so the driver sees two scalars and
+    one final row. No vocabulary ever leaves the cluster."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import bucketed_group_reduce
+
+    ca = corpus_word_counts(ds_a, col=col)
+    cb = corpus_word_counts(ds_b, col=col)
+    total_a = ca.aggregate(Sum("cnt", alias_name="s"))["s"] or 0
+    total_b = cb.aggregate(Sum("cnt", alias_name="s"))["s"] or 0
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("side", pa.array([side] * len(t)))
+        return f
+
+    both = (ca.map_batches(tag("a"), batch_format="pyarrow")
+            .union(cb.map_batches(tag("b"), batch_format="pyarrow")))
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.pivot_table(index="word", columns="side", values="cnt",
+                           aggfunc="sum", fill_value=0)
+        p = (w["a"].to_numpy(dtype=np.float64) / total_a
+             if "a" in w else np.zeros(len(w)))
+        q = (w["b"].to_numpy(dtype=np.float64) / total_b
+             if "b" in w else np.zeros(len(w)))
+        m = 0.5 * (p + q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = np.where(p > 0, p * np.log(p / m), 0.0)
+            t2 = np.where(q > 0, q * np.log(q / m), 0.0)
+        return pd.DataFrame({
+            "js_part": [float(0.5 * (t1.sum() + t2.sum()))],
+            "vocab": [int(len(w))]})
+
+    parts = bucketed_group_reduce(
+        both, ["word"], contrib, num_buckets,
+        schema=pa.schema([("js_part", pa.float64()),
+                          ("vocab", pa.int64())]))
+    agg = parts.aggregate(Sum("js_part", alias_name="js"),
+                          Sum("vocab", alias_name="vocab_union"))
+    js = agg["js"] or 0.0
+    return rd.from_arrow(pa.table({
+        "words_a": pa.array([int(total_a)], pa.int64()),
+        "words_b": pa.array([int(total_b)], pa.int64()),
+        "vocab_union": pa.array([int(agg["vocab_union"] or 0)], pa.int64()),
+        "js_scaled": pa.array([int(np.floor(js * scale + 0.5))],
+                              pa.int64())}))

@@ -99,7 +99,8 @@ def run_bench() -> dict:
                       "llm_parse_entities", "docs_repetition",
                       "events_asof_order", "lineitem_quantiles",
                       "events_rolling", "events_click_attrib",
-                      "docs_tfidf", "lineitem_bloom_semi"]:
+                      "docs_tfidf", "lineitem_bloom_semi",
+                      "docs_prep_pipeline", "docs_dup_ngrams"]:
             t0 = time.time()
             r = qs[qname](SF_DIR)
             if hasattr(r, "materialize"):

@@ -251,3 +251,18 @@ def test_bm25_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(
         got, expect.astype({"query_id": np.int64, "doc_id": np.int64,
                             "score_scaled": np.int64, "rank": np.int64}))
+
+
+def test_corpus_js_divergence_bounds(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.text import corpus_js_divergence
+    a = pd.DataFrame({"text": ["x y z", "x x y"]})
+    same = corpus_js_divergence(rd.from_pandas(a),
+                                rd.from_pandas(a.copy())).to_pandas()
+    assert same["js_scaled"].iloc[0] == 0          # identical → JS = 0
+    b = pd.DataFrame({"text": ["p q r", "p p q"]})
+    disj = corpus_js_divergence(rd.from_pandas(a),
+                                rd.from_pandas(b)).to_pandas()
+    assert disj["js_scaled"].iloc[0] == int(
+        np.floor(np.log(2) * 1_000_000 + 0.5))    # disjoint → ln 2
+    assert disj["vocab_union"].iloc[0] == 6
