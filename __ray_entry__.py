@@ -1805,6 +1805,20 @@ def q_supplier_neighbor_sample(sf_dir: str):
     return sample_neighbors(ds, "l_suppkey", "l_partkey", k=5)
 
 
+def q_ann_recall_lsh(sf_dir: str):
+    """Per-query recall@10 of the LSH ANN path against the exact top-10
+    (retrieval-quality eval; approximate input, so rows-only)."""
+    import ray.data as rd
+    from agraph_ray.ops.similarity import (recall_at_k, topk_cosine,
+                                           topk_cosine_lsh)
+    vecs, ids = _load_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = topk_cosine(ds, vecs, query_ids=ids, k=10)
+    approx = topk_cosine_lsh(ds, vecs, query_ids=ids, k=10)
+    return recall_at_k(approx, exact, k=10)
+
+
 def q_docs_corpus_drift(sf_dir: str):
     """Jensen-Shannon divergence between the even- and odd-doc_id halves
     of the corpus (the train-snapshot vs fresh-crawl drift monitor)."""
@@ -1998,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": q_docs_bm25,
         "events_trending": q_events_trending,
         "docs_corpus_drift": q_docs_corpus_drift,
+        "ann_recall_lsh": q_ann_recall_lsh,
         "conv_stats": q_conv_stats,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,

@@ -18,6 +18,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -223,3 +224,53 @@ def topk_cosine_lsh(ds: "ray.data.Dataset", queries: np.ndarray,
 
     return partials.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pandas")
+
+
+def recall_at_k(approx: "ray.data.Dataset", exact: "ray.data.Dataset",
+                query_col: str = "query_id", id_col: str = "vec_id",
+                k: int = 10, num_buckets: int = 16) -> "ray.data.Dataset":
+    """Retrieval-quality eval: per-query recall@k of an approximate
+    result set (LSH/IVF) against the exact top-k →
+    ``(query_id, n_exact, n_hit, recall_scaled)`` with
+    ``recall_scaled = floor(hit/exact·10⁶ + 0.5)``.
+
+    Both inputs are (query_id, vec_id, ...) rankings; rows beyond rank k
+    are ignored if a ``rank`` column is present. One tagged union + one
+    bucketed shuffle on the query id — eval cost scales with result-set
+    size, never corpus size."""
+    import pandas as pd
+
+    from ..stages.common import bucketed_group_reduce
+
+    def prep(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            if "rank" in t.schema.names:
+                t = t.filter(pc.less_equal(t["rank"], k))
+            return pa.table({
+                query_col: t[query_col],
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "side": pa.array([side] * len(t))})
+        return f
+
+    both = (approx.map_batches(prep("a"), batch_format="pyarrow")
+            .union(exact.map_batches(prep("e"), batch_format="pyarrow")))
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for qid, g in df.groupby(query_col, sort=False):
+            ex = set(g.loc[g["side"] == "e", id_col])
+            ap = set(g.loc[g["side"] == "a", id_col])
+            hit = len(ex & ap)
+            rec = hit / len(ex) if ex else 0.0
+            rows.append((qid, len(ex), hit,
+                         int(np.floor(rec * 1_000_000 + 0.5))))
+        return pd.DataFrame(rows, columns=[query_col, "n_exact", "n_hit",
+                                           "recall_scaled"])
+
+    from ..stages.common import arrow_col_type
+    qt = arrow_col_type(approx, query_col)
+    return bucketed_group_reduce(
+        both, [query_col], reduce_df, num_buckets,
+        schema=pa.schema([(query_col, qt), ("n_exact", pa.int64()),
+                          ("n_hit", pa.int64()),
+                          ("recall_scaled", pa.int64())]))

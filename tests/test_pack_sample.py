@@ -266,3 +266,23 @@ def test_corpus_js_divergence_bounds(ray_session):
     assert disj["js_scaled"].iloc[0] == int(
         np.floor(np.log(2) * 1_000_000 + 0.5))    # disjoint → ln 2
     assert disj["vocab_union"].iloc[0] == 6
+
+
+def test_recall_at_k(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.similarity import recall_at_k
+    e = pd.DataFrame({"query_id": [0]*3 + [1]*3,
+                      "vec_id": [1, 2, 3, 7, 8, 9],
+                      "rank": [1, 2, 3, 1, 2, 3]})
+    a = pd.DataFrame({"query_id": [0]*3 + [1]*2,
+                      "vec_id": [1, 2, 99, 7, 8],
+                      "rank": [1, 2, 3, 1, 2]})
+    out = (recall_at_k(rd.from_pandas(a), rd.from_pandas(e), k=3)
+           .to_pandas().set_index("query_id").sort_index())
+    assert out.loc[0, "n_hit"] == 2 and out.loc[0, "n_exact"] == 3
+    assert out.loc[0, "recall_scaled"] == 666667
+    assert out.loc[1, "n_hit"] == 2 and out.loc[1, "recall_scaled"] == 666667
+    # identical sets → recall 1
+    full = (recall_at_k(rd.from_pandas(e), rd.from_pandas(e), k=3)
+            .to_pandas())
+    assert (full["recall_scaled"] == 1_000_000).all()
