@@ -1805,6 +1805,27 @@ def q_supplier_neighbor_sample(sf_dir: str):
     return sample_neighbors(ds, "l_suppkey", "l_partkey", k=5)
 
 
+def q_emb_nn_join(sf_dir: str):
+    """Exact nearest-neighbor join: odd-id vectors against the even-id
+    index side (zero-shuffle stream×broadcast)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.similarity import embedding_join
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def parity(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["vec_id"], pa.int64())
+            return t.filter(pc.equal(pc.bit_wise_and(ids, 1), p))
+        return f
+
+    a = ds.map_batches(parity(1), batch_format="pyarrow")
+    b = ds.map_batches(parity(0), batch_format="pyarrow")
+    return _scale_cols(embedding_join(a, b, k=3), {"sim": 10**6})
+
+
 def q_ann_recall_lsh(sf_dir: str):
     """Per-query recall@10 of the LSH ANN path against the exact top-10
     (retrieval-quality eval; approximate input, so rows-only)."""
@@ -2013,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trending": q_events_trending,
         "docs_corpus_drift": q_docs_corpus_drift,
         "ann_recall_lsh": q_ann_recall_lsh,
+        "emb_nn_join": q_emb_nn_join,
         "conv_stats": q_conv_stats,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -2897,6 +2919,23 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY l_suppkey
                 ORDER BY ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
                           1, 8))::UBIGINT, l_partkey) <= 5
+        """,
+        "emb_nn_join": """
+            WITH a AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 2 = 1),
+                 b AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 2 = 0),
+                 sims AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                                 list_cosine_similarity(
+                                     a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) AS s
+                          FROM a CROSS JOIN b)
+            SELECT a_id, b_id,
+                   CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS sim,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY s DESC, b_id) AS rank
+            FROM sims
+            QUALIFY rank <= 3
         """,
         "docs_corpus_drift": """
             WITH wa AS (SELECT w AS word, CAST(count(*) AS DOUBLE) AS c

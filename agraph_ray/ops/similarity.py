@@ -274,3 +274,65 @@ def recall_at_k(approx: "ray.data.Dataset", exact: "ray.data.Dataset",
         schema=pa.schema([(query_col, qt), ("n_exact", pa.int64()),
                           ("n_hit", pa.int64()),
                           ("recall_scaled", pa.int64())]))
+
+
+def embedding_join(a: "ray.data.Dataset", b: "ray.data.Dataset",
+                   k: int = 3, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   broadcast_cap: int = 2_000_000) -> "ray.data.Dataset":
+    """Exact nearest-neighbor join: for every vector in ``a``, the top-k
+    most-cosine-similar vectors in ``b`` → ``(a_id, b_id, sim, rank)``.
+    Deterministic ties: (-sim, b_id).
+
+    Scale shape: ``b`` (the index side) is collected into two numpy
+    arrays and broadcast ONCE via ``ray.put`` (size-guarded at
+    ``broadcast_cap`` rows — ~½ GB of float32x64 at the cap); ``a``
+    streams through ``map_batches``, one matmul per batch, and the
+    result is final per row — ZERO shuffles. For an index side beyond
+    the cap, partition ``b`` into shards and union the per-shard joins
+    through a (a_id)-keyed top-k reduce (the sharded ANN actor pool in
+    state/ann.py serves the repeated-query deployment)."""
+    n_b = b.count()
+    if n_b > broadcast_cap:
+        raise NotImplementedError(
+            "index side exceeds broadcast cap — shard b and reduce "
+            "per-shard joins on a_id")
+    ids_b, vecs_b = [], []
+    for bt in b.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow"):
+        ids_b.append(np.asarray(bt[id_col].to_pylist()))
+        vecs_b.append(np.asarray(bt[vec_col].to_pylist(), dtype=np.float64))
+    ids_b = np.concatenate(ids_b) if ids_b else np.empty(0, np.int64)
+    vecs_b = (np.concatenate(vecs_b) if vecs_b
+              else np.empty((0, 1), np.float64))
+    order = np.argsort(ids_b)
+    ids_b, vecs_b = ids_b[order], vecs_b[order]
+    norms = np.linalg.norm(vecs_b, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids_b, vecs_b / norms))
+
+    def local(batch: pa.Table) -> pa.Table:
+        bid, bunit = ray.get(ref)
+        va = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        ia = np.asarray(batch[id_col].to_pylist())
+        na = np.linalg.norm(va, axis=1, keepdims=True)
+        na[na == 0] = 1.0
+        sims = (va / na) @ bunit.T                     # (nA, nB)
+        kk = min(k, sims.shape[1])
+        o_a, o_b, o_s, o_r = [], [], [], []
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            part = np.argpartition(-row, kk - 1)[:kk]
+            order_ = part[np.lexsort((bid[part], -row[part]))]
+            o_a.extend([ia[i]] * kk)
+            o_b.extend(bid[order_].tolist())
+            o_s.extend(row[order_].tolist())
+            o_r.extend(range(1, kk + 1))
+        return pa.Table.from_arrays(
+            [pa.array(o_a), pa.array(o_b),
+             pa.array(o_s, pa.float64()),
+             pa.array(o_r, pa.int64())],
+            names=["a_id", "b_id", "sim", "rank"])
+
+    return a.select_columns([id_col, vec_col]).map_batches(
+        local, batch_format="pyarrow")
