@@ -469,6 +469,19 @@ def q_kg_importance(sf_dir: str):
     return _scale_cols(out, {"importance": 10**6})
 
 
+def q_media_audio_windows(sf_dir: str):
+    """Audio windowing plumbing: 300 ms windows with deterministic fake
+    spectral features (decode kernel stubbed, distribution real)."""
+    import ray.data as rd
+    from agraph_ray.ops.multimodal import chunk_audio, synth_media
+    ds = rd.from_arrow(synth_media(n=96, seed=5))
+    wins = chunk_audio(ds, window_ms=300, concurrency=2)
+    return wins.map_batches(
+        lambda t: t.drop(["feature"]).append_column(
+            "f0", pc.round(pc.list_element(t["feature"], 0), 6)),
+        batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake media → actor-pool feature
     extraction (decode kernel stubbed, distribution real)."""
@@ -2057,6 +2070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_documents": q_parse_documents,
         # multimodal plumbing
         "media_features": q_media_features,
+        "media_audio_windows": q_media_audio_windows,
         # LLM extraction engine (canned completions; full oracle)
         "llm_parse_entities": q_llm_parse_entities,
         "llm_parse_relations": q_llm_parse_relations,

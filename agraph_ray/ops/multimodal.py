@@ -195,3 +195,69 @@ def synth_media(n: int = 64, seed: int = 5) -> pa.Table:
                      "height": 64 if kind == "image" else -1,
                      "duration_ms": 1000 if kind != "image" else -1})
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class AudioChunker:
+    """Actor-pool ``map_batches`` stage: audio payload → fixed-length
+    window rows (the audio analogue of VideoFrameSampler). Real decoding
+    (ffmpeg/librosa) is the per-actor kernel slot; the deterministic
+    ``fake`` path derives windows from ``duration_ms`` and synthesizes a
+    16-byte per-window "spectral" digest from (payload, window index) —
+    exercising schema, row expansion, and batch sizing end to end.
+
+    → one row per window: (media_id, window_idx, start_ms, end_ms,
+    feature: fixed_size_list<float32, 16>).
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, window_ms: int = 1000, fake: bool = True):
+        self.window_ms = window_ms
+        self.fake = fake
+        # real implementation: load the codec / feature model once here
+
+    def _window_feature(self, payload: bytes, idx: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "real audio decoding requires ffmpeg/librosa — plug the "
+                "decoder in here")
+        digest = hashlib.md5((payload or b"") + idx.to_bytes(4, "little")
+                             ).digest()
+        return np.frombuffer(digest, dtype=np.uint8).astype(
+            np.float32) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        o_id, o_idx, o_s, o_e, o_f = [], [], [], [], []
+        for mid, kind, payload, dur in zip(
+                batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+                batch["payload"].to_pylist(),
+                batch["duration_ms"].to_pylist()):
+            if kind != "audio":
+                continue
+            dur = max(int(dur or 0), 0)
+            n_win = max((dur + self.window_ms - 1) // self.window_ms, 1)
+            for i in range(n_win):
+                o_id.append(mid)
+                o_idx.append(i)
+                o_s.append(i * self.window_ms)
+                o_e.append(min((i + 1) * self.window_ms, dur)
+                           if dur else self.window_ms)
+                o_f.append(self._window_feature(payload, i).tolist())
+        return pa.table({
+            "media_id": pa.array(o_id, pa.string()),
+            "window_idx": pa.array(o_idx, pa.int32()),
+            "start_ms": pa.array(o_s, pa.int32()),
+            "end_ms": pa.array(o_e, pa.int32()),
+            "feature": pa.array(o_f, pa.list_(pa.float32(),
+                                              self.FEATURE_DIM))})
+
+
+def chunk_audio(ds: "ray.data.Dataset", window_ms: int = 1000,
+                fake: bool = True,
+                concurrency: int = 4) -> "ray.data.Dataset":
+    """Audio → per-window feature rows via the AudioChunker actor pool
+    (small batches: binary payload rows are wide)."""
+    return ds.map_batches(AudioChunker, fn_constructor_kwargs={
+        "window_ms": window_ms, "fake": fake},
+        batch_size=32, concurrency=concurrency,
+        batch_format="pyarrow")

@@ -61,3 +61,27 @@ def test_real_decode_paths_are_marked_stubs(ray_session):
         MediaResizer(8, 8, fake=False)._resize(b"x")
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(fake=False)._frame(b"x", 0)
+
+
+def test_audio_chunker_windows(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.multimodal import AudioChunker, chunk_audio, synth_media
+    ds = rd.from_arrow(synth_media(n=30, seed=5))
+    out = chunk_audio(ds, window_ms=300, concurrency=2).to_pandas()
+    # only audio rows expand; 1000ms / 300ms → 4 windows each
+    n_audio = sum(1 for i in range(30) if i % 3 == 1)
+    assert len(out) == 4 * n_audio
+    assert set(out["window_idx"]) == {0, 1, 2, 3}
+    last = out[out["window_idx"] == 3]
+    assert (last["end_ms"] == 1000).all()      # clamped to duration
+    assert (out["feature"].str.len() == 16).all()
+    # deterministic across runs
+    out2 = chunk_audio(ds, window_ms=300, concurrency=2).to_pandas()
+    a = out.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
+    assert (a["feature"].map(tuple) == b["feature"].map(tuple)).all()
+    # the real-decode slot is a clearly-marked stub
+    import numpy as np
+    import pytest
+    with pytest.raises(NotImplementedError):
+        AudioChunker(fake=False)._window_feature(b"x", 0)
