@@ -1712,6 +1712,17 @@ def q_parse_documents(sf_dir: str):
 # sequence packing / sampling / stream dedup / conversation analytics
 # ---------------------------------------------------------------------------
 
+def q_events_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel per user (each stage strictly
+    after the first event of the previous stage)."""
+    import ray.data as rd
+    from agraph_ray.ops.window import funnel_depths
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    return funnel_depths(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
 def q_docs_pack_concat(sf_dir: str):
     """Concat-and-cut sequence packing of documents into 512-token
     training sequences (global doc_id order; distributed prefix sum)."""
@@ -2048,6 +2059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_corpus_drift": q_docs_corpus_drift,
         "ann_recall_lsh": q_ann_recall_lsh,
         "emb_nn_join": q_emb_nn_join,
+        "events_funnel": q_events_funnel,
         "conv_stats": q_conv_stats,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -2933,6 +2945,31 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY l_suppkey
                 ORDER BY ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
                           1, 8))::UBIGINT, l_partkey) <= 5
+        """,
+        "events_funnel": """
+            WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                       FROM events
+                       WHERE event_type IN ('view', 'click', 'purchase')),
+            v AS (SELECT user_id, min(t) AS t FROM s
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT s.user_id, min(s.t) AS t
+                  FROM s JOIN v ON s.user_id = v.user_id AND s.t > v.t
+                  WHERE s.event_type = 'click' GROUP BY s.user_id),
+            p AS (SELECT s.user_id, min(s.t) AS t
+                  FROM s JOIN c ON s.user_id = c.user_id AND s.t > c.t
+                  WHERE s.event_type = 'purchase' GROUP BY s.user_id),
+            u AS (SELECT DISTINCT user_id FROM s)
+            SELECT u.user_id,
+                   CAST(CASE WHEN p.t IS NOT NULL THEN 3
+                             WHEN c.t IS NOT NULL THEN 2
+                             WHEN v.t IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS depth,
+                   CAST(COALESCE(v.t, -1) AS BIGINT) AS stage0_us,
+                   CAST(COALESCE(c.t, -1) AS BIGINT) AS stage1_us,
+                   CAST(COALESCE(p.t, -1) AS BIGINT) AS stage2_us
+            FROM u LEFT JOIN v USING (user_id)
+                   LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id)
         """,
         "emb_nn_join": """
             WITH a AS (SELECT vec_id, embedding FROM embeddings

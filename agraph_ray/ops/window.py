@@ -336,3 +336,61 @@ def window_dedup(ds: "ray.data.Dataset", keys: List[str], ts_col: str,
     return bucketed_group_reduce(
         ds.map_batches(add_win, batch_format="pyarrow"),
         group, reduce_df, num_buckets, schema=schema)
+
+
+def funnel_depths(ds: "ray.data.Dataset", key: str, ts_col: str,
+                  type_col: str, stages: List[str],
+                  num_buckets: int = 64) -> "ray.data.Dataset":
+    """Ordered-funnel analysis: for each key (user), how deep into
+    ``stages`` it progressed, where stage i+1 must occur STRICTLY after
+    the first qualifying stage-i event → ``(key, depth,
+    stage{i}_us ...)`` with −1 for unreached stages.
+
+    One bucketed shuffle on the key; the per-bucket body is a chain of
+    vectorized groupby-min + merge refinements (one per stage), no
+    per-user Python. Only (key, ts, type∈stages) rows enter the shuffle."""
+    from ..stages.common import arrow_col_type
+
+    stage_set = set(stages)
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[type_col],
+                        value_set=pa.array(sorted(stage_set)))
+        t = t.filter(mask)
+        return pa.table({key: t[key],
+                         "__ts": _ts_us(t[ts_col]),
+                         type_col: t[type_col]})
+
+    cols = [f"stage{i}_us" for i in range(len(stages))]
+    schema = pa.schema([(key, arrow_col_type(ds, key)),
+                        ("depth", pa.int64())]
+                       + [(c, pa.int64()) for c in cols])
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({key: df[key].unique()})
+        reached = None      # Series: key -> first-ts of previous stage
+        out = users.set_index(key)
+        out["depth"] = 0
+        for i, st in enumerate(stages):
+            ev = df[df[type_col] == st][[key, "__ts"]]
+            if reached is not None:
+                prev = reached.reset_index()
+                prev.columns = [key, "prev"]
+                ev = ev.merge(prev, on=key)
+                ev = ev[ev["__ts"] > ev["prev"]]
+            first = ev.groupby(key)["__ts"].min()
+            out[cols[i]] = first.reindex(out.index, fill_value=-1)
+            out.loc[first.index, "depth"] = i + 1
+            reached = first
+            if len(first) == 0:
+                for j in range(i + 1, len(stages)):
+                    out[cols[j]] = -1
+                break
+        out = out.reset_index()
+        for c in ["depth"] + cols:
+            out[c] = out[c].astype("int64")
+        return out[[key, "depth"] + cols]
+
+    return bucketed_group_reduce(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        [key], reduce_df, num_buckets, schema=schema)

@@ -425,3 +425,35 @@ def test_histogram_counts(ray_session):
     assert out["cnt"].sum() == len(v)
     assert (out["cnt"].to_numpy() == ref[out["bin"].to_numpy()]).all()
     assert np.allclose(out["bin_lo"], out["bin"] * 10.0)
+
+
+def test_funnel_depths_strict_order(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.window import funnel_depths
+    T = 1_700_000_000
+    df = pd.DataFrame([
+        # u1: full ordered funnel
+        (1, "view", T + 1), (1, "click", T + 2), (1, "purchase", T + 3),
+        # u2: click BEFORE view → click doesn't count; depth 1
+        (2, "click", T + 1), (2, "view", T + 2),
+        # u3: click at the SAME ts as view → strictly-after fails; depth 1
+        (3, "view", T + 5), (3, "click", T + 5),
+        # u4: view then purchase (skips click) → depth 1
+        (4, "view", T + 1), (4, "purchase", T + 2),
+        # u5: only non-stage events → absent from output
+        (5, "error", T + 1),
+    ], columns=["user_id", "event_type", "ts"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    out = (funnel_depths(rd.from_pandas(df).repartition(3), "user_id",
+                         "ts", "event_type",
+                         ["view", "click", "purchase"])
+           .to_pandas().set_index("user_id").sort_index())
+    assert out.loc[1, "depth"] == 3
+    assert out.loc[2, "depth"] == 1
+    assert out.loc[3, "depth"] == 1
+    assert out.loc[4, "depth"] == 1
+    assert 5 not in out.index
+    assert out.loc[2, "stage1_us"] == -1
+    assert out.loc[1, "stage2_us"] == (T + 3) * 1_000_000
