@@ -1712,6 +1712,33 @@ def q_parse_documents(sf_dir: str):
 # sequence packing / sampling / stream dedup / conversation analytics
 # ---------------------------------------------------------------------------
 
+def q_lineitem_melt(sf_dir: str):
+    """Wide→long unpivot of four lineitem measures (zero-shuffle)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import melt
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    out = melt(ds, ["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+               var_name="measure", value_name="v")
+    return _scale_cols(out, {"v": 100})
+
+
+def q_events_zscore(sf_dir: str):
+    """Per-event-type population z-score of the value column (combiner
+    stats + broadcast, no row shuffle)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_zscore
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    out = grouped_zscore(ds, "event_type", "value")
+    return _scale_cols(out.select_columns(
+        ["event_id", "event_type", "z"]), {"z": 10**6})
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (each stage strictly
     after the first event of the previous stage)."""
@@ -2060,6 +2087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_lsh": q_ann_recall_lsh,
         "emb_nn_join": q_emb_nn_join,
         "events_funnel": q_events_funnel,
+        "lineitem_melt": q_lineitem_melt,
+        "events_zscore": q_events_zscore,
         "conv_stats": q_conv_stats,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -2945,6 +2974,36 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY l_suppkey
                 ORDER BY ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
                           1, 8))::UBIGINT, l_partkey) <= 5
+        """,
+        "lineitem_melt": """
+            WITH m AS (
+                SELECT l_orderkey, l_linenumber,
+                       'l_quantity' AS measure,
+                       CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_discount',
+                       CAST(l_discount AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, 'l_tax',
+                       CAST(l_tax AS DOUBLE) FROM lineitem)
+            SELECT l_orderkey, l_linenumber, measure,
+                   CAST(floor(val * 100 + 0.5) AS BIGINT) AS v
+            FROM m
+        """,
+        "events_zscore": """
+            WITH s AS (
+                SELECT event_type, avg(value) AS m,
+                       stddev_pop(value) AS sd
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CAST(floor(CASE WHEN s.sd > 0
+                                   THEN (e.value - s.m) / s.sd
+                                   ELSE 0 END * 1000000 + 0.5) AS BIGINT)
+                       AS z
+            FROM events e JOIN s USING (event_type)
         """,
         "events_funnel": """
             WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t

@@ -432,3 +432,74 @@ def histogram(ds: "ray.data.Dataset", value_col: str, lo: float, hi: float,
             names=["bin", "bin_lo", "cnt"])
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def melt(ds: "ray.data.Dataset", id_cols: "List[str]",
+         value_cols: "List[str]", var_name: str = "variable",
+         value_name: str = "value") -> "ray.data.Dataset":
+    """Wide→long unpivot: one output row per (input row × value column),
+    values cast to float64. Pure per-batch projection — zero shuffle,
+    the inverse of :func:`pivot_table`."""
+    def f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64),
+                               len(value_cols)))
+        cols = {c: t[c].combine_chunks().take(idx) for c in id_cols}
+        cols[var_name] = pa.array(
+            np.repeat(np.asarray(value_cols, dtype=object), n), pa.string())
+        vals = np.concatenate(
+            [pc.cast(t[c], pa.float64()).to_numpy(zero_copy_only=False)
+             for c in value_cols]) if n else np.empty(0, np.float64)
+        cols[value_name] = pa.array(vals, pa.float64())
+        return pa.table(cols)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        f, batch_format="pyarrow")
+
+
+def grouped_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
+                   out_col: str = "z",
+                   group_cap: int = 10_000_000) -> "ray.data.Dataset":
+    """Population z-score of ``val_col`` within each group, appended as
+    ``out_col`` — the per-language/per-source feature normalization op.
+
+    Two passes, no row shuffle: per-batch (group, n, Σv, Σv²) partials
+    reduce to one tiny stats table (|groups| rows, capped at
+    ``group_cap``), broadcast once; the second pass is map-side
+    arithmetic. Zero-variance groups emit z = 0."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[val_col], pa.float64()).to_numpy(zero_copy_only=False)
+        g = t[group_col].to_pandas()
+        d = pd.DataFrame({"g": g, "n": 1, "s": v, "ss": v * v})
+        agg = d.groupby("g", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    stats = (ds.select_columns([group_col, val_col])
+             .map_batches(partial, batch_format="pyarrow")
+             .groupby("g").aggregate(Sum("n", alias_name="n"),
+                                     Sum("s", alias_name="s"),
+                                     Sum("ss", alias_name="ss")))
+    lut: dict = {}
+    for r in stats.take_all():
+        n, s, ss = r["n"], r["s"], r["ss"]
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        lut[r["g"]] = (mean, var ** 0.5)
+        if len(lut) > group_cap:
+            raise NotImplementedError(
+                "group cardinality exceeds broadcast cap — switch to a "
+                "cogroup join of the stats table")
+    ref = ray.put(lut)
+
+    def apply(t: pa.Table) -> pa.Table:
+        lu = ray.get(ref)
+        v = pc.cast(t[val_col], pa.float64()).to_numpy(zero_copy_only=False)
+        ms = np.array([lu[g] for g in t[group_col].to_pylist()])
+        std = ms[:, 1]
+        z = np.where(std > 0, (v - ms[:, 0]) / np.where(std > 0, std, 1), 0.0)
+        return t.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
