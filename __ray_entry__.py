@@ -1984,6 +1984,76 @@ def q_conv_stats(sf_dir: str):
     return conversation_stats(transcripts_from_documents(sf_dir))
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation + regression line of
+    extendedprice on quantity (moment-sum combiner; only |groups| rows
+    of sums ride the shuffle)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_corr
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    out = grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    return _scale_cols(out, {"corr": 10**6, "slope": 10**4,
+                             "intercept": 10**4})
+
+
+def q_events_user_mode(sf_dir: str):
+    """Most frequent event type per user (ties → lexicographically
+    smallest) — exact integer counts, combiner + one bucketed argmax."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_mode
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return grouped_mode(ds, "user_id", "event_type")
+
+
+def q_user_event_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution (corpus
+    diversity signal; counts combiner, one bucketed reduce)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_entropy
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    out = grouped_entropy(ds, "user_id", "event_type")
+    return _scale_cols(out, {"entropy": 10**6})
+
+
+def q_region_nation_concat(sf_dir: str):
+    """Ordered string_agg: nation names per region, comma-joined in name
+    order (deterministic total order under any shuffle)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import group_concat
+    ds = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                         columns=["n_regionkey", "n_name"])
+    return group_concat(ds, "n_regionkey", "n_name", order_col="n_name")
+
+
+def q_docs_except(sf_dir: str):
+    """SQL EXCEPT: distinct (lang, source) combos that occur among short
+    documents but never among long ones — tagged-union bucketed set op,
+    neither side collected."""
+    import ray.data as rd
+    from agraph_ray.ops.setops import except_distinct
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "n_chars"])
+    short = ds.filter(expr="n_chars < 400").drop_columns(["n_chars"])
+    long_ = ds.filter(expr="n_chars >= 400").drop_columns(["n_chars"])
+    return except_distinct(short, long_)
+
+
+def q_docs_intersect(sf_dir: str):
+    """SQL INTERSECT: distinct (lang, source) combos present in both the
+    short- and long-document halves."""
+    import ray.data as rd
+    from agraph_ray.ops.setops import intersect_distinct
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "n_chars"])
+    short = ds.filter(expr="n_chars < 400").drop_columns(["n_chars"])
+    long_ = ds.filter(expr="n_chars >= 400").drop_columns(["n_chars"])
+    return intersect_distinct(short, long_)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2090,6 +2160,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_melt": q_lineitem_melt,
         "events_zscore": q_events_zscore,
         "conv_stats": q_conv_stats,
+        "lineitem_corr": q_lineitem_corr,
+        "events_user_mode": q_events_user_mode,
+        "user_event_entropy": q_user_event_entropy,
+        "region_nation_concat": q_region_nation_concat,
+        "docs_except": q_docs_except,
+        "docs_intersect": q_docs_intersect,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3004,6 +3080,51 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE 0 END * 1000000 + 0.5) AS BIGINT)
                        AS z
             FROM events e JOIN s USING (event_type)
+        """,
+        "lineitem_corr": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(floor(corr(l_extendedprice, l_quantity)
+                              * 1000000 + 0.5) AS BIGINT) AS corr,
+                   CAST(floor(regr_slope(l_extendedprice, l_quantity)
+                              * 10000 + 0.5) AS BIGINT) AS slope,
+                   CAST(floor(regr_intercept(l_extendedprice, l_quantity)
+                              * 10000 + 0.5) AS BIGINT) AS intercept
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "events_user_mode": """
+            SELECT user_id, mode_value, cnt FROM (
+                SELECT user_id, event_type AS mode_value,
+                       COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type) t
+            WHERE rn = 1
+        """,
+        "user_event_entropy": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+                       FROM events GROUP BY user_id, event_type),
+            t AS (SELECT user_id, SUM(c) AS n FROM c GROUP BY user_id)
+            SELECT c.user_id, CAST(t.n AS BIGINT) AS n,
+                   CAST(floor(SUM(-(c.c / t.n) * log2(c.c / t.n))
+                              * 1000000 + 0.5) AS BIGINT) AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, t.n
+        """,
+        "region_nation_concat": """
+            SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS concat
+            FROM nation GROUP BY n_regionkey
+        """,
+        "docs_except": """
+            SELECT lang, source FROM documents WHERE n_chars < 400
+            EXCEPT
+            SELECT lang, source FROM documents WHERE n_chars >= 400
+        """,
+        "docs_intersect": """
+            SELECT lang, source FROM documents WHERE n_chars < 400
+            INTERSECT
+            SELECT lang, source FROM documents WHERE n_chars >= 400
         """,
         "events_funnel": """
             WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t

@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.common import bucketed_group_reduce
+from ..stages.common import arrow_col_type, bucketed_group_reduce
 
 
 def _key_hash32(vals) -> np.ndarray:
@@ -455,6 +455,140 @@ def melt(ds: "ray.data.Dataset", id_cols: "List[str]",
 
     return ds.select_columns(id_cols + value_cols).map_batches(
         f, batch_format="pyarrow")
+
+
+def grouped_corr(ds: "ray.data.Dataset", key: str, x_col: str,
+                 y_col: str) -> "ray.data.Dataset":
+    """Per-group Pearson correlation + least-squares line of ``y`` on
+    ``x``: one row per key with ``n, corr, slope, intercept``.
+
+    Classic combiner shape: each batch collapses to one row of moment
+    sums (n, Σx, Σy, Σxx, Σyy, Σxy) per key present in the batch, a tiny
+    ``groupby(key).Sum`` merges them, and the finalize step is arithmetic
+    on |groups| rows — nothing but the moment rows ever rides the
+    shuffle, so the op costs one input pass at any scale. Matches SQL
+    ``corr(y, x) / regr_slope(y, x) / regr_intercept(y, x)`` (the n vs
+    n-1 factors cancel in all three)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.float64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[y_col], pa.float64()).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({key: t[key].to_pandas(), "n": 1, "sx": x, "sy": y,
+                          "sxx": x * x, "syy": y * y, "sxy": x * y})
+        return pa.Table.from_pandas(
+            d.groupby(key, as_index=False, sort=False).sum(),
+            preserve_index=False)
+
+    sums = (ds.select_columns([key, x_col, y_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx_c = t["sxx"].to_numpy(zero_copy_only=False) - sx * sx / n
+        syy_c = t["syy"].to_numpy(zero_copy_only=False) - sy * sy / n
+        sxy_c = t["sxy"].to_numpy(zero_copy_only=False) - sx * sy / n
+        denom = np.sqrt(np.maximum(sxx_c * syy_c, 0.0))
+        corr = np.divide(sxy_c, denom, out=np.zeros_like(sxy_c),
+                         where=denom > 0)
+        slope = np.divide(sxy_c, sxx_c, out=np.zeros_like(sxy_c),
+                          where=sxx_c > 0)
+        intercept = (sy - slope * sx) / n
+        return pa.table({key: t[key],
+                         "n": pc.cast(t["n"], pa.int64()),
+                         "corr": pa.array(corr, pa.float64()),
+                         "slope": pa.array(slope, pa.float64()),
+                         "intercept": pa.array(intercept, pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_mode(ds: "ray.data.Dataset", key: str, value_col: str,
+                 num_buckets: int = 64) -> "ray.data.Dataset":
+    """Most frequent ``value_col`` per key (ties → smallest value), with
+    its count: ``(key, mode_value, cnt)``. Per-batch combiner emits
+    (key, value, batch-count) rows, so the shuffle carries distinct-pair
+    cardinality; one bucketed reduce merges counts and picks the argmax
+    vectorized (sort by cnt desc, value asc, head-1 per key) — exact
+    integer counts, no float drift, SQL-reproducible via
+    ``ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, value)``."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key, value_col], sort=False)
+                .size().reset_index(name="cnt"))
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby([key, value_col], sort=False, as_index=False)
+             ["cnt"].sum())
+        g = g.sort_values([key, "cnt", value_col],
+                          ascending=[True, False, True], kind="stable")
+        out = g.groupby(key, sort=False).head(1)
+        return out.rename(columns={value_col: "mode_value"})
+
+    schema = pa.schema([(key, arrow_col_type(ds, key)),
+                        ("mode_value", arrow_col_type(ds, value_col)),
+                        ("cnt", pa.int64())])
+    return bucketed_group_reduce(
+        ds.select_columns([key, value_col]).map_batches(
+            partial, batch_format="pandas"),
+        [key], reduce_df, num_buckets, schema=schema)
+
+
+def grouped_entropy(ds: "ray.data.Dataset", key: str, value_col: str,
+                    num_buckets: int = 64) -> "ray.data.Dataset":
+    """Shannon entropy (bits) of the ``value_col`` distribution within
+    each key: ``(key, n, entropy)`` — the label/source-diversity signal
+    for corpus monitoring. Combiner emits (key, value, cnt) rows; one
+    bucketed reduce merges counts and computes
+    ``-Σ (c/n)·log2(c/n)`` per key with summation in value order
+    (pinned so a SQL oracle can reproduce the float bit-for-bit at
+    modest group sizes)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key, value_col], sort=False)
+                .size().reset_index(name="cnt"))
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby([key, value_col], as_index=False)["cnt"].sum()
+             .sort_values([key, value_col], kind="stable"))
+        n = g.groupby(key, sort=False)["cnt"].transform("sum")
+        p = g["cnt"] / n
+        g["term"] = -p * np.log2(p)
+        out = g.groupby(key, sort=False).agg(
+            n=("cnt", "sum"), entropy=("term", "sum")).reset_index()
+        return out
+
+    schema = pa.schema([(key, arrow_col_type(ds, key)),
+                        ("n", pa.int64()), ("entropy", pa.float64())])
+    return bucketed_group_reduce(
+        ds.select_columns([key, value_col]).map_batches(
+            partial, batch_format="pandas"),
+        [key], reduce_df, num_buckets, schema=schema)
+
+
+def group_concat(ds: "ray.data.Dataset", key: str, value_col: str,
+                 order_col: str, sep: str = ",",
+                 num_buckets: int = 64) -> "ray.data.Dataset":
+    """Ordered ``string_agg`` per key: values joined by ``sep`` in
+    (order_col, value) order — a total order, so the output string is
+    deterministic under any shuffle. One bucketed reduce; same
+    co-location contract as :func:`grouped_quantiles` (one key's rows fit
+    a bucket — concatenating a truly unbounded group is caller error)."""
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col, value_col], kind="stable")
+        out = df.groupby(key, sort=False)[value_col].agg(
+            lambda s: sep.join(s.astype(str))).reset_index(name="concat")
+        return out
+
+    schema = pa.schema([(key, arrow_col_type(ds, key)),
+                        ("concat", pa.string())])
+    cols = list(dict.fromkeys([key, value_col, order_col]))
+    return bucketed_group_reduce(
+        ds.select_columns(cols),
+        [key], reduce_df, num_buckets, schema=schema)
 
 
 def grouped_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,

@@ -1,0 +1,114 @@
+"""grouped_corr / grouped_mode / grouped_entropy / group_concat and the
+relational set operators (intersect/except)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def xy(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    n = 500
+    g = np.where(np.arange(n) % 2 == 0, "a", "b")
+    x = rng.uniform(0, 10, n)
+    y = np.where(g == "a", 3.0 * x + 1.0, -2.0 * x + 5.0) \
+        + rng.normal(0, 0.5, n)
+    return rd.from_arrow(pa.table({"g": g, "x": x, "y": y})), g, x, y
+
+
+def test_grouped_corr_matches_numpy(xy):
+    from agraph_ray.ops.stats import grouped_corr
+    ds, g, x, y = xy
+    out = {r["g"]: r for r in grouped_corr(ds, "g", "x", "y").take_all()}
+    for grp in ("a", "b"):
+        m = g == grp
+        assert out[grp]["n"] == int(m.sum())
+        assert out[grp]["corr"] == pytest.approx(
+            np.corrcoef(x[m], y[m])[0, 1], abs=1e-9)
+        slope, intercept = np.polyfit(x[m], y[m], 1)
+        assert out[grp]["slope"] == pytest.approx(slope, abs=1e-9)
+        assert out[grp]["intercept"] == pytest.approx(intercept, abs=1e-9)
+
+
+def test_grouped_corr_degenerate(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_corr
+    # constant x → zero variance → corr/slope pinned to 0, not NaN
+    ds = rd.from_arrow(pa.table({"g": ["c"] * 4, "x": [1.0] * 4,
+                                 "y": [1.0, 2.0, 3.0, 4.0]}))
+    r = grouped_corr(ds, "g", "x", "y").take_all()[0]
+    assert r["corr"] == 0.0 and r["slope"] == 0.0
+
+
+def test_grouped_mode_tiebreak(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_mode
+    ds = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 1, 2, 2, 2],
+        "v": ["b", "a", "b", "a", "z", "y", "z"]}))
+    out = {r["k"]: r for r in grouped_mode(ds, "k", "v").take_all()}
+    assert out[1]["mode_value"] == "a" and out[1]["cnt"] == 2  # tie → min
+    assert out[2]["mode_value"] == "z" and out[2]["cnt"] == 2
+
+
+def test_grouped_entropy(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_entropy
+    ds = rd.from_arrow(pa.table({
+        "k": [1] * 4 + [2] * 4 + [3] * 3,
+        "v": ["a", "b", "a", "b",          # uniform over 2 → 1 bit
+              "a", "a", "a", "a",          # degenerate → 0 bits
+              "a", "b", "c"]}))            # uniform over 3 → log2(3)
+    out = {r["k"]: r["entropy"] for r in
+           grouped_entropy(ds, "k", "v").take_all()}
+    assert out[1] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(0.0)
+    assert out[3] == pytest.approx(math.log2(3))
+
+
+def test_group_concat_ordered(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.stats import group_concat
+    ds = rd.from_arrow(pa.table({
+        "k": [1, 1, 1, 2],
+        "v": ["c", "a", "b", "x"],
+        "o": [3, 1, 2, 1]}))
+    out = {r["k"]: r["concat"] for r in
+           group_concat(ds, "k", "v", order_col="o").take_all()}
+    assert out == {1: "a,b,c", 2: "x"}
+    # value-as-order (dedup'd column list) also works
+    out2 = {r["k"]: r["concat"] for r in
+            group_concat(ds, "k", "v", order_col="v").take_all()}
+    assert out2 == {1: "a,b,c", 2: "x"}
+
+
+@pytest.fixture()
+def ab(ray_session):
+    import ray.data as rd
+    a = rd.from_arrow(pa.table({"u": [1, 1, 2, 3], "w": ["p", "p", "q", "r"]}))
+    b = rd.from_arrow(pa.table({"u": [2, 4], "w": ["q", "s"]}))
+    return a, b
+
+
+def test_intersect_except(ab):
+    from agraph_ray.ops.setops import except_distinct, intersect_distinct
+    a, b = ab
+    inter = sorted(map(tuple, intersect_distinct(a, b).to_pandas().values))
+    assert inter == [(2, "q")]
+    ex = sorted(map(tuple, except_distinct(a, b).to_pandas().values))
+    assert ex == [(1, "p"), (3, "r")]        # distinct semantics: (1,p) once
+    ex_b = sorted(map(tuple, except_distinct(b, a).to_pandas().values))
+    assert ex_b == [(4, "s")]
+
+
+def test_setops_schema_mismatch(ab):
+    import ray.data as rd
+    from agraph_ray.ops.setops import intersect_distinct
+    a, _ = ab
+    c = rd.from_arrow(pa.table({"u": [1]}))
+    with pytest.raises(ValueError):
+        intersect_distinct(a, c)
