@@ -2054,6 +2054,28 @@ def q_docs_intersect(sf_dir: str):
     return intersect_distinct(short, long_)
 
 
+def q_orders_row_number(sf_dir: str):
+    """Global ROW_NUMBER over all orders by (totalprice, orderkey) —
+    distributed two-pass rank, O(blocks) driver state."""
+    import ray.data as rd
+    from agraph_ray.ops.rank import global_row_number
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    out = global_row_number(ds, ["o_totalprice", "o_orderkey"])
+    return out.select_columns(["o_orderkey", "rn"])
+
+
+def q_orders_ntile(sf_dir: str):
+    """NTILE(7) over all orders by (totalprice, orderkey) — exact
+    equal-count range partitioner (SQL tile-size rule)."""
+    import ray.data as rd
+    from agraph_ray.ops.rank import global_ntile
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    out = global_ntile(ds, ["o_totalprice", "o_orderkey"], k=7)
+    return out.select_columns(["o_orderkey", "tile"])
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2166,6 +2188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_concat": q_region_nation_concat,
         "docs_except": q_docs_except,
         "docs_intersect": q_docs_intersect,
+        "orders_row_number": q_orders_row_number,
+        "orders_ntile": q_orders_ntile,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3125,6 +3149,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source FROM documents WHERE n_chars < 400
             INTERSECT
             SELECT lang, source FROM documents WHERE n_chars >= 400
+        """,
+        "orders_row_number": """
+            SELECT o_orderkey,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS rn
+            FROM orders
+        """,
+        "orders_ntile": """
+            SELECT o_orderkey,
+                   NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS tile
+            FROM orders
         """,
         "events_funnel": """
             WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t
