@@ -2076,6 +2076,19 @@ def q_orders_ntile(sf_dir: str):
     return out.select_columns(["o_orderkey", "tile"])
 
 
+def q_events_resample(sf_dir: str):
+    """Dense hourly resample per user: every hour between a user's first
+    and last event, gaps zero-filled (combiner + vectorized per-bucket
+    grid expansion)."""
+    import ray.data as rd
+    from agraph_ray.ops.window import dense_time_series
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = dense_time_series(ds, "user_id", "ts", width_sec=3600,
+                            agg_col="value")
+    return _scale_cols(out, {"sum_v": 100})
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2190,6 +2203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_intersect": q_docs_intersect,
         "orders_row_number": q_orders_row_number,
         "orders_ntile": q_orders_ntile,
+        "events_resample": q_events_resample,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3161,6 +3175,23 @@ def oracle_sql() -> dict[str, str]:
                    NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey)
                        AS tile
             FROM orders
+        """,
+        "events_resample": """
+            WITH b AS (
+                SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                           AS w,
+                       COUNT(*) AS n, SUM(value) AS sum_v
+                FROM events GROUP BY user_id, w),
+            r AS (SELECT user_id, MIN(w) AS lo, MAX(w) AS hi
+                  FROM b GROUP BY user_id),
+            g AS (SELECT user_id, UNNEST(generate_series(lo, hi)) AS w
+                  FROM r)
+            SELECT g.user_id, g.w,
+                   CAST(COALESCE(b.n, 0) AS BIGINT) AS n,
+                   CAST(floor(COALESCE(b.sum_v, 0) * 100 + 0.5)
+                        AS BIGINT) AS sum_v
+            FROM g LEFT JOIN b USING (user_id, w)
         """,
         "events_funnel": """
             WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t

@@ -394,3 +394,69 @@ def funnel_depths(ds: "ray.data.Dataset", key: str, ts_col: str,
     return bucketed_group_reduce(
         ds.map_batches(prep, batch_format="pyarrow"),
         [key], reduce_df, num_buckets, schema=schema)
+
+
+def dense_time_series(ds: "ray.data.Dataset", key: str, ts_col: str,
+                      width_sec: int, agg_col: Optional[str] = None,
+                      num_buckets: int = 64) -> "ray.data.Dataset":
+    """Resample each key's events onto a dense fixed-width time grid —
+    one row per (key, window) for EVERY window between the key's first
+    and last event, gaps zero-filled: ``(key, w, n[, sum_v])`` with ``w``
+    the window index (epoch_us // width).
+
+    Per-batch combiner collapses events to (key, w, partial n/sum) rows,
+    one bucketed reduce merges them and expands each key's [min_w, max_w]
+    range vectorized (``np.arange`` + searchsorted scatter). Co-location
+    contract: one key's *timeline* (span / width windows) must fit a
+    bucket task — at 100 TB pick ``width_sec`` so span/width stays
+    ~1e6-ish per key, or shard the key by coarse epoch first."""
+    us = width_sec * 1_000_000
+    vals = ["n"] + (["sum_v"] if agg_col else [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.cast(pc.divide(_ts_us(t[ts_col]), us), pa.int64())
+        d = {key: t[key].to_pandas(), "w": w.to_pandas(), "n": 1}
+        if agg_col:
+            d["sum_v"] = pc.cast(t[agg_col], pa.float64()).to_numpy(
+                zero_copy_only=False)
+        df = pd.DataFrame(d)
+        return pa.Table.from_pandas(
+            df.groupby([key, "w"], as_index=False, sort=False).sum(),
+            preserve_index=False)
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=[key, "w"] + vals)
+        g = (df.groupby([key, "w"], as_index=False, sort=False)[vals]
+             .sum().sort_values([key, "w"], kind="stable"))
+        ki, keys_u = pd.factorize(g[key])        # key order of first seen
+        w = g["w"].to_numpy(dtype=np.int64)
+        lo = np.minimum.reduceat(w, np.flatnonzero(
+            np.r_[True, ki[1:] != ki[:-1]]))
+        hi = np.maximum.reduceat(w, np.flatnonzero(
+            np.r_[True, ki[1:] != ki[:-1]]))
+        span = hi - lo + 1
+        off = np.concatenate([[0], np.cumsum(span[:-1])]).astype(np.int64)
+        total = int(span.sum())
+        # dense grid: per key block, lo[k] + arange(span[k]) — built with
+        # one global arange minus repeated block offsets (no Python loop)
+        within = np.arange(total, dtype=np.int64) - np.repeat(off, span)
+        out = {key: np.asarray(keys_u, dtype=object)[
+                   np.repeat(np.arange(len(keys_u)), span)],
+               "w": np.repeat(lo, span) + within}
+        pos = off[ki] + (w - lo[ki])             # scatter positions
+        for c in vals:
+            col = np.zeros(total,
+                           dtype=np.int64 if c == "n" else np.float64)
+            col[pos] = g[c].to_numpy()
+            out[c] = col
+        return pd.DataFrame(out)
+
+    from ..stages.common import arrow_col_type
+    schema = pa.schema([(key, arrow_col_type(ds, key)),
+                        ("w", pa.int64()), ("n", pa.int64())]
+                       + ([("sum_v", pa.float64())] if agg_col else []))
+    cols = [key, ts_col] + ([agg_col] if agg_col else [])
+    return bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(partial, batch_format="pyarrow"),
+        [key], reduce_df, num_buckets, schema=schema)

@@ -1,0 +1,66 @@
+"""Filesystem document sources: directory scan + jsonl corpus reads."""
+
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def doc_dir(tmp_path):
+    (tmp_path / "a.txt").write_text("plain text body")
+    (tmp_path / "b.md").write_text("# Title\n\nsome *markdown*")
+    (tmp_path / "c.json").write_text('{"k": "json text value"}')
+    (tmp_path / "d.pdf").write_bytes(b"%PDF-1.4 binary-ish")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "e.html").write_text(
+        "<html><script>x()</script><body>visible</body></html>")
+    (tmp_path / "bad.txt").write_bytes(b"\xff\xfe\x00bad utf8 \x80\x81")
+    return str(tmp_path)
+
+
+def test_read_documents_dir(ray_session, doc_dir):
+    import posixpath
+
+    from agraph_ray.sources import read_documents_dir
+    rows = {posixpath.basename(r["path"]): r for r in
+            read_documents_dir(doc_dir).take_all()}
+    assert rows["a.txt"]["text"] == "plain text body"
+    md = rows["b.md"]
+    assert "markdown" in md["text"] and md["parse_error"] is None
+    assert "json text value" in rows["c.json"]["text"]
+    assert rows["e.html"]["text"].strip() == "visible"
+    # pdf parser is an env-limited stub → parse_error, not a crash
+    assert rows["d.pdf"]["text"] is None
+    assert "pypdf" in rows["d.pdf"]["parse_error"]
+    # doc_id is a stable function of path
+    again = {posixpath.basename(r["path"]): r for r in
+             read_documents_dir(doc_dir).take_all()}
+    assert again["b.md"]["doc_id"] == md["doc_id"]
+
+
+def test_read_documents_dir_decode_error(ray_session, doc_dir):
+    from agraph_ray.sources import read_documents_dir
+    rows = read_documents_dir(doc_dir).take_all()
+    bad = [r for r in rows if r["decode_error"]]
+    assert len(bad) == 1 and "UnicodeDecodeError" in bad[0]["decode_error"]
+
+
+def test_read_documents_dir_format_filter(ray_session, doc_dir):
+    from agraph_ray.sources import read_documents_dir
+    rows = read_documents_dir(doc_dir, formats=["md"]).take_all()
+    assert [r["format"] for r in rows] == ["md"]
+
+
+def test_read_jsonl_documents(ray_session, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"id": f"d{i}", "text": f"doc {i}"}) + "\n")
+    from agraph_ray.sources import read_jsonl_documents
+    rows = sorted(read_jsonl_documents(str(p), id_field="id").take_all(),
+                  key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in rows] == [f"d{i}" for i in range(5)]
+    assert rows[0]["text"] == "doc 0"
+    # no id field → stable content hash ids
+    rows2 = read_jsonl_documents(str(p)).take_all()
+    assert all(len(r["doc_id"]) == 16 for r in rows2)
