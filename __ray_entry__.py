@@ -2089,6 +2089,29 @@ def q_events_resample(sf_dir: str):
     return _scale_cols(out, {"sum_v": 100})
 
 
+def q_docs_bpe_vocab(sf_dir: str):
+    """Learn 60 BPE merges from the corpus (distributed word count →
+    driver merge loop over the bounded vocab; Sennrich-style, ties
+    pinned). Iterative global argmax — rows-only."""
+    import ray.data as rd
+    from agraph_ray.ops.bpe import learn_bpe
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return learn_bpe(ds, num_merges=60)
+
+
+def q_docs_bpe_encode(sf_dir: str):
+    """Encode every document with the learned merges (actor pool, merge
+    ranks built once per actor, unique-word memoization)."""
+    import ray.data as rd
+    from agraph_ray.ops.bpe import bpe_encode, learn_bpe
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    merges = learn_bpe(ds, num_merges=60)
+    return bpe_encode(ds, merges).select_columns(
+        ["doc_id", "n_words", "n_tokens"])
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2204,6 +2227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_row_number": q_orders_row_number,
         "orders_ntile": q_orders_ntile,
         "events_resample": q_events_resample,
+        "docs_bpe_vocab": q_docs_bpe_vocab,
+        "docs_bpe_encode": q_docs_bpe_encode,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
