@@ -2112,6 +2112,53 @@ def q_docs_bpe_encode(sf_dir: str):
         ["doc_id", "n_words", "n_tokens"])
 
 
+def q_lineitem_winsorize(sf_dir: str):
+    """Corpus-wide 5/95-percentile winsorization of extendedprice —
+    exercises the radix-select exact_quantiles under an oracle, then a
+    pure map-side clip."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import winsorize
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_extendedprice"])
+    out = winsorize(ds, "l_extendedprice", 0.05, 0.95)
+    return _scale_cols(out.select_columns(
+        ["l_orderkey", "l_linenumber", "w"]), {"w": 100})
+
+
+def q_docs_diff(sf_dir: str):
+    """Snapshot diff between the short- and long-document (lang, source)
+    sets: added/removed rows only."""
+    import ray.data as rd
+    from agraph_ray.ops.setops import table_diff
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "n_chars"])
+    short = ds.filter(expr="n_chars < 400").drop_columns(["n_chars"])
+    long_ = ds.filter(expr="n_chars >= 400").drop_columns(["n_chars"])
+    return table_diff(short, long_)
+
+
+def q_emb_pca(sf_dir: str):
+    """PCA-8 projection of the embeddings table (distributed d×d moment
+    pass, driver eigh, map-side projection). Eigenbasis not
+    SQL-expressible — rows-only."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.embedding import embedding_pca
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    _, _, proj = embedding_pca(ds, "embedding", k=8, id_col="vec_id")
+
+    def first2(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "p0": _pc.round(_pc.list_element(t["pca"], 0), 6),
+            "p1": _pc.round(_pc.list_element(t["pca"], 1), 6)})
+
+    return proj.map_batches(first2, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2229,6 +2276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample": q_events_resample,
         "docs_bpe_vocab": q_docs_bpe_vocab,
         "docs_bpe_encode": q_docs_bpe_encode,
+        "lineitem_winsorize": q_lineitem_winsorize,
+        "docs_diff": q_docs_diff,
+        "emb_pca": q_emb_pca,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3200,6 +3250,35 @@ def oracle_sql() -> dict[str, str]:
                    NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey)
                        AS tile
             FROM orders
+        """,
+        "lineitem_winsorize": """
+            WITH s AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice) - 1
+                           AS r,
+                       count(*) OVER () AS n
+                FROM lineitem),
+            b AS (SELECT
+                max(v) FILTER (WHERE r =
+                    CAST(floor(0.05 * (n - 1) + 0.5) AS BIGINT)) AS lo,
+                max(v) FILTER (WHERE r =
+                    CAST(floor(0.95 * (n - 1) + 0.5) AS BIGINT)) AS hi
+                FROM s)
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(LEAST(GREATEST(l_extendedprice, b.lo), b.hi)
+                              * 100 + 0.5) AS BIGINT) AS w
+            FROM lineitem, b
+        """,
+        "docs_diff": """
+            SELECT lang, source, 'removed' AS status FROM (
+                SELECT lang, source FROM documents WHERE n_chars < 400
+                EXCEPT
+                SELECT lang, source FROM documents WHERE n_chars >= 400)
+            UNION ALL
+            SELECT lang, source, 'added' AS status FROM (
+                SELECT lang, source FROM documents WHERE n_chars >= 400
+                EXCEPT
+                SELECT lang, source FROM documents WHERE n_chars < 400)
         """,
         "events_resample": """
             WITH b AS (

@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 from ..stages.common import bucketed_group_reduce, distinct_on
 
 __all__ = ["label_centroids", "centroid_outlier_scores", "semdedup_pairs",
-           "semdedup"]
+           "semdedup", "embedding_pca"]
 
 
 def _batch_vecs(batch: pa.Table, vec_col: str) -> np.ndarray:
@@ -240,3 +240,78 @@ def semdedup(ds: "ray.data.Dataset", threshold: float = 0.95,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(survivors, batch_format="pyarrow")
+
+
+def embedding_pca(ds: "ray.data.Dataset", vec_col: str = "embedding",
+                  k: int = 8, id_col: str = "vec_id"):
+    """PCA projection of an embedding column to ``k`` components.
+
+    Distributed moment pass: each batch emits ONE (n, Σv, Σ vᵀv) partial
+    — d + d² doubles regardless of batch size — reduced with a tiny
+    groupby-sum; the driver eigendecomposes the d×d covariance (d is
+    embedding width, never row count) and broadcasts the top-k basis;
+    the projection is a pure map. Returns ``(components, explained,
+    projected)``: the (k, d) basis, the k explained-variance ratios, and
+    the dataset with a ``pca: list<double>`` column.
+
+    Sign convention pinned for determinism: each component is flipped so
+    its largest-|coeff| entry is positive (ties → lowest index).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = _batch_vecs(batch, vec_col)
+        n, d = v.shape if v.size else (0, 0)
+        if n == 0:
+            return pa.table({"g": pa.array([], pa.int8()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "ss": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "g": pa.array([0], pa.int8()),
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([v.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([(v.T @ v).reshape(-1).tolist()],
+                           pa.list_(pa.float64()))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n": [], "s": [], "ss": []})
+        return pd.DataFrame({
+            "n": [int(df["n"].sum())],
+            "s": [np.sum(np.stack(df["s"].to_numpy()), axis=0).tolist()],
+            "ss": [np.sum(np.stack(df["ss"].to_numpy()), axis=0).tolist()]})
+
+    agg = bucketed_group_reduce(
+        ds.map_batches(moments, batch_format="pyarrow"), ["g"], merge,
+        num_buckets=1).take_all()
+    row = agg[0]
+    n = row["n"]
+    s = np.asarray(row["s"], dtype=np.float64)
+    d = len(s)
+    ss = np.asarray(row["ss"], dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    w, vecs = np.linalg.eigh(cov)                  # ascending
+    order = np.argsort(w)[::-1][:k]
+    comps = vecs[:, order].T                       # (k, d)
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    explained = (w[order] / max(w.sum(), 1e-300)).tolist()
+    ref = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        v = _batch_vecs(t, vec_col)
+        p = (v - m) @ c.T if v.size else np.zeros((0, len(c)))
+        return pa.table({
+            id_col: t[id_col],
+            "pca": pa.array([r.tolist() for r in p],
+                            pa.list_(pa.float64()))})
+
+    return comps, explained, ds.map_batches(project,
+                                            batch_format="pyarrow")

@@ -66,3 +66,23 @@ def except_distinct(a: "ray.data.Dataset", b: "ray.data.Dataset",
                     num_buckets: int = 64) -> "ray.data.Dataset":
     """SQL ``a EXCEPT b``: distinct rows of ``a`` absent from ``b``."""
     return _set_op(a, b, lambda g: g["max"] == 0, num_buckets)
+
+
+def table_diff(a: "ray.data.Dataset", b: "ray.data.Dataset",
+               num_buckets: int = 64) -> "ray.data.Dataset":
+    """Snapshot diff (distinct-row semantics): rows only in ``a`` emit
+    ``status='removed'``, rows only in ``b`` emit ``status='added'`` —
+    the change-data view between two versions of a table. Two bucketed
+    set ops over one tagged union each; rows in both snapshots never
+    surface."""
+    def stamp(s: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "status", pa.array([s] * len(t), pa.string()))
+        return f
+
+    removed = except_distinct(a, b, num_buckets).map_batches(
+        stamp("removed"), batch_format="pyarrow")
+    added = except_distinct(b, a, num_buckets).map_batches(
+        stamp("added"), batch_format="pyarrow")
+    return removed.union(added)

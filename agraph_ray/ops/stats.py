@@ -637,3 +637,22 @@ def grouped_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
         return t.append_column(out_col, pa.array(z, pa.float64()))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def winsorize(ds: "ray.data.Dataset", value_col: str,
+              lo_q: float = 0.05, hi_q: float = 0.95,
+              out_col: str = "w") -> "ray.data.Dataset":
+    """Clip ``value_col`` to its corpus-wide [lo_q, hi_q] quantiles —
+    the outlier-robust normalization pass. Bounds come from
+    :func:`exact_quantiles` (multi-pass radix selection, O(65536)
+    driver state, no sort); the clip itself is a pure map — two cheap
+    passes total, nothing ever shuffles."""
+    qdf = exact_quantiles(ds, value_col, (lo_q, hi_q))
+    lo, hi = (float(v) for v in qdf["value"])
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        w = pc.min_element_wise(pc.max_element_wise(v, lo), hi)
+        return t.append_column(out_col, w)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

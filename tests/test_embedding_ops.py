@@ -66,3 +66,30 @@ def test_semdedup_removes_planted_duplicates(ray_session):
     surv = semdedup(ds, threshold=0.99, n_clusters=8).to_pandas()
     kept = set(surv["vec_id"])
     assert kept == set(range(50))       # min-id survivor per dup pair
+
+
+def test_embedding_pca_recovers_planted_axis(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.embedding import embedding_pca
+    rng = np.random.RandomState(5)
+    d, n = 6, 600
+    axis = np.zeros(d); axis[2] = 1.0
+    x = rng.normal(0, 0.05, (n, d)) + rng.normal(0, 3.0, (n, 1)) * axis
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(n)),
+        "embedding": pa.array([r.tolist() for r in x],
+                              pa.list_(pa.float64()))})).repartition(4)
+    comps, explained, proj = embedding_pca(ds, "embedding", k=2)
+    assert abs(comps[0][2]) > 0.99          # planted axis dominates PC1
+    assert comps[0][2] > 0                  # sign convention pinned
+    assert explained[0] > 0.9
+    rows = proj.take_all()
+    assert len(rows) == n and len(rows[0]["pca"]) == 2
+    # projection matches the driver-side computation
+    mean = x.mean(axis=0)
+    want = (x - mean) @ np.asarray(comps).T
+    got = np.asarray([r["pca"] for r in
+                      sorted(rows, key=lambda r: r["vec_id"])])
+    assert np.allclose(got, want, atol=1e-8)

@@ -112,3 +112,27 @@ def test_setops_schema_mismatch(ab):
     c = rd.from_arrow(pa.table({"u": [1]}))
     with pytest.raises(ValueError):
         intersect_distinct(a, c)
+
+
+def test_winsorize_rank_rule(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.stats import winsorize
+    rng = np.random.RandomState(11)
+    v = rng.uniform(-100, 100, 400)
+    ds = rd.from_arrow(pa.table({"id": np.arange(400), "v": v}))
+    out = winsorize(ds, "v", 0.1, 0.9).to_pandas().sort_values("id")
+    sv = np.sort(v)
+    lo = sv[int(np.floor(0.1 * 399 + 0.5))]
+    hi = sv[int(np.floor(0.9 * 399 + 0.5))]
+    assert np.allclose(out["w"].to_numpy(), np.clip(v, lo, hi))
+    assert out["w"].min() == lo and out["w"].max() == hi
+
+
+def test_table_diff(ab):
+    from agraph_ray.ops.setops import table_diff
+    a, b = ab
+    got = sorted(map(tuple, table_diff(a, b).to_pandas().values))
+    assert got == [(1, "p", "removed"), (3, "r", "removed"),
+                   (4, "s", "added")]
