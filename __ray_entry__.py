@@ -2159,6 +2159,19 @@ def q_emb_pca(sf_dir: str):
     return proj.map_batches(first2, batch_format="pyarrow")
 
 
+def q_lineitem_profile(sf_dir: str):
+    """Table profile (ANALYZE/describe): per-column count/null/min/max/
+    mean in ONE pass — |columns| partial rows per batch, never row
+    count, ride the shuffle."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import profile_table
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_returnflag", "l_linestatus"])
+    out = profile_table(ds)
+    return _scale_cols(out, {"min_v": 100, "max_v": 100, "mean_v": 100})
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2277,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_vocab": q_docs_bpe_vocab,
         "docs_bpe_encode": q_docs_bpe_encode,
         "lineitem_winsorize": q_lineitem_winsorize,
+        "lineitem_profile": q_lineitem_profile,
         "docs_diff": q_docs_diff,
         "emb_pca": q_emb_pca,
         "orders_date_stats": q_orders_date_stats,
@@ -3250,6 +3264,38 @@ def oracle_sql() -> dict[str, str]:
                    NTILE(7) OVER (ORDER BY o_totalprice, o_orderkey)
                        AS tile
             FROM orders
+        """,
+        "lineitem_profile": """
+            SELECT 'l_quantity' AS column, COUNT(*) AS n,
+                   COUNT(*) - COUNT(l_quantity) AS nulls,
+                   CAST(floor(MIN(l_quantity) * 100 + 0.5) AS BIGINT)
+                       AS min_v,
+                   CAST(floor(MAX(l_quantity) * 100 + 0.5) AS BIGINT)
+                       AS max_v,
+                   CAST(floor(AVG(l_quantity) * 100 + 0.5) AS BIGINT)
+                       AS mean_v,
+                   NULL AS min_s, NULL AS max_s
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', COUNT(*),
+                   COUNT(*) - COUNT(l_extendedprice),
+                   CAST(floor(MIN(l_extendedprice) * 100 + 0.5) AS BIGINT),
+                   CAST(floor(MAX(l_extendedprice) * 100 + 0.5) AS BIGINT),
+                   CAST(floor(AVG(l_extendedprice) * 100 + 0.5) AS BIGINT),
+                   NULL, NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', COUNT(*),
+                   COUNT(*) - COUNT(l_returnflag),
+                   NULL, NULL, NULL,
+                   MIN(l_returnflag), MAX(l_returnflag)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus', COUNT(*),
+                   COUNT(*) - COUNT(l_linestatus),
+                   NULL, NULL, NULL,
+                   MIN(l_linestatus), MAX(l_linestatus)
+            FROM lineitem
         """,
         "lineitem_winsorize": """
             WITH s AS (

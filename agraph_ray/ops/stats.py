@@ -656,3 +656,92 @@ def winsorize(ds: "ray.data.Dataset", value_col: str,
         return t.append_column(out_col, w)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def profile_table(ds: "ray.data.Dataset",
+                  columns: Optional[Sequence[str]] = None
+                  ) -> "ray.data.Dataset":
+    """Table profile (ANALYZE TABLE / ``describe``): one row per column
+    with ``(column, n, nulls, min_v, max_v, mean_v, min_s, max_s)`` —
+    numeric columns fill the ``*_v`` slots (min/max/mean as doubles),
+    string columns the lexicographic ``*_s`` slots; other types profile
+    counts only. One pass: each batch collapses to |columns| partial
+    rows, a tiny column-keyed groupby finishes — column count, not row
+    count, rides the shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    sch = ds.schema()
+    named = dict(zip(sch.names, sch.types))
+    cols = list(columns) if columns else list(sch.names)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "nulls": [], "min_v": [],
+                "max_v": [], "sum_v": [], "min_s": [], "max_s": []}
+        for c in cols:
+            col = t[c]
+            rows["column"].append(c)
+            rows["n"].append(len(col))
+            rows["nulls"].append(col.null_count)
+            typ = col.type
+            if pa.types.is_integer(typ) or pa.types.is_floating(typ) \
+                    or pa.types.is_decimal(typ):
+                v = pc.cast(col, pa.float64())
+                mn, mx, sm = pc.min(v).as_py(), pc.max(v).as_py(), \
+                    pc.sum(v).as_py()
+                rows["min_v"].append(mn)
+                rows["max_v"].append(mx)
+                rows["sum_v"].append(sm if sm is not None else 0.0)
+                rows["min_s"].append(None)
+                rows["max_s"].append(None)
+            elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                rows["min_v"].append(None)
+                rows["max_v"].append(None)
+                rows["sum_v"].append(None)
+                rows["min_s"].append(pc.min(col).as_py())
+                rows["max_s"].append(pc.max(col).as_py())
+            else:
+                for k in ("min_v", "max_v", "sum_v", "min_s", "max_s"):
+                    rows[k].append(None)
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "nulls": pa.array(rows["nulls"], pa.int64()),
+            "min_v": pa.array(rows["min_v"], pa.float64()),
+            "max_v": pa.array(rows["max_v"], pa.float64()),
+            "sum_v": pa.array(rows["sum_v"], pa.float64()),
+            "min_s": pa.array(rows["min_s"], pa.string()),
+            "max_s": pa.array(rows["max_s"], pa.string())})
+
+    agg = (ds.select_columns(cols)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("column")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("nulls", alias_name="nulls"),
+                      Min("min_v", alias_name="min_v"),
+                      Max("max_v", alias_name="max_v"),
+                      Sum("sum_v", alias_name="sum_v"),
+                      Min("min_s", alias_name="min_s"),
+                      Max("max_s", alias_name="max_s")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nulls = t["nulls"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # all-null group columns can surface as null-typed/object blocks —
+        # pin everything to Arrow float64/string before numpy sees it
+        fsum = pc.cast(t["sum_v"], pa.float64())
+        sums = fsum.to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = np.maximum(n - nulls, 1.0)
+        mean = np.where(np.isnan(sums), np.nan, sums / valid)
+        mean = pa.array([None if np.isnan(m) else float(m) for m in mean],
+                        pa.float64())   # NaN → null (cast-to-int safe)
+        return pa.table({
+            "column": pc.cast(t["column"], pa.string()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "nulls": pc.cast(t["nulls"], pa.int64()),
+            "min_v": pc.cast(t["min_v"], pa.float64()),
+            "max_v": pc.cast(t["max_v"], pa.float64()),
+            "mean_v": mean,
+            "min_s": pc.cast(t["min_s"], pa.string()),
+            "max_s": pc.cast(t["max_s"], pa.string())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -136,3 +136,25 @@ def test_table_diff(ab):
     got = sorted(map(tuple, table_diff(a, b).to_pandas().values))
     assert got == [(1, "p", "removed"), (3, "r", "removed"),
                    (4, "s", "added")]
+
+
+def test_profile_table(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.stats import profile_table
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array([1.0, 2.0, None, 4.0], pa.float64()),
+        "s": pa.array(["b", None, "a", "c"], pa.string()),
+        "l": pa.array([[1], [2], [3], [4]],
+                      pa.list_(pa.int64()))})).repartition(2)
+    rows = {r["column"]: r for r in profile_table(ds).take_all()}
+    x = rows["x"]
+    assert (x["n"], x["nulls"]) == (4, 1)
+    assert (x["min_v"], x["max_v"]) == (1.0, 4.0)
+    assert x["mean_v"] == pytest.approx(7.0 / 3)
+    s = rows["s"]
+    assert (s["nulls"], s["min_s"], s["max_s"]) == (1, "a", "c")
+    assert s["min_v"] is None or np.isnan(s["min_v"])
+    lcol = rows["l"]          # non-scalar type → counts only
+    assert lcol["n"] == 4 and lcol["min_s"] is None
