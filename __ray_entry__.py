@@ -2172,6 +2172,52 @@ def q_lineitem_profile(sf_dir: str):
     return _scale_cols(out, {"min_v": 100, "max_v": 100, "mean_v": 100})
 
 
+def q_docs_nb_predict(sf_dir: str):
+    """Distributed multinomial Naive Bayes: train on (text, lang) with one
+    (label, word) combiner shuffle, self-score map-side against the
+    broadcast model. Full formula oracle-checked (priors + add-1
+    smoothing + unseen-word folding)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.ml import train_nb, score_nb
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    model = train_nb(ds, text_col="text", label_col="lang", alpha=1.0)
+    out = _scale_cols(score_nb(ds, model), {"score": 1000})
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "pred_label", "score_milli"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_emb_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (farthest-point
+    init, per-batch segment-sum partials). Iterative argmin not
+    SQL-expressible — rows-only."""
+    import ray.data as rd
+    from agraph_ray.ops.ml import embedding_kmeans
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    assigns, _ = embedding_kmeans(ds, k=8, iters=15)
+    return assigns.select_columns(["vec_id", "cluster"])
+
+
+def q_emb_probe(sf_dir: str):
+    """Linear softmax probe on (embedding, label): full-batch GD with
+    per-batch gradient partials; returns per-class accuracy. Iterative —
+    rows-only."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from agraph_ray.ops.ml import softmax_probe
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    scored, _, _ = softmax_probe(ds, iters=12, lr=1.0)
+    acc = (scored.groupby("label")
+           .aggregate(Count(), Sum("correct", alias_name="n_correct")))
+    return acc.sort("label")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -2293,6 +2339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": q_lineitem_profile,
         "docs_diff": q_docs_diff,
         "emb_pca": q_emb_pca,
+        "docs_nb_predict": q_docs_nb_predict,
+        "emb_kmeans": q_emb_kmeans,
+        "emb_probe": q_emb_probe,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3325,6 +3374,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, source FROM documents WHERE n_chars >= 400
                 EXCEPT
                 SELECT lang, source FROM documents WHERE n_chars < 400)
+        """,
+        "docs_nb_predict": """
+            WITH tok AS (SELECT doc_id, lang,
+                                unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf
+                   FROM tok GROUP BY doc_id, w),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS ntok
+                   FROM tok GROUP BY doc_id),
+            wc AS (SELECT lang AS c, w, count(*)::DOUBLE AS cnt
+                   FROM tok GROUP BY lang, w),
+            cls AS (SELECT c, sum(cnt) AS total FROM wc GROUP BY c),
+            pri AS (SELECT lang AS c, count(*)::DOUBLE AS nd
+                    FROM documents GROUP BY lang),
+            vv AS (SELECT count(DISTINCT w)::DOUBLE AS vs FROM tok),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            delta AS (SELECT tf.doc_id, wc.c,
+                             sum(tf.tf * ln(wc.cnt + 1.0)) AS dlt
+                      FROM tf JOIN wc ON tf.w = wc.w
+                      GROUP BY tf.doc_id, wc.c),
+            base AS (SELECT dl.doc_id, pri.c,
+                            ln(pri.nd / nn.n)
+                            - dl.ntok * ln(cls.total + vv.vs) AS b
+                     FROM dl CROSS JOIN pri
+                          JOIN cls ON cls.c = pri.c
+                          CROSS JOIN vv CROSS JOIN nn),
+            sc AS (SELECT base.doc_id, base.c,
+                          base.b + coalesce(delta.dlt, 0.0) AS s
+                   FROM base LEFT JOIN delta
+                     ON base.doc_id = delta.doc_id AND base.c = delta.c)
+            SELECT doc_id, c AS pred_label,
+                   CAST(floor(s * 1000 + 0.5) AS BIGINT) AS score_milli
+            FROM sc
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, c) = 1
+            ORDER BY doc_id
         """,
         "events_resample": """
             WITH b AS (
