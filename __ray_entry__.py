@@ -2172,6 +2172,18 @@ def q_lineitem_profile(sf_dir: str):
     return _scale_cols(out, {"min_v": 100, "max_v": 100, "mean_v": 100})
 
 
+def q_supplier_link_pred(sf_dir: str):
+    """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
+    for supplier pairs sharing parts — dst-keyed weighted-pair reduce, the
+    1/ln(deg) weight read off the in-bucket group size; top-100 by the
+    integer-scaled Adamic-Adar with pinned ties."""
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import link_prediction_scores
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+    return link_prediction_scores(ds, "l_suppkey", "l_partkey", k=100)
+
+
 def q_docs_nb_predict(sf_dir: str):
     """Distributed multinomial Naive Bayes: train on (text, lang) with one
     (label, word) combiner shuffle, self-score map-side against the
@@ -2342,6 +2354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_predict": q_docs_nb_predict,
         "emb_kmeans": q_emb_kmeans,
         "emb_probe": q_emb_probe,
+        "supplier_link_pred": q_supplier_link_pred,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3374,6 +3387,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, source FROM documents WHERE n_chars >= 400
                 EXCEPT
                 SELECT lang, source FROM documents WHERE n_chars < 400)
+        """,
+        "supplier_link_pred": """
+            WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                       FROM lineitem),
+            g AS (SELECT p, count(*) AS dp FROM e
+                  GROUP BY p HAVING count(*) BETWEEN 2 AND 10000),
+            pr AS (SELECT e1.s AS a, e2.s AS b, count(*) AS cn,
+                          sum(1.0 / ln(g.dp)) AS aa
+                   FROM e e1 JOIN e e2 ON e1.p = e2.p AND e1.s < e2.s
+                        JOIN g ON g.p = e1.p
+                   GROUP BY e1.s, e2.s),
+            sd AS (SELECT s, count(*) AS ds FROM e GROUP BY s)
+            SELECT pr.a, pr.b, pr.cn,
+                   CAST(floor(pr.aa * 1000000 + 0.5) AS BIGINT) AS aa_micro,
+                   CAST(floor(pr.cn / (sda.ds + sdb.ds - pr.cn)::DOUBLE
+                        * 1000000 + 0.5) AS BIGINT) AS jac_micro
+            FROM pr JOIN sd sda ON sda.s = pr.a
+                    JOIN sd sdb ON sdb.s = pr.b
+            ORDER BY aa_micro DESC, a, b LIMIT 100
         """,
         "docs_nb_predict": """
             WITH tok AS (SELECT doc_id, lang,

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 from ..stages.common import bucketed_group_reduce, distinct_on
 
 __all__ = ["pairs_within_groups", "triangle_counts", "pagerank",
-           "k_core", "label_propagation"]
+           "k_core", "label_propagation", "link_prediction_scores"]
 
 
 def pairs_within_groups(ds: "ray.data.Dataset", group_col: str,
@@ -772,3 +772,156 @@ def negative_sample_edges(edges: "ray.data.Dataset", src: str, dst: str,
     dd = distinct_on(edges.select_columns([src, dst]), [src, dst],
                      num_buckets)
     return dd.map_batches(sample, batch_format="pyarrow")
+
+
+def link_prediction_scores(edges: "ray.data.Dataset", src: str, dst: str,
+                           k: int = 100, max_group: int = 10_000,
+                           broadcast_limit: int = 5_000_000,
+                           num_buckets: int = 64) -> "ray.data.Dataset":
+    """Link-prediction scores for src pairs sharing dst neighbors in a
+    bipartite edge list: common-neighbor count, Jaccard, and Adamic-Adar
+    (Liben-Nowell & Kleinberg 2003). Returns the global top-``k`` pairs
+    ``(a, b, cn, aa_micro, jac_micro)`` ordered by Adamic-Adar desc with
+    pinned ties (sorted on the micro-scaled INTEGER so the engine and a
+    SQL oracle break float ties identically).
+
+    Shuffle plan: one dst-keyed bucketed reduce emits weighted pairs —
+    because all rows of a dst are co-located, the neighbor degree (the
+    1/ln(deg) Adamic-Adar weight) is just the in-bucket group size, so no
+    separate degree pass or join is needed. One (a, b)-keyed reduce sums
+    cn/aa. Src degrees (for Jaccard) are a tiny keyed count broadcast via
+    ``ray.put`` (size-guarded → co-group join fallback). Groups larger
+    than ``max_group`` are skipped entirely (quadratic guard; a hub dst
+    shared by everyone carries ~zero Adamic-Adar signal anyway) — mirror
+    the same HAVING bound in any oracle."""
+    import ray
+    from .join import cogroup_join
+
+    e = distinct_on(edges.select_columns([src, dst]), [src, dst],
+                    num_buckets)
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("cn", pa.int64()), ("aa", pa.float64())])
+
+    def weighted_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "cn": pd.Series(dtype="int64"),
+                              "aa": pd.Series(dtype="float64")})
+        if n == 0:
+            return empty
+        g = df[dst].to_numpy(dtype=np.int64)
+        v = df[src].to_numpy(dtype=np.int64)
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b, out_w = [], [], []
+        for s in np.unique(sizes):
+            if s < 2 or s > max_group:
+                continue
+            st = starts[sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            out_a.append(v[(st[:, None] + iu[None, :]).reshape(-1)])
+            out_b.append(v[(st[:, None] + ju[None, :]).reshape(-1)])
+            out_w.append(np.full(len(st) * len(iu), 1.0 / np.log(float(s))))
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        w = np.concatenate(out_w)
+        # in-bucket combiner: collapse repeated (a, b) before the shuffle
+        p = (pd.DataFrame({"a": a, "b": b, "aa": w, "cn": 1})
+             .groupby(["a", "b"], as_index=False, sort=False)
+             .agg(cn=("cn", "sum"), aa=("aa", "sum")))
+        return p[["a", "b", "cn", "aa"]]
+
+    cand = bucketed_group_reduce(e, [dst], weighted_pairs, num_buckets,
+                                 schema=pair_schema)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], as_index=False, sort=False).agg(
+            cn=("cn", "sum"), aa=("aa", "sum"))
+
+    pairs = bucketed_group_reduce(cand, ["a", "b"], fold, num_buckets,
+                                  schema=pair_schema)
+
+    # src degrees for Jaccard: |N(a) ∪ N(b)| = ds_a + ds_b - cn
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t[src].to_numpy(zero_copy_only=False)
+                         .astype(np.int64), return_counts=True)
+        return pa.table({"s": pa.array(u, pa.int64()),
+                         "ds": pa.array(c, pa.int64())})
+
+    def deg_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s", as_index=False, sort=False)["ds"].sum()
+
+    deg = bucketed_group_reduce(
+        e.map_batches(deg_partial, batch_format="pyarrow"), ["s"], deg_fold,
+        num_buckets, schema=pa.schema([("s", pa.int64()),
+                                       ("ds", pa.int64())]))
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("cn", pa.int64()), ("aa_micro", pa.int64()),
+                            ("jac_micro", pa.int64())])
+
+    if deg.count() <= broadcast_limit:
+        dd = deg.to_pandas()
+        ref = ray.put((dd["s"].to_numpy(), dd["ds"].to_numpy()))
+
+        def score(t: pa.Table) -> pa.Table:
+            s_sorted, ds_v = ray.get(ref)
+            o = np.argsort(s_sorted, kind="stable")
+            s_sorted, ds_v = s_sorted[o], ds_v[o]
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            cn = t["cn"].to_numpy(zero_copy_only=False).astype(np.float64)
+            da = ds_v[np.searchsorted(s_sorted, a)]
+            db = ds_v[np.searchsorted(s_sorted, b)]
+            jac = cn / (da + db - cn)
+            aa = t["aa"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "a": t["a"], "b": t["b"], "cn": t["cn"],
+                "aa_micro": pa.array(
+                    np.floor(aa * 1e6 + 0.5).astype(np.int64), pa.int64()),
+                "jac_micro": pa.array(
+                    np.floor(jac * 1e6 + 0.5).astype(np.int64),
+                    pa.int64())})
+
+        scored = pairs.map_batches(score, batch_format="pyarrow")
+    else:
+        j1 = cogroup_join(
+            pairs, deg.map_batches(
+                lambda t: t.rename_columns(["a", "ds_a"]),
+                batch_format="pyarrow"),
+            on=["a"], num_buckets=num_buckets)
+        j2 = cogroup_join(
+            j1, deg.map_batches(
+                lambda t: t.rename_columns(["b", "ds_b"]),
+                batch_format="pyarrow"),
+            on=["b"], num_buckets=num_buckets)
+
+        def score2(t: pa.Table) -> pa.Table:
+            cn = t["cn"].to_numpy(zero_copy_only=False).astype(np.float64)
+            da = t["ds_a"].to_numpy(zero_copy_only=False)
+            db = t["ds_b"].to_numpy(zero_copy_only=False)
+            jac = cn / (da + db - cn)
+            aa = t["aa"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "a": t["a"], "b": t["b"], "cn": t["cn"],
+                "aa_micro": pa.array(
+                    np.floor(aa * 1e6 + 0.5).astype(np.int64), pa.int64()),
+                "jac_micro": pa.array(
+                    np.floor(jac * 1e6 + 0.5).astype(np.int64),
+                    pa.int64())})
+
+        scored = j2.map_batches(score2, batch_format="pyarrow")
+
+    return (scored.map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow")
+        .sort(["aa_micro", "a", "b"],
+              descending=[True, False, False]).limit(k))

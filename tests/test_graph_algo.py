@@ -152,3 +152,50 @@ def test_k_core_both_paths(ray_session):
         got_d = dict(zip(*(lambda o: (o["node"], o["deg"]))(
             k_core(rd.from_pandas(df), k, driver_threshold=0).to_pandas())))
         assert got_d == exp, f"distributed k={k}"
+
+
+def test_link_prediction_scores_hand_graph(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import link_prediction_scores
+    # parts -> suppliers: p1:{1,2,3}, p2:{1,2}, p3:{2,3,4}
+    edges = pd.DataFrame({
+        "s": [1, 2, 3, 1, 2, 2, 3, 4, 4],   # one duplicate (4, 30)
+        "p": [10, 10, 10, 20, 20, 30, 30, 30, 30]})
+    out = link_prediction_scores(rd.from_pandas(edges), "s", "p",
+                                 k=100).to_pandas()
+    got = {(r.a, r.b): r for r in out.itertuples()}
+    w3 = 1.0 / np.log(3.0)
+    w2 = 1.0 / np.log(2.0)
+    # degrees: s1=2 (p1,p2), s2=3, s3=2, s4=1
+    exp = {
+        (1, 2): (2, w3 + w2, 2 / (2 + 3 - 2)),
+        (1, 3): (1, w3, 1 / (2 + 2 - 1)),
+        (2, 3): (2, w3 + w3, 2 / (3 + 2 - 2)),
+        (2, 4): (1, w3, 1 / (3 + 1 - 1)),
+        (3, 4): (1, w3, 1 / (2 + 1 - 1)),
+    }
+    assert set(got) == set(exp)
+    for k_, (cn, aa, jac) in exp.items():
+        r = got[k_]
+        assert r.cn == cn
+        assert r.aa_micro == int(np.floor(aa * 1e6 + 0.5))
+        assert r.jac_micro == int(np.floor(jac * 1e6 + 0.5))
+    # ordered by aa_micro desc with (a, b) tie-break
+    assert list(out["aa_micro"]) == sorted(out["aa_micro"], reverse=True)
+
+
+def test_link_prediction_join_path_equals_broadcast(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import link_prediction_scores
+    rng = np.random.default_rng(9)
+    edges = pd.DataFrame({"s": rng.integers(0, 30, 400),
+                          "p": rng.integers(0, 50, 400)})
+    ds = rd.from_pandas(edges)
+    b = link_prediction_scores(ds, "s", "p", k=1000).to_pandas()
+    j = link_prediction_scores(ds, "s", "p", k=1000,
+                               broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(b, j)
