@@ -2172,6 +2172,61 @@ def q_lineitem_profile(sf_dir: str):
     return _scale_cols(out, {"min_v": 100, "max_v": 100, "mean_v": 100})
 
 
+def q_docs_upsert(sf_dir: str):
+    """SCD-1 MERGE (latest wins): apply a deterministic update batch
+    (doc_id%7 rows modified, doc_id%11 rows re-keyed as inserts) to the
+    documents table — matched keys update, new keys insert."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.setops import upsert_latest
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def with_version(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("version",
+                                   pa.array([v] * len(t), pa.int64()))
+        return f
+
+    def modify(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": pa.array(["xx"] * len(t), pa.string()),
+            "source": t["source"],
+            "n_chars": pc.add(t["n_chars"], 1000)})
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.set_column(0, "doc_id", pc.add(t["doc_id"], 10_000_000))
+
+    def mod_filter(m: int):
+        def f(t: pa.Table) -> pa.Table:
+            rem = pc.subtract(t["doc_id"],
+                              pc.multiply(pc.divide(t["doc_id"], m), m))
+            return t.filter(pc.equal(rem, 0))
+        return f
+
+    base = docs.map_batches(with_version(0), batch_format="pyarrow")
+    upd = (docs.map_batches(mod_filter(7), batch_format="pyarrow")
+           .map_batches(modify, batch_format="pyarrow")
+           .union(docs.map_batches(mod_filter(11), batch_format="pyarrow")
+                  .map_batches(rekey, batch_format="pyarrow"))
+           .map_batches(with_version(1), batch_format="pyarrow"))
+    return upsert_latest(base, upd, ["doc_id"], "version")
+
+
+def q_lineitem_checksum(sf_dir: str):
+    """Order-independent table checksum (anti-entropy verify primitive):
+    sum of md5-prefix row hashes mod p + row count, one partial per
+    batch."""
+    import ray.data as rd
+    from agraph_ray.ops.setops import table_checksum
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_linenumber", "l_returnflag"])
+    return table_checksum(ds, ["l_orderkey", "l_partkey", "l_suppkey",
+                               "l_linenumber", "l_returnflag"])
+
+
 def q_supplier_link_pred(sf_dir: str):
     """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
     for supplier pairs sharing parts — dst-keyed weighted-pair reduce, the
@@ -2355,6 +2410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": q_emb_kmeans,
         "emb_probe": q_emb_probe,
         "supplier_link_pred": q_supplier_link_pred,
+        "docs_upsert": q_docs_upsert,
+        "lineitem_checksum": q_lineitem_checksum,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3387,6 +3444,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, source FROM documents WHERE n_chars >= 400
                 EXCEPT
                 SELECT lang, source FROM documents WHERE n_chars < 400)
+        """,
+        "docs_upsert": """
+            WITH base AS (SELECT doc_id, lang, source, n_chars,
+                                 CAST(0 AS BIGINT) AS version, 0 AS s
+                          FROM documents),
+            upd AS (SELECT doc_id, 'xx' AS lang, source,
+                           n_chars + 1000 AS n_chars,
+                           CAST(1 AS BIGINT) AS version, 1 AS s
+                    FROM documents WHERE doc_id % 7 = 0
+                    UNION ALL
+                    SELECT doc_id + 10000000, lang, source, n_chars,
+                           CAST(1 AS BIGINT), 1
+                    FROM documents WHERE doc_id % 11 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+            SELECT doc_id, lang, source, n_chars, version FROM u
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY version DESC, s DESC) = 1
+            ORDER BY doc_id
+        """,
+        "lineitem_checksum": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                            coalesce(CAST(l_orderkey AS VARCHAR), '')
+                            || '|' ||
+                            coalesce(CAST(l_partkey AS VARCHAR), '')
+                            || '|' ||
+                            coalesce(CAST(l_suppkey AS VARCHAR), '')
+                            || '|' ||
+                            coalesce(CAST(l_linenumber AS VARCHAR), '')
+                            || '|' ||
+                            coalesce(l_returnflag, '')), 1, 15)) AS BIGINT)
+                        % 1000000007) % 1000000007 AS BIGINT) AS checksum
+            FROM lineitem
         """,
         "supplier_link_pred": """
             WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p

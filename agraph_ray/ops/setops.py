@@ -86,3 +86,89 @@ def table_diff(a: "ray.data.Dataset", b: "ray.data.Dataset",
     added = except_distinct(b, a, num_buckets).map_batches(
         stamp("added"), batch_format="pyarrow")
     return removed.union(added)
+
+
+def upsert_latest(base: "ray.data.Dataset", updates: "ray.data.Dataset",
+                  keys: "list[str]", order_col: str,
+                  num_buckets: int = 64) -> "ray.data.Dataset":
+    """SCD-type-1 MERGE: one surviving row per key — the one with the
+    highest ``order_col``; on order ties the updates side wins (matched
+    keys update, unmatched keys insert, base-only keys pass through).
+
+    One tagged union + one key-bucketed reduce; a per-batch combiner
+    keeps only each batch's per-key winner, so the shuffle carries at
+    most one row per (key, batch) — never the update history. Fully
+    deterministic: remaining ties resolve by a stable sort over all
+    columns."""
+    cols = list(base.schema().names)
+    if list(updates.schema().names) != cols:
+        raise ValueError(
+            f"schema mismatch: {cols} vs {updates.schema().names}")
+
+    def tag(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(_SRC, pa.array([v] * len(t), pa.int8()))
+        return f
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        other = [c for c in df.columns
+                 if c not in keys and c not in (order_col, _SRC)]
+        df = df.sort_values(keys + [order_col, _SRC] + other,
+                            kind="mergesort")
+        return df.drop_duplicates(keys, keep="last")
+
+    u = (base.map_batches(tag(0), batch_format="pyarrow")
+         .union(updates.map_batches(tag(1), batch_format="pyarrow"))
+         .map_batches(winner, batch_format="pandas"))
+    out = bucketed_group_reduce(u, keys, winner, num_buckets)
+    return out.drop_columns([_SRC])
+
+
+def table_checksum(ds: "ray.data.Dataset", cols: "list[str]",
+                   mod: int = 1_000_000_007) -> "ray.data.Dataset":
+    """Order-independent content checksum: one row ``(n_rows, checksum)``
+    where checksum = sum over rows of md5-prefix(row string) mod ``mod``
+    — the anti-entropy primitive for verifying a copy/migration without
+    moving or sorting either table. Each batch reduces to one (sum, count)
+    partial; only |blocks| tiny rows reach the final fold.
+
+    Row rendering is pinned to DuckDB semantics so an oracle can recompute
+    it: values joined with '|' after CAST AS VARCHAR (int64/string columns
+    only — floats and timestamps render engine-specifically, reject them),
+    NULLs rendered as the empty string via coalesce. Checksum term =
+    CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % mod."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.common import arrow_col_type
+    for name in cols:
+        typ = arrow_col_type(ds, name)
+        if not (pa.types.is_integer(typ) or pa.types.is_string(typ)
+                or pa.types.is_large_string(typ)):
+            raise ValueError(
+                f"checksum column {name} has non-portable type {typ}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            col = t[c]
+            if not pa.types.is_string(col.type):
+                col = pc.cast(col, pa.string())
+            parts.append(pc.coalesce(col, ""))
+        joined = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "|")
+        s = np.asarray(joined.to_pylist(), dtype=object)
+        h = sum(int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16)
+                % mod for x in s) % mod
+        return pa.table({"n_rows": pa.array([len(t)], pa.int64()),
+                         "checksum": pa.array([h], pa.int64())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_rows": [int(df["n_rows"].sum())],
+            "checksum": [int(df["checksum"].sum()) % mod]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1).map_batches(fold, batch_format="pandas"))

@@ -158,3 +158,63 @@ def test_profile_table(ray_session):
     assert s["min_v"] is None or np.isnan(s["min_v"])
     lcol = rows["l"]          # non-scalar type → counts only
     assert lcol["n"] == 4 and lcol["min_s"] is None
+
+
+def test_upsert_latest_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.setops import upsert_latest
+    base = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"],
+                         "version": [0, 0, 0]})
+    upd = pd.DataFrame({"k": [2, 4, 2], "v": ["B2", "D", "B1"],
+                        "version": [2, 1, 1]})
+    out = upsert_latest(rd.from_pandas(base), rd.from_pandas(upd),
+                        ["k"], "version").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # k=1,3 pass through; k=2 takes the highest-version update; k=4 inserts
+    assert list(out["k"]) == [1, 2, 3, 4]
+    assert list(out["v"]) == ["a", "B2", "c", "D"]
+    assert list(out["version"]) == [0, 2, 0, 1]
+
+
+def test_upsert_latest_tie_updates_win(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.setops import upsert_latest
+    base = pd.DataFrame({"k": [1], "v": ["old"], "version": [5]})
+    upd = pd.DataFrame({"k": [1], "v": ["new"], "version": [5]})
+    out = upsert_latest(rd.from_pandas(base), rd.from_pandas(upd),
+                        ["k"], "version").to_pandas()
+    assert list(out["v"]) == ["new"]
+
+
+def test_table_checksum_order_and_partition_invariant(ray_session):
+    import hashlib
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.setops import table_checksum
+    import pyarrow as pa
+    t = pa.table({"a": pa.array([1, 2, 3, None], pa.int64()),
+                  "c": pa.array(["x", "y", None, "z"], pa.string())})
+    p = 1_000_000_007
+    exp = sum(
+        int(hashlib.md5(f"{'' if a is None else a}|"
+                        f"{'' if c is None else c}"
+                        .encode()).hexdigest()[:15], 16) % p
+        for a, c in zip(t["a"].to_pylist(), t["c"].to_pylist())) % p
+    rev = t.take(pa.array([3, 2, 1, 0]))
+    for ds in (rd.from_arrow(t), rd.from_arrow(t).repartition(3),
+               rd.from_arrow(rev)):
+        out = table_checksum(ds, ["a", "c"]).to_pandas()
+        assert out.loc[0, "n_rows"] == 4
+        assert out.loc[0, "checksum"] == exp
+
+
+def test_table_checksum_rejects_float_columns(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from agraph_ray.ops.setops import table_checksum
+    ds = rd.from_pandas(pd.DataFrame({"a": [1.5]}))
+    with pytest.raises(ValueError):
+        table_checksum(ds, ["a"])
