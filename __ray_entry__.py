@@ -2172,6 +2172,39 @@ def q_lineitem_profile(sf_dir: str):
     return _scale_cols(out, {"min_v": 100, "max_v": 100, "mean_v": 100})
 
 
+def q_emb_explode(sf_dir: str):
+    """UNNEST WITH ORDINALITY of the embedding list column — pure
+    per-batch Arrow projection, zero shuffle."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import explode
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = explode(ds, "embedding", ["vec_id"], value_col="v")
+    return _scale_cols(out, {"v": 1_000_000}).map_batches(
+        lambda t: t.rename_columns(["vec_id", "pos", "v_micro"]),
+        batch_format="pyarrow")
+
+
+def q_supplier_walks(sf_dir: str):
+    """Deterministic DeepWalk random walks on the supplier-part bipartite
+    graph (part ids offset to disjoint node space). The md5 neighbor-pick
+    rule is SQL-reproducible, so even the walks are oracle-checked (via a
+    recursive CTE)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import random_walks
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+
+    def offset(t: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(t["l_suppkey"], pa.int64()),
+                         "b": pc.cast(pc.add(t["l_partkey"], 1_000_000),
+                                      pa.int64())})
+
+    edges = ds.map_batches(offset, batch_format="pyarrow")
+    return random_walks(edges, "a", "b", length=4, walks_per_node=1)
+
+
 def q_docs_upsert(sf_dir: str):
     """SCD-1 MERGE (latest wins): apply a deterministic update batch
     (doc_id%7 rows modified, doc_id%11 rows re-keyed as inserts) to the
@@ -2412,6 +2445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_link_pred": q_supplier_link_pred,
         "docs_upsert": q_docs_upsert,
         "lineitem_checksum": q_lineitem_checksum,
+        "supplier_walks": q_supplier_walks,
+        "emb_explode": q_emb_explode,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3444,6 +3479,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, source FROM documents WHERE n_chars >= 400
                 EXCEPT
                 SELECT lang, source FROM documents WHERE n_chars < 400)
+        """,
+        "emb_explode": """
+            SELECT vec_id,
+                   unnest(generate_series(0, len(embedding) - 1)) AS pos,
+                   CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5)
+                        AS BIGINT) AS v_micro
+            FROM embeddings
+            ORDER BY vec_id, pos
+        """,
+        "supplier_walks": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT l_suppkey AS a,
+                                l_partkey + 1000000 AS b FROM lineitem),
+            adj AS (SELECT a AS node, b AS nbr FROM e
+                    UNION SELECT b, a FROM e),
+            r AS (SELECT node, nbr,
+                         row_number() OVER (PARTITION BY node
+                                            ORDER BY nbr) - 1 AS rnk,
+                         count(*) OVER (PARTITION BY node) AS deg
+                  FROM adj),
+            walk(walk_id, step, node) AS (
+                SELECT CAST(node AS VARCHAR) || '#0', CAST(0 AS BIGINT),
+                       node
+                FROM (SELECT DISTINCT node FROM adj)
+                UNION ALL
+                SELECT w.walk_id, w.step + 1, r.nbr
+                FROM walk w JOIN r ON r.node = w.node
+                 AND r.rnk = CAST(CAST(('0x' || substr(md5(
+                         w.walk_id || '|' || CAST(w.step AS VARCHAR)
+                         || '|' || CAST(w.node AS VARCHAR)), 1, 8))
+                         AS UBIGINT) % CAST(r.deg AS UBIGINT) AS BIGINT)
+                WHERE w.step < 3)
+            SELECT walk_id, step, node FROM walk ORDER BY walk_id, step
         """,
         "docs_upsert": """
             WITH base AS (SELECT doc_id, lang, source, n_chars,

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 from ..stages.common import bucketed_group_reduce, distinct_on
 
 __all__ = ["pairs_within_groups", "triangle_counts", "pagerank",
-           "k_core", "label_propagation", "link_prediction_scores"]
+           "k_core", "label_propagation", "link_prediction_scores",
+           "random_walks"]
 
 
 def pairs_within_groups(ds: "ray.data.Dataset", group_col: str,
@@ -925,3 +926,123 @@ def link_prediction_scores(edges: "ray.data.Dataset", src: str, dst: str,
         lambda t: t.cast(out_schema), batch_format="pyarrow")
         .sort(["aa_micro", "a", "b"],
               descending=[True, False, False]).limit(k))
+
+
+def random_walks(edges: "ray.data.Dataset", src: str, dst: str,
+                 length: int = 4, walks_per_node: int = 1,
+                 undirected: bool = True,
+                 num_buckets: int = 64) -> "ray.data.Dataset":
+    """Deterministic DeepWalk-style random walks (Perozzi 2014) →
+    ``(walk_id, step, node)`` trail rows, one walk of ``length`` nodes
+    per (node, replica) seed. The "random" neighbor pick is the pinned
+    md5 rule shared with ``hash_sample``: rank =
+    md5_32("walk_id|step|node") % degree into the node's
+    neighbors sorted ascending — byte-reproducible on any worker, any
+    run, and in SQL (recursive CTE + the same md5 expression), so even
+    this op is oracle-checkable. Walks stop early at sinks.
+
+    Shuffle shape: one node-keyed bucketed reduce per step (frontier
+    rows meet their node's co-located adjacency; rank lookup is one
+    searchsorted per bucket). Each step's frontier is materialized to
+    keep lineage flat. At cluster scale, pre-bucketing the adjacency
+    once and reusing it per step (instead of re-tagging it into each
+    step's shuffle) is the natural next cut — noted, not needed at
+    current scale."""
+    from .stats import _key_hash32
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        if undirected:
+            node = np.concatenate([a, b])
+            nbr = np.concatenate([b, a])
+        else:
+            node, nbr = a, b
+        return pa.Table.from_pandas(
+            pd.DataFrame({"node": node, "nbr": nbr}).drop_duplicates(),
+            preserve_index=False)
+
+    adj = distinct_on(
+        edges.select_columns([src, dst]).map_batches(
+            norm, batch_format="pyarrow"),
+        ["node", "nbr"], num_buckets).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_numpy(zero_copy_only=False)
+        n = len(nodes)
+        reps = np.tile(np.arange(walks_per_node), n)
+        nd = np.repeat(nodes, walks_per_node)
+        wid = np.array([f"{a}#{j}" for a, j in zip(nd, reps)],
+                       dtype=object)
+        return pa.table({"walk_id": pa.array(wid, pa.string()),
+                         "node": pa.array(nd, pa.int64())})
+
+    def both_endpoints(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["node"].to_numpy(zero_copy_only=False),
+            t["nbr"].to_numpy(zero_copy_only=False)]).astype(np.int64))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    frontier = distinct_on(
+        adj.map_batches(both_endpoints, batch_format="pyarrow"),
+        ["node"], num_buckets).map_batches(
+        seed, batch_format="pyarrow").materialize()
+
+    def stamp(step_val: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "walk_id": t["walk_id"],
+                "step": pa.array([step_val] * len(t), pa.int64()),
+                "node": t["node"]})
+        return f
+
+    trails = [frontier.map_batches(stamp(0), batch_format="pyarrow")]
+
+    tag_adj = adj.map_batches(
+        lambda t: pa.table({"node": t["node"], "nbr": t["nbr"],
+                            "walk_id": pa.nulls(len(t), pa.string())}),
+        batch_format="pyarrow")
+
+    for s in range(length - 1):
+        tag_frontier = frontier.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "nbr": pa.nulls(len(t), pa.int64()),
+                                "walk_id": t["walk_id"]}),
+            batch_format="pyarrow")
+
+        def step_body(df: pd.DataFrame, _s=s) -> pd.DataFrame:
+            is_adj = df["walk_id"].isna()
+            a = df[is_adj].sort_values(["node", "nbr"], kind="mergesort")
+            f = df[~is_adj]
+            empty = pd.DataFrame({"walk_id": pd.Series(dtype=object),
+                                  "node": pd.Series(dtype="int64")})
+            if not len(f) or not len(a):
+                return empty
+            an = a["node"].to_numpy(dtype=np.int64)
+            anbr = a["nbr"].to_numpy(dtype=np.int64)
+            fn = f["node"].to_numpy(dtype=np.int64)
+            lo = np.searchsorted(an, fn, side="left")
+            hi = np.searchsorted(an, fn, side="right")
+            deg = (hi - lo).astype(np.uint64)
+            live = deg > 0
+            if not live.any():
+                return empty
+            wid = f["walk_id"].to_numpy(dtype=object)[live]
+            keys = [f"{w}|{_s}|{n}" for w, n in
+                    zip(wid, fn[live])]
+            rank = (_key_hash32(keys) % deg[live]).astype(np.int64)
+            nxt = anbr[lo[live] + rank]
+            return pd.DataFrame({"walk_id": wid, "node": nxt})
+
+        u = tag_adj.union(tag_frontier)
+        frontier = bucketed_group_reduce(
+            u, ["node"], step_body, num_buckets,
+            schema=pa.schema([("walk_id", pa.string()),
+                              ("node", pa.int64())])).materialize()
+        trails.append(frontier.map_batches(stamp(s + 1),
+                                           batch_format="pyarrow"))
+
+    out = trails[0]
+    for t in trails[1:]:
+        out = out.union(t)
+    return out

@@ -745,3 +745,48 @@ def profile_table(ds: "ray.data.Dataset",
             "max_s": pc.cast(t["max_s"], pa.string())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def explode(ds: "ray.data.Dataset", list_col: str,
+            id_cols: "Sequence[str]", pos_col: str = "pos",
+            value_col: str = "value") -> "ray.data.Dataset":
+    """UNNEST WITH ORDINALITY: one output row per list element with its
+    0-based position, id columns repeated. Pure per-batch Arrow
+    projection — zero shuffle, zero-copy flatten of the list child."""
+    def f(t: pa.Table) -> pa.Table:
+        col = t[list_col].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        flat = col.flatten()
+        pos = np.concatenate([np.arange(n, dtype=np.int64)
+                              for n in lens]) if len(t) else \
+            np.zeros(0, np.int64)
+        cols = {c: t[c].take(pa.array(np.repeat(np.arange(len(t)), lens)))
+                for c in id_cols}
+        cols[pos_col] = pa.array(pos, pa.int64())
+        cols[value_col] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def collect_list(ds: "ray.data.Dataset", key: str, pos_col: str,
+                 value_col: str, out_col: str = "values",
+                 num_buckets: int = 64) -> "ray.data.Dataset":
+    """Inverse of :func:`explode`: per-key list ordered by ``pos_col``
+    (SQL ``list(value ORDER BY pos)``). One key-bucketed reduce with a
+    vectorized lexsort + ListArray re-assembly per bucket — the rows of a
+    key must fit one bucket task (same contract as every keyed reduce
+    here)."""
+    from ..stages.common import bucketed_group_reduce, arrow_col_type
+    vt = arrow_col_type(ds, value_col)
+    kt = arrow_col_type(ds, key)
+    schema = pa.schema([(key, kt), (out_col, pa.list_(vt))])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, pos_col], kind="mergesort")
+        g = df.groupby(key, sort=True)[value_col].agg(list)
+        return pd.DataFrame({key: g.index, out_col: g.to_numpy()})
+
+    return bucketed_group_reduce(ds, [key], fold, num_buckets,
+                                 schema=schema)

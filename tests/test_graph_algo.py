@@ -199,3 +199,45 @@ def test_link_prediction_join_path_equals_broadcast(ray_session):
     j = link_prediction_scores(ds, "s", "p", k=1000,
                                broadcast_limit=0).to_pandas()
     pd.testing.assert_frame_equal(b, j)
+
+
+def test_random_walks_match_hand_rule(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import random_walks
+    from agraph_ray.ops.stats import _key_hash32
+    edges = pd.DataFrame({"a": [1, 1, 2, 3], "b": [2, 3, 3, 4]})
+    out = random_walks(rd.from_pandas(edges), "a", "b", length=3,
+                       walks_per_node=2).to_pandas()
+    # undirected adjacency
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 2, 4], 4: [3]}
+    exp_rows = set()
+    for node in adj:
+        for j in range(2):
+            wid = f"{node}#{j}"
+            cur = node
+            exp_rows.add((wid, 0, cur))
+            for step in range(2):
+                nbrs = adj[cur]
+                r = int(_key_hash32([f"{wid}|{step}|{cur}"])[0]
+                        % np.uint64(len(nbrs)))
+                cur = nbrs[r]
+                exp_rows.add((wid, step + 1, cur))
+    got_rows = {(r.walk_id, r.step, r.node) for r in out.itertuples()}
+    assert got_rows == exp_rows
+
+
+def test_random_walks_stop_at_sink(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import random_walks
+    edges = pd.DataFrame({"a": [1, 2], "b": [2, 3]})
+    out = random_walks(rd.from_pandas(edges), "a", "b", length=5,
+                       undirected=False).to_pandas()
+    # node 3 is a sink: its walk has a single row; every walk from 1
+    # reaches 3 by step 2 and stops
+    w3 = out[out["walk_id"] == "3#0"]
+    assert list(w3["step"]) == [0]
+    w1 = out[out["walk_id"] == "1#0"].sort_values("step")
+    assert list(w1["node"]) == [1, 2, 3]

@@ -218,3 +218,25 @@ def test_table_checksum_rejects_float_columns(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"a": [1.5]}))
     with pytest.raises(ValueError):
         table_checksum(ds, ["a"])
+
+
+def test_explode_collect_list_roundtrip(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.stats import explode, collect_list
+    t = pa.table({"k": pa.array([10, 11, 12], pa.int64()),
+                  "vals": pa.array([[1.0, 2.0], [], [5.0, 6.0, 7.0]],
+                                   pa.list_(pa.float64()))})
+    ex = explode(rd.from_arrow(t), "vals", ["k"]).to_pandas()
+    assert len(ex) == 5
+    assert list(ex.sort_values(["k", "pos"])["value"]) == \
+        [1.0, 2.0, 5.0, 6.0, 7.0]
+    back = collect_list(explode(rd.from_arrow(t), "vals", ["k"]),
+                        "k", "pos", "value").to_pandas()
+    back = back.sort_values("k").reset_index(drop=True)
+    # empty list rows have no exploded rows, so only k=10,12 come back
+    assert list(back["k"]) == [10, 12]
+    assert [list(v) for v in back["values"]] == [[1.0, 2.0],
+                                                 [5.0, 6.0, 7.0]]
