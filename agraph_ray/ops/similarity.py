@@ -288,15 +288,19 @@ def embedding_join(a: "ray.data.Dataset", b: "ray.data.Dataset",
     arrays and broadcast ONCE via ``ray.put`` (size-guarded at
     ``broadcast_cap`` rows — ~½ GB of float32x64 at the cap); ``a``
     streams through ``map_batches``, one matmul per batch, and the
-    result is final per row — ZERO shuffles. For an index side beyond
-    the cap, partition ``b`` into shards and union the per-shard joins
-    through a (a_id)-keyed top-k reduce (the sharded ANN actor pool in
-    state/ann.py serves the repeated-query deployment)."""
+    result is final per row — ZERO shuffles. An index side beyond the
+    cap takes the sharded path: ``b`` splits into ceil(n/cap) hash
+    shards, each broadcast in turn while ``a`` streams a per-shard local
+    top-k, and one (a_id)-keyed bucketed reduce folds the shard
+    candidates into the exact global top-k — ``a`` makes S passes but
+    never more than ``cap`` index rows are resident anywhere. (The
+    sharded ANN actor pool in state/ann.py serves the repeated-query
+    deployment.)"""
     n_b = b.count()
     if n_b > broadcast_cap:
-        raise NotImplementedError(
-            "index side exceeds broadcast cap — shard b and reduce "
-            "per-shard joins on a_id")
+        return _embedding_join_sharded(
+            a, b, k, vec_col, id_col,
+            n_shards=int(np.ceil(n_b / broadcast_cap)))
     ids_b, vecs_b = [], []
     for bt in b.select_columns([id_col, vec_col]).iter_batches(
             batch_format="pyarrow"):
@@ -336,3 +340,44 @@ def embedding_join(a: "ray.data.Dataset", b: "ray.data.Dataset",
 
     return a.select_columns([id_col, vec_col]).map_batches(
         local, batch_format="pyarrow")
+
+
+def _embedding_join_sharded(a: "ray.data.Dataset", b: "ray.data.Dataset",
+                            k: int, vec_col: str, id_col: str,
+                            n_shards: int,
+                            num_buckets: int = 64) -> "ray.data.Dataset":
+    """Sharded exact NN join: per-shard broadcast + streamed local top-k,
+    then one a_id-keyed reduce folds shard candidates to the global
+    top-k. Result is identical to the broadcast path (same per-pair
+    arithmetic, same (-sim, b_id) tie rule)."""
+    from ..stages.common import bucketed_group_reduce
+    from .stats import _key_hash32
+
+    def shard_filter(s: int):
+        def f(t: pa.Table) -> pa.Table:
+            h = _key_hash32(t[id_col].to_pylist()) \
+                % np.uint64(n_shards)
+            return t.filter(pa.array(h == s))
+        return f
+
+    parts = None
+    for s in range(n_shards):
+        shard = b.select_columns([id_col, vec_col]).map_batches(
+            shard_filter(s), batch_format="pyarrow")
+        cand = embedding_join(a, shard, k=k, vec_col=vec_col,
+                              id_col=id_col,
+                              broadcast_cap=2 ** 62)  # shard fits
+        parts = cand if parts is None else parts.union(cand)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["a_id", "sim", "b_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby("a_id", sort=False).head(k).copy()
+        df["rank"] = df.groupby("a_id", sort=False).cumcount() + 1
+        return df
+
+    return bucketed_group_reduce(
+        parts, ["a_id"], fold, num_buckets,
+        schema=pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                          ("sim", pa.float64()), ("rank", pa.int64())]))

@@ -93,3 +93,22 @@ def test_embedding_pca_recovers_planted_axis(ray_session):
     got = np.asarray([r["pca"] for r in
                       sorted(rows, key=lambda r: r["vec_id"])])
     assert np.allclose(got, want, atol=1e-8)
+
+
+def test_embedding_join_sharded_equals_broadcast(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from agraph_ray.ops.similarity import embedding_join
+    rng = np.random.default_rng(13)
+    a = _emb_frame(n=40, dim=8, seed=1)
+    b = _emb_frame(n=90, dim=8, seed=2)
+    da = rd.from_pandas(a[["vec_id", "embedding"]])
+    db = rd.from_pandas(b[["vec_id", "embedding"]])
+    wide = embedding_join(da, db, k=4).to_pandas() \
+        .sort_values(["a_id", "rank"]).reset_index(drop=True)
+    shard = embedding_join(da, db, k=4, broadcast_cap=25).to_pandas() \
+        .sort_values(["a_id", "rank"]).reset_index(drop=True)
+    assert (wide["a_id"] == shard["a_id"]).all()
+    assert (wide["b_id"] == shard["b_id"]).all()
+    assert (wide["rank"] == shard["rank"]).all()
+    assert np.allclose(wide["sim"], shard["sim"], atol=1e-12)
