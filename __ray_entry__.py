@@ -2172,6 +2172,52 @@ def q_lineitem_profile(sf_dir: str):
     return _scale_cols(out, {"min_v": 100, "max_v": 100, "mean_v": 100})
 
 
+def q_docs_resample(sf_dir: str):
+    """Deterministic importance resampling (corpus mixing): weight
+    0.5 + doc_id%5, each doc repeated floor(w) + Bernoulli(frac(w)) times
+    under the pinned md5 rule — expected multiplicity exactly w."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.stats import resample_by_weight
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def weight(t: pa.Table) -> pa.Table:
+        rem = pc.subtract(t["doc_id"],
+                          pc.multiply(pc.divide(t["doc_id"], 5), 5))
+        return t.append_column(
+            "wt", pc.add(pc.cast(rem, pa.float64()), 0.5))
+
+    out = resample_by_weight(ds.map_batches(weight, batch_format="pyarrow"),
+                             "doc_id", "wt")
+    return out.select_columns(["doc_id", "rep"])
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """GPT-3-style benchmark decontamination: even-id docs are the train
+    split, odd-id docs the eval set; a train doc is contaminated if it
+    shares any word trigram with eval. Exact string grams ride one
+    gram-keyed semi join; the hit-id set broadcasts for a map-side
+    mark."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.text import decontaminate_ngrams
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def split(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            rem = pc.subtract(t["doc_id"],
+                              pc.multiply(pc.divide(t["doc_id"], 2), 2))
+            return t.filter(pc.equal(rem, parity))
+        return f
+
+    train = ds.map_batches(split(0), batch_format="pyarrow")
+    ev = ds.map_batches(split(1), batch_format="pyarrow")
+    out = decontaminate_ngrams(train, ev, n=3)
+    return out.select_columns(["doc_id", "contaminated"])
+
+
 def q_emb_explode(sf_dir: str):
     """UNNEST WITH ORDINALITY of the embedding list column — pure
     per-batch Arrow projection, zero shuffle."""
@@ -2447,6 +2493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_checksum": q_lineitem_checksum,
         "supplier_walks": q_supplier_walks,
         "emb_explode": q_emb_explode,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_resample": q_docs_resample,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3479,6 +3527,57 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, source FROM documents WHERE n_chars >= 400
                 EXCEPT
                 SELECT lang, source FROM documents WHERE n_chars < 400)
+        """,
+        "docs_resample": """
+            WITH w AS (SELECT doc_id,
+                              (doc_id % 5) + 0.5 AS wt FROM documents),
+            r AS (SELECT doc_id,
+                         CAST(floor(wt) AS BIGINT)
+                         + CASE WHEN CAST(('0x' || substr(md5(
+                                 CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS UBIGINT) % 1000000
+                             < CAST(floor((wt - floor(wt)) * 1000000
+                                          + 0.5) AS UBIGINT)
+                           THEN 1 ELSE 0 END AS reps
+                  FROM w)
+            SELECT doc_id,
+                   unnest(generate_series(0, reps - 1)) AS rep
+            FROM r WHERE reps > 0
+            ORDER BY doc_id, rep
+        """,
+        "docs_decontaminate": """
+            WITH tr AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 2 = 0),
+            ev AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 2 = 1),
+            trt AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w,
+                           unnest(generate_series(
+                               1, len(string_split(text, ' ')))) AS pos
+                    FROM tr),
+            evt AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w,
+                           unnest(generate_series(
+                               1, len(string_split(text, ' ')))) AS pos
+                    FROM ev),
+            trg AS (SELECT doc_id,
+                           w || ' ' || lead(w, 1) OVER win
+                             || ' ' || lead(w, 2) OVER win AS gram
+                    FROM trt
+                    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            evg AS (SELECT DISTINCT
+                           w || ' ' || lead(w, 1) OVER win
+                             || ' ' || lead(w, 2) OVER win AS gram
+                    FROM evt
+                    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            bad AS (SELECT DISTINCT doc_id FROM trg
+                    WHERE gram IS NOT NULL
+                      AND gram IN (SELECT gram FROM evg
+                                   WHERE gram IS NOT NULL))
+            SELECT doc_id,
+                   CAST(doc_id IN (SELECT doc_id FROM bad) AS BIGINT)
+                       AS contaminated
+            FROM tr ORDER BY doc_id
         """,
         "emb_explode": """
             SELECT vec_id,

@@ -790,3 +790,30 @@ def collect_list(ds: "ray.data.Dataset", key: str, pos_col: str,
 
     return bucketed_group_reduce(ds, [key], fold, num_buckets,
                                  schema=schema)
+
+
+def resample_by_weight(ds: "ray.data.Dataset", key: str, weight_col: str,
+                       out_col: str = "rep") -> "ray.data.Dataset":
+    """Deterministic importance resampling for corpus mixing: each row is
+    repeated ``floor(w)`` times plus one more iff the row's pinned md5
+    hash (same rule as ``hash_sample``) falls below the fractional part —
+    expected multiplicity exactly ``w``, same decision on any worker/run/
+    engine, no RNG state. Emits a 0-based ``out_col`` replica index so
+    output rows are distinct. Pure map-side ``np.repeat`` — zero
+    shuffle."""
+    def f(t: pa.Table) -> pa.Table:
+        w = pc.cast(t[weight_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        base = np.floor(w)
+        cut = np.floor((w - base) * 1_000_000 + 0.5).astype(np.uint64)
+        h = _key_hash32(t[key].to_pylist()) % np.uint64(1_000_000)
+        reps = (base + (h < cut)).astype(np.int64)
+        reps = np.maximum(reps, 0)
+        idx = np.repeat(np.arange(len(t)), reps)
+        out = t.take(pa.array(idx))
+        rep = np.concatenate([np.arange(r, dtype=np.int64)
+                              for r in reps if r > 0]) \
+            if reps.sum() else np.zeros(0, np.int64)
+        return out.append_column(out_col, pa.array(rep, pa.int64()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

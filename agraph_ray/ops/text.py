@@ -876,3 +876,101 @@ def corpus_js_divergence(ds_a: "ray.data.Dataset", ds_b: "ray.data.Dataset",
         "vocab_union": pa.array([int(agg["vocab_union"] or 0)], pa.int64()),
         "js_scaled": pa.array([int(np.floor(js * scale + 0.5))],
                               pa.int64())}))
+
+
+def _doc_gram_rows(id_col: str, col: str, n: int):
+    """Per-batch (id, gram) distinct rows — same vectorized shift-concat
+    gram builder as corpus_ngram_counts, with the doc id carried along."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "gram": pa.array([], pa.string())})
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        s = pd.Series(lists.flatten().to_pandas().to_numpy(dtype=object))
+        g = s
+        for i in range(1, n):
+            g = g + " " + s.shift(-i)
+        pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        valid = pos <= np.repeat(lens, lens) - n
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({id_col: ids[valid],
+                           "gram": g.to_numpy(dtype=object)[valid]})
+        df = df.drop_duplicates()
+        return pa.table({id_col: pa.array(df[id_col], pa.int64()),
+                         "gram": pa.array(df["gram"], pa.string())})
+
+    return partial
+
+
+def decontaminate_ngrams(train: "ray.data.Dataset",
+                         eval_ds: "ray.data.Dataset", n: int = 3,
+                         id_col: str = "doc_id", col: str = "text",
+                         mode: str = "mark",
+                         broadcast_limit: int = 5_000_000,
+                         num_buckets: int = 64) -> "ray.data.Dataset":
+    """Benchmark decontamination (GPT-3 appendix-C style): a train doc is
+    contaminated if it shares ANY word ``n``-gram with the eval set.
+    ``mode="mark"`` appends an int64 0/1 ``contaminated`` column;
+    ``mode="drop"`` filters contaminated docs out.
+
+    Shuffle shape: both sides reduce to distinct gram rows (per-batch
+    combiners), one gram-keyed semi join finds hit docs, and the (small)
+    contaminated-id set is broadcast for a map-side mark/drop — with a
+    co-group anti/semi join fallback above ``broadcast_limit``. Exact
+    string grams ride the join (no hashing), so there are no false
+    positives at any scale."""
+    import ray
+
+    from ..stages.common import bucketed_group_reduce, distinct_on
+    from .join import cogroup_join
+
+    ev_grams = distinct_on(
+        eval_ds.map_batches(_doc_gram_rows(id_col, col, n),
+                            batch_format="pyarrow")
+        .select_columns(["gram"]), ["gram"], num_buckets)
+    tr_grams = train.map_batches(_doc_gram_rows(id_col, col, n),
+                                 batch_format="pyarrow")
+    hits = cogroup_join(tr_grams, ev_grams, on=["gram"], how="semi",
+                        num_buckets=num_buckets)
+    contaminated = distinct_on(hits.select_columns([id_col]), [id_col],
+                               num_buckets).materialize()
+
+    if contaminated.count() <= broadcast_limit:
+        bad = np.sort(np.asarray(
+            [r[id_col] for r in contaminated.take_all()], dtype=np.int64))
+        ref = ray.put(bad)
+
+        def mark(t: pa.Table) -> pa.Table:
+            b = ray.get(ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            i = np.searchsorted(b, ids)
+            hit = (i < len(b)) & (b[np.clip(i, 0, max(len(b) - 1, 0))]
+                                  == ids) if len(b) else \
+                np.zeros(len(t), dtype=bool)
+            if mode == "drop":
+                return t.filter(pa.array(~hit))
+            return t.append_column(
+                "contaminated", pa.array(hit.astype(np.int64), pa.int64()))
+
+        return train.map_batches(mark, batch_format="pyarrow")
+
+    # contaminated set too large to broadcast: co-group by id
+    flag = contaminated.map_batches(
+        lambda t: t.append_column("contaminated",
+                                  pa.array([1] * len(t), pa.int64())),
+        batch_format="pyarrow")
+    if mode == "drop":
+        return cogroup_join(train, contaminated, on=[id_col], how="anti",
+                            num_buckets=num_buckets)
+    joined = cogroup_join(train, flag, on=[id_col], how="left",
+                          num_buckets=num_buckets)
+    return joined.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("contaminated"), "contaminated",
+            pc.coalesce(pc.cast(t["contaminated"], pa.int64()), 0)),
+        batch_format="pyarrow")

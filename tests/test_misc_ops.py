@@ -225,3 +225,28 @@ def test_redact_pattern(ray_session):
     out = redact_pattern(ds, r"\d{3}-\d{4}", "[TEL]").take_all()
     assert out[0]["redacted"] == "call [TEL] or [TEL]"
     assert out[0]["text"] == "call 555-1234 or 555-9999"   # original kept
+
+
+def test_decontaminate_ngrams_mark_and_drop(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.text import decontaminate_ngrams
+    train = pd.DataFrame({
+        "doc_id": [0, 2, 4],
+        "text": ["the quick brown fox jumps",     # shares trigram w/ eval
+                 "totally clean document here",
+                 "one quick brown cat sits"]})    # "quick brown" only 2-gram
+    ev = pd.DataFrame({
+        "doc_id": [1],
+        "text": ["a the quick brown fox ran"]})
+    out = decontaminate_ngrams(rd.from_pandas(train), rd.from_pandas(ev),
+                               n=3).to_pandas().sort_values("doc_id")
+    assert list(out["contaminated"]) == [1, 0, 0]
+    kept = decontaminate_ngrams(rd.from_pandas(train), rd.from_pandas(ev),
+                                n=3, mode="drop").to_pandas()
+    assert sorted(kept["doc_id"]) == [2, 4]
+    # cogroup fallback path gives the same answer
+    out2 = decontaminate_ngrams(rd.from_pandas(train), rd.from_pandas(ev),
+                                n=3, broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id")
+    assert list(out2["contaminated"]) == [1, 0, 0]

@@ -286,3 +286,25 @@ def test_recall_at_k(ray_session):
     full = (recall_at_k(rd.from_pandas(e), rd.from_pandas(e), k=3)
             .to_pandas())
     assert (full["recall_scaled"] == 1_000_000).all()
+
+
+def test_resample_by_weight_multiplicity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import resample_by_weight, _key_hash32
+    df = pd.DataFrame({"k": np.arange(200),
+                       "wt": [0.0, 0.5, 1.0, 2.5] * 50})
+    out = resample_by_weight(rd.from_pandas(df), "k", "wt").to_pandas()
+    counts = out.groupby("k").size()
+    for r in df.itertuples():
+        base = int(np.floor(r.wt))
+        frac_cut = int(np.floor((r.wt - base) * 1e6 + 0.5))
+        h = int(_key_hash32([str(r.k)])[0] % np.uint64(1_000_000))
+        exp = base + (1 if h < frac_cut else 0)
+        assert counts.get(r.k, 0) == exp
+        if exp:
+            reps = sorted(out.loc[out["k"] == r.k, "rep"])
+            assert reps == list(range(exp))
+    # expected multiplicity ~ mean weight over many keys
+    assert abs(len(out) / len(df) - df["wt"].mean()) < 0.15
