@@ -2172,6 +2172,30 @@ def q_lineitem_profile(sf_dir: str):
     return _scale_cols(out, {"min_v": 100, "max_v": 100, "mean_v": 100})
 
 
+def q_events_ewma(sf_dir: str):
+    """Per-user exponentially weighted moving average of event values in
+    event-time order (sequential recursion — not SQL-expressible without
+    a quadratic window; rows-only)."""
+    import ray.data as rd
+    from agraph_ray.ops.window import grouped_ewma
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    return grouped_ewma(ds, "user_id", "ts", "value", alpha=0.3)
+
+
+def q_docs_cluster(sf_dir: str):
+    """Text clustering end to end: feature-hash bag-of-words vectors
+    (pinned md5 buckets) → distributed Lloyd k-means. Iterative —
+    rows-only."""
+    import ray.data as rd
+    from agraph_ray.ops.ml import embedding_kmeans, hash_vectorize
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    vecs = hash_vectorize(ds, dim=32)
+    assigns, _ = embedding_kmeans(vecs, k=5, iters=10, id_col="doc_id")
+    return assigns.select_columns(["doc_id", "cluster"])
+
+
 def q_docs_resample(sf_dir: str):
     """Deterministic importance resampling (corpus mixing): weight
     0.5 + doc_id%5, each doc repeated floor(w) + Bernoulli(frac(w)) times
@@ -2495,6 +2519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_explode": q_emb_explode,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_resample": q_docs_resample,
+        "events_ewma": q_events_ewma,
+        "docs_cluster": q_docs_cluster,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,

@@ -28,7 +28,7 @@ from ..stages.common import bucketed_group_reduce, distinct_on
 from .embedding import _batch_vecs
 
 __all__ = ["NBModel", "train_nb", "score_nb", "embedding_kmeans",
-           "softmax_probe"]
+           "softmax_probe", "hash_vectorize"]
 
 
 # ---------------------------------------------------------------------------
@@ -419,3 +419,38 @@ def softmax_probe(ds: "ray.data.Dataset", vec_col: str = "embedding",
                                              pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow"), W, classes
+
+
+def hash_vectorize(ds: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id", dim: int = 64,
+                   out_col: str = "embedding",
+                   normalize: bool = True) -> "ray.data.Dataset":
+    """Feature-hashing bag-of-words vectorizer (Weinberger 2009): each
+    word hashes to one of ``dim`` buckets under the engine's pinned md5
+    rule; the vector is the (optionally L2-normalized) bucket-count
+    histogram. Deterministic on any worker — the glue between raw text
+    and the embedding ops (k-means, probe, NN join). Pure map-side; the
+    md5 is paid once per DISTINCT word per batch (np.unique first)."""
+    from .stats import _key_hash32
+
+    def f(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        uniq, inv = np.unique(words, return_inverse=True) \
+            if len(words) else (np.zeros(0, object), np.zeros(0, np.int64))
+        buckets = (_key_hash32(uniq) % np.uint64(dim)).astype(np.int64)
+        n = len(batch)
+        m = np.zeros((n, dim))
+        if len(words):
+            rows = np.repeat(np.arange(n), lens)
+            np.add.at(m, (rows, buckets[inv]), 1.0)
+        if normalize:
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            m = m / nrm
+        return pa.table({id_col: batch[id_col],
+                         out_col: pa.array(list(m),
+                                           pa.list_(pa.float64()))})
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -460,3 +460,44 @@ def dense_time_series(ds: "ray.data.Dataset", key: str, ts_col: str,
     return bucketed_group_reduce(
         ds.select_columns(cols).map_batches(partial, batch_format="pyarrow"),
         [key], reduce_df, num_buckets, schema=schema)
+
+
+def grouped_ewma(ds: "ray.data.Dataset", key: str, ts_col: str,
+                 value_col: str, alpha: float = 0.3,
+                 out_col: str = "ewma",
+                 num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-key exponentially weighted moving average in event-time order:
+    y_0 = x_0, y_i = alpha*x_i + (1-alpha)*y_{i-1} (pandas
+    ``ewm(adjust=False)`` semantics; (ts, value) ties ordered by value).
+    One key-bucketed reduce; one lexsort per bucket, then pandas' Cython
+    ``ewm`` kernel per key segment (the closed-form (1-a)^{i-j} scan is
+    NOT used — its inverse powers overflow past ~700 rows per key; the
+    sequential kernel is numerically exact at any length). All rows of a
+    key co-locate (engine-wide keyed-reduce contract)."""
+    from ..stages.common import bucketed_group_reduce, arrow_col_type
+
+    kt = arrow_col_type(ds, key)
+    schema = pa.schema([(key, kt), (ts_col, pa.int64()),
+                        (value_col, pa.float64()),
+                        (out_col, pa.float64())])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key], ts_col: _ts_us(t[ts_col]),
+                         value_col: pc.cast(t[value_col], pa.float64())})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: df[key], ts_col: df[ts_col],
+                                 value_col: df[value_col],
+                                 out_col: df[value_col]})
+        df = df.sort_values([key, ts_col, value_col], kind="mergesort")
+        y = (df.groupby(key, sort=False)[value_col]
+             .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean()))
+        out = df.copy()
+        out[out_col] = y
+        return out
+
+    return bucketed_group_reduce(
+        ds.select_columns([key, ts_col, value_col]).map_batches(
+            to_us, batch_format="pyarrow"),
+        [key], per_bucket, num_buckets, schema=schema)

@@ -457,3 +457,25 @@ def test_funnel_depths_strict_order(ray_session):
     assert 5 not in out.index
     assert out.loc[2, "stage1_us"] == -1
     assert out.loc[1, "stage2_us"] == (T + 3) * 1_000_000
+
+
+def test_grouped_ewma_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.window import grouped_ewma
+    rng = np.random.default_rng(21)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "ts": rng.choice(np.arange(10_000, dtype=np.int64) * 1_000_000,
+                         n, replace=False),
+        "v": rng.normal(size=n)})
+    out = grouped_ewma(rd.from_pandas(df).repartition(4), "k", "ts", "v",
+                       alpha=0.4).to_pandas() \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    ref = df.sort_values(["k", "ts"]).reset_index(drop=True)
+    ref["ewma"] = ref.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.4, adjust=False).mean())
+    assert np.allclose(out["ewma"], ref["ewma"], atol=1e-12)
+    assert (out["k"] == ref["k"]).all()

@@ -139,3 +139,28 @@ def test_softmax_probe_separable(ray_session):
     assert W.shape == (2, dim + 1)
     acc = s["correct"].mean()
     assert acc >= 0.95, acc
+
+
+def test_hash_vectorize_deterministic_and_normalized(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.ml import hash_vectorize
+    from agraph_ray.ops.stats import _key_hash32
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["apple apple pear", "dog"]})
+    out = hash_vectorize(rd.from_pandas(df), dim=16).to_pandas() \
+        .set_index("doc_id")
+    v0 = np.asarray(out.loc[0, "embedding"])
+    # hand-build: apple x2, pear x1 into md5 buckets, L2-normalized
+    exp = np.zeros(16)
+    exp[int(_key_hash32(["apple"])[0] % np.uint64(16))] += 2
+    exp[int(_key_hash32(["pear"])[0] % np.uint64(16))] += 1
+    exp = exp / np.linalg.norm(exp)
+    assert np.allclose(v0, exp)
+    assert np.isclose(np.linalg.norm(np.asarray(out.loc[1, "embedding"])),
+                      1.0)
+    # partition-invariant
+    out2 = hash_vectorize(rd.from_pandas(df).repartition(2),
+                          dim=16).to_pandas().set_index("doc_id")
+    assert np.allclose(np.asarray(out2.loc[0, "embedding"]), v0)
