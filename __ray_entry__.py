@@ -2172,6 +2172,27 @@ def q_lineitem_profile(sf_dir: str):
     return _scale_cols(out, {"min_v": 100, "max_v": 100, "mean_v": 100})
 
 
+def q_lineitem_quantiles_cont(sf_dir: str):
+    """Interpolated per-group quantiles (SQL quantile_cont semantics) —
+    the smooth counterpart of lineitem_quantiles' nearest-rank rule."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_quantiles_cont
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_quantiles_cont(ds, "l_returnflag", "l_extendedprice")
+    return _scale_cols(out, {"q25": 1000, "q50": 1000, "q75": 1000})
+
+
+def q_docs_sample_n(sf_dir: str):
+    """Exactly-n deterministic global sample (md5-rank rule): each batch
+    forwards its local n smallest hashes; reproducible in SQL."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import sample_n
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return sample_n(ds, "doc_id", 25)
+
+
 def q_events_ewma(sf_dir: str):
     """Per-user exponentially weighted moving average of event values in
     event-time order (sequential recursion — not SQL-expressible without
@@ -2521,6 +2542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_resample": q_docs_resample,
         "events_ewma": q_events_ewma,
         "docs_cluster": q_docs_cluster,
+        "lineitem_quantiles_cont": q_lineitem_quantiles_cont,
+        "docs_sample_n": q_docs_sample_n,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3553,6 +3576,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, source FROM documents WHERE n_chars >= 400
                 EXCEPT
                 SELECT lang, source FROM documents WHERE n_chars < 400)
+        """,
+        "lineitem_quantiles_cont": """
+            SELECT l_returnflag,
+                   CAST(floor(quantile_cont(l_extendedprice, 0.25) * 1000
+                              + 0.5) AS BIGINT) AS q25,
+                   CAST(floor(quantile_cont(l_extendedprice, 0.50) * 1000
+                              + 0.5) AS BIGINT) AS q50,
+                   CAST(floor(quantile_cont(l_extendedprice, 0.75) * 1000
+                              + 0.5) AS BIGINT) AS q75,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_sample_n": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                           1, 8)) AS UBIGINT), doc_id
+            LIMIT 25
         """,
         "docs_resample": """
             WITH w AS (SELECT doc_id,

@@ -817,3 +817,61 @@ def resample_by_weight(ds: "ray.data.Dataset", key: str, weight_col: str,
         return out.append_column(out_col, pa.array(rep, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def grouped_quantiles_cont(ds: "ray.data.Dataset", key: str,
+                           value_col: str,
+                           qs: Sequence[float] = (0.25, 0.5, 0.75),
+                           num_buckets: int = 64) -> "ray.data.Dataset":
+    """Interpolated per-group quantiles with SQL ``quantile_cont``
+    semantics: h = q*(n-1), result = v[floor(h)] + frac(h) *
+    (v[floor(h)+1] - v[floor(h)]) over the ascending-sorted values —
+    bit-compatible with DuckDB/Postgres percentile_cont. Same co-grouped
+    sort shape as :func:`grouped_quantiles` (nearest-rank)."""
+    qcols = [f"q{int(round(q * 100)):02d}" for q in qs]
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: [], **{c: [] for c in qcols},
+                                 "n": []})
+        df = df.sort_values([key, value_col], kind="stable")
+        v = df[value_col].to_numpy(dtype=np.float64)
+        k = df[key].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ns = np.diff(np.append(starts, len(df)))
+        out = {key: k[starts]}
+        for q, c in zip(qs, qcols):
+            h = q * (ns - 1)
+            lo = np.floor(h).astype(np.int64)
+            frac = h - lo
+            hi = np.minimum(lo + 1, ns - 1)
+            out[c] = (v[starts + lo]
+                      + frac * (v[starts + hi] - v[starts + lo]))
+        out["n"] = ns
+        return pd.DataFrame(out)
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    schema = pa.schema([(key, ktype)] + [(c, pa.float64()) for c in qcols]
+                       + [("n", pa.int64())])
+    return bucketed_group_reduce(ds.select_columns([key, value_col]),
+                                 [key], reduce_df, num_buckets,
+                                 schema=schema)
+
+
+def sample_n(ds: "ray.data.Dataset", key: str, n: int) -> "ray.data.Dataset":
+    """Exactly-n deterministic global sample: the n rows with the
+    smallest pinned md5 key hash (ties → smaller key) — the
+    reservoir-sampling replacement that is reproducible across runs,
+    workers, and engines. Each batch forwards only its local n smallest
+    (hash, key) rows, so the final sort sees <= blocks*n rows."""
+    def local_n(t: pa.Table) -> pa.Table:
+        h = _key_hash32(t[key].to_pylist()).astype(np.int64)
+        t = t.append_column("__h", pa.array(h, pa.int64()))
+        order = np.lexsort((t[key].to_numpy(zero_copy_only=False), h))[:n]
+        return t.take(pa.array(order))
+
+    return (ds.map_batches(local_n, batch_format="pyarrow")
+            .sort(["__h", key]).limit(n).drop_columns(["__h"]))

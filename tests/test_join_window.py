@@ -479,3 +479,35 @@ def test_grouped_ewma_matches_pandas(ray_session):
         lambda s: s.ewm(alpha=0.4, adjust=False).mean())
     assert np.allclose(out["ewma"], ref["ewma"], atol=1e-12)
     assert (out["k"] == ref["k"]).all()
+
+
+def test_grouped_quantiles_cont_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_quantiles_cont
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 300).astype("int64"),
+                       "v": rng.uniform(-5, 5, 300)})
+    out = {r["g"]: r for r in grouped_quantiles_cont(
+        rd.from_pandas(df).repartition(3), "g", "v").take_all()}
+    for g, sub in df.groupby("g"):
+        for q, c in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            # numpy 'linear' interpolation == SQL quantile_cont
+            assert out[g][c] == pytest.approx(
+                np.quantile(sub["v"], q), abs=1e-12)
+        assert out[g]["n"] == len(sub)
+
+
+def test_sample_n_exact_and_deterministic(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import sample_n, _key_hash32
+    df = pd.DataFrame({"k": np.arange(500), "v": np.arange(500) * 2})
+    got = sample_n(rd.from_pandas(df).repartition(5), "k", 10).to_pandas()
+    h = _key_hash32([str(x) for x in df["k"]])
+    exp = df.assign(h=h.astype(np.int64)).sort_values(["h", "k"]).head(10)
+    assert sorted(got["k"]) == sorted(exp["k"])
+    got2 = sample_n(rd.from_pandas(df), "k", 10).to_pandas()
+    assert sorted(got2["k"]) == sorted(got["k"])
