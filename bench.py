@@ -100,7 +100,9 @@ def run_bench() -> dict:
                       "events_asof_order", "lineitem_quantiles",
                       "events_rolling", "events_click_attrib",
                       "docs_tfidf", "lineitem_bloom_semi",
-                      "docs_prep_pipeline", "docs_dup_ngrams"]:
+                      "docs_prep_pipeline", "docs_dup_ngrams",
+                      "docs_nb_predict", "supplier_link_pred",
+                      "supplier_walks", "docs_decontaminate"]:
             t0 = time.time()
             r = qs[qname](SF_DIR)
             if hasattr(r, "materialize"):
