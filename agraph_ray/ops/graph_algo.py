@@ -931,6 +931,7 @@ def link_prediction_scores(edges: "ray.data.Dataset", src: str, dst: str,
 def random_walks(edges: "ray.data.Dataset", src: str, dst: str,
                  length: int = 4, walks_per_node: int = 1,
                  undirected: bool = True,
+                 adj_broadcast_cap: int = 20_000_000,
                  num_buckets: int = 64) -> "ray.data.Dataset":
     """Deterministic DeepWalk-style random walks (Perozzi 2014) →
     ``(walk_id, step, node)`` trail rows, one walk of ``length`` nodes
@@ -941,13 +942,13 @@ def random_walks(edges: "ray.data.Dataset", src: str, dst: str,
     run, and in SQL (recursive CTE + the same md5 expression), so even
     this op is oracle-checkable. Walks stop early at sinks.
 
-    Shuffle shape: one node-keyed bucketed reduce per step (frontier
-    rows meet their node's co-located adjacency; rank lookup is one
-    searchsorted per bucket). Each step's frontier is materialized to
-    keep lineage flat. At cluster scale, pre-bucketing the adjacency
-    once and reusing it per step (instead of re-tagging it into each
-    step's shuffle) is the natural next cut — noted, not needed at
-    current scale."""
+    Two paths, identical output. Adjacency within
+    ``adj_broadcast_cap`` edges: broadcast once as two sorted arrays and
+    walk ALL steps in a single map pass over the seeds — zero shuffles
+    after the adjacency build. Beyond the cap: one node-keyed bucketed
+    reduce per step (frontier rows meet their node's co-located
+    adjacency; rank lookup is one searchsorted per bucket), each step's
+    frontier materialized to keep lineage flat."""
     from .stats import _key_hash32
 
     def norm(t: pa.Table) -> pa.Table:
@@ -987,6 +988,48 @@ def random_walks(edges: "ray.data.Dataset", src: str, dst: str,
         adj.map_batches(both_endpoints, batch_format="pyarrow"),
         ["node"], num_buckets).map_batches(
         seed, batch_format="pyarrow").materialize()
+
+    if adj.count() <= adj_broadcast_cap:
+        import ray
+        an_l, ab_l = [], []
+        for bt in adj.sort(["node", "nbr"]).iter_batches(
+                batch_format="pyarrow"):
+            an_l.append(bt["node"].to_numpy(zero_copy_only=False))
+            ab_l.append(bt["nbr"].to_numpy(zero_copy_only=False))
+        an = (np.concatenate(an_l) if an_l
+              else np.zeros(0, np.int64)).astype(np.int64)
+        ab = (np.concatenate(ab_l) if ab_l
+              else np.zeros(0, np.int64)).astype(np.int64)
+        ref = ray.put((an, ab))
+
+        def walk_all(t: pa.Table) -> pa.Table:
+            node_arr, nbr_arr = ray.get(ref)
+            wid = t["walk_id"].to_numpy(zero_copy_only=False)
+            cur = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_w = [wid]
+            out_s = [np.zeros(len(t), np.int64)]
+            out_n = [cur]
+            w_alive, c = wid, cur
+            for s in range(length - 1):
+                lo = np.searchsorted(node_arr, c, side="left")
+                hi = np.searchsorted(node_arr, c, side="right")
+                deg = (hi - lo).astype(np.uint64)
+                live = deg > 0
+                if not live.any():
+                    break
+                w_alive = w_alive[live]
+                keys = [f"{w}|{s}|{n}" for w, n in zip(w_alive, c[live])]
+                rank = (_key_hash32(keys) % deg[live]).astype(np.int64)
+                c = nbr_arr[lo[live] + rank]
+                out_w.append(w_alive)
+                out_s.append(np.full(len(c), s + 1, np.int64))
+                out_n.append(c)
+            return pa.table({
+                "walk_id": pa.array(np.concatenate(out_w), pa.string()),
+                "step": pa.array(np.concatenate(out_s), pa.int64()),
+                "node": pa.array(np.concatenate(out_n), pa.int64())})
+
+        return frontier.map_batches(walk_all, batch_format="pyarrow")
 
     def stamp(step_val: int):
         def f(t: pa.Table) -> pa.Table:

@@ -241,3 +241,20 @@ def test_random_walks_stop_at_sink(ray_session):
     assert list(w3["step"]) == [0]
     w1 = out[out["walk_id"] == "1#0"].sort_values("step")
     assert list(w1["node"]) == [1, 2, 3]
+
+
+def test_random_walks_distributed_equals_broadcast(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import random_walks
+    rng = np.random.default_rng(23)
+    edges = pd.DataFrame({"a": rng.integers(0, 40, 200),
+                          "b": rng.integers(0, 40, 200)})
+    edges = edges[edges["a"] != edges["b"]]
+    ds = rd.from_pandas(edges)
+    fast = random_walks(ds, "a", "b", length=4).to_pandas()
+    slow = random_walks(ds, "a", "b", length=4,
+                        adj_broadcast_cap=0).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["walk_id", "step", "node"]].values))
+    assert key(fast) == key(slow)
