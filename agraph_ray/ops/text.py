@@ -919,23 +919,39 @@ def decontaminate_ngrams(train: "ray.data.Dataset",
     ``mode="drop"`` filters contaminated docs out.
 
     Shuffle shape: both sides reduce to distinct gram rows (per-batch
-    combiners), one gram-keyed semi join finds hit docs, and the (small)
-    contaminated-id set is broadcast for a map-side mark/drop — with a
-    co-group anti/semi join fallback above ``broadcast_limit``. Exact
-    string grams ride the join (no hashing), so there are no false
+    combiners); a Bloom filter of the eval grams prunes train gram rows
+    MAP-SIDE before the one gram-keyed semi join (the join then carries
+    ~|true overlaps|, not |train grams| — the Spark runtime-filter
+    pattern, exact because the join re-verifies on the string); the
+    (small) contaminated-id set is broadcast for a map-side mark/drop —
+    with a co-group anti/semi join fallback above ``broadcast_limit``.
+    Exact string grams decide membership, so there are no false
     positives at any scale."""
     import ray
 
     from ..stages.common import bucketed_group_reduce, distinct_on
+    from .bloom import _member_mask, build_bloom
     from .join import cogroup_join
 
     ev_grams = distinct_on(
         eval_ds.map_batches(_doc_gram_rows(id_col, col, n),
                             batch_format="pyarrow")
-        .select_columns(["gram"]), ["gram"], num_buckets)
+        .select_columns(["gram"]), ["gram"], num_buckets).materialize()
     tr_grams = train.map_batches(_doc_gram_rows(id_col, col, n),
                                  batch_format="pyarrow")
-    hits = cogroup_join(tr_grams, ev_grams, on=["gram"], how="semi",
+
+    m_bits, kh = 1 << 23, 7
+    bloom = build_bloom(ev_grams, "gram", m_bits, kh)
+    bref = ray.put(bloom)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        b = ray.get(bref)
+        keep = _member_mask(b, t["gram"].to_pandas(), m_bits, kh)
+        return t.filter(pa.array(keep))
+
+    cand = tr_grams.map_batches(prefilter, batch_format="pyarrow")
+    hits = cogroup_join(cand, ev_grams, on=["gram"], how="semi",
                         num_buckets=num_buckets)
     contaminated = distinct_on(hits.select_columns([id_col]), [id_col],
                                num_buckets).materialize()
