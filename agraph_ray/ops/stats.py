@@ -811,9 +811,12 @@ def resample_by_weight(ds: "ray.data.Dataset", key: str, weight_col: str,
         reps = np.maximum(reps, 0)
         idx = np.repeat(np.arange(len(t)), reps)
         out = t.take(pa.array(idx))
-        rep = np.concatenate([np.arange(r, dtype=np.int64)
-                              for r in reps if r > 0]) \
-            if reps.sum() else np.zeros(0, np.int64)
+        total = int(reps.sum())
+        # vectorized within-row replica index: global position minus the
+        # exclusive prefix sum of reps, repeated per emitted row
+        rep = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(reps) - reps, reps)) if total else \
+            np.zeros(0, np.int64)
         return out.append_column(out_col, pa.array(rep, pa.int64()))
 
     return ds.map_batches(f, batch_format="pyarrow")
