@@ -160,3 +160,63 @@ def test_cogroup_join_matches_pandas(ray_session, seed):
         ws = sorted(map(tuple, want.fillna(-1).astype("int64")
                         [sorted(want.columns)].values.tolist()))
         assert gs == ws, how
+
+
+# ---------------------------------------------------------------------------
+# randomized cross-checks — session-6 relational ops vs pandas reference
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed", [3, 17, 92])
+def test_upsert_latest_matches_pandas_reference(ray_session, seed):
+    import ray.data as rd
+    from agraph_ray.ops.setops import upsert_latest
+    rng = np.random.default_rng(seed)
+    base = pd.DataFrame({"k": rng.integers(0, 30, 60),
+                         "v": rng.integers(0, 1000, 60),
+                         "ver": rng.integers(0, 5, 60)})
+    upd = pd.DataFrame({"k": rng.integers(0, 40, 40),
+                        "v": rng.integers(0, 1000, 40),
+                        "ver": rng.integers(0, 5, 40)})
+    got = upsert_latest(rd.from_pandas(base).repartition(3),
+                        rd.from_pandas(upd).repartition(2),
+                        ["k"], "ver").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # reference: stable sort by (ver, src, v) per key, keep last
+    u = pd.concat([base.assign(src=0), upd.assign(src=1)])
+    ref = (u.sort_values(["k", "ver", "src", "v"], kind="mergesort")
+           .drop_duplicates("k", keep="last")
+           .sort_values("k").reset_index(drop=True)[["k", "v", "ver"]])
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_table_checksum_detects_any_single_row_change(ray_session, seed):
+    import ray.data as rd
+    from agraph_ray.ops.setops import table_checksum
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({"a": rng.integers(0, 10**9, 100),
+                       "s": [f"r{v}" for v in rng.integers(0, 10**6, 100)]})
+    c0 = table_checksum(rd.from_pandas(df), ["a", "s"]).to_pandas() \
+        .loc[0, "checksum"]
+    mut = df.copy()
+    i = int(rng.integers(0, len(mut)))
+    mut.loc[i, "a"] = int(mut.loc[i, "a"]) + 1
+    c1 = table_checksum(rd.from_pandas(mut), ["a", "s"]).to_pandas() \
+        .loc[0, "checksum"]
+    assert c0 != c1
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_explode_collect_random_roundtrip(ray_session, seed):
+    import ray.data as rd
+    from agraph_ray.ops.stats import collect_list, explode
+    rng = np.random.default_rng(seed)
+    lists = [list(rng.normal(size=rng.integers(1, 9)))
+             for _ in range(50)]
+    t = pa.table({"k": pa.array(np.arange(50), pa.int64()),
+                  "vals": pa.array(lists, pa.list_(pa.float64()))})
+    back = collect_list(
+        explode(rd.from_arrow(t).repartition(4), "vals", ["k"]),
+        "k", "pos", "value").to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    assert [list(v) for v in back["values"]] == lists
