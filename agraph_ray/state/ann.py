@@ -28,7 +28,7 @@ class AnnIndexActor:
 
     def __init__(self, ids: Optional[List[str]] = None,
                  matrix: Optional[np.ndarray] = None,
-                 path: Optional[str] = None):
+                 path: Optional[str] = None, ivf_nlist: int = 0):
         if path is not None:
             import pyarrow.parquet as pq
             t = pq.read_table(path)
@@ -41,6 +41,21 @@ class AnnIndexActor:
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         self.matrix = m / norms   # normalize once at build time
+        # optional in-shard IVF: coarse centroids + member lists built
+        # ONCE here (actor __init__), so query_ivf scans ~nprobe/nlist
+        # of the shard instead of all of it
+        self.ivf = None
+        if ivf_nlist and len(self.ids) > ivf_nlist:
+            from ..ops.similarity import _kmeans_centroids
+            sample = self.matrix[:min(len(self.ids), 4096)] \
+                .astype(np.float64)
+            cents = _kmeans_centroids(sample, ivf_nlist) \
+                .astype(np.float32)
+            assign = np.argmax(self.matrix @ cents.T, axis=1)
+            order = np.argsort(assign, kind="stable")
+            starts = np.searchsorted(assign[order],
+                                     np.arange(len(cents) + 1))
+            self.ivf = (cents, order, starts)
 
     def save(self, path: str) -> int:
         """Persist this shard (normalized vectors; normalization is
@@ -69,6 +84,36 @@ class AnnIndexActor:
         order = np.argsort(-sims[row, part], kind="stable", axis=1)
         top = part[row, order]
         return self.ids[top], sims[row, top]
+
+    def query_ivf(self, vecs: np.ndarray, k: int = 10,
+                  nprobe: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+        """Approximate top-k: score only the members of each query's
+        ``nprobe`` nearest coarse lists. Requires ``ivf_nlist`` at build;
+        ``nprobe >= nlist`` (or no IVF built) falls back to the exact
+        scan. Rows beyond a query's k pad with id '' / sim -inf."""
+        if self.ivf is None or nprobe >= len(self.ivf[0]):
+            return self.query(vecs, k)
+        cents, order, starts = self.ivf
+        q = np.asarray(vecs, dtype=np.float32)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qm = q / qn
+        probes = np.argsort(-(qm @ cents.T), kind="stable",
+                            axis=1)[:, :nprobe]
+        out_ids = np.full((len(qm), k), "", dtype=object)
+        out_sims = np.full((len(qm), k), -np.inf, dtype=np.float32)
+        for qi in range(len(qm)):
+            member = np.concatenate([
+                order[starts[p]:starts[p + 1]] for p in probes[qi]])
+            if not len(member):
+                continue
+            sims = self.matrix[member] @ qm[qi]
+            kk = min(k, len(sims))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            sel = part[np.argsort(-sims[part], kind="stable")]
+            out_ids[qi, :kk] = self.ids[member[sel]]
+            out_sims[qi, :kk] = sims[sel]
+        return out_ids, out_sims
 
     def size(self) -> int:
         return len(self.ids)

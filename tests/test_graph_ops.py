@@ -419,3 +419,27 @@ def test_ann_pool_save_load_roundtrip(ray_session, tmp_path):
     ids2, sims2 = loaded.query(q, k=5)
     assert ids1.tolist() == ids2.tolist()
     assert np.allclose(sims1, sims2, atol=1e-6)
+
+
+def test_ann_actor_ivf_probing(ray_session):
+    import numpy as np
+    from agraph_ray.state.ann import AnnIndexActor
+    import ray
+    rng = np.random.default_rng(19)
+    n, dim = 600, 16
+    mat = rng.normal(size=(n, dim)).astype("float32")
+    ids = [f"v{i}" for i in range(n)]
+    actor = AnnIndexActor.remote(ids, mat, ivf_nlist=8)
+    q = rng.normal(size=(5, dim)).astype("float32")
+    exact_ids, exact_sims = ray.get(actor.query.remote(q, 10))
+    # nprobe == nlist → exact fallback, identical results
+    full_ids, full_sims = ray.get(actor.query_ivf.remote(q, 10, nprobe=8))
+    assert (exact_ids == full_ids).all()
+    # small nprobe → high-but-not-required-perfect recall, valid ordering
+    appr_ids, appr_sims = ray.get(actor.query_ivf.remote(q, 10, nprobe=3))
+    rec = np.mean([len(set(appr_ids[i]) & set(exact_ids[i])) / 10
+                   for i in range(len(q))])
+    assert rec >= 0.5, rec
+    for i in range(len(q)):
+        s = appr_sims[i][appr_sims[i] > -np.inf]
+        assert (np.diff(s) <= 1e-6).all()
