@@ -527,3 +527,31 @@ def broadcast_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
         return t
 
     return probe.map_batches(f, batch_format="pyarrow")
+
+
+def auto_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              on: Sequence[str], how: str = "inner",
+              broadcast_rows: int = 500_000,
+              num_buckets: int = 64) -> "ray.data.Dataset":
+    """Adaptive join: pick the physical strategy from measured sizes —
+    the engine-side version of a cost-based join planner. All strategies
+    are exact, so the choice never changes the result (pinned by test):
+
+    - semi/anti with any right side → ``bloom_join`` (runtime filter:
+      the shuffle carries only the bloom-positive slice);
+    - inner/left with a right side under ``broadcast_rows`` AND a single
+      key column → ``broadcast_join`` (map-side, zero shuffle);
+    - everything else → ``cogroup_join`` (tagged-union bucketed
+      co-group). Power-law keys: call ``skew_join`` directly — hot-key
+      detection costs a pass, so it stays opt-in.
+    """
+    on = list(on)
+    if how in ("semi", "anti") and len(on) == 1:
+        from .bloom import bloom_join
+        return bloom_join(left, right.select_columns(on), on[0], how=how,
+                          num_buckets=num_buckets)
+    if how in ("inner", "left") and len(on) == 1 \
+            and right.count() <= broadcast_rows:
+        cols = [c for c in right.schema().names if c != on[0]]
+        return broadcast_join(left, right, on[0], cols, how=how)
+    return cogroup_join(left, right, on, how=how, num_buckets=num_buckets)

@@ -93,3 +93,30 @@ def test_skew_rejects_bad_how(ray_session):
     probe, build, _, _ = _skewed(ray_session)
     with pytest.raises(ValueError):
         skew_join(probe, build, on="k", how="anti")
+
+
+def test_auto_join_strategies_agree(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.join import auto_join, cogroup_join
+    import numpy as np
+    rng = np.random.default_rng(3)
+    l = pd.DataFrame({"k": rng.integers(0, 50, 300),
+                      "v": np.arange(300)})
+    r = pd.DataFrame({"k": np.arange(0, 60, 2), "w": np.arange(30)})
+    dl, dr = rd.from_pandas(l), rd.from_pandas(r)
+    for how in ("inner", "left", "semi", "anti"):
+        fast = auto_join(dl, dr, ["k"], how=how).to_pandas()
+        ref = cogroup_join(dl, dr.select_columns(
+            ["k"] + ([] if how in ("semi", "anti") else ["w"])),
+            ["k"], how=how).to_pandas()
+        key = sorted(map(tuple,
+                         fast[sorted(fast.columns)].fillna(-9e9).values))
+        kref = sorted(map(tuple,
+                          ref[sorted(ref.columns)].fillna(-9e9).values))
+        assert key == kref, how
+    # large build side routes to the shuffle join (still correct)
+    big = auto_join(dl, dr, ["k"], how="inner",
+                    broadcast_rows=0).to_pandas()
+    assert len(big) == len(auto_join(dl, dr, ["k"], how="inner")
+                           .to_pandas())
