@@ -2183,6 +2183,22 @@ def q_lineitem_quantiles_cont(sf_dir: str):
     return _scale_cols(out, {"q25": 1000, "q50": 1000, "q75": 1000})
 
 
+def q_lineitem_quantile_radix(sf_dir: str):
+    """Exact per-group median via per-group radix selection — NO
+    co-location of a group's rows needed (a 10^12-row group costs the
+    same driver state as a 10-row group). Same pinned rank rule as
+    lineitem_quantiles."""
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_quantile_radix
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_quantile_radix(ds, "l_returnflag", "l_extendedprice",
+                                 q=0.5)
+    out["q50"] = np.floor(out["q_value"] * 100 + 0.5).astype("int64")
+    return out[["l_returnflag", "q50", "n"]]
+
+
 def q_docs_sample_n(sf_dir: str):
     """Exactly-n deterministic global sample (md5-rank rule): each batch
     forwards its local n smallest hashes; reproducible in SQL."""
@@ -2543,6 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": q_events_ewma,
         "docs_cluster": q_docs_cluster,
         "lineitem_quantiles_cont": q_lineitem_quantiles_cont,
+        "lineitem_quantile_radix": q_lineitem_quantile_radix,
         "docs_sample_n": q_docs_sample_n,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
@@ -3587,6 +3604,21 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS q75,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lineitem_quantile_radix": """
+            WITH s AS (SELECT l_returnflag, l_extendedprice,
+                              row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) - 1 AS r,
+                              count(*) OVER (PARTITION BY l_returnflag)
+                                  AS n
+                       FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS q50,
+                   n
+            FROM s
+            WHERE r = CAST(floor(0.5 * (n - 1) + 0.5) AS BIGINT)
+            ORDER BY l_returnflag
         """,
         "docs_sample_n": """
             SELECT doc_id, lang FROM documents

@@ -878,3 +878,78 @@ def sample_n(ds: "ray.data.Dataset", key: str, n: int) -> "ray.data.Dataset":
 
     return (ds.map_batches(local_n, batch_format="pyarrow")
             .sort(["__h", key]).limit(n).drop_columns(["__h"]))
+
+
+def grouped_quantile_radix(ds: "ray.data.Dataset", key: str,
+                           value_col: str, q: float = 0.5) -> "pd.DataFrame":
+    """EXACT per-group quantile with NO co-location requirement — the
+    scale path past :func:`grouped_quantiles` (which needs a group's rows
+    to fit one bucket task). Same multi-pass radix selection as
+    :func:`exact_quantiles`, run for every group simultaneously: four
+    MSB-first 16-bit-digit passes; each pass broadcasts the per-group
+    resolved prefixes and reduces per-(group, digit) counts. A group with
+    10^12 rows costs the same driver state as a group with 10 rows.
+
+    Driver/shuffle budget is O(|groups| x 65536) worst case per pass
+    (per-batch combiner collapses to the batch's distinct (group, digit)
+    pairs) — the right tool for FEW-to-moderate groups of ANY size;
+    for millions of tiny groups use grouped_quantiles. Rank rule:
+    floor(q*(n-1)+0.5), identical to grouped_quantiles / the SQL
+    oracles."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    src = ds.select_columns([key, value_col])
+    nrows = (src.map_batches(
+        lambda t: pa.table({key: t[key],
+                            "one": pa.array([1] * len(t), pa.int64())}),
+        batch_format="pyarrow")
+        .groupby(key).aggregate(Sum("one", alias_name="n")).take_all())
+    garr = np.asarray(sorted(r[key] for r in nrows))
+    nmap = {r[key]: int(r["n"]) for r in nrows}
+    ns = np.array([nmap[g] for g in garr], dtype=np.int64)
+    rank = np.floor(q * (ns - 1) + 0.5).astype(np.int64)
+    prefix = np.zeros(len(garr), dtype=np.uint64)
+
+    for p in range(4):
+        shift = np.uint64(48 - 16 * p)
+        pre_shift = np.uint64(64 - 16 * p)
+        ref = ray.put((garr, prefix.copy()))
+
+        def hist(batch: pa.Table, _ps=pre_shift, _sh=shift) -> pa.Table:
+            ga, pref = ray.get(ref)
+            gvals = np.asarray(batch[key].to_pylist())
+            gidx = np.searchsorted(ga, gvals)
+            v = batch[value_col].to_numpy(zero_copy_only=False)
+            u = _f64_to_ordered_u64(np.asarray(v, dtype=np.float64))
+            if _ps != np.uint64(64):
+                keep = (u >> _ps) == pref[gidx]
+                gidx, u = gidx[keep], u[keep]
+            dig = ((u >> _sh) & np.uint64(0xFFFF)).astype(np.int64)
+            df = pd.DataFrame({"g": gidx, "d": dig})
+            c = df.groupby(["g", "d"], sort=False).size().reset_index(
+                name="cnt")
+            return pa.table({"g": pa.array(c["g"], pa.int32()),
+                             "d": pa.array(c["d"], pa.int32()),
+                             "cnt": pa.array(c["cnt"], pa.int64())})
+
+        agg = (src.map_batches(hist, batch_format="pyarrow")
+               .groupby(["g", "d"])
+               .aggregate(Sum("cnt", alias_name="cnt")).take_all())
+        per_g = {}
+        for r in agg:
+            per_g.setdefault(r["g"], {})[r["d"]] = r["cnt"]
+        for gi in range(len(garr)):
+            c = per_g.get(gi, {})
+            acc = 0
+            for d in sorted(c):
+                if acc + c[d] > rank[gi]:
+                    prefix[gi] = (prefix[gi] << np.uint64(16)) | np.uint64(d)
+                    rank[gi] = rank[gi] - acc
+                    break
+                acc += c[d]
+
+    return pd.DataFrame({
+        key: garr,
+        "q_value": [_ordered_u64_to_f64(int(x)) for x in prefix],
+        "n": ns})

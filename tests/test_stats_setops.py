@@ -240,3 +240,27 @@ def test_explode_collect_list_roundtrip(ray_session):
     assert list(back["k"]) == [10, 12]
     assert [list(v) for v in back["values"]] == [[1.0, 2.0],
                                                  [5.0, 6.0, 7.0]]
+
+
+def test_grouped_quantile_radix_equals_cogrouped(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import (grouped_quantile_radix,
+                                      grouped_quantiles)
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 800).astype("int64"),
+                       "v": np.round(rng.uniform(-50, 50, 800), 3)})
+    rad = grouped_quantile_radix(rd.from_pandas(df).repartition(4),
+                                 "g", "v", q=0.5).set_index("g")
+    cog = {r["g"]: r for r in grouped_quantiles(
+        rd.from_pandas(df), "g", "v", qs=(0.5,)).take_all()}
+    for g in sorted(df["g"].unique()):
+        assert rad.loc[g, "q_value"] == cog[g]["q50"], g
+        assert rad.loc[g, "n"] == cog[g]["n"]
+    # negative values and duplicated values exercised by construction
+    neg = pd.DataFrame({"g": [0] * 6, "v": [-1.5, -1.5, -1.5, 2.0,
+                                            2.0, 7.25]})
+    r2 = grouped_quantile_radix(rd.from_pandas(neg), "g", "v", q=0.5)
+    # rank index floor(0.5*(6-1)+0.5) = 3 → sorted[3] = 2.0
+    assert r2.loc[0, "q_value"] == 2.0
