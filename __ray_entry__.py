@@ -1964,6 +1964,38 @@ def q_docs_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def q_docs_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 lexical ranking ⊕ dense cosine ranking
+    over feature-hashed vectors, merged with reciprocal-rank fusion.
+    Rank arithmetic is integer-scaled; rows-only (the dense leg's
+    iterative hash vectors aren't SQL-expressible)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.ml import hash_vectorize
+    from agraph_ray.ops.similarity import rrf_fuse, topk_cosine
+    from agraph_ray.ops.stats import _key_hash32
+    from agraph_ray.ops.text import bm25_topk
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    lex = bm25_topk(ds, _BM25_QUERIES, k=10)
+    dim = 32
+    vecs = hash_vectorize(ds, dim=dim)
+    qm = np.zeros((len(_BM25_QUERIES), dim))
+    for qi, terms in _BM25_QUERIES.items():
+        for t in terms:
+            qm[qi, int(_key_hash32([t])[0] % np.uint64(dim))] += 1.0
+    dense = topk_cosine(vecs, qm, query_ids=list(_BM25_QUERIES), k=10,
+                        vec_col="embedding", id_col="doc_id")
+    dense = dense.map_batches(
+        lambda t: t.select(["query_id", "doc_id", "rank"]),
+        batch_format="pyarrow")
+    lex = lex.map_batches(
+        lambda t: t.select(["query_id", "doc_id", "rank"]),
+        batch_format="pyarrow")
+    return rrf_fuse([lex, dense], topk=10)
+
+
 def q_kg_negative_samples(sf_dir: str):
     """Deterministic 2-per-edge negative sampling over the supplier→part
     graph (KG-embedding training corruption, hash-pick from the part
@@ -2561,6 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles_cont": q_lineitem_quantiles_cont,
         "lineitem_quantile_radix": q_lineitem_quantile_radix,
         "docs_sample_n": q_docs_sample_n,
+        "docs_hybrid_search": q_docs_hybrid_search,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,

@@ -381,3 +381,38 @@ def _embedding_join_sharded(a: "ray.data.Dataset", b: "ray.data.Dataset",
         parts, ["a_id"], fold, num_buckets,
         schema=pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
                           ("sim", pa.float64()), ("rank", pa.int64())]))
+
+
+def rrf_fuse(rankings: "list", k_rrf: int = 60, topk: int = 10,
+             query_col: str = "query_id", id_col: str = "doc_id",
+             num_buckets: int = 16) -> "ray.data.Dataset":
+    """Reciprocal-rank fusion (Cormack 2009) of N ranking tables
+    ``(query_id, doc_id, rank)`` → the hybrid-retrieval merge (e.g.
+    BM25 ⊕ dense ANN): fused(q, d) = Σ_lists 1/(k_rrf + rank). One
+    tagged union + one query-keyed bucketed reduce (sum per (q, d),
+    sort, head topk); scores scaled to integers (×10⁹) before ranking so
+    float noise can never reorder the cut. Ties → smaller id."""
+    from ..stages.common import bucketed_group_reduce
+
+    def prep(ds):
+        def f(t: pa.Table) -> pa.Table:
+            r = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = np.floor(1e9 / (k_rrf + r) + 0.5).astype(np.int64)
+            return pa.table({query_col: t[query_col], id_col: t[id_col],
+                             "s": pa.array(s, pa.int64())})
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    u = prep(rankings[0])
+    for r in rankings[1:]:
+        u = u.union(prep(r))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([query_col, id_col], as_index=False,
+                       sort=False)["s"].sum()
+        g = g.sort_values([query_col, "s", id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby(query_col, sort=False).head(topk).copy()
+        g["rank"] = g.groupby(query_col, sort=False).cumcount() + 1
+        return g.rename(columns={"s": "rrf_nano"})
+
+    return bucketed_group_reduce(u, [query_col], fold, num_buckets)

@@ -308,3 +308,24 @@ def test_resample_by_weight_multiplicity(ray_session):
             assert reps == list(range(exp))
     # expected multiplicity ~ mean weight over many keys
     assert abs(len(out) / len(df) - df["wt"].mean()) < 0.15
+
+
+def test_rrf_fuse_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.similarity import rrf_fuse
+    a = pd.DataFrame({"query_id": [0, 0, 0], "doc_id": [10, 11, 12],
+                      "rank": [1, 2, 3]})
+    b = pd.DataFrame({"query_id": [0, 0, 0], "doc_id": [12, 10, 13],
+                      "rank": [1, 2, 3]})
+    out = rrf_fuse([rd.from_pandas(a), rd.from_pandas(b)],
+                   k_rrf=60, topk=4).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+
+    def s(*ranks):
+        return sum(int(round(1e9 / (60 + r))) for r in ranks)
+    exp = sorted([(10, s(1, 2)), (12, s(3, 1)), (11, s(2)), (13, s(3))],
+                 key=lambda t: (-t[1], t[0]))
+    assert list(out["doc_id"]) == [d for d, _ in exp]
+    assert list(out["rrf_nano"]) == [v for _, v in exp]
+    assert list(out["rank"]) == [1, 2, 3, 4]
