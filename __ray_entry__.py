@@ -1964,6 +1964,16 @@ def q_docs_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def q_docs_word_pmi(sf_dir: str):
+    """Top-100 word-pair collocations by document co-occurrence with PMI
+    (capped per-doc distinct sets, SQL-reproducible cap rule)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import word_pmi
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return word_pmi(ds, max_words=64, k=100)
+
+
 def q_docs_hybrid_search(sf_dir: str):
     """Hybrid retrieval: BM25 lexical ranking ⊕ dense cosine ranking
     over feature-hashed vectors, merged with reciprocal-rank fusion.
@@ -2594,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantile_radix": q_lineitem_quantile_radix,
         "docs_sample_n": q_docs_sample_n,
         "docs_hybrid_search": q_docs_hybrid_search,
+        "docs_word_pmi": q_docs_word_pmi,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3637,6 +3648,32 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS q75,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_word_pmi": """
+            WITH dw AS (SELECT DISTINCT doc_id, w FROM
+                        (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS w
+                         FROM documents)),
+            cap AS (SELECT doc_id, w FROM
+                    (SELECT doc_id, w,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY w) AS rk
+                     FROM dw) WHERE rk <= 64),
+            pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+                      FROM cap a JOIN cap b
+                        ON a.doc_id = b.doc_id AND a.w < b.w
+                      GROUP BY a.w, b.w),
+            uni AS (SELECT w, count(*) AS c FROM cap GROUP BY w),
+            nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            top AS (SELECT * FROM pairs
+                    ORDER BY c12 DESC, w1, w2 LIMIT 100)
+            SELECT t.w1, t.w2, t.c12,
+                   CAST(floor(ln(t.c12 * nd.n / (u1.c * u2.c)) * 1000000
+                              + 0.5) AS BIGINT) AS pmi_micro
+            FROM top t JOIN uni u1 ON u1.w = t.w1
+                       JOIN uni u2 ON u2.w = t.w2
+                       CROSS JOIN nd
+            ORDER BY t.c12 DESC, t.w1, t.w2
         """,
         "lineitem_quantile_radix": """
             WITH s AS (SELECT l_returnflag, l_extendedprice,

@@ -990,3 +990,108 @@ def decontaminate_ngrams(train: "ray.data.Dataset",
             t.schema.get_field_index("contaminated"), "contaminated",
             pc.coalesce(pc.cast(t["contaminated"], pa.int64()), 0)),
         batch_format="pyarrow")
+
+
+def word_pmi(ds: "ray.data.Dataset", id_col: str = "doc_id",
+             col: str = "text", max_words: int = 64,
+             k: int = 100, num_buckets: int = 64) -> "pd.DataFrame":
+    """Top-k word-pair collocations by document co-occurrence with PMI:
+    pmi(w1,w2) = ln(c12 · N / (c1 · c2)) over per-doc DISTINCT words
+    (document frequencies, not token counts). Quadratic blowup is pinned
+    by keeping each doc's ``max_words`` lexicographically-smallest
+    distinct words — a rule a SQL oracle reproduces exactly (row_number
+    over w), unlike a hash sample.
+
+    Shuffle shape: per-batch (w1, w2, cnt) combiner → one pair-keyed
+    reduce; unigram doc-frequencies are a word-keyed reduce of the SAME
+    capped sets; only the k surviving pairs (plus their ≤2k unigram
+    rows) ever reach the driver."""
+    import pandas as pd
+
+    from ..stages.common import bucketed_group_reduce
+
+    n_docs = float(ds.count())
+
+    def capped_words(batch: pa.Table):
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        words = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"d": ids, "w": words}).drop_duplicates()
+        df = df.sort_values(["d", "w"], kind="mergesort")
+        df = df.groupby("d", sort=False).head(max_words)
+        return df
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = capped_words(batch)
+        d = df["d"].to_numpy()
+        w = df["w"].to_numpy(dtype=object)
+        n = len(df)
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        o1, o2 = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            st = starts[sizes == s]
+            iu, ju = np.triu_indices(int(s), k=1)
+            o1.append(w[(st[:, None] + iu[None, :]).reshape(-1)])
+            o2.append(w[(st[:, None] + ju[None, :]).reshape(-1)])
+        if not o1:
+            return empty
+        g = (pd.DataFrame({"w1": np.concatenate(o1),
+                           "w2": np.concatenate(o2)})
+             .groupby(["w1", "w2"], sort=False).size()
+             .reset_index(name="cnt"))
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "w2": pa.array(g["w2"], pa.string()),
+                         "cnt": pa.array(g["cnt"], pa.int64())})
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        df = capped_words(batch)
+        u, c = np.unique(df["w"].to_numpy(dtype=object),
+                         return_counts=True)
+        return pa.table({"w": pa.array(u, pa.string()),
+                         "c": pa.array(c, pa.int64())})
+
+    pair_schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                             ("cnt", pa.int64())])
+    pairs = bucketed_group_reduce(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        lambda d: d.groupby(["w1", "w2"], as_index=False,
+                            sort=False)["cnt"].sum(),
+        num_buckets, schema=pair_schema)
+    top = (pairs.sort(["cnt", "w1", "w2"], descending=[True, False, False])
+           .limit(k).to_pandas())
+
+    uni = bucketed_group_reduce(
+        ds.map_batches(uni_partial, batch_format="pyarrow"), ["w"],
+        lambda d: d.groupby("w", as_index=False, sort=False)["c"].sum(),
+        num_buckets, schema=pa.schema([("w", pa.string()),
+                                       ("c", pa.int64())]))
+    need = set(top["w1"]) | set(top["w2"])
+
+    def only_needed(t: pa.Table, _need=tuple(sorted(need))) -> pa.Table:
+        keep = pc.is_in(t["w"], value_set=pa.array(list(_need),
+                                                   pa.string()))
+        return t.filter(keep)
+
+    df_map = {r["w"]: int(r["c"]) for r in
+              uni.map_batches(only_needed,
+                              batch_format="pyarrow").take_all()}
+    c1 = top["w1"].map(df_map).to_numpy(dtype=np.float64)
+    c2 = top["w2"].map(df_map).to_numpy(dtype=np.float64)
+    c12 = top["cnt"].to_numpy(dtype=np.float64)
+    pmi = np.log(c12 * n_docs / (c1 * c2))
+    top["pmi_micro"] = np.floor(pmi * 1e6 + 0.5).astype(np.int64)
+    return top.rename(columns={"cnt": "c12"})[
+        ["w1", "w2", "c12", "pmi_micro"]]

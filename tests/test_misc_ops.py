@@ -250,3 +250,22 @@ def test_decontaminate_ngrams_mark_and_drop(ray_session):
                                 n=3, broadcast_limit=0).to_pandas() \
         .sort_values("doc_id")
     assert list(out2["contaminated"]) == [1, 0, 0]
+
+
+def test_word_pmi_hand_computed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.text import word_pmi
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b", "a b", "a c", "d d d"]})
+    out = word_pmi(rd.from_pandas(docs), k=10)
+    got = {(r.w1, r.w2): (r.c12, r.pmi_micro) for r in out.itertuples()}
+    # df: a=3, b=2, c=1, d=1; pairs: (a,b)=2, (a,c)=1; N=4
+    assert set(got) == {("a", "b"), ("a", "c")}
+    assert got[("a", "b")][0] == 2
+    assert got[("a", "b")][1] == int(np.floor(
+        np.log(2 * 4 / (3 * 2)) * 1e6 + 0.5))
+    assert got[("a", "c")][1] == int(np.floor(
+        np.log(1 * 4 / (3 * 1)) * 1e6 + 0.5))
