@@ -1964,6 +1964,16 @@ def q_docs_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def q_events_cohorts(sf_dir: str):
+    """Weekly cohort retention: users bucketed by first-event week,
+    distinct active users per (cohort, week)."""
+    import ray.data as rd
+    from agraph_ray.ops.window import cohort_retention
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
 def q_docs_word_pmi(sf_dir: str):
     """Top-100 word-pair collocations by document co-occurrence with PMI
     (capped per-doc distinct sets, SQL-reproducible cap rule)."""
@@ -2605,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_n": q_docs_sample_n,
         "docs_hybrid_search": q_docs_hybrid_search,
         "docs_word_pmi": q_docs_word_pmi,
+        "events_cohorts": q_events_cohorts,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3648,6 +3659,19 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS q75,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_cohorts": """
+            WITH w AS (SELECT user_id,
+                              CAST(floor(epoch_us(ts) / 604800000000)
+                                   AS BIGINT) AS w
+                       FROM events),
+            c AS (SELECT user_id, min(w) AS cohort_w
+                  FROM w GROUP BY user_id)
+            SELECT c.cohort_w, w.w,
+                   count(DISTINCT w.user_id) AS n_users
+            FROM w JOIN c ON w.user_id = c.user_id
+            GROUP BY c.cohort_w, w.w
+            ORDER BY c.cohort_w, w.w
         """,
         "docs_word_pmi": """
             WITH dw AS (SELECT DISTINCT doc_id, w FROM

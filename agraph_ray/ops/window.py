@@ -501,3 +501,59 @@ def grouped_ewma(ds: "ray.data.Dataset", key: str, ts_col: str,
         ds.select_columns([key, ts_col, value_col]).map_batches(
             to_us, batch_format="pyarrow"),
         [key], per_bucket, num_buckets, schema=schema)
+
+
+def cohort_retention(ds: "ray.data.Dataset", key: str, ts_col: str,
+                     width_us: int = 7 * 24 * 3600 * 1_000_000,
+                     num_buckets: int = 64) -> "ray.data.Dataset":
+    """Cohort retention: users bucketed by their FIRST event window
+    (cohort), then per (cohort, window) the distinct active users →
+    ``(cohort_w, w, n_users)``. The product analytics staple.
+
+    Shuffle shape: one user-keyed reduce finds each user's cohort
+    (min-window combiner per batch), one co-group join tags events with
+    their user's cohort (both sides large — no broadcast), and one
+    distinct-combiner count per (cohort, window). Windows are epoch
+    multiples of ``width_us`` (DuckDB-reproducible:
+    floor(epoch_us(ts)/width))."""
+    from ray.data.aggregate import Min
+
+    from ..stages.common import bucketed_group_reduce
+    from .join import cogroup_join
+
+    def windows(t: pa.Table) -> pa.Table:
+        us = _ts_us(t[ts_col])
+        w = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                       float(width_us))), pa.int64())
+        return pa.table({key: t[key], "w": w})
+
+    ev = ds.select_columns([key, ts_col]).map_batches(
+        windows, batch_format="pyarrow")
+
+    def min_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, as_index=False, sort=False)["w"].min()
+
+    cohorts = bucketed_group_reduce(
+        ev.map_batches(min_partial, batch_format="pandas"), [key],
+        min_partial, num_buckets,
+        schema=pa.schema([(key, pa.int64()), ("w", pa.int64())])) \
+        .map_batches(lambda t: t.rename_columns([key, "cohort_w"]),
+                     batch_format="pyarrow")
+
+    tagged = cogroup_join(ev, cohorts, on=[key], how="inner",
+                          num_buckets=num_buckets)
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["cohort_w", "w", key])
+
+    def count_users(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["cohort_w", "w", key])
+        out = df.groupby(["cohort_w", "w"], as_index=False,
+                         sort=False)[key].count()
+        return out.rename(columns={key: "n_users"})
+
+    return bucketed_group_reduce(
+        tagged.map_batches(distinct_partial, batch_format="pandas"),
+        ["cohort_w", "w"], count_users, num_buckets,
+        schema=pa.schema([("cohort_w", pa.int64()), ("w", pa.int64()),
+                          ("n_users", pa.int64())]))

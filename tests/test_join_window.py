@@ -511,3 +511,19 @@ def test_sample_n_exact_and_deterministic(ray_session):
     assert sorted(got["k"]) == sorted(exp["k"])
     got2 = sample_n(rd.from_pandas(df), "k", 10).to_pandas()
     assert sorted(got2["k"]) == sorted(got["k"])
+
+
+def test_cohort_retention_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.window import cohort_retention
+    week = 7 * 24 * 3600 * 1_000_000
+    rows = [  # (user, week_index)
+        (1, 0), (1, 0), (1, 1), (2, 0), (2, 2), (3, 1), (3, 2)]
+    df = pd.DataFrame({
+        "u": [u for u, _ in rows],
+        "ts": pd.to_datetime([(w * week + 1000) // 1_000_000
+                              for _, w in rows], unit="s")})
+    out = cohort_retention(rd.from_pandas(df), "u", "ts").to_pandas()
+    got = {(r.cohort_w, r.w): r.n_users for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 1): 1, (1, 2): 1}
