@@ -1891,6 +1891,20 @@ def q_ann_recall_lsh(sf_dir: str):
     return recall_at_k(approx, exact, k=10)
 
 
+def q_ann_ndcg_ivf(sf_dir: str):
+    """Per-query nDCG@10 of the IVF ANN path against the exact top-10 —
+    position-sensitive retrieval quality (rows-only)."""
+    import ray.data as rd
+    from agraph_ray.ops.similarity import (ndcg_at_k, topk_cosine,
+                                           topk_cosine_ivf)
+    vecs, ids = _load_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    exact = topk_cosine(ds, vecs, query_ids=ids, k=10)
+    approx = topk_cosine_ivf(ds, vecs, query_ids=ids, k=10)
+    return ndcg_at_k(approx, exact, k=10)
+
+
 def q_docs_corpus_drift(sf_dir: str):
     """Jensen-Shannon divergence between the even- and odd-doc_id halves
     of the corpus (the train-snapshot vs fresh-crawl drift monitor)."""
@@ -1962,6 +1976,18 @@ def q_docs_bm25(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return bm25_topk(ds, _BM25_QUERIES, k=10)
+
+
+def q_lineitem_means(sf_dir: str):
+    """Per-group arithmetic/geometric/harmonic means from one combiner
+    pass of (n, Σv, Σln v, Σ1/v) partials."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_means
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    out = grouped_means(ds, "l_returnflag", "l_quantity")
+    return _scale_cols(out, {"mean_v": 1000, "geomean_v": 1000,
+                             "harmean_v": 1000})
 
 
 def q_events_cohorts(sf_dir: str):
@@ -2616,6 +2642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hybrid_search": q_docs_hybrid_search,
         "docs_word_pmi": q_docs_word_pmi,
         "events_cohorts": q_events_cohorts,
+        "lineitem_means": q_lineitem_means,
+        "ann_ndcg_ivf": q_ann_ndcg_ivf,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3658,6 +3686,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(quantile_cont(l_extendedprice, 0.75) * 1000
                               + 0.5) AS BIGINT) AS q75,
                    count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lineitem_means": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(floor(avg(l_quantity) * 1000 + 0.5) AS BIGINT)
+                       AS mean_v,
+                   CAST(floor(exp(avg(ln(l_quantity))) * 1000 + 0.5)
+                        AS BIGINT) AS geomean_v,
+                   CAST(floor(count(*) / sum(1.0 / l_quantity) * 1000
+                              + 0.5) AS BIGINT) AS harmean_v
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "events_cohorts": """

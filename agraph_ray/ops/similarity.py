@@ -416,3 +416,55 @@ def rrf_fuse(rankings: "list", k_rrf: int = 60, topk: int = 10,
         return g.rename(columns={"s": "rrf_nano"})
 
     return bucketed_group_reduce(u, [query_col], fold, num_buckets)
+
+
+def ndcg_at_k(approx: "ray.data.Dataset", exact: "ray.data.Dataset",
+              query_col: str = "query_id", id_col: str = "vec_id",
+              k: int = 10, num_buckets: int = 16) -> "ray.data.Dataset":
+    """Per-query nDCG@k of an approximate ranking against the exact
+    top-k (binary relevance: a doc is relevant iff it appears in the
+    exact top-k) → ``(query_id, dcg_scaled, ndcg_scaled)``. Unlike
+    recall@k, position matters: a relevant doc at approx rank 1 is worth
+    1/log2(2), at rank k only 1/log2(k+1). Same tagged-union +
+    query-keyed reduce shape as :func:`recall_at_k`; both ranking tables
+    must carry a ``rank`` column."""
+    import pandas as pd
+
+    from ..stages.common import arrow_col_type, bucketed_group_reduce
+
+    def prep(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less_equal(t["rank"], k))
+            return pa.table({
+                query_col: t[query_col],
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "rank": pc.cast(t["rank"], pa.int64()),
+                "side": pa.array([side] * len(t))})
+        return f
+
+    both = (approx.map_batches(prep("a"), batch_format="pyarrow")
+            .union(exact.map_batches(prep("e"), batch_format="pyarrow")))
+
+    def reduce_df(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for qid, g in df.groupby(query_col, sort=False):
+            ex = g[g["side"] == "e"]
+            ap = g[g["side"] == "a"]
+            rel = set(ex[id_col])
+            hit = ap[ap[id_col].isin(rel)]
+            dcg = float(np.sum(1.0 / np.log2(
+                hit["rank"].to_numpy(dtype=np.float64) + 1.0)))
+            n_ideal = min(len(rel), k)
+            idcg = float(np.sum(1.0 / np.log2(
+                np.arange(1, n_ideal + 1, dtype=np.float64) + 1.0)))
+            ndcg = dcg / idcg if idcg else 0.0
+            rows.append((qid, int(np.floor(dcg * 1e6 + 0.5)),
+                         int(np.floor(ndcg * 1e6 + 0.5))))
+        return pd.DataFrame(rows, columns=[query_col, "dcg_scaled",
+                                           "ndcg_scaled"])
+
+    qt = arrow_col_type(approx, query_col)
+    return bucketed_group_reduce(
+        both, [query_col], reduce_df, num_buckets,
+        schema=pa.schema([(query_col, qt), ("dcg_scaled", pa.int64()),
+                          ("ndcg_scaled", pa.int64())]))

@@ -953,3 +953,43 @@ def grouped_quantile_radix(ds: "ray.data.Dataset", key: str,
         key: garr,
         "q_value": [_ordered_u64_to_f64(int(x)) for x in prefix],
         "n": ns})
+
+
+def grouped_means(ds: "ray.data.Dataset", key: str, value_col: str,
+                  num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-group arithmetic, geometric, and harmonic means in one
+    combiner pass: each batch emits (n, Σv, Σln v, Σ1/v) partials per
+    key, the keyed reduce finishes the arithmetic. Values must be
+    positive for the geometric/harmonic terms (rows ≤ 0 raise — a wrong
+    silent NaN is worse at scale)."""
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        if (v <= 0).any():
+            raise ValueError("grouped_means requires positive values")
+        df = pd.DataFrame({key: t[key].to_pandas(), "v": v})
+        g = df.groupby(key, sort=False)["v"].agg(
+            n="size", s="sum",
+            sl=lambda x: float(np.log(x.to_numpy()).sum()),
+            si=lambda x: float((1.0 / x.to_numpy()).sum()))
+        g = g.reset_index()
+        return pa.table({key: pa.array(g[key]),
+                         "n": pa.array(g["n"], pa.int64()),
+                         "s": pa.array(g["s"], pa.float64()),
+                         "sl": pa.array(g["sl"], pa.float64()),
+                         "si": pa.array(g["si"], pa.float64())})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, as_index=False, sort=False).agg(
+            n=("n", "sum"), s=("s", "sum"), sl=("sl", "sum"),
+            si=("si", "sum"))
+        g["mean_v"] = g["s"] / g["n"]
+        g["geomean_v"] = np.exp(g["sl"] / g["n"])
+        g["harmean_v"] = g["n"] / g["si"]
+        return g[[key, "n", "mean_v", "geomean_v", "harmean_v"]]
+
+    return bucketed_group_reduce(
+        ds.select_columns([key, value_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [key], fold, num_buckets)

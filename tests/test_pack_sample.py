@@ -329,3 +329,26 @@ def test_rrf_fuse_hand_computed(ray_session):
     assert list(out["doc_id"]) == [d for d, _ in exp]
     assert list(out["rrf_nano"]) == [v for _, v in exp]
     assert list(out["rank"]) == [1, 2, 3, 4]
+
+
+def test_ndcg_at_k_hand_computed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.similarity import ndcg_at_k
+    exact = pd.DataFrame({"query_id": [0] * 3, "vec_id": [1, 2, 3],
+                          "rank": [1, 2, 3]})
+    # approx finds 1 (at rank 2) and 3 (at rank 1); misses 2
+    approx = pd.DataFrame({"query_id": [0] * 3, "vec_id": [3, 1, 9],
+                           "rank": [1, 2, 3]})
+    out = ndcg_at_k(rd.from_pandas(approx), rd.from_pandas(exact),
+                    k=3).to_pandas()
+    dcg = 1 / np.log2(2) + 1 / np.log2(3)
+    idcg = sum(1 / np.log2(i + 1) for i in (1, 2, 3))
+    assert out.loc[0, "dcg_scaled"] == int(np.floor(dcg * 1e6 + 0.5))
+    assert out.loc[0, "ndcg_scaled"] == int(np.floor(dcg / idcg * 1e6
+                                                     + 0.5))
+    # perfect approx → ndcg 1.0
+    perfect = ndcg_at_k(rd.from_pandas(exact), rd.from_pandas(exact),
+                        k=3).to_pandas()
+    assert perfect.loc[0, "ndcg_scaled"] == 1_000_000
