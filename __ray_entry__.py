@@ -1978,6 +1978,18 @@ def q_docs_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def q_events_transitions(sf_dir: str):
+    """Markov transition counts between consecutive event types per user
+    ((ts, event_id)-pinned order) — the user-journey matrix."""
+    import ray.data as rd
+    from agraph_ray.ops.window import event_transitions
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type",
+                                  "event_id"])
+    return event_transitions(ds, "user_id", "ts", "event_type",
+                             "event_id")
+
+
 def q_lineitem_means(sf_dir: str):
     """Per-group arithmetic/geometric/harmonic means from one combiner
     pass of (n, Σv, Σln v, Σ1/v) partials."""
@@ -2644,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": q_events_cohorts,
         "lineitem_means": q_lineitem_means,
         "ann_ndcg_ivf": q_ann_ndcg_ivf,
+        "events_transitions": q_events_transitions,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3687,6 +3700,18 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS q75,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_transitions": """
+            WITH o AS (SELECT user_id, event_type,
+                              lead(event_type) OVER
+                                  (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS nxt
+                       FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   count(*) AS cnt
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY event_type, nxt
+            ORDER BY from_type, to_type
         """,
         "lineitem_means": """
             SELECT l_returnflag, count(*) AS n,

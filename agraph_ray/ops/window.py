@@ -557,3 +557,43 @@ def cohort_retention(ds: "ray.data.Dataset", key: str, ts_col: str,
         ["cohort_w", "w"], count_users, num_buckets,
         schema=pa.schema([("cohort_w", pa.int64()), ("w", pa.int64()),
                           ("n_users", pa.int64())]))
+
+
+def event_transitions(ds: "ray.data.Dataset", key: str, ts_col: str,
+                      type_col: str, id_col: str,
+                      num_buckets: int = 64) -> "ray.data.Dataset":
+    """Markov transition counts between consecutive events per key →
+    ``(from_type, to_type, cnt)`` (the user-journey / process-mining
+    matrix). Event order is (ts, id)-pinned; one key-bucketed reduce
+    computes consecutive pairs vectorized (shift within key segments),
+    and a per-bucket combiner collapses to distinct (from, to) counts
+    before the tiny final sum."""
+    from ray.data.aggregate import Sum
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key], "ts_us": _ts_us(t[ts_col]),
+                         type_col: t[type_col], id_col: t[id_col]})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "ts_us", id_col], kind="mergesort")
+        k = df[key].to_numpy()
+        ty = df[type_col].to_numpy(dtype=object)
+        same = np.empty(len(df), dtype=bool)
+        if len(df):
+            same[0] = False
+            same[1:] = k[1:] == k[:-1]
+        pairs = pd.DataFrame({"from_type": np.roll(ty, 1)[same],
+                              "to_type": ty[same]})
+        return pairs.groupby(["from_type", "to_type"],
+                             as_index=False, sort=False).size() \
+            .rename(columns={"size": "cnt"})
+
+    part = bucketed_group_reduce(
+        ds.select_columns([key, ts_col, type_col, id_col]).map_batches(
+            to_us, batch_format="pyarrow"),
+        [key], per_bucket, num_buckets,
+        schema=pa.schema([("from_type", pa.string()),
+                          ("to_type", pa.string()),
+                          ("cnt", pa.int64())]))
+    return (part.groupby(["from_type", "to_type"])
+            .aggregate(Sum("cnt", alias_name="cnt")))

@@ -527,3 +527,19 @@ def test_cohort_retention_hand_computed(ray_session):
     out = cohort_retention(rd.from_pandas(df), "u", "ts").to_pandas()
     got = {(r.cohort_w, r.w): r.n_users for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 1): 1, (1, 2): 1}
+
+
+def test_event_transitions_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.window import event_transitions
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([1, 2, 3, 1, 2], unit="s"),
+        "t": ["view", "click", "buy", "view", "view"],
+        "eid": [1, 2, 3, 4, 5]})
+    out = event_transitions(rd.from_pandas(df).repartition(2),
+                            "u", "ts", "t", "eid").to_pandas()
+    got = {(r.from_type, r.to_type): r.cnt for r in out.itertuples()}
+    assert got == {("view", "click"): 1, ("click", "buy"): 1,
+                   ("view", "view"): 1}
