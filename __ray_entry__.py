@@ -1978,6 +1978,17 @@ def q_docs_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def q_docs_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup statistics over the corpus bytes
+    (gear rolling hash, boundaries move with content). Byte-level
+    chunking isn't SQL-expressible — rows-only."""
+    import ray.data as rd
+    from agraph_ray.ops.dedup import cdc_chunk_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return cdc_chunk_stats(ds, mask_bits=9)
+
+
 def q_events_transitions(sf_dir: str):
     """Markov transition counts between consecutive event types per user
     ((ts, event_id)-pinned order) — the user-journey matrix."""
@@ -2657,6 +2668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_means": q_lineitem_means,
         "ann_ndcg_ivf": q_ann_ndcg_ivf,
         "events_transitions": q_events_transitions,
+        "docs_cdc_dedup": q_docs_cdc_dedup,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,

@@ -629,3 +629,82 @@ def embedding_near_dup_pairs(ds: "ray.data.Dataset",
             bucket_rows, batch_format="pyarrow"),
         ["tbl", "bkey"], pairs)
     return distinct_on(cand, ["a", "b"])
+
+
+def _gear_table() -> np.ndarray:
+    """256 deterministic u64 gear values (md5 of each byte value)."""
+    import hashlib
+    return np.array([int.from_bytes(
+        hashlib.md5(bytes([i])).digest()[:8], "little")
+        for i in range(256)], dtype=np.uint64)
+
+
+def cdc_chunk_stats(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                    col: str = "text", mask_bits: int = 11,
+                    num_buckets: int = 64) -> "ray.data.Dataset":
+    """Content-defined chunking dedup statistics (FastCDC/gear-hash
+    family): split every document's bytes at positions where a 64-byte
+    gear rolling hash has ``mask_bits`` low zero bits (avg chunk ≈
+    2^mask_bits bytes, boundaries move WITH content, so an insertion
+    only re-chunks its neighborhood — the storage-dedup property that
+    fixed-size blocks lack), then measure corpus-level chunk dedup →
+    one row ``(n_chunks, n_distinct, total_bytes, distinct_bytes,
+    dedup_ratio_micro)``.
+
+    Vectorized: the rolling recurrence h_i = (h_{i-1}<<1) + gear[b_i]
+    expands to 64 shifted vector adds per batch (no per-byte Python);
+    chunk hashes ride the shuffle, never chunk bytes."""
+    import hashlib
+
+    from ..stages.common import bucketed_group_reduce
+
+    gear = _gear_table()
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    def chunk_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[col].to_pylist()
+        hashes, sizes = [], []
+        for s in texts:
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            n = len(b)
+            if n == 0:
+                continue
+            g = gear[b]
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(min(64, n)):
+                acc[j:] += g[:n - j] << np.uint64(j)
+            cut = np.flatnonzero((acc & mask) == 0) + 1
+            bounds = np.unique(np.concatenate(([0], cut, [n])))
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                hashes.append(hashlib.md5(
+                    b[lo:hi].tobytes()).hexdigest()[:16])
+                sizes.append(int(hi - lo))
+        return pa.table({"h": pa.array(hashes, pa.string()),
+                         "size": pa.array(sizes, pa.int64()),
+                         "cnt": pa.array([1] * len(hashes), pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["h", "size"], as_index=False,
+                          sort=False)["cnt"].sum()
+
+    per_chunk = bucketed_group_reduce(
+        ds.select_columns([id_col, col]).map_batches(
+            chunk_partial, batch_format="pyarrow").map_batches(
+            combine, batch_format="pandas"),
+        ["h"], combine, num_buckets,
+        schema=pa.schema([("h", pa.string()), ("size", pa.int64()),
+                          ("cnt", pa.int64())]))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        total_b = int((df["size"] * df["cnt"]).sum())
+        dist_b = int(df["size"].sum())
+        ratio = 1.0 - (dist_b / total_b if total_b else 0.0)
+        return pd.DataFrame({
+            "n_chunks": [int(df["cnt"].sum())],
+            "n_distinct": [len(df)],
+            "total_bytes": [total_b],
+            "distinct_bytes": [dist_b],
+            "dedup_ratio_micro": [int(np.floor(ratio * 1e6 + 0.5))]})
+
+    return per_chunk.repartition(1).map_batches(finish,
+                                                batch_format="pandas")

@@ -192,3 +192,26 @@ def test_dedup_against_incremental(ray_session):
                         rd.from_pandas(old).repartition(2),
                         m_bits=1 << 14).to_pandas()
     assert sorted(out.doc_id) == [11, 13]
+
+
+def test_cdc_chunking_shift_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.dedup import cdc_chunk_stats
+    rng = np.random.default_rng(29)
+    body = " ".join(rng.choice(["alpha", "beta", "gamma", "delta",
+                                "epsilon"], 3000))
+    # two docs: identical body, one with a small inserted prefix —
+    # content-defined boundaries realign, so most chunks dedup
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": [body, "INSERTED PREFIX " + body]})
+    out = cdc_chunk_stats(rd.from_pandas(df), mask_bits=8).to_pandas()
+    r = out.iloc[0]
+    assert r["n_chunks"] > r["n_distinct"]          # real dedup happened
+    assert r["dedup_ratio_micro"] > 350_000         # >35% bytes dedup'd
+    assert r["total_bytes"] == sum(len(t.encode()) for t in df["text"])
+    # determinism across runs / partitioning
+    out2 = cdc_chunk_stats(rd.from_pandas(df).repartition(2),
+                           mask_bits=8).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
