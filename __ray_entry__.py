@@ -1978,6 +1978,24 @@ def q_docs_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def q_events_attrib_linear(sf_dir: str):
+    """Linear multi-touch attribution: each purchase's credit splits
+    evenly over the user's preceding view/click touches (next-conversion
+    assignment)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.window import linear_attribution
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    out = linear_attribution(ds, "user_id", "ts", "event_id",
+                             "event_type", ["view", "click"])
+    return _scale_cols(out, {"credit": 1_000_000}).map_batches(
+        lambda t: t.rename_columns(["event_type", "n_touches",
+                                    "credit_micro"]),
+        batch_format="pyarrow").sort("event_type")
+
+
 def q_docs_cdc_dedup(sf_dir: str):
     """Content-defined-chunking dedup statistics over the corpus bytes
     (gear rolling hash, boundaries move with content). Byte-level
@@ -2669,6 +2687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ndcg_ivf": q_ann_ndcg_ivf,
         "events_transitions": q_events_transitions,
         "docs_cdc_dedup": q_docs_cdc_dedup,
+        "events_attrib_linear": q_events_attrib_linear,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3712,6 +3731,26 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS q75,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_attrib_linear": """
+            WITH e AS (SELECT user_id, ts, event_id, event_type,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN event_id END AS pid
+                       FROM events),
+            w AS (SELECT *, first_value(pid IGNORE NULLS) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 1 FOLLOWING
+                                AND UNBOUNDED FOLLOWING) AS conv
+                  FROM e),
+            t AS (SELECT event_type, conv FROM w
+                  WHERE conv IS NOT NULL
+                    AND event_type IN ('view', 'click')),
+            c AS (SELECT conv, count(*) AS n FROM t GROUP BY conv)
+            SELECT t.event_type, count(*) AS n_touches,
+                   CAST(floor(sum(1.0 / c.n) * 1000000 + 0.5) AS BIGINT)
+                       AS credit_micro
+            FROM t JOIN c ON t.conv = c.conv
+            GROUP BY t.event_type ORDER BY t.event_type
         """,
         "events_transitions": """
             WITH o AS (SELECT user_id, event_type,

@@ -597,3 +597,72 @@ def event_transitions(ds: "ray.data.Dataset", key: str, ts_col: str,
                           ("cnt", pa.int64())]))
     return (part.groupby(["from_type", "to_type"])
             .aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def linear_attribution(ds: "ray.data.Dataset", key: str, ts_col: str,
+                       id_col: str, type_col: str,
+                       touch_types: "List[str]",
+                       conversion_type: str = "purchase",
+                       num_buckets: int = 64) -> "ray.data.Dataset":
+    """Linear multi-touch attribution: each conversion's credit splits
+    evenly across the key's touch events strictly before it (and after
+    the previous conversion — each touch attributes to its NEXT
+    conversion only). → ``(event_type, n_touches, credit_micro)`` per
+    touch type.
+
+    One key-bucketed reduce: per bucket, (ts, id)-sort, vectorized
+    next-conversion assignment (searchsorted into the key's conversion
+    positions), per-conversion touch counts, credit = 1/count; only
+    per-type partial sums leave the bucket."""
+    from ray.data.aggregate import Sum
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({key: t[key], "ts_us": _ts_us(t[ts_col]),
+                         id_col: t[id_col], type_col: t[type_col]})
+
+    touch_set = set(touch_types)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, "ts_us", id_col], kind="mergesort")
+        k = df[key].to_numpy()
+        ty = df[type_col].to_numpy(dtype=object)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "n_touches": pd.Series(dtype="int64"),
+                                 "credit": pd.Series(dtype="float64")})
+        # segment boundaries per key
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new) - 1
+        pos = np.arange(n)
+        is_conv = ty == conversion_type
+        # conversions get a global ordinal; a touch's conversion is the
+        # first conversion position AFTER it within the same segment
+        conv_pos = pos[is_conv]
+        conv_seg = seg[is_conv]
+        nxt = np.searchsorted(conv_pos, pos, side="left")
+        is_touch = np.isin(ty, list(touch_set))
+        valid = is_touch & (nxt < len(conv_pos))
+        valid[valid] &= conv_seg[nxt[valid]] == seg[valid]
+        conv_id = nxt[valid]                       # ordinal of conversion
+        tty = ty[valid]
+        cnt = np.bincount(conv_id, minlength=len(conv_pos))
+        credit = 1.0 / cnt[conv_id]
+        out = (pd.DataFrame({"event_type": tty, "credit": credit})
+               .groupby("event_type", as_index=False)
+               .agg(n_touches=("credit", "size"),
+                    credit=("credit", "sum")))
+        return out[["event_type", "n_touches", "credit"]]
+
+    part = bucketed_group_reduce(
+        ds.select_columns([key, ts_col, id_col, type_col]).map_batches(
+            to_us, batch_format="pyarrow"),
+        [key], per_bucket, num_buckets,
+        schema=pa.schema([("event_type", pa.string()),
+                          ("n_touches", pa.int64()),
+                          ("credit", pa.float64())]))
+    return (part.groupby("event_type")
+            .aggregate(Sum("n_touches", alias_name="n_touches"),
+                       Sum("credit", alias_name="credit")))

@@ -543,3 +543,25 @@ def test_event_transitions_hand_computed(ray_session):
     got = {(r.from_type, r.to_type): r.cnt for r in out.itertuples()}
     assert got == {("view", "click"): 1, ("click", "buy"): 1,
                    ("view", "view"): 1}
+
+
+def test_linear_attribution_hand_computed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.window import linear_attribution
+    # user 1: view, click, PURCHASE, view (dangling)
+    # user 2: view, PURCHASE, click, PURCHASE
+    df = pd.DataFrame({
+        "u":  [1, 1, 1, 1, 2, 2, 2, 2],
+        "ts": pd.to_datetime([1, 2, 3, 4, 1, 2, 3, 4], unit="s"),
+        "eid": range(8),
+        "t": ["view", "click", "purchase", "view",
+              "view", "purchase", "click", "purchase"]})
+    out = linear_attribution(rd.from_pandas(df).repartition(3), "u", "ts",
+                             "eid", "t", ["view", "click"]).to_pandas()
+    got = {r.event_type: (r.n_touches, round(r.credit, 9))
+           for r in out.itertuples()}
+    # u1 purchase: view+click split 0.5 each; u1 trailing view dangles
+    # u2 purchase#1: view alone (1.0); purchase#2: click alone (1.0)
+    assert got == {"view": (2, 1.5), "click": (2, 1.5)}
