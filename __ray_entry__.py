@@ -1978,6 +1978,23 @@ def q_docs_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def q_lineitem_expectations(sf_dir: str):
+    """Data-quality expectations report: not-null / range / regex /
+    uniqueness rules checked in one shared combiner pass plus one
+    distinct-count."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import validate_expectations
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity", "l_returnflag"])
+    return validate_expectations(ds, [
+        {"type": "not_null", "col": "l_orderkey"},
+        {"type": "in_range", "col": "l_quantity", "lo": 1, "hi": 50},
+        {"type": "matches", "col": "l_returnflag", "pattern": "^[ANR]$"},
+        {"type": "unique", "col": "l_orderkey"},
+    ])
+
+
 def q_events_attrib_linear(sf_dir: str):
     """Linear multi-touch attribution: each purchase's credit splits
     evenly over the user's preceding view/click touches (next-conversion
@@ -2688,6 +2705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": q_events_transitions,
         "docs_cdc_dedup": q_docs_cdc_dedup,
         "events_attrib_linear": q_events_attrib_linear,
+        "lineitem_expectations": q_lineitem_expectations,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3731,6 +3749,33 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS q75,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lineitem_expectations": """
+            SELECT 'not_null' AS rule, 'l_orderkey' AS column,
+                   count(*) AS n_checked,
+                   count(*) - count(l_orderkey) AS n_violations,
+                   count(*) = count(l_orderkey) AS passed
+            FROM lineitem
+            UNION ALL
+            SELECT 'in_range', 'l_quantity', count(*),
+                   count(*) FILTER (WHERE l_quantity < 1
+                                       OR l_quantity > 50),
+                   count(*) FILTER (WHERE l_quantity < 1
+                                       OR l_quantity > 50) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'matches', 'l_returnflag', count(*),
+                   count(*) FILTER (WHERE NOT
+                       regexp_matches(l_returnflag, '^[ANR]$')),
+                   count(*) FILTER (WHERE NOT
+                       regexp_matches(l_returnflag, '^[ANR]$')) = 0
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique', 'l_orderkey', count(*),
+                   count(*) - count(DISTINCT l_orderkey),
+                   count(*) = count(DISTINCT l_orderkey)
+            FROM lineitem
+            ORDER BY rule
         """,
         "events_attrib_linear": """
             WITH e AS (SELECT user_id, ts, event_id, event_type,

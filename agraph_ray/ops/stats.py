@@ -993,3 +993,73 @@ def grouped_means(ds: "ray.data.Dataset", key: str, value_col: str,
         ds.select_columns([key, value_col]).map_batches(
             partial, batch_format="pyarrow"),
         [key], fold, num_buckets)
+
+
+def validate_expectations(ds: "ray.data.Dataset",
+                          rules: "Sequence[dict]",
+                          num_buckets: int = 64) -> "pd.DataFrame":
+    """Data-quality expectations over a table (the Great-Expectations
+    primitive as an engine op) → one row per rule:
+    ``(rule, column, n_checked, n_violations, passed)``.
+
+    Rule dicts: ``{"type": "not_null", "col": c}`` |
+    ``{"type": "in_range", "col": c, "lo": x, "hi": y}`` (inclusive) |
+    ``{"type": "matches", "col": c, "pattern": re2}`` |
+    ``{"type": "unique", "col": c}``.
+
+    not_null/in_range/matches are one shared combiner pass (per-batch
+    violation counts, tiny sum); unique adds one distinct-combiner
+    count per named column. Nothing but counters leaves the workers."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.common import distinct_on
+
+    scan_rules = [r for r in rules if r["type"] != "unique"]
+    uniq_rules = [r for r in rules if r["type"] == "unique"]
+
+    rows = []
+    if scan_rules:
+        def partial(t: pa.Table) -> pa.Table:
+            ids, checked, bad = [], [], []
+            for i, r in enumerate(scan_rules):
+                col = t[r["col"]]
+                n = len(t)
+                if r["type"] == "not_null":
+                    v = col.null_count
+                elif r["type"] == "in_range":
+                    ok = pc.and_(
+                        pc.greater_equal(col, pa.scalar(r["lo"])),
+                        pc.less_equal(col, pa.scalar(r["hi"])))
+                    v = n - pc.sum(pc.cast(ok, pa.int64())).as_py() \
+                        if n else 0
+                elif r["type"] == "matches":
+                    ok = pc.match_substring_regex(col, r["pattern"])
+                    v = n - pc.sum(pc.cast(ok, pa.int64())).as_py() \
+                        if n else 0
+                else:
+                    raise ValueError(f"unknown rule {r['type']}")
+                ids.append(i)
+                checked.append(n)
+                bad.append(int(v or 0))
+            return pa.table({"rid": pa.array(ids, pa.int32()),
+                             "n": pa.array(checked, pa.int64()),
+                             "bad": pa.array(bad, pa.int64())})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("rid").aggregate(Sum("n", alias_name="n"),
+                                         Sum("bad", alias_name="bad")))
+        got = {r["rid"]: r for r in agg.take_all()}
+        for i, r in enumerate(scan_rules):
+            g = got.get(i, {"n": 0, "bad": 0})
+            rows.append((f'{r["type"]}', r["col"], int(g["n"]),
+                         int(g["bad"]), int(g["bad"]) == 0))
+
+    for r in uniq_rules:
+        total = ds.count()
+        dist = distinct_on(ds.select_columns([r["col"]]), [r["col"]],
+                           num_buckets).count()
+        rows.append(("unique", r["col"], total, total - dist,
+                     total == dist))
+
+    return pd.DataFrame(rows, columns=["rule", "column", "n_checked",
+                                       "n_violations", "passed"])

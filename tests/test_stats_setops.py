@@ -264,3 +264,24 @@ def test_grouped_quantile_radix_equals_cogrouped(ray_session):
     r2 = grouped_quantile_radix(rd.from_pandas(neg), "g", "v", q=0.5)
     # rank index floor(0.5*(6-1)+0.5) = 3 → sorted[3] = 2.0
     assert r2.loc[0, "q_value"] == 2.0
+
+
+def test_validate_expectations_detects_violations(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.stats import validate_expectations
+    t = pa.table({"a": pa.array([1, None, 3, 3], pa.int64()),
+                  "s": pa.array(["x1", "x2", "bad", "x4"], pa.string())})
+    out = validate_expectations(rd.from_arrow(t).repartition(2), [
+        {"type": "not_null", "col": "a"},
+        {"type": "in_range", "col": "a", "lo": 1, "hi": 2},
+        {"type": "matches", "col": "s", "pattern": "^x"},
+        {"type": "unique", "col": "a"},
+    ]).set_index("rule")
+    assert out.loc["not_null", "n_violations"] == 1
+    assert not out.loc["not_null", "passed"]
+    # in_range: 3 and 3 violate; NULL comparisons are not ok -> violation
+    assert out.loc["in_range", "n_violations"] == 3
+    assert out.loc["matches", "n_violations"] == 1
+    assert out.loc["unique", "n_violations"] == 1
+    assert out["n_checked"].tolist() == [4, 4, 4, 4]
