@@ -737,20 +737,22 @@ def negative_sample_edges(edges: "ray.data.Dataset", src: str, dst: str,
     downstream with an anti join if needed.
 
     The pool rides as a broadcast sorted numpy array (``ray.put`` once)
-    up to ``broadcast_cap`` ids (160 MB at the cap); above it, swap the
-    lookup for a rank-keyed ``cogroup_join`` — raised explicitly rather
-    than silently degrading."""
+    up to ``broadcast_cap`` ids (160 MB at the cap); above it, the pick
+    index becomes a join key against the globally-ranked pool (one
+    range sort for the ranks + one co-group join) — identical output,
+    never a driver-memory cliff."""
     import ray
 
     from .stats import _key_hash32
 
+    pool_d = distinct_on(pool.select_columns([pool_col]), [pool_col],
+                         num_buckets)
+    n_pool = pool_d.count()
+    if n_pool > broadcast_cap:
+        return _negative_sample_joined(edges, src, dst, pool_d, pool_col,
+                                       k, n_pool, num_buckets)
     pool_ids = np.sort(np.asarray(
-        [r[pool_col] for r in pool.select_columns([pool_col])
-         .take_all()], dtype=np.int64))
-    pool_ids = np.unique(pool_ids)
-    if len(pool_ids) > broadcast_cap:
-        raise NotImplementedError(
-            "pool exceeds broadcast cap — use a rank-keyed cogroup_join")
+        [r[pool_col] for r in pool_d.take_all()], dtype=np.int64))
     ref = ray.put(pool_ids)
 
     def sample(t: pa.Table) -> pa.Table:
@@ -1089,3 +1091,47 @@ def random_walks(edges: "ray.data.Dataset", src: str, dst: str,
     for t in trails[1:]:
         out = out.union(t)
     return out
+
+
+def _negative_sample_joined(edges: "ray.data.Dataset", src: str, dst: str,
+                            pool_d: "ray.data.Dataset", pool_col: str,
+                            k: int, n_pool: int,
+                            num_buckets: int) -> "ray.data.Dataset":
+    """Beyond-broadcast negative sampling: the md5 pick index becomes a
+    join key. The pool gets a 0-based global rank (range sort +
+    O(blocks) driver offsets), sample rows carry their target rank, and
+    one co-group join resolves rank → pool id. Output identical to the
+    broadcast path (same pick rule)."""
+    from .join import cogroup_join
+    from .rank import global_row_number
+    from .stats import _key_hash32
+
+    ranked = global_row_number(pool_d, [pool_col], out_col="__rn")
+    ranked = ranked.map_batches(
+        lambda t: pa.table({
+            "__rank": pa.array(
+                t["__rn"].to_numpy(zero_copy_only=False) - 1, pa.int64()),
+            f"neg_{pool_col}": pc.cast(t[pool_col], pa.int64())}),
+        batch_format="pyarrow")
+
+    cnt = np.uint64(n_pool)
+
+    def want(t: pa.Table) -> pa.Table:
+        s = t[src].to_numpy(zero_copy_only=False)
+        d = t[dst].to_numpy(zero_copy_only=False)
+        n = len(t)
+        out_s = np.repeat(s, k)
+        out_d = np.repeat(d, k)
+        out_j = np.tile(np.arange(k, dtype=np.int32), n)
+        keys = [f"{a}|{b}|{j}" for a, b, j in zip(out_s, out_d, out_j)]
+        idx = (_key_hash32(keys) % cnt).astype(np.int64)
+        return pa.table({src: pa.array(out_s), dst: pa.array(out_d),
+                         "neg_idx": pa.array(out_j, pa.int32()),
+                         "__rank": pa.array(idx, pa.int64())})
+
+    dd = distinct_on(edges.select_columns([src, dst]), [src, dst],
+                     num_buckets)
+    wanted = dd.map_batches(want, batch_format="pyarrow")
+    joined = cogroup_join(wanted, ranked, on=["__rank"], how="inner",
+                          num_buckets=num_buckets)
+    return joined.drop_columns(["__rank"])
