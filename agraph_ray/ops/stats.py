@@ -597,10 +597,12 @@ def grouped_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
     """Population z-score of ``val_col`` within each group, appended as
     ``out_col`` — the per-language/per-source feature normalization op.
 
-    Two passes, no row shuffle: per-batch (group, n, Σv, Σv²) partials
-    reduce to one tiny stats table (|groups| rows, capped at
-    ``group_cap``), broadcast once; the second pass is map-side
-    arithmetic. Zero-variance groups emit z = 0."""
+    Two passes, no row shuffle in the common case: per-batch (group, n,
+    Σv, Σv²) partials reduce to one tiny stats table (|groups| rows),
+    broadcast once; the second pass is map-side arithmetic. Beyond
+    ``group_cap`` distinct groups the stats table joins back by group
+    (one co-group shuffle) instead — identical output, no driver-memory
+    cliff. Zero-variance groups emit z = 0."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -616,16 +618,41 @@ def grouped_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
              .groupby("g").aggregate(Sum("n", alias_name="n"),
                                      Sum("s", alias_name="s"),
                                      Sum("ss", alias_name="ss")))
+
+    def _ms(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        ss = t["ss"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        std = np.sqrt(np.maximum(ss / n - mean * mean, 0.0))
+        return pa.table({group_col: t["g"],
+                         "__mean": pa.array(mean, pa.float64()),
+                         "__std": pa.array(std, pa.float64())})
+
+    if stats.count() > group_cap:
+        from .join import cogroup_join
+        joined = cogroup_join(
+            ds, stats.map_batches(_ms, batch_format="pyarrow"),
+            on=[group_col])
+
+        def apply_joined(t: pa.Table) -> pa.Table:
+            v = pc.cast(t[val_col], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            mean = t["__mean"].to_numpy(zero_copy_only=False)
+            std = t["__std"].to_numpy(zero_copy_only=False)
+            z = np.where(std > 0, (v - mean) / np.where(std > 0, std, 1),
+                         0.0)
+            return t.drop_columns(["__mean", "__std"]).append_column(
+                out_col, pa.array(z, pa.float64()))
+
+        return joined.map_batches(apply_joined, batch_format="pyarrow")
+
     lut: dict = {}
     for r in stats.take_all():
         n, s, ss = r["n"], r["s"], r["ss"]
         mean = s / n
         var = max(ss / n - mean * mean, 0.0)
         lut[r["g"]] = (mean, var ** 0.5)
-        if len(lut) > group_cap:
-            raise NotImplementedError(
-                "group cardinality exceeds broadcast cap — switch to a "
-                "cogroup join of the stats table")
     ref = ray.put(lut)
 
     def apply(t: pa.Table) -> pa.Table:

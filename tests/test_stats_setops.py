@@ -285,3 +285,20 @@ def test_validate_expectations_detects_violations(ray_session):
     assert out.loc["matches", "n_violations"] == 1
     assert out.loc["unique", "n_violations"] == 1
     assert out["n_checked"].tolist() == [4, 4, 4, 4]
+
+
+def test_grouped_zscore_join_path_equals_broadcast(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import grouped_zscore
+    rng = np.random.default_rng(51)
+    df = pd.DataFrame({"g": rng.integers(0, 6, 200).astype("int64"),
+                       "v": rng.normal(size=200)})
+    b = grouped_zscore(rd.from_pandas(df), "g", "v").to_pandas() \
+        .sort_values(["g", "v"]).reset_index(drop=True)
+    j = grouped_zscore(rd.from_pandas(df), "g", "v",
+                       group_cap=0).to_pandas() \
+        .sort_values(["g", "v"]).reset_index(drop=True)
+    assert np.allclose(b["z"], j["z"], atol=1e-12)
+    assert (b["g"] == j["g"]).all()
