@@ -1978,6 +1978,47 @@ def q_docs_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def q_docs_curation_v2(sf_dir: str):
+    """Composed curation pipeline v2, one oracle for the whole chain:
+    held-out eval split → exact dedup (min-id per content hash, Bloom
+    semi join pulls survivors) → trigram benchmark decontamination
+    (drop) → token counts + deterministic 95/5 split. Text never rides
+    a shuffle (hashes and gram strings only)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.dedup import exact_dedup
+    from agraph_ray.ops.join import auto_join
+    from agraph_ray.ops.stats import _key_hash32
+    from agraph_ray.ops.text import add_token_count, decontaminate_ngrams
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def mod_split(want_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            rem = pc.subtract(t["doc_id"],
+                              pc.multiply(pc.divide(t["doc_id"], 10), 10))
+            m = pc.equal(rem, 0)
+            return t.filter(m if want_eval else pc.invert(m))
+        return f
+
+    train = docs.map_batches(mod_split(False), batch_format="pyarrow")
+    ev = docs.map_batches(mod_split(True), batch_format="pyarrow")
+    surv_ids = exact_dedup(train)                      # (hash, min doc_id)
+    deduped = auto_join(train, surv_ids.select_columns(["doc_id"]),
+                        ["doc_id"], how="semi")
+    kept = decontaminate_ngrams(deduped, ev, n=3, mode="drop")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = add_token_count(t)
+        hv = _key_hash32(t["doc_id"].to_pylist()) % np.uint64(100)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "token_count": t["token_count"],
+            "split": pa.array(np.where(hv < 95, "train", "val"))})
+
+    return kept.map_batches(finish, batch_format="pyarrow")
+
+
 def q_lineitem_expectations(sf_dir: str):
     """Data-quality expectations report: not-null / range / regex /
     uniqueness rules checked in one shared combiner pass plus one
@@ -2706,6 +2747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_dedup": q_docs_cdc_dedup,
         "events_attrib_linear": q_events_attrib_linear,
         "lineitem_expectations": q_lineitem_expectations,
+        "docs_curation_v2": q_docs_curation_v2,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3749,6 +3791,48 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS q75,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_curation_v2": """
+            WITH tr AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 10 <> 0),
+            ev AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 10 = 0),
+            dd AS (SELECT doc_id, text FROM tr
+                   QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                              ORDER BY doc_id) = 1),
+            trt AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w,
+                           unnest(generate_series(
+                               1, len(string_split(text, ' ')))) AS pos
+                    FROM dd),
+            evt AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS w,
+                           unnest(generate_series(
+                               1, len(string_split(text, ' ')))) AS pos
+                    FROM ev),
+            trg AS (SELECT doc_id,
+                           w || ' ' || lead(w, 1) OVER win
+                             || ' ' || lead(w, 2) OVER win AS gram
+                    FROM trt
+                    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            evg AS (SELECT DISTINCT
+                           w || ' ' || lead(w, 1) OVER win
+                             || ' ' || lead(w, 2) OVER win AS gram
+                    FROM evt
+                    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            bad AS (SELECT DISTINCT doc_id FROM trg
+                    WHERE gram IS NOT NULL
+                      AND gram IN (SELECT gram FROM evg
+                                   WHERE gram IS NOT NULL)),
+            kept AS (SELECT doc_id, text FROM dd
+                     WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS token_count,
+                   CASE WHEN CAST(('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                            % 100 < 95
+                        THEN 'train' ELSE 'val' END AS split
+            FROM kept ORDER BY doc_id
         """,
         "lineitem_expectations": """
             SELECT 'not_null' AS rule, 'l_orderkey' AS column,
