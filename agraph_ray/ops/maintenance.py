@@ -22,7 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["compact_parquet", "write_partitioned", "zorder_sort"]
+__all__ = ["compact_parquet", "write_partitioned", "zorder_sort",
+           "write_sorted", "read_range"]
 
 
 def _atomic_swap(tmp_dir: str, final_dir: str) -> None:
@@ -107,3 +108,70 @@ def zorder_sort(ds: "ray.data.Dataset", cols: Sequence[str],
 
     return (ds.map_batches(add_z, batch_format="pyarrow")
             .sort("__z").drop_columns(["__z"]))
+
+
+def write_sorted(ds: "ray.data.Dataset", out_dir: str, sort_col: str,
+                 num_files: int = 16) -> dict:
+    """Range-sorted Parquet layout with a per-file range manifest:
+    sort by ``sort_col``, write ~equal files, and record each file's
+    (min, max) in ``_ranges.json`` so a reader can prune whole files for
+    range predicates without opening footers. Atomic rename like every
+    writer here. Returns the manifest dict."""
+    import json
+
+    import ray
+
+    tmp = out_dir.rstrip("/") + ".sorted-" + uuid.uuid4().hex[:8]
+    os.makedirs(tmp, exist_ok=True)
+    s = ds.sort(sort_col).repartition(num_files)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        # worker-side write: one file per (already range-sorted) block;
+        # only the one-row manifest entry returns to the driver
+        import pyarrow.parquet as pq
+        if len(t) == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "min": pa.array([], t.schema.field(
+                                 sort_col).type),
+                             "max": pa.array([], t.schema.field(
+                                 sort_col).type)})
+        t = t.sort_by(sort_col)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(t, os.path.join(tmp, name))
+        return pa.table({"file": pa.array([name], pa.string()),
+                         "min": pa.array([t[sort_col][0].as_py()]),
+                         "max": pa.array([t[sort_col][-1].as_py()])})
+
+    entries = s.map_batches(write_block, batch_format="pyarrow",
+                            batch_size=None).take_all()
+    ranges = sorted(({"file": e["file"], "min": e["min"], "max": e["max"]}
+                     for e in entries), key=lambda r: (r["min"], r["max"]))
+    manifest = {"sort_col": sort_col, "files": ranges}
+    with open(os.path.join(tmp, "_ranges.json"), "w") as f:
+        json.dump(manifest, f)
+    _atomic_swap(tmp, out_dir)
+    return manifest
+
+
+def read_range(out_dir: str, lo, hi) -> "ray.data.Dataset":
+    """Read only the files of a :func:`write_sorted` layout whose range
+    overlaps [lo, hi] (file-level pruning off the manifest), with an
+    exact row filter on top."""
+    import json
+
+    import ray.data as rd
+    import pyarrow.dataset as pads
+
+    with open(os.path.join(out_dir, "_ranges.json")) as f:
+        manifest = json.load(f)
+    col = manifest["sort_col"]
+    files = [os.path.join(out_dir, r["file"]) for r in manifest["files"]
+             if not (r["max"] < lo or r["min"] > hi)]
+    if not files:
+        return rd.from_items([])
+    import pyarrow.compute as _pc
+    ds = rd.read_parquet(files)
+    return ds.map_batches(
+        lambda t: t.filter(_pc.and_(_pc.greater_equal(t[col], lo),
+                                    _pc.less_equal(t[col], hi))),
+        batch_format="pyarrow")

@@ -59,3 +59,26 @@ def test_zorder_sort_improves_block_locality(ray_session):
     # z-order keeps y spans far below the full range too
     plain = ds.sort("x").materialize()
     assert mean_span(z, "y") < 0.6 * mean_span(plain, "y")
+
+
+def test_write_sorted_and_range_pruned_read(ray_session, tmp_path):
+    import json
+    import ray.data as rd
+    from agraph_ray.ops.maintenance import read_range, write_sorted
+    d = str(tmp_path / "s")
+    df = pd.DataFrame({"k": np.random.default_rng(7).permutation(2000),
+                       "v": np.arange(2000)})
+    manifest = write_sorted(rd.from_pandas(df).repartition(8), d, "k",
+                            num_files=8)
+    # disjoint, ordered file ranges covering all keys
+    fs = manifest["files"]
+    assert len(fs) >= 2
+    for a, b in zip(fs, fs[1:]):
+        assert a["max"] < b["min"]
+    on_disk = json.load(open(os.path.join(d, "_ranges.json")))
+    assert on_disk == manifest
+    got = read_range(d, 100, 250).to_pandas().sort_values("k")
+    assert list(got["k"]) == list(range(100, 251))
+    # pruning really happened: only overlapping files were read
+    touched = [f for f in fs if not (f["max"] < 100 or f["min"] > 250)]
+    assert len(touched) < len(fs)
