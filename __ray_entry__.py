@@ -1978,6 +1978,40 @@ def q_docs_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def q_docs_scd2(sf_dir: str):
+    """SCD-type-2 MERGE: apply two deterministic update waves (ts 100
+    for doc_id%7, ts 200 for doc_id%14) to a versioned history of the
+    documents table; open rows close at the next version's start."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.setops import OPEN_SENTINEL, scd2_apply
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def as_hist(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "valid_from": pa.array([0] * len(t), pa.int64()),
+            "valid_to": pa.array([OPEN_SENTINEL] * len(t), pa.int64())})
+
+    def wave(m: int, lang: str, ts: int):
+        def f(t: pa.Table) -> pa.Table:
+            rem = pc.subtract(t["doc_id"],
+                              pc.multiply(pc.divide(t["doc_id"], m), m))
+            t = t.filter(pc.equal(rem, 0))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "lang": pa.array([lang] * len(t), pa.string()),
+                "ts": pa.array([ts] * len(t), pa.int64())})
+        return f
+
+    hist = docs.map_batches(as_hist, batch_format="pyarrow")
+    upd = (docs.map_batches(wave(7, "xx", 100), batch_format="pyarrow")
+           .union(docs.map_batches(wave(14, "yy", 200),
+                                   batch_format="pyarrow")))
+    return scd2_apply(hist, upd, ["doc_id"], "ts")
+
+
 def q_docs_curation_v2(sf_dir: str):
     """Composed curation pipeline v2, one oracle for the whole chain:
     held-out eval split → exact dedup (min-id per content hash, Bloom
@@ -2748,6 +2782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attrib_linear": q_events_attrib_linear,
         "lineitem_expectations": q_lineitem_expectations,
         "docs_curation_v2": q_docs_curation_v2,
+        "docs_scd2": q_docs_scd2,
         "orders_date_stats": q_orders_date_stats,
         "part_type_tokens": q_part_type_tokens,
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
@@ -3791,6 +3826,34 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS q75,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_scd2": """
+            WITH hist AS (SELECT doc_id, lang,
+                                 CAST(0 AS BIGINT) AS valid_from,
+                                 CAST(4611686018427387904 AS BIGINT)
+                                     AS valid_to
+                          FROM documents),
+            upd AS (SELECT doc_id, 'xx' AS lang,
+                           CAST(100 AS BIGINT) AS ts
+                    FROM documents WHERE doc_id % 7 = 0
+                    UNION ALL
+                    SELECT doc_id, 'yy', CAST(200 AS BIGINT)
+                    FROM documents WHERE doc_id % 14 = 0),
+            allv AS (SELECT doc_id, lang, valid_from, valid_to,
+                            0 AS src FROM hist
+                     UNION ALL
+                     SELECT doc_id, lang, ts,
+                            CAST(4611686018427387904 AS BIGINT), 1
+                     FROM upd)
+            SELECT doc_id, lang, valid_from,
+                   CASE WHEN valid_to = 4611686018427387904
+                             AND lead(valid_from) OVER w IS NOT NULL
+                        THEN lead(valid_from) OVER w
+                        ELSE valid_to END AS valid_to
+            FROM allv
+            WINDOW w AS (PARTITION BY doc_id
+                         ORDER BY src, valid_from, lang)
+            ORDER BY doc_id, valid_from
         """,
         "docs_curation_v2": """
             WITH tr AS (SELECT doc_id, text FROM documents

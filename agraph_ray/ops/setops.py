@@ -172,3 +172,77 @@ def table_checksum(ds: "ray.data.Dataset", cols: "list[str]",
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .repartition(1).map_batches(fold, batch_format="pandas"))
+
+
+OPEN_SENTINEL = 1 << 62          # valid_to of a current (open) version
+
+
+def scd2_apply(history: "ray.data.Dataset", updates: "ray.data.Dataset",
+               keys: "list[str]", ts_col: str,
+               valid_from: str = "valid_from", valid_to: str = "valid_to",
+               num_buckets: int = 64) -> "ray.data.Dataset":
+    """SCD-type-2 MERGE: apply timestamped update rows to a versioned
+    history table. Closed history rows pass through; each key's open row
+    closes at its first update's timestamp; the updates become
+    consecutive versions ``[ts_i, ts_{i+1})`` with the last one open
+    (``valid_to = OPEN_SENTINEL``). History columns =
+    keys + attrs + valid_from + valid_to; updates = keys + attrs +
+    ``ts_col``. One tagged-union key-bucketed reduce, vectorized per
+    bucket (lexsort + shift — no per-key Python); deterministic ties via
+    a stable all-column sort."""
+    hist_cols = list(history.schema().names)
+    attrs = [c for c in hist_cols
+             if c not in keys + [valid_from, valid_to]]
+    if list(updates.schema().names) != keys + attrs + [ts_col] and \
+            sorted(updates.schema().names) != sorted(keys + attrs
+                                                     + [ts_col]):
+        raise ValueError(
+            f"updates must carry {keys + attrs + [ts_col]}, got "
+            f"{list(updates.schema().names)}")
+
+    def tag_hist(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in keys + attrs}
+        cols[valid_from] = pa.compute.cast(t[valid_from], pa.int64())
+        cols[valid_to] = pa.compute.cast(t[valid_to], pa.int64())
+        cols[_SRC] = pa.array([0] * len(t), pa.int8())
+        return pa.table(cols)
+
+    def tag_upd(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in keys + attrs}
+        cols[valid_from] = pa.compute.cast(t[ts_col], pa.int64())
+        cols[valid_to] = pa.array([OPEN_SENTINEL] * len(t), pa.int64())
+        cols[_SRC] = pa.array([1] * len(t), pa.int8())
+        return pa.table(cols)
+
+    u = (history.map_batches(tag_hist, batch_format="pyarrow")
+         .union(updates.map_batches(tag_upd, batch_format="pyarrow")))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        other = [c for c in df.columns
+                 if c not in keys + [valid_from, valid_to, _SRC]]
+        df = df.sort_values(keys + [_SRC, valid_from] + other,
+                            kind="mergesort").reset_index(drop=True)
+        import numpy as np
+        k = df[keys].astype(str).agg("|".join, axis=1).to_numpy() \
+            if len(keys) > 1 else df[keys[0]].to_numpy()
+        src = df[_SRC].to_numpy()
+        vf = df[valid_from].to_numpy(dtype=np.int64)
+        vt = df[valid_to].to_numpy(dtype=np.int64).copy()
+        n = len(df)
+        if n:
+            same_next = np.empty(n, dtype=bool)
+            same_next[:-1] = k[:-1] == k[1:]
+            same_next[-1] = False
+            # a version (open history row or update) closes at the next
+            # version's valid_from within its key
+            nxt_vf = np.empty(n, dtype=np.int64)
+            nxt_vf[:-1] = vf[1:]
+            nxt_vf[-1] = OPEN_SENTINEL
+            open_row = vt == OPEN_SENTINEL
+            closes = same_next & open_row
+            vt = np.where(closes, nxt_vf, vt)
+        out = df.drop(columns=[_SRC]).copy()
+        out[valid_to] = vt
+        return out
+
+    return bucketed_group_reduce(u, keys, merge, num_buckets)

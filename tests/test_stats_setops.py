@@ -302,3 +302,29 @@ def test_grouped_zscore_join_path_equals_broadcast(ray_session):
         .sort_values(["g", "v"]).reset_index(drop=True)
     assert np.allclose(b["z"], j["z"], atol=1e-12)
     assert (b["g"] == j["g"]).all()
+
+
+def test_scd2_apply_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.setops import OPEN_SENTINEL, scd2_apply
+    hist = pd.DataFrame({
+        "k": [1, 1, 2],
+        "v": ["a0", "a1", "b0"],
+        "valid_from": [0, 10, 0],
+        "valid_to": [10, OPEN_SENTINEL, OPEN_SENTINEL]})
+    upd = pd.DataFrame({"k": [1, 1, 3], "v": ["a2", "a3", "c0"],
+                        "ts": [20, 30, 5]})
+    out = scd2_apply(rd.from_pandas(hist), rd.from_pandas(upd),
+                     ["k"], "ts").to_pandas() \
+        .sort_values(["k", "valid_from"]).reset_index(drop=True)
+    rows = list(map(tuple, out[["k", "v", "valid_from",
+                                "valid_to"]].values))
+    assert rows == [
+        (1, "a0", 0, 10),               # closed row untouched
+        (1, "a1", 10, 20),              # open row closed at first update
+        (1, "a2", 20, 30),              # update chain
+        (1, "a3", 30, OPEN_SENTINEL),   # newest stays open
+        (2, "b0", 0, OPEN_SENTINEL),    # no updates -> untouched
+        (3, "c0", 5, OPEN_SENTINEL),    # brand-new key inserts open
+    ]
