@@ -317,6 +317,25 @@ def q_docs_dedup_exact(sf_dir: str):
     return exact_dedup(ds).select_columns(["doc_id"])
 
 
+def q_turns_dedup(sf_dir: str):
+    """Corpus-level exact turn dedup (CCNet line-hash rule) over the
+    transcript turns: keep the globally first (conv_id, turn_idx)
+    occurrence of each distinct turn text; later repetitions across ALL
+    conversations are dropped. Only (md5, conv_id, turn_idx) rides the
+    shuffle; the kill list is duplicate-mass-bounded."""
+    import pyarrow.compute as pc
+    from agraph_ray.ops.dedup import line_dedup
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"])
+    out = line_dedup(ds, "conv_id", "turn_idx", "text")
+    return out.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("turn_idx"),
+                               "turn_idx", pc.cast(t["turn_idx"],
+                                                   "int64")),
+        batch_format="pyarrow")
+
+
 def q_docs_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a 'new crawl batch' (doc_id % 5 == 0)
     against the 'existing corpus' (the rest): bloom-accelerated anti join
@@ -2788,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_acct_by_nation": q_supplier_acct_by_nation,
         "events_json_extract": q_events_json_extract,
         "union_region_nation": q_union_region_nation,
+        "turns_dedup": q_turns_dedup,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
         "kg_triples": q_kg_triples,
@@ -4397,6 +4417,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reassemble_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+        """,
+        "turns_dedup": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS BIGINT) AS turn_idx,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            )
+            SELECT conv_id, turn_idx, text FROM t
+            QUALIFY row_number() OVER (
+                PARTITION BY text ORDER BY conv_id, turn_idx) = 1
         """,
         "llm_parse_entities": """
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 3)

@@ -50,6 +50,68 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     return reps
 
 
+def line_dedup(ds: "ray.data.Dataset", id_col: str = "conv_id",
+               pos_col: str = "turn_idx", text_col: str = "text",
+               broadcast_cap: int = 2_000_000,
+               num_buckets: int = 64) -> "ray.data.Dataset":
+    """Corpus-level exact line/turn dedup (the CCNet paragraph-hash rule):
+    keep only the globally FIRST occurrence — min ``(id, pos)``
+    lexicographic — of every distinct ``text_col`` value; all later
+    repetitions anywhere in the corpus are dropped. Run over transcript
+    turns this strips boilerplate turns repeated across conversations;
+    over newline-split documents it is line-level dedup.
+
+    Scale shape: only ``(16-byte md5, id, pos)`` rides the winner shuffle —
+    never the text. The kill list (duplicate occurrences only, bounded by
+    the duplicate mass, not the corpus) is broadcast as a set while it has
+    <= ``broadcast_cap`` rows; past that it anti-joins back to the input
+    via the bucketed co-group (one more shuffle, no driver state).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.common import arrow_col_type, bucketed_group_reduce
+    from .join import cogroup_join
+
+    def sig(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5((s or "").encode("utf-8")).hexdigest()
+             for s in batch[text_col].to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(h, pa.string()), batch[id_col].combine_chunks(),
+             batch[pos_col].combine_chunks()],
+            names=["h", id_col, pos_col])
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        # global winner per hash = min (id, pos); everything else dies
+        df = df.sort_values([id_col, pos_col], kind="stable")
+        return df.loc[df.duplicated("h", keep="first"), [id_col, pos_col]]
+
+    id_t = arrow_col_type(ds, id_col)
+    pos_t = arrow_col_type(ds, pos_col)
+    kill_schema = pa.schema([(id_col, id_t), (pos_col, pos_t)])
+    kills = bucketed_group_reduce(
+        ds.select_columns([id_col, pos_col, text_col]).map_batches(
+            sig, batch_format="pyarrow"),
+        ["h"], losers, num_buckets, schema=kill_schema).materialize()
+
+    if kills.count() <= broadcast_cap:
+        dead = set()
+        for b in kills.iter_batches(batch_format="pyarrow"):
+            dead.update(zip(b[id_col].to_pylist(), b[pos_col].to_pylist()))
+        dead_ref = ray.put(dead)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(dead_ref)
+            mask = pa.array([(i, p) not in d for i, p in
+                             zip(batch[id_col].to_pylist(),
+                                 batch[pos_col].to_pylist())])
+            return batch.filter(mask)
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+    return cogroup_join(ds, kills.union(rd.from_arrow(
+        kill_schema.empty_table())), on=[id_col, pos_col], how="anti")
+
+
 def dedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
                   text_col: str = "text", id_col: str = "doc_id",
                   m_bits: int = 1 << 23) -> "ray.data.Dataset":

@@ -215,3 +215,34 @@ def test_cdc_chunking_shift_invariance(ray_session):
     out2 = cdc_chunk_stats(rd.from_pandas(df).repartition(2),
                            mask_bits=8).to_pandas()
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_line_dedup_broadcast_and_antijoin_paths_agree(ray_session):
+    """Corpus-level first-occurrence turn dedup: the kill-list broadcast
+    path and the beyond-cap anti-join path (broadcast_cap=0) keep exactly
+    the same (conv_id, turn_idx) winners — min lexicographic per text."""
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.dedup import line_dedup
+
+    rows = []
+    texts = ["hello there", "repeated boilerplate", "unique alpha",
+             "repeated boilerplate", "unique beta"]
+    for cid in ["c2", "c1", "c3"]:
+        for i, t in enumerate(texts if cid != "c3"
+                              else ["repeated boilerplate", "solo"]):
+            rows.append({"conv_id": cid, "turn_idx": i, "text": t})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+    def key_set(out):
+        df = out.to_pandas()
+        return sorted(zip(df["conv_id"], df["turn_idx"]))
+
+    got_b = key_set(line_dedup(ds))
+    got_a = key_set(line_dedup(ds, broadcast_cap=0))
+    # pandas reference: first (conv_id, turn_idx) per distinct text
+    ref = (pd.DataFrame(rows).sort_values(["conv_id", "turn_idx"])
+           .drop_duplicates("text", keep="first"))
+    want = sorted(zip(ref["conv_id"], ref["turn_idx"]))
+    assert got_b == want
+    assert got_a == want
