@@ -336,6 +336,17 @@ def q_turns_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_docs_strip_spans(sf_dir: str):
+    """Exact duplicated-span removal (Lee et al. 2022): words covered by
+    any 8-gram window occurring >= 2 times corpus-wide are deleted and the
+    document rebuilt from the survivors."""
+    import ray.data as rd
+    from agraph_ray.ops.text import remove_duplicate_spans
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return remove_duplicate_spans(ds, n=8, min_count=2)
+
+
 def q_docs_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a 'new crawl batch' (doc_id % 5 == 0)
     against the 'existing corpus' (the rest): bloom-accelerated anti join
@@ -2691,6 +2702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_words_sketch": q_docs_top_words_sketch,
         # dedup family
         "docs_dedup_exact": q_docs_dedup_exact,
+        "docs_strip_spans": q_docs_strip_spans,
         "docs_dedup_incremental": q_docs_dedup_incremental,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
@@ -3034,6 +3046,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_strip_spans": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       unnest(generate_series(0,
+                           len(string_split(text, ' ')) - 1)) AS pos
+                FROM documents
+            ), g AS (
+                SELECT doc_id, pos,
+                       array_to_string(list(word) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING),
+                           ' ') AS gram,
+                       count(*) OVER (PARTITION BY doc_id) AS nw
+                FROM w
+                QUALIFY pos + 8 <= nw
+            ), kill AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY gram) AS c FROM g)
+                WHERE c >= 2
+            ), cov AS (
+                SELECT DISTINCT doc_id, pos FROM (
+                    SELECT doc_id,
+                           unnest(generate_series(pos, pos + 7)) AS pos
+                    FROM kill)
+            )
+            SELECT w.doc_id,
+                   coalesce(string_agg(w.word, ' ' ORDER BY w.pos)
+                            FILTER (WHERE cov.pos IS NULL), '') AS text,
+                   count(cov.pos) AS n_removed
+            FROM w LEFT JOIN cov
+              ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+            GROUP BY w.doc_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -693,6 +693,154 @@ def duplicate_ngram_stats(ds: "ray.data.Dataset", n: int = 8,
                        Sum("d", alias_name="n_dup_ngrams")))
 
 
+def remove_duplicate_spans(ds: "ray.data.Dataset", n: int = 8,
+                           min_count: int = 2, col: str = "text",
+                           id_col: str = "doc_id", num_buckets: int = 64,
+                           broadcast_cap: int = 2_000_000,
+                           ) -> "ray.data.Dataset":
+    """Exact duplicated-span REMOVAL (the acting half of
+    ``duplicate_ngram_stats``; Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): delete every word whose position is
+    covered by a word n-gram window that occurs at least ``min_count``
+    times corpus-wide (intra-doc repeats count), then rebuild each
+    document from the surviving words.
+
+    → ``(doc_id, text, n_removed)`` for EVERY input document (text
+    unchanged and n_removed=0 where nothing was duplicated).
+
+    Scale shape: the gram shuffle carries ``(u64 window hash, id, int32
+    pos)`` per window — order of the input's own word count, never gram
+    text; totals are an in-bucket ``transform('size')`` (all rows of a
+    gram co-locate). The kill list (one row per duplicated window
+    occurrence — bounded by the duplicate mass) is broadcast as per-doc
+    position arrays under ``broadcast_cap`` rows; past that it co-groups
+    back to the texts through the same bucketed reduce (tagged union on
+    ``doc_id`` — no driver state). Window hashing is the pinned
+    SipHash-polynomial scheme shared with ``duplicate_ngram_stats``;
+    single-space tokenization keeps the DuckDB oracle exact (2^-64
+    collisions are the accepted trade for never shuffling gram text)."""
+    import pandas as pd
+    import ray
+
+    from ..stages.canonicalize import _GRAM_MULT, _hash_tokens
+    from ..stages.common import arrow_col_type, bucketed_group_reduce
+
+    def windows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        toks_flat = lists.flatten().to_pandas().to_numpy(dtype=object)
+        th_flat = _hash_tokens(toks_flat) if len(toks_flat) else \
+            np.empty(0, np.uint64)
+        starts = np.cumsum(lens) - lens
+        out_doc, out_gram, out_pos = [], [], []
+        for d in range(len(batch)):
+            L = int(lens[d])
+            m = L - n + 1
+            if m <= 0:
+                continue
+            th = th_flat[starts[d]:starts[d] + L]
+            with np.errstate(over="ignore"):
+                g = np.zeros(m, dtype=np.uint64)
+                for i in range(n):
+                    g = g * _GRAM_MULT + th[i:i + m]
+            out_doc.append(np.full(m, ids[d], dtype=object))
+            out_gram.append(g.view(np.int64))
+            out_pos.append(np.arange(m, dtype=np.int32))
+        if not out_doc:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "gram": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int32())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_doc)).cast(
+                batch[id_col].type),
+            "gram": pa.array(np.concatenate(out_gram), pa.int64()),
+            "pos": pa.array(np.concatenate(out_pos), pa.int32())})
+
+    def dup_occurrences(df: pd.DataFrame) -> pd.DataFrame:
+        total = df.groupby("gram")["gram"].transform("size")
+        return df.loc[total >= min_count, [id_col, "pos"]]
+
+    id_t = arrow_col_type(ds, id_col)
+    kills = bucketed_group_reduce(
+        ds.select_columns([id_col, col]).map_batches(
+            windows, batch_format="pyarrow"),
+        ["gram"], dup_occurrences, num_buckets,
+        schema=pa.schema([(id_col, id_t), ("pos", pa.int32())]),
+    ).materialize()
+
+    out_schema = pa.schema([(id_col, id_t), (col, pa.string()),
+                            ("n_removed", pa.int64())])
+
+    def _strip_one(text: str, kp: np.ndarray):
+        words = text.split(" ")
+        L = len(words)
+        if kp.size == 0:
+            return text, 0
+        delta = np.zeros(L + 1, np.int64)
+        np.add.at(delta, kp, 1)
+        np.add.at(delta, np.minimum(kp + n, L), -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        keep = np.asarray(words, dtype=object)[~covered]
+        return " ".join(keep), int(covered.sum())
+
+    if kills.count() <= broadcast_cap:
+        by_doc: dict = {}
+        for b in kills.iter_batches(batch_format="pyarrow"):
+            for i, p in zip(b[id_col].to_pylist(), b["pos"].to_pylist()):
+                by_doc.setdefault(i, []).append(p)
+        kp_ref = ray.put({i: np.asarray(sorted(p), np.int64)
+                          for i, p in by_doc.items()})
+        _EMPTY = np.empty(0, np.int64)
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            kp = ray.get(kp_ref)
+            texts, removed = [], []
+            for i, t in zip(batch[id_col].to_pylist(),
+                            batch[col].to_pylist()):
+                s, r = _strip_one(t or "", kp.get(i, _EMPTY))
+                texts.append(s)
+                removed.append(r)
+            return pa.Table.from_arrays(
+                [batch[id_col].combine_chunks(),
+                 pa.array(texts, pa.string()),
+                 pa.array(removed, pa.int64())], schema=out_schema)
+
+        return ds.select_columns([id_col, col]).map_batches(
+            rebuild, batch_format="pyarrow")
+
+    # beyond-cap path: tagged union co-grouped on doc_id, no driver state
+    import ray.data as rd
+    tag_schema = pa.schema([(id_col, id_t), ("pos", pa.int32()),
+                            (col, pa.string())])
+    doc_rows = ds.select_columns([id_col, col]).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t[id_col].combine_chunks(),
+             pa.nulls(len(t), pa.int32()), t[col].combine_chunks()],
+            schema=tag_schema), batch_format="pyarrow")
+    kill_rows = kills.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t[id_col].combine_chunks(), t["pos"].combine_chunks(),
+             pa.nulls(len(t), pa.string())], schema=tag_schema),
+        batch_format="pyarrow")
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out_i, out_t, out_r = [], [], []
+        for i, g in df.groupby(id_col, sort=False):
+            trow = g[col].dropna()
+            if trow.empty:       # kill rows without a doc row (can't happen)
+                continue
+            kp = g["pos"].dropna().to_numpy(np.int64)
+            s, r = _strip_one(trow.iloc[0] or "", np.sort(kp))
+            out_i.append(i)
+            out_t.append(s)
+            out_r.append(r)
+        return pd.DataFrame({id_col: out_i, col: out_t, "n_removed": out_r})
+
+    return bucketed_group_reduce(doc_rows.union(kill_rows), [id_col],
+                                 per_doc, num_buckets, schema=out_schema)
+
+
 def bm25_topk(ds: "ray.data.Dataset", queries: dict, k: int = 10,
               k1: float = 1.2, b: float = 0.75, col: str = "text",
               id_col: str = "doc_id",

@@ -246,3 +246,31 @@ def test_line_dedup_broadcast_and_antijoin_paths_agree(ray_session):
     want = sorted(zip(ref["conv_id"], ref["turn_idx"]))
     assert got_b == want
     assert got_a == want
+
+
+def test_remove_duplicate_spans_paths_and_semantics(ray_session):
+    """Duplicated 4-gram spans are cut, uniques survive; broadcast and
+    beyond-cap co-group rebuild paths produce identical output."""
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.text import remove_duplicate_spans
+
+    span = "alpha beta gamma delta"
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [f"intro one {span} tail zero",
+                 f"other words here {span} closing bits now",
+                 "totally unique text with no repeats at all"]})
+    ds = rd.from_pandas(df).repartition(2)
+
+    def run(cap):
+        out = remove_duplicate_spans(ds, n=4, min_count=2,
+                                     broadcast_cap=cap).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    got = run(2_000_000)
+    assert got.loc[0, "text"] == "intro one tail zero"
+    assert got.loc[1, "text"] == "other words here closing bits now"
+    assert got.loc[2, "text"] == df.loc[2, "text"]
+    assert got["n_removed"].tolist() == [4, 4, 0]
+    pd.testing.assert_frame_equal(got, run(0))
