@@ -1255,6 +1255,34 @@ def q_part_triangles(sf_dir: str):
     return triangle_counts(_coorder_part_edges(sf_dir))
 
 
+def q_part_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart) from seed parts
+    {0,1,2} over the symmetrized co-ordered-parts graph, 6 rounds — the
+    graph-local relevance score for seed-anchored retrieval. Symmetrized
+    graph has no dangling nodes, so the fixpoint is a recursive-CTE power
+    iteration in DuckDB: full oracle."""
+    import pyarrow as pa
+    from agraph_ray.ops.graph_algo import personalized_pagerank
+
+    def both_dirs(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "src": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["b"].combine_chunks(),
+                                     t["a"].combine_chunks()])})
+
+    edges = _coorder_part_edges(sf_dir).map_batches(
+        both_dirs, batch_format="pyarrow")
+    out = personalized_pagerank(edges, seeds=[0, 1, 2], iters=6,
+                                assume_no_dangling=True, round_to=None)
+    return out.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "rank_e6": pc.cast(pc.floor(pc.add(
+                pc.multiply(t["rank"], 1e6), 0.5)), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_supplier_components(sf_dir: str):
     """Connected components (min-label) of the sparse supplier–part
     bipartite graph restricted to l_quantity = 50 lineitems — the
@@ -2746,6 +2774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": q_part_triangles,
         "supplier_components": q_supplier_components,
         "part_pagerank": q_part_pagerank,
+        "part_ppr": q_part_ppr,
         "part_kcore": q_part_kcore,
         "part_communities": q_part_communities,
         "full_outer_parts": q_full_outer_parts,
@@ -3483,6 +3512,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(dot / greatest(nv * nc, 1e-300)
                               * 1000000 + 0.5) AS BIGINT) AS cos_micro
             FROM j
+        """,
+        "part_ppr": """
+            WITH RECURSIVE
+            eu AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                   FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey),
+            e AS (SELECT a AS src, b AS dst FROM eu
+                  UNION ALL SELECT b, a FROM eu),
+            deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+                    FROM e GROUP BY src),
+            pr(iter, node, rank) AS (
+                SELECT 0, src,
+                       CASE WHEN src IN (0, 1, 2)
+                            THEN CAST(1 AS DOUBLE) / 3
+                            ELSE CAST(0 AS DOUBLE) END
+                FROM (SELECT DISTINCT src FROM e)
+                UNION ALL
+                SELECT p.iter + 1, ee.dst,
+                       (CAST(1 AS DOUBLE) - 0.85) *
+                           (CASE WHEN ee.dst IN (0, 1, 2)
+                                 THEN CAST(1 AS DOUBLE) / 3
+                                 ELSE CAST(0 AS DOUBLE) END)
+                       + 0.85 * sum(p.rank / d.od)
+                FROM pr p JOIN e ee ON ee.src = p.node
+                          JOIN deg d ON d.src = p.node
+                WHERE p.iter < 6
+                GROUP BY p.iter, ee.dst
+            )
+            SELECT node, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_e6
+            FROM pr WHERE iter = 6
         """,
         "part_triangles": """
             WITH e AS (SELECT DISTINCT l1.l_partkey AS a,

@@ -26,8 +26,8 @@ import pyarrow.compute as pc
 from ..stages.common import bucketed_group_reduce, distinct_on
 
 __all__ = ["pairs_within_groups", "triangle_counts", "pagerank",
-           "k_core", "label_propagation", "link_prediction_scores",
-           "random_walks"]
+           "personalized_pagerank", "k_core", "label_propagation",
+           "link_prediction_scores", "random_walks"]
 
 
 def pairs_within_groups(ds: "ray.data.Dataset", group_col: str,
@@ -277,7 +277,8 @@ def triangle_counts(edges: "ray.data.Dataset",
 
 
 def _driver_pagerank(ed: "ray.data.Dataset", damping: float, iters: int,
-                     round_to: Optional[int]) -> "ray.data.Dataset":
+                     round_to: Optional[int],
+                     seeds: Optional[list] = None) -> "ray.data.Dataset":
     """Exact numpy power iteration for edge sets that fit the driver —
     a label-propagation-style distributed round costs several
     whole-cluster executions, pure overhead for a few-million-edge
@@ -299,12 +300,22 @@ def _driver_pagerank(ed: "ray.data.Dataset", damping: float, iters: int,
     di = np.searchsorted(nodes, dst)
     outdeg = np.bincount(si, minlength=n)
     sinks = outdeg == 0
-    r = np.full(n, 1.0 / n)
+    if seeds is None:
+        e = np.full(n, 1.0 / n)
+    else:
+        # teleport mass only on the seed nodes (absent seeds lose their
+        # share — S is the given seed count, matching the SQL oracle)
+        e = np.zeros(n)
+        sidx = np.searchsorted(nodes, np.asarray(seeds, np.int64))
+        sidx = sidx[(sidx < n) & (nodes[np.minimum(sidx, n - 1)]
+                                  == np.asarray(seeds, np.int64))]
+        e[sidx] = 1.0 / len(seeds)
+    r = e.copy()
     for _ in range(iters):
         contrib = r[si] / outdeg[si]
         insum = np.bincount(di, weights=contrib, minlength=n)
         dang = r[sinks].sum()
-        r = (1.0 - damping) / n + damping * (insum + dang / n)
+        r = (1.0 - damping) * e + damping * (insum + dang * e)
     if round_to is not None:
         r = np.round(r, round_to)
     return rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64()),
@@ -315,7 +326,8 @@ def pagerank(edges: "ray.data.Dataset", damping: float = 0.85,
              iters: int = 20, src_col: str = "src", dst_col: str = "dst",
              num_buckets: int = 64, round_to: Optional[int] = 8,
              driver_threshold: int = 5_000_000,
-             assume_no_dangling: bool = False) -> "ray.data.Dataset":
+             assume_no_dangling: bool = False,
+             seeds: Optional[list] = None) -> "ray.data.Dataset":
     """Exact power-iteration PageRank over a directed edge list →
     ``(node, rank)`` for every node incident to an edge. Dangling mass
     (nodes with no out-edges) is redistributed uniformly each round, so
@@ -344,7 +356,7 @@ def pagerank(edges: "ray.data.Dataset", damping: float = 0.85,
                        batch_format="pyarrow")
           .materialize())
     if ed.count() <= driver_threshold:
-        return _driver_pagerank(ed, damping, iters, round_to)
+        return _driver_pagerank(ed, damping, iters, round_to, seeds)
 
     def node_partial(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -365,10 +377,20 @@ def pagerank(edges: "ray.data.Dataset", damping: float = 0.85,
             {"node": pa.array([], pa.int64()),
              "rank": pa.array([], pa.float64())}))
 
-    r0 = 1.0 / n
+    seed_arr = (np.unique(np.asarray(seeds, np.int64))
+                if seeds is not None else None)
+    n_seeds = len(seeds) if seeds is not None else 0
+
+    def _teleport(node_arr: np.ndarray) -> np.ndarray:
+        """e(v): uniform 1/n (standard) or 1/S on seeds (personalized)."""
+        if seed_arr is None:
+            return np.full(len(node_arr), 1.0 / n)
+        return np.where(np.isin(node_arr, seed_arr), 1.0 / n_seeds, 0.0)
+
     state = state.map_batches(
         lambda t: t.append_column("rank", pa.array(
-            np.full(len(t), r0), pa.float64())),
+            _teleport(t["node"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)), pa.float64())),
         batch_format="pyarrow").materialize()
 
     msg_schema = pa.schema([("node", pa.int64()), ("w", pa.float64()),
@@ -404,7 +426,7 @@ def pagerank(edges: "ray.data.Dataset", damping: float = 0.85,
 
     for _ in range(iters):
         if assume_no_dangling:
-            base = (1.0 - damping) / n
+            tele_mass = 1.0 - damping
         else:
             dang = state.map_batches(
                 lambda t: pa.table({"dm": pa.array(
@@ -414,22 +436,24 @@ def pagerank(edges: "ray.data.Dataset", damping: float = 0.85,
                         0.0).sum())],
                     pa.float64())}),
                 batch_format="pyarrow").aggregate(Sum("dm", alias_name="dm"))
-            base = ((1.0 - damping) / n
-                    + damping * float(dang["dm"] or 0.0) / n)
+            tele_mass = (1.0 - damping
+                         + damping * float(dang["dm"] or 0.0))
 
         tagged = (state.map_batches(tag_state, batch_format="pyarrow")
                   .union(ed.map_batches(tag_edge, batch_format="pyarrow")))
         msgs = bucketed_group_reduce(tagged, ["key"], contrib, num_buckets,
                                      schema=msg_schema)
 
-        def resolve(df: pd.DataFrame, _base=base) -> pd.DataFrame:
+        def resolve(df: pd.DataFrame, _tm=tele_mass) -> pd.DataFrame:
             g = df.groupby("node", sort=False)
             insum = g["w"].sum()
             od = g["outdeg"].max()    # exactly one non-null per node
+            nodes_arr = insum.index.to_numpy()
             return pd.DataFrame({
-                "node": insum.index.to_numpy(),
+                "node": nodes_arr,
                 "outdeg": od.to_numpy(dtype="float64").astype("int64"),
-                "rank": _base + damping * insum.to_numpy()})
+                "rank": (_tm * _teleport(nodes_arr.astype(np.int64))
+                         + damping * insum.to_numpy())})
 
         state = bucketed_group_reduce(msgs, ["node"], resolve, num_buckets,
                                       schema=state_schema).materialize()
@@ -442,6 +466,23 @@ def pagerank(edges: "ray.data.Dataset", damping: float = 0.85,
                                                  ndigits=round_to)}),
             batch_format="pyarrow")
     return out
+
+
+def personalized_pagerank(edges: "ray.data.Dataset", seeds: list,
+                          damping: float = 0.85, iters: int = 20,
+                          **kw) -> "ray.data.Dataset":
+    """Personalized PageRank: the teleport vector is uniform over
+    ``seeds`` (1/len(seeds) each) instead of uniform over all nodes, and
+    dangling mass restarts at the seeds — the random-walk-with-restart
+    relevance score used for graph-local retrieval (seed entities →
+    related entities). Same size-adaptive driver/distributed machinery
+    as :func:`pagerank`; seeds are a small query-side list by contract
+    (they ride into the resolve closure, never a shuffle). With a fixed
+    iteration count the fixpoint is SQL-expressible as a recursive CTE
+    power iteration, so this op is oracle-checked end to end
+    (``__ray_entry__.oracle_sql()['part_ppr']``)."""
+    return pagerank(edges, damping=damping, iters=iters, seeds=list(seeds),
+                    **kw)
 
 
 def _driver_k_core(edges_df: pd.DataFrame, k: int) -> pd.DataFrame:

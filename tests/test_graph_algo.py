@@ -258,3 +258,48 @@ def test_random_walks_distributed_equals_broadcast(ray_session):
                         adj_broadcast_cap=0).to_pandas()
     key = lambda d: sorted(map(tuple, d[["walk_id", "step", "node"]].values))
     assert key(fast) == key(slow)
+
+
+def _dense_ppr(df, seeds, damping, iters):
+    nodes = np.unique(df[["src", "dst"]].to_numpy())
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, d in df.itertuples(index=False):
+        A[idx[s], idx[d]] += 1.0
+    # collapse parallel edges like the op's out-degree (count-based)
+    od = A.sum(1)
+    e = np.zeros(n)
+    for s in seeds:
+        if s in idx:
+            e[idx[s]] = 1.0 / len(seeds)
+    r = e.copy()
+    for _ in range(iters):
+        contrib = np.where(od[:, None] > 0, A * (r / np.maximum(od, 1))[:, None], 0)
+        insum = contrib.sum(0)
+        dang = r[od == 0].sum()
+        r = (1 - damping) * e + damping * (insum + dang * e)
+    return dict(zip(nodes, r))
+
+
+def test_personalized_pagerank_driver_and_distributed(ray_session):
+    """PPR teleports to the seed set only; distributed shuffle rounds
+    (driver_threshold=0) match the driver numpy iteration exactly."""
+    import ray.data as rd
+    from agraph_ray.ops.graph_algo import personalized_pagerank
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"src": rng.integers(0, 40, 250),
+                       "dst": rng.integers(0, 45, 250)})
+    seeds = [0, 1, 2]
+    exp = _dense_ppr(df, seeds, 0.85, 8)
+    for thr in (5_000_000, 0):
+        out = personalized_pagerank(rd.from_pandas(df), seeds,
+                                    damping=0.85, iters=8, round_to=None,
+                                    driver_threshold=thr).to_pandas()
+        got = dict(zip(out["node"], out["rank"]))
+        assert set(got) == set(exp)
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-9, (thr, k)
+        # mass concentrates near the seeds: every seed outranks the median
+        med = float(np.median(list(got.values())))
+        assert all(got[s] > med for s in seeds)
