@@ -207,23 +207,66 @@ def _pair_factory(threshold: float, cap: int,
         import json as _json
         src, dst, sims = [], [], []
         has_attrs = "aliases" in df.columns
-        for block_key, g in df.groupby("block_key", sort=False):
-            g = g.drop_duplicates("entity_id").sort_values("entity_id")
-            ids = g["entity_id"].tolist()
-            names = g["name"].tolist()
-            is_alias_block = block_key.startswith("A:")
+        if df.empty:
+            return pd.DataFrame({"src": pd.Series([], dtype="object"),
+                                 "dst": pd.Series([], dtype="object"),
+                                 "sim": pd.Series([], dtype="float64")})
+        # ONE global dedup + sort instead of a pandas frame per block
+        # (per-block drop_duplicates/sort_values dominated the pass at
+        # ~5k blocks — the per-key pathology, on the driver), then numpy
+        # slices per block. Per-block member sets/order are unchanged:
+        # dedup on (block_key, entity_id) keeps the same first
+        # occurrence, and members iterate in entity_id order as before.
+        df = (df.drop_duplicates(["block_key", "entity_id"])
+              .sort_values(["block_key", "entity_id"], kind="mergesort"))
+        bk_arr = df["block_key"].to_numpy()
+        ids_arr = df["entity_id"].to_numpy()
+        names_arr = df["name"].to_numpy()
+        if has_attrs:
+            types_arr = df["entity_type"].to_numpy()
+            alias_arr = [list(a) if a is not None else []
+                         for a in df["aliases"]]
+            props_arr = [(_json.loads(p) if p else {})
+                         for p in df["properties"]]
+        starts = np.flatnonzero(
+            np.r_[True, bk_arr[1:] != bk_arr[:-1]]) \
+            if len(bk_arr) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(bk_arr)] if len(starts) \
+            else np.empty(0, np.int64)
+        # The same entity pair collides in MANY minhash bands (up to
+        # lsh_bands times) and possibly alias blocks too — score each
+        # distinct pair once per kind, not once per collision
+        # (SequenceMatcher dominates an otherwise-instant pass).
+        _nc: dict = {}
+        _wc: dict = {}
+
+        def _name_sim(x: str, y: str) -> float:
+            v = _nc.get((x, y))
+            if v is None:
+                v = _nc[(x, y)] = name_similarity(x, y)
+            return v
+
+        def _w_sim(ki, kj, *args) -> float:
+            v = _wc.get((ki, kj))
+            if v is None:
+                v = _wc[(ki, kj)] = weighted_similarity(*args)
+            return v
+        for s0, e0 in zip(starts, ends):
+            n = int(e0 - s0)
+            if n < 2:
+                continue
+            ids = ids_arr[s0:e0].tolist()
+            names = names_arr[s0:e0].tolist()
+            is_alias_block = bk_arr[s0].startswith("A:")
             if has_attrs:
-                types = g["entity_type"].tolist()
-                aliases = [list(a) if a is not None else []
-                           for a in g["aliases"]]
-                props = [(_json.loads(p) if p else {})
-                         for p in g["properties"]]
+                types = types_arr[s0:e0].tolist()
+                aliases = alias_arr[s0:e0]
+                props = props_arr[s0:e0]
             else:
-                types = [None] * len(ids)
+                types = [None] * n
                 aliases = [[] for _ in ids]
                 props = [{} for _ in ids]
             budget = cap
-            n = len(ids)
             for i in range(n):
                 if budget <= 0:
                     break
@@ -233,15 +276,17 @@ def _pair_factory(threshold: float, cap: int,
                         break
                     if is_alias_block:
                         src.append(ids[i]); dst.append(ids[j])
-                        sims.append(weighted_similarity(
+                        sims.append(_w_sim(
+                            ids[i], ids[j],
                             names[i], names[j], types[i], types[j],
                             aliases[i], aliases[j], props[i], props[j]))
                         continue
-                    s = name_similarity(names[i], names[j])
+                    s = _name_sim(names[i], names[j])
                     if s >= threshold:
                         src.append(ids[i]); dst.append(ids[j]); sims.append(s)
                     elif aliases[i] or aliases[j] or props[i] or props[j]:
-                        w = weighted_similarity(
+                        w = _w_sim(
+                            ids[i], ids[j],
                             names[i], names[j], types[i], types[j],
                             aliases[i], aliases[j], props[i], props[j])
                         if w >= weighted_threshold:
@@ -341,6 +386,14 @@ def compute_canonical_map(nodes: "ray.data.Dataset",
     bands = nodes.select_columns(_band_cols(nodes)).map_batches(
         MinHashBander(cfg), batch_format="pyarrow")
     df = _collect_df(bands)
+    return _map_from_band_rows(df, cfg)
+
+
+def _map_from_band_rows(df: pd.DataFrame,
+                        cfg: KGConfig) -> Dict[str, str]:
+    """Band rows → candidate pairs → union-find → canonical map (the
+    shared driver tail of compute_canonical_map and the single-collect
+    canonicalize fast path)."""
     if df.empty:
         return {}
     pairs = _pair_factory(cfg.link_threshold, cfg.max_block_pairs,
@@ -363,6 +416,20 @@ def compute_canonical_map(nodes: "ray.data.Dataset",
     return {n: find(n) for n in parent if find(n) != n}
 
 
+def _canonical_map_from_df(ndf: pd.DataFrame,
+                           cfg: KGConfig) -> Dict[str, str]:
+    """compute_canonical_map over an already-collected node frame — the
+    bander runs in-process on one Arrow table (vocabulary-sized input by
+    contract), so no cluster execution at all."""
+    if ndf.empty:
+        return {}
+    base = ["entity_id", "name", "entity_type"]
+    cols = base + [c for c in ("aliases", "properties")
+                   if c in ndf.columns]
+    t = pa.Table.from_pandas(ndf[cols], preserve_index=False)
+    return _map_from_band_rows(MinHashBander(cfg)(t).to_pandas(), cfg)
+
+
 def _fill_schema_cols(df: pd.DataFrame, schema: pa.Schema) -> pd.DataFrame:
     """Add any schema columns the frame lacks as nulls (inputs predating
     the properties/description columns remain valid)."""
@@ -372,14 +439,40 @@ def _fill_schema_cols(df: pd.DataFrame, schema: pa.Schema) -> pd.DataFrame:
     return df
 
 
+def _merge_group_row(g: pd.DataFrame) -> pd.Series:
+    """Collapse one canonical merge group to its representative row:
+    max-confidence witness keeps its fields, other names become aliases,
+    properties dict-merge, mention/conv counts sum."""
+    g = g.sort_values(["confidence", "entity_id"],
+                      ascending=[False, True], kind="mergesort")
+    rep = g.iloc[0].copy()
+    rep["entity_id"] = g["canonical_id"].iloc[0]
+    others = sorted(set(g["name"]) - {rep["name"]})
+    rep["aliases"] = sorted(
+        {a for lst in g["aliases"] for a in lst} | set(others))
+    if "properties" in g.columns:
+        from .dedup import merge_properties
+        gg = g.assign(__k="x")
+        merged = merge_properties(gg, "__k")
+        rep["properties"] = merged.get("x")
+    rep["n_mentions"] = int(g["n_mentions"].sum())
+    rep["n_convs"] = int(g["n_convs"].sum())
+    return rep.drop(labels=["canonical_id"])
+
+
 def _canonicalize_driver(nodes, edges, cmap, merge_group):
     """Whole-graph driver rewrite for dictionary-sized graphs: node merge,
     edge endpoint rewrite, self-loop drop, and signature re-dedup in one
     pandas pass — zero cluster executions. Returns (pa.Table, pa.Table)."""
     from .dedup import EDGES_SCHEMA, NODES_SCHEMA
-    ndf = _fill_schema_cols(
-        _collect_df(nodes) if hasattr(nodes, "iter_batches")
-        else nodes.to_pandas(), NODES_SCHEMA)
+
+    def _as_df(x):
+        if isinstance(x, pd.DataFrame):
+            return x
+        return _collect_df(x) if hasattr(x, "iter_batches") \
+            else x.to_pandas()
+
+    ndf = _fill_schema_cols(_as_df(nodes), NODES_SCHEMA)
     ndf["aliases"] = ndf["aliases"].map(
         lambda v: list(v) if v is not None else [])
     affected = set(cmap) | set(cmap.values())
@@ -397,9 +490,7 @@ def _canonicalize_driver(nodes, edges, cmap, merge_group):
                                    preserve_index=False
                                    ).replace_schema_metadata(None)
 
-    edf = _fill_schema_cols(
-        _collect_df(edges) if hasattr(edges, "iter_batches")
-        else edges.to_pandas(), EDGES_SCHEMA)
+    edf = _fill_schema_cols(_as_df(edges), EDGES_SCHEMA)
     edf["head_id"] = edf["head_id"].map(lambda i: cmap.get(i, i))
     edf["tail_id"] = edf["tail_id"].map(lambda i: cmap.get(i, i))
     edf = edf[edf["head_id"] != edf["tail_id"]]
@@ -429,27 +520,38 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
     id→root dict) — only matched duplicates appear in the map.
     """
     cfg = cfg or KGConfig()
+
+    if (nodes.count() <= min(driver_threshold, 200_000)
+            and edges.count() <= driver_threshold):
+        # Single-collect fast path: pull nodes and edges once (two reads
+        # of already-materialized blocks, overlapped on threads) and run
+        # banding, pair generation, union-find and the whole-graph
+        # rewrite in-process. Replaces ~6 fixed-latency cluster
+        # executions with 2 — this was the dominant SERIAL term of the
+        # headline pipeline (4.5 s at every CPU count on a 241-node
+        # graph), i.e. the Amdahl cap on scaling efficiency.
+        from concurrent.futures import ThreadPoolExecutor
+        from .dedup import EDGES_SCHEMA, NODES_SCHEMA
+        with ThreadPoolExecutor(max_workers=2) as tp:
+            f_n = tp.submit(_collect_df, nodes)
+            f_e = tp.submit(_collect_df, edges)
+            ndf, edf = f_n.result(), f_e.result()
+        ndf = _fill_schema_cols(ndf, NODES_SCHEMA) if len(ndf) else ndf
+        edf = _fill_schema_cols(edf, EDGES_SCHEMA) if len(edf) else edf
+        cmap = _canonical_map_from_df(ndf, cfg)
+        if not cmap:
+            return nodes, edges, {}
+        nodes_t, edges_t = _canonicalize_driver(ndf, edf, cmap,
+                                                _merge_group_row)
+        return nodes_t, edges_t, cmap
+
     cmap = compute_canonical_map(nodes, cfg)
     if not cmap:
         return nodes, edges, {}
+    _merge_group = _merge_group_row
 
-    def _merge_group(g: pd.DataFrame) -> pd.Series:
-        g = g.sort_values(["confidence", "entity_id"],
-                          ascending=[False, True], kind="mergesort")
-        rep = g.iloc[0].copy()
-        rep["entity_id"] = g["canonical_id"].iloc[0]
-        others = sorted(set(g["name"]) - {rep["name"]})
-        rep["aliases"] = sorted(
-            {a for lst in g["aliases"] for a in lst} | set(others))
-        if "properties" in g.columns:
-            from .dedup import merge_properties
-            gg = g.assign(__k="x")
-            merged = merge_properties(gg, "__k")
-            rep["properties"] = merged.get("x")
-        rep["n_mentions"] = int(g["n_mentions"].sum())
-        rep["n_convs"] = int(g["n_convs"].sum())
-        return rep.drop(labels=["canonical_id"])
-
+    # 200k < nodes <= driver_threshold: cmap came from the distributed
+    # linker, but the whole-graph rewrite still fits the driver
     if (nodes.count() <= driver_threshold
             and edges.count() <= driver_threshold):
         nodes_t, edges_t = _canonicalize_driver(nodes, edges, cmap,
