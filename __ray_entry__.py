@@ -372,6 +372,33 @@ def q_docs_dedup_incremental(sf_dir: str):
     return dedup_against(new, old)
 
 
+def q_docs_neardedup_incremental(sf_dir: str):
+    """Incremental NEAR-dup filter of the same 'new crawl batch' against
+    the 'existing corpus': LSH cross-side candidates + exact Jaccard
+    verify (>= 0.7), survivors of `new` returned. LSH recall makes the
+    result non-SQL-expressible — rows-only, semantics pytest-pinned
+    (ops/dedup.py::neardedup_against)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.dedup import neardedup_against
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def part(t: pa.Table, is_new: bool) -> pa.Table:
+        k = t["doc_id"]
+        five = pa.scalar(5, pa.int64())
+        mod = pc.subtract(k, pc.multiply(pc.divide(k, five), five))
+        m = pc.equal(mod, pa.scalar(0, pa.int64()))
+        return t.filter(m if is_new else pc.invert(m))
+
+    new = docs.map_batches(lambda t: part(t, True), batch_format="pyarrow")
+    old = docs.map_batches(lambda t: part(t, False),
+                           batch_format="pyarrow")
+    return (neardedup_against(new, old, jaccard_threshold=0.7)
+            .select_columns(["doc_id"]))
+
+
 def q_docs_minhash_pairs(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import ngram_jaccard_pairs
@@ -2732,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_exact": q_docs_dedup_exact,
         "docs_strip_spans": q_docs_strip_spans,
         "docs_dedup_incremental": q_docs_dedup_incremental,
+        "docs_neardedup_incremental": q_docs_neardedup_incremental,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_minhash_dedup": q_docs_minhash_dedup,

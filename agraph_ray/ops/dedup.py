@@ -150,6 +150,124 @@ def dedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
     return out.select_columns([id_col, "content_hash"])
 
 
+def neardedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      jaccard_threshold: float = 0.8, num_perm: int = 64,
+                      bands: int = 16, max_bucket: int = 1000,
+                      broadcast_cap: int = 2_000_000) -> "ray.data.Dataset":
+    """Incremental NEAR-dup filter: rows of ``new`` with no near-duplicate
+    (word-shingle Jaccard >= ``jaccard_threshold``) in ``existing`` — the
+    crawl-growth sibling of :func:`dedup_against` (exact tier) one rung up
+    the curation ladder. Document ids must be DISJOINT across the sides.
+
+    Scale shape: both corpora are signed map-side into ``(id, band,
+    bucket)`` rows (never text). Candidate pairs are generated only
+    CROSS-side inside each (band, bucket) — new x existing, each side
+    capped at ``max_bucket`` ids per bucket — so an all-new or all-old
+    bucket emits nothing. Verification co-groups candidate-incident
+    shingle sets through the same two bucketed shuffles as
+    :func:`minhash_dedup` (semi-join pruned). The kill list (new ids with
+    a confirmed existing near-dup, bounded by the duplicate mass) is
+    broadcast under ``broadcast_cap`` rows, else anti-joined back via the
+    bucketed co-group. Within-batch near-dups are out of scope — run
+    :func:`minhash_dedup` on ``new`` first if needed."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.common import arrow_col_type, bucketed_group_reduce
+    from .join import cogroup_join
+
+    signer = MinHashSigner(num_perm, bands, text_col=text_col,
+                           id_col=id_col)
+
+    def band_side(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, np.int8)))
+        return f
+
+    band_rows = (new.select_columns([id_col, text_col])
+                 .map_batches(signer, batch_format="pyarrow")
+                 .map_batches(band_side(0), batch_format="pyarrow")
+                 .union(existing.select_columns([id_col, text_col])
+                        .map_batches(signer, batch_format="pyarrow")
+                        .map_batches(band_side(1), batch_format="pyarrow")))
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Per (band, bucket): new_ids x old_ids only. One lexsort +
+        boundary scan; the loop touches only buckets holding BOTH sides
+        (rare — almost every bucket is a singleton or one-sided)."""
+        n = len(df)
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if n == 0:
+            return empty
+        band = df["band"].to_numpy()
+        buck = df["bucket"].to_numpy()
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        side = df["side"].to_numpy(dtype=np.int8)
+        order = np.lexsort((ids, side, buck, band))
+        band, buck, ids, side = (band[order], buck[order], ids[order],
+                                 side[order])
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (band[1:] != band[:-1]) | (buck[1:] != buck[:-1])
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, n))
+        # a bucket can produce cross pairs only if it holds both sides
+        out_a, out_b = [], []
+        for s, size in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            sl = slice(s, s + size)
+            sd = side[sl]
+            if sd[0] == sd[-1]:          # one-sided (sorted by side)
+                continue
+            k = int(np.searchsorted(sd, 1))
+            a_ids = np.unique(ids[sl][:k])[:max_bucket]
+            b_ids = np.unique(ids[sl][k:])[:max_bucket]
+            ai, bi = np.meshgrid(a_ids, b_ids, indexing="ij")
+            out_a.append(ai.ravel())
+            out_b.append(bi.ravel())
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "a": pd.Series(np.concatenate(out_a), dtype="int64"),
+            "b": pd.Series(np.concatenate(out_b), dtype="int64")})
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    cand = bucketed_group_reduce(band_rows, ["band", "bucket"],
+                                 cross_pairs, schema=pair_schema).union(
+        rd.from_arrow(pair_schema.empty_table()))
+
+    texts_all = (new.select_columns([id_col, text_col])
+                 .union(existing.select_columns([id_col, text_col])))
+    scored = _jaccard_scored_pairs(texts_all, cand, signer, id_col,
+                                   text_col)
+    kills = scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["jaccard"], jaccard_threshold)).select(["a"]),
+        batch_format="pyarrow").materialize()
+
+    id_t = arrow_col_type(new, id_col)
+    if kills.count() <= broadcast_cap:
+        dead: set = set()
+        for b in kills.iter_batches(batch_format="pyarrow"):
+            dead.update(b["a"].to_pylist())
+        dead_ref = ray.put(dead)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(dead_ref)
+            vals = pc.cast(batch[id_col].combine_chunks(),
+                           pa.int64()).to_pylist()
+            return batch.filter(pa.array([v not in d for v in vals]))
+
+        return new.map_batches(keep, batch_format="pyarrow")
+    kills_typed = kills.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pc.cast(t["a"].combine_chunks(), id_t)], names=[id_col]),
+        batch_format="pyarrow")
+    return cogroup_join(new, kills_typed, on=[id_col], how="anti")
+
+
 # ---------------------------------------------------------------------------
 # minhash-LSH near-dup
 # ---------------------------------------------------------------------------

@@ -274,3 +274,37 @@ def test_remove_duplicate_spans_paths_and_semantics(ray_session):
     assert got.loc[2, "text"] == df.loc[2, "text"]
     assert got["n_removed"].tolist() == [4, 4, 0]
     pd.testing.assert_frame_equal(got, run(0))
+
+
+def test_neardedup_against(ray_session):
+    """New docs near-duplicating an existing doc (J>=0.7) are dropped;
+    novel new docs and exact-id survivors pass; existing side untouched."""
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.dedup import neardedup_against
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    old = pd.DataFrame({"doc_id": [100, 101],
+                        "text": [base,
+                                 "unrelated existing corpus text about "
+                                 "arrow datasets and shuffles entirely"]})
+    new = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": [base + " phi",         # near-dup of 100
+                                 "completely novel words nobody wrote "
+                                 "before in any earlier crawl batch",
+                                 base.replace("alpha", "ALPHA-9")
+                                 ]})                    # still ~0.9 to 100
+    out = neardedup_against(rd.from_pandas(new).repartition(2),
+                            rd.from_pandas(old).repartition(2),
+                            jaccard_threshold=0.7).to_pandas()
+    assert sorted(out["doc_id"]) == [2]
+    # threshold above every true jaccard -> nothing killed
+    out2 = neardedup_against(rd.from_pandas(new), rd.from_pandas(old),
+                             jaccard_threshold=0.99).to_pandas()
+    assert sorted(out2["doc_id"]) == [1, 2, 3]
+    # beyond-cap anti-join path keeps the same survivors
+    out3 = neardedup_against(rd.from_pandas(new), rd.from_pandas(old),
+                             jaccard_threshold=0.7,
+                             broadcast_cap=0).to_pandas()
+    assert sorted(out3["doc_id"]) == [2]
