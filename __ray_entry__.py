@@ -347,6 +347,20 @@ def q_docs_strip_spans(sf_dir: str):
     return remove_duplicate_spans(ds, n=8, min_count=2)
 
 
+def q_lineitem_quantiles_sketch(sf_dir: str):
+    """One-pass mergeable quantile sketch (k=256 equi-weight centroids
+    per block) over l_extendedprice per l_returnflag — the streaming
+    companion to the exact multi-pass quantile queries. Centroid
+    placement depends on block boundaries, so rows-only; the rank-error
+    bound is pytest-pinned (ops/sketch.py::approx_quantiles)."""
+    import ray.data as rd
+    from agraph_ray.ops.sketch import approx_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    return approx_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75],
+                            key="l_returnflag")
+
+
 def q_docs_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a 'new crawl batch' (doc_id % 5 == 0)
     against the 'existing corpus' (the rest): bloom-accelerated anti join
@@ -2760,6 +2774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_strip_spans": q_docs_strip_spans,
         "docs_dedup_incremental": q_docs_dedup_incremental,
         "docs_neardedup_incremental": q_docs_neardedup_incremental,
+        "lineitem_quantiles_sketch": q_lineitem_quantiles_sketch,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_minhash_dedup": q_docs_minhash_dedup,

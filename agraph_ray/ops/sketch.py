@@ -23,7 +23,7 @@ import pyarrow as pa
 from ..stages.canonicalize import _hash_tokens
 from ..stages.common import bucketed_group_reduce
 
-__all__ = ["hll_count_distinct"]
+__all__ = ["hll_count_distinct", "approx_quantiles"]
 
 
 def _alpha(m: int) -> float:
@@ -109,3 +109,102 @@ def hll_count_distinct(ds: "ray.data.Dataset", key: str, value_col: str,
         ds.select_columns([key, value_col])
         .map_batches(partial, batch_format="pyarrow"),
         [key], reduce_df, num_buckets, schema=out_schema)
+
+
+def approx_quantiles(ds: "ray.data.Dataset", value_col: str,
+                     qs: "list[float]", key: str | None = None,
+                     k: int = 256,
+                     num_buckets: int = 64) -> "ray.data.Dataset":
+    """One-pass mergeable quantile sketch → per-group (or global)
+    approximate quantiles with rank error <= ~1.5/k.
+
+    The scale companion to the EXACT quantile ops (ops/stats.py
+    ``exact_quantiles`` / ``grouped_quantile_radix``, which take multiple
+    passes or shuffle per-group values): each input block is compressed
+    map-side to at most ``k`` equi-weight centroids ``(value, weight)``
+    (classic merge-and-compress summary, Manku/Rajagopalan/Lindsay
+    lineage), so the shuffle carries O(k x num_blocks) rows total —
+    independent of row count — and one weighted-rank pass per group
+    answers every requested quantile. Two compression levels (block →
+    group) bound the rank error at ~1.5/k. Deterministic at any
+    parallelism DOWN TO block boundaries: centroid placement depends on
+    how rows batch, so unlike the exact ops the result may shift within
+    the error bound under repartitioning (pinned by the pytest bound
+    check, not an equality oracle).
+
+    → ``(key?, q, value)`` one row per group per requested quantile.
+    """
+    qs = sorted(float(q) for q in qs)
+    const_key = key is None
+    gkey = key or "__all"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if const_key:
+            keys = np.zeros(len(v), np.int64)
+        else:
+            keys = batch[key].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, keys))
+        v, keys = v[order], keys[order]
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]]) \
+            if len(keys) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(keys)] if len(starts) else starts
+        out_k, out_v, out_w = [], [], []
+        for s, e in zip(starts, ends):
+            g = v[s:e]
+            n = len(g)
+            if n <= k:
+                out_k.append(keys[s:e])
+                out_v.append(g)
+                out_w.append(np.ones(n))
+                continue
+            # equi-weight centroids: mean of each of k contiguous runs
+            edges = np.linspace(0, n, k + 1).round().astype(np.int64)
+            sums = np.add.reduceat(g, edges[:-1])
+            cnts = np.diff(edges).astype(np.float64)
+            out_k.append(np.full(k, keys[s]))
+            out_v.append(sums / cnts)
+            out_w.append(cnts)
+        if not out_k:
+            return pa.table({gkey: pa.array([], pa.int64()),
+                             "v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        return pa.table({gkey: pa.array(np.concatenate(out_k)),
+                         "v": pa.array(np.concatenate(out_v), pa.float64()),
+                         "w": pa.array(np.concatenate(out_w),
+                                       pa.float64())})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_q, out_v = [], [], []
+        df = df.sort_values([gkey, "v"], kind="mergesort")
+        kv = df[gkey].to_numpy()
+        vv = df["v"].to_numpy()
+        wv = df["w"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(kv)]
+        for s, e in zip(starts, ends):
+            v, w = vv[s:e], wv[s:e]
+            cum = np.cumsum(w)
+            total = cum[-1]
+            for q in qs:
+                i = int(np.searchsorted(cum, q * total, side="left"))
+                i = min(i, len(v) - 1)
+                out_k.append(kv[s])
+                out_q.append(q)
+                out_v.append(v[i])
+        return pd.DataFrame({gkey: out_k, "q": out_q, "value": out_v})
+
+    from ..stages.common import arrow_col_type
+    key_t = pa.int64() if const_key else arrow_col_type(ds, key)
+    cols = [value_col] if const_key else [key, value_col]
+    res = bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(partial,
+                                            batch_format="pyarrow"),
+        [gkey], finalize, num_buckets,
+        schema=pa.schema([(gkey, key_t), ("q", pa.float64()),
+                          ("value", pa.float64())]))
+    if const_key:
+        res = res.map_batches(
+            lambda t: t.select(["q", "value"]), batch_format="pyarrow")
+    return res

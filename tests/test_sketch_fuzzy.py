@@ -48,3 +48,36 @@ def test_fuzzy_self_join_exact_vs_bruteforce(ray_session):
                 if dd <= d:
                     exp[(words[i], words[j])] = dd
         assert got == exp, f"max_edits={d}"
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    """One-pass sketch quantiles stay within the ~1.5/k rank-error bound
+    of the exact quantiles, grouped and global, at any partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.sketch import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    df = pd.DataFrame({"g": rng.integers(0, 3, n),
+                       "v": rng.lognormal(0.0, 1.0, n)})
+    qs = [0.1, 0.5, 0.9, 0.99]
+    k = 256
+    for parts in (4, 17):
+        out = approx_quantiles(rd.from_pandas(df).repartition(parts),
+                               "v", qs, key="g", k=k).to_pandas()
+        assert len(out) == 3 * len(qs)
+        for g, sub in df.groupby("g"):
+            sv = np.sort(sub["v"].to_numpy())
+            for q in qs:
+                got = float(out.loc[(out["g"] == g) & (out["q"] == q),
+                                    "value"].iloc[0])
+                # achieved rank of the returned value vs requested rank
+                r = np.searchsorted(sv, got) / len(sv)
+                assert abs(r - q) <= 2.5 / k + 0.005, (parts, g, q, r)
+    # global (no key) shape
+    gout = approx_quantiles(rd.from_pandas(df), "v", [0.5]).to_pandas()
+    assert list(gout.columns) == ["q", "value"]
+    med = float(np.median(df["v"]))
+    assert abs(float(gout["value"].iloc[0]) - med) / med < 0.05
