@@ -361,6 +361,19 @@ def q_lineitem_quantiles_sketch(sf_dir: str):
                             key="l_returnflag")
 
 
+def q_lineitem_heavy_hitters(sf_dir: str):
+    """Top-3 line numbers per return flag via the mergeable SpaceSaving
+    summary — capacity (64) exceeds the 7-value domain, so nothing is
+    ever dropped, err = 0 and the result is EXACT top-k by count:
+    full DuckDB oracle (ops/sketch.py::grouped_heavy_hitters)."""
+    import ray.data as rd
+    from agraph_ray.ops.sketch import grouped_heavy_hitters
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linenumber"])
+    return grouped_heavy_hitters(ds, "l_returnflag", "l_linenumber",
+                                 k=3, capacity=64)
+
+
 def q_docs_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a 'new crawl batch' (doc_id % 5 == 0)
     against the 'existing corpus' (the rest): bloom-accelerated anti join
@@ -2775,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_incremental": q_docs_dedup_incremental,
         "docs_neardedup_incremental": q_docs_neardedup_incremental,
         "lineitem_quantiles_sketch": q_lineitem_quantiles_sketch,
+        "lineitem_heavy_hitters": q_lineitem_heavy_hitters,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -3118,6 +3132,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "lineitem_heavy_hitters": """
+            SELECT l_returnflag, l_linenumber, cnt AS count, 0::BIGINT AS err
+            FROM (
+                SELECT l_returnflag, l_linenumber, count(*) AS cnt,
+                       row_number() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY count(*) DESC, l_linenumber) AS r
+                FROM lineitem GROUP BY l_returnflag, l_linenumber)
+            WHERE r <= 3
         """,
         "docs_strip_spans": """
             WITH w AS (

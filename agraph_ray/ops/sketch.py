@@ -23,7 +23,8 @@ import pyarrow as pa
 from ..stages.canonicalize import _hash_tokens
 from ..stages.common import bucketed_group_reduce
 
-__all__ = ["hll_count_distinct", "approx_quantiles"]
+__all__ = ["hll_count_distinct", "approx_quantiles",
+           "grouped_heavy_hitters"]
 
 
 def _alpha(m: int) -> float:
@@ -208,3 +209,76 @@ def approx_quantiles(ds: "ray.data.Dataset", value_col: str,
         res = res.map_batches(
             lambda t: t.select(["q", "value"]), batch_format="pyarrow")
     return res
+
+
+def grouped_heavy_hitters(ds: "ray.data.Dataset", key: str,
+                          value_col: str, k: int = 10,
+                          capacity: int = 1024,
+                          num_buckets: int = 64) -> "ray.data.Dataset":
+    """Mergeable per-group heavy hitters (top-``k`` values by count) with
+    a tracked undercount bound — SpaceSaving-family summary (Metwally et
+    al.; merge rule per Agarwal et al., "Mergeable Summaries").
+
+    Each block contributes, per group, its top-``capacity`` exact
+    (value, count) pairs plus the largest DROPPED count as that block's
+    error term; the group reduce sums matched counts and sums the blocks'
+    error terms. A value absent from some block can have been undercounted
+    by at most that block's dropped-max, so ``count`` is a lower bound and
+    ``count + err`` an upper bound. With ``capacity`` >= the number of
+    distinct values per group per block nothing is ever dropped, ``err``
+    is 0 and the result is EXACT top-k by count — the parameterization the
+    DuckDB oracle checks; the approximate regime is pytest-bounded.
+
+    Ties break deterministically: count desc, then value asc.
+    → ``(key, value, count, err)``, up to k rows per group.
+    Shuffle volume: <= (capacity+1) rows per group per block — independent
+    of row count.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch[key].to_numpy(zero_copy_only=False),
+            "v": batch[value_col].to_numpy(zero_copy_only=False)})
+        cnt = (df.groupby(["k", "v"], sort=False).size()
+               .reset_index(name="c"))
+        cnt = cnt.sort_values(["k", "c", "v"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        pos = cnt.groupby("k", sort=False).cumcount()
+        kept = cnt[pos < capacity]
+        dropped = cnt[pos >= capacity]
+        # one marker row per (group, block) carrying the max dropped count
+        dmax = (dropped.groupby("k", sort=False)["c"].max()
+                .reset_index(name="e"))
+        out = pd.DataFrame({
+            "k": kept["k"], "v": kept["v"],
+            "c": kept["c"].astype("int64"),
+            "e": np.zeros(len(kept), np.int64)})
+        if len(dmax):
+            mark = pd.DataFrame({
+                "k": dmax["k"], "v": [None] * len(dmax),
+                "c": np.zeros(len(dmax), np.int64),
+                "e": dmax["e"].astype("int64")})
+            out = pd.concat([out, mark], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        err = (df.loc[df["v"].isna()].groupby("k", sort=False)["e"].sum())
+        cnt = (df.loc[df["v"].notna()]
+               .groupby(["k", "v"], sort=False)["c"].sum()
+               .reset_index())
+        cnt = cnt.sort_values(["k", "c", "v"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = cnt[cnt.groupby("k", sort=False).cumcount() < k].copy()
+        top["e"] = top["k"].map(err).fillna(0).astype("int64")
+        return top.rename(columns={"k": key, "v": value_col,
+                                   "c": "count", "e": "err"})
+
+    from ..stages.common import arrow_col_type
+    schema = pa.schema([(key, arrow_col_type(ds, key)),
+                        (value_col, arrow_col_type(ds, value_col)),
+                        ("count", pa.int64()), ("err", pa.int64())])
+    return bucketed_group_reduce(
+        ds.select_columns([key, value_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["k"], reduce_group, num_buckets, schema=schema)

@@ -81,3 +81,42 @@ def test_approx_quantiles_error_bound(ray_session):
     assert list(gout.columns) == ["q", "value"]
     med = float(np.median(df["v"]))
     assert abs(float(gout["value"].iloc[0]) - med) / med < 0.05
+
+
+def test_grouped_heavy_hitters(ray_session):
+    """Exact when capacity covers the domain (any partitioning); counts
+    are lower bounds with a valid err upper bound when capacity is tiny."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.sketch import grouped_heavy_hitters
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: value j appears with prob ~ 1/(j+1)
+    vals = rng.zipf(1.5, 20_000) % 50
+    df = pd.DataFrame({"g": rng.integers(0, 4, len(vals)),
+                       "v": vals.astype("int64")})
+
+    def exact_topk(sub, k):
+        c = sub.groupby("v").size().reset_index(name="c")
+        c = c.sort_values(["c", "v"], ascending=[False, True])
+        return list(zip(c["v"].head(k), c["c"].head(k)))
+
+    ds = rd.from_pandas(df).repartition(8)
+    out = grouped_heavy_hitters(ds, "g", "v", k=5, capacity=64).to_pandas()
+    assert (out["err"] == 0).all()
+    for g, sub in df.groupby("g"):
+        got = out[out["g"] == g].sort_values(
+            ["count", "v"], ascending=[False, True])
+        assert list(zip(got["v"], got["count"])) == exact_topk(sub, 5)
+
+    # tiny capacity: top-1 value (huge mass) must survive; bounds hold
+    approx = grouped_heavy_hitters(ds, "g", "v", k=5,
+                                   capacity=8).to_pandas()
+    for g, sub in df.groupby("g"):
+        true = dict(sub.groupby("v").size())
+        a = approx[approx["g"] == g]
+        top_true = exact_topk(sub, 1)[0][0]
+        assert top_true in set(a["v"])
+        for _, r in a.iterrows():
+            assert r["count"] <= true.get(r["v"], 0) <= r["count"] + r["err"]
