@@ -374,6 +374,21 @@ def q_lineitem_heavy_hitters(sf_dir: str):
                                  k=3, capacity=64)
 
 
+def q_orders_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis keys from md5-derived uniforms): 3 orders per priority,
+    inclusion-biased by o_totalprice. No RNG state — DuckDB computes the
+    identical key, full oracle (ops/stats.py::weighted_sample_n)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import weighted_sample_n
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderkey",
+                                  "o_totalprice"])
+    out = weighted_sample_n(ds, "o_orderpriority", "o_orderkey",
+                            "o_totalprice", n=3)
+    return out.select_columns(["o_orderpriority", "o_orderkey"])
+
+
 def q_docs_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a 'new crawl batch' (doc_id % 5 == 0)
     against the 'existing corpus' (the rest): bloom-accelerated anti join
@@ -2789,6 +2804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_neardedup_incremental": q_docs_neardedup_incremental,
         "lineitem_quantiles_sketch": q_lineitem_quantiles_sketch,
         "lineitem_heavy_hitters": q_lineitem_heavy_hitters,
+        "orders_weighted_sample": q_orders_weighted_sample,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -3132,6 +3148,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "orders_weighted_sample": """
+            SELECT o_orderpriority, o_orderkey FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY pow(
+                               (('0x' || substr(md5(CAST(o_orderkey
+                                    AS VARCHAR)), 1, 16))::UBIGINT)
+                               / 18446744073709551616.0,
+                               1.0 / o_totalprice) DESC,
+                           o_orderkey) AS r
+                FROM orders)
+            WHERE r <= 3
         """,
         "lineitem_heavy_hitters": """
             SELECT l_returnflag, l_linenumber, cnt AS count, 0::BIGINT AS err

@@ -1090,3 +1090,60 @@ def validate_expectations(ds: "ray.data.Dataset",
 
     return pd.DataFrame(rows, columns=["rule", "column", "n_checked",
                                        "n_violations", "passed"])
+
+
+def weighted_sample_n(ds: "ray.data.Dataset", key: str, id_col: str,
+                      weight_col: str, n: int,
+                      num_buckets: int = 64) -> "ray.data.Dataset":
+    """Deterministic weighted sampling WITHOUT replacement: per group,
+    the ``n`` rows with the largest Efraimidis-Spirakis keys
+    ``u(id) ** (1/weight)``, where ``u(id)`` is a fixed uniform derived
+    from ``md5(str(id))`` — no RNG state, so the sample is reproducible
+    at any parallelism AND expressible in SQL (the DuckDB oracle computes
+    the identical md5-derived uniform). Higher weight → higher inclusion
+    probability; weights must be > 0.
+
+    Scale shape: per-block partial top-n per group (the E-S key order is
+    a max-heap property: the global top-n is contained in the union of
+    per-block top-ns), then one group reduce over <= n x num_blocks rows
+    per group. Ties (astronomically unlikely with 64-bit uniforms) break
+    on id asc. → input columns of the winners plus ``es_key``.
+    """
+    import hashlib as _hl
+
+    def es_key(ids) -> np.ndarray:
+        u = np.array([int(_hl.md5(str(i).encode()).hexdigest()[:16], 16)
+                      for i in ids], dtype=np.float64)
+        return u / 18446744073709551616.0   # 2^64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch[key].to_numpy(zero_copy_only=False),
+            "i": batch[id_col].to_numpy(zero_copy_only=False),
+            "w": batch[weight_col].to_numpy(zero_copy_only=False)
+            .astype(np.float64)})
+        df["es_key"] = es_key(df["i"]) ** (1.0 / df["w"].to_numpy())
+        df = df.sort_values(["k", "es_key", "i"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return pa.Table.from_pandas(
+            df[df.groupby("k", sort=False).cumcount() < n],
+            preserve_index=False)
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "es_key", "i"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        out = df[df.groupby("k", sort=False).cumcount() < n]
+        return out.rename(columns={"k": key, "i": id_col,
+                                   "w": weight_col})
+
+    from ..stages.common import arrow_col_type
+    schema = pa.schema([(key, arrow_col_type(ds, key)),
+                        (id_col, arrow_col_type(ds, id_col)),
+                        (weight_col, pa.float64()),
+                        ("es_key", pa.float64())])
+    return bucketed_group_reduce(
+        ds.select_columns([key, id_col, weight_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["k"], topn, num_buckets, schema=schema)

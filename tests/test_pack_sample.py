@@ -368,3 +368,27 @@ def test_negative_sampling_join_path_equals_broadcast(ray_session):
                                 df[["s", "d", "neg_idx", "neg_p"]].values))
     assert key(b) == key(j)
     assert len(b) == 4 * 3
+
+
+def test_weighted_sample_n_deterministic_and_biased(ray_session):
+    """Same winners at any partitioning; heavier rows win more often."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import weighted_sample_n
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 5000),
+                       "i": np.arange(5000, dtype="int64"),
+                       "w": np.where(np.arange(5000) % 100 == 0,
+                                     1000.0, 1.0)})
+    def run(parts):
+        out = weighted_sample_n(rd.from_pandas(df).repartition(parts),
+                                "g", "i", "w", n=4).to_pandas()
+        return sorted(zip(out["g"], out["i"]))
+
+    a, b = run(3), run(13)
+    assert a == b and len(a) == 20
+    # the 1000x-weighted ids (i % 100 == 0) should dominate winners
+    heavy = sum(1 for _, i in a if i % 100 == 0)
+    assert heavy >= 15
