@@ -389,6 +389,23 @@ def q_orders_weighted_sample(sf_dir: str):
     return out.select_columns(["o_orderpriority", "o_orderkey"])
 
 
+def q_docs_select_budget(sf_dir: str):
+    """Budget-capped curation: rank documents by alpha_ratio (desc,
+    doc_id tiebreak) and keep the maximal prefix whose cumulative
+    whitespace-token count stays within 15,000 tokens — 'the
+    best-quality N tokens' selection. Full oracle: window-sum QUALIFY
+    (ops/pack.py::select_until_budget)."""
+    import ray.data as rd
+    from agraph_ray.ops.pack import select_until_budget
+    from agraph_ray.ops.text import add_quality
+    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+          .map_batches(add_quality, batch_format="pyarrow"))
+    out = select_until_budget(ds, "alpha_ratio", "doc_id", "token_count",
+                              budget=15_000)
+    return out.select_columns(["doc_id", "cum"])
+
+
 def q_docs_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a 'new crawl batch' (doc_id % 5 == 0)
     against the 'existing corpus' (the rest): bloom-accelerated anti join
@@ -2805,6 +2822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles_sketch": q_lineitem_quantiles_sketch,
         "lineitem_heavy_hitters": q_lineitem_heavy_hitters,
         "orders_weighted_sample": q_orders_weighted_sample,
+        "docs_select_budget": q_docs_select_budget,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -3148,6 +3166,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_select_budget": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z]'))
+                           / greatest(length(text), 1)::DOUBLE AS score,
+                       len(regexp_extract_all(text, '\\S+')) AS tok
+                FROM documents
+            )
+            SELECT doc_id, CAST(cum AS BIGINT) AS cum FROM (
+                SELECT doc_id,
+                       sum(tok) OVER (ORDER BY score DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM s)
+            WHERE cum <= 15000
         """,
         "orders_weighted_sample": """
             SELECT o_orderpriority, o_orderkey FROM (

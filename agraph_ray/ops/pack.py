@@ -184,3 +184,61 @@ def pack_greedy(ds: "ray.data.Dataset", token_col: str, cap: int,
 
     return bucketed_group_reduce(tagged, ["__part"], reduce_df,
                                  num_buckets=num_partitions, schema=schema)
+
+
+def select_until_budget(ds: "ray.data.Dataset", score_col: str,
+                        id_col: str, val_col: str, budget: int,
+                        descending: bool = True) -> "ray.data.Dataset":
+    """Greedy budget-capped corpus selection: rank rows by
+    ``(score_col desc, id_col asc)`` and keep the maximal prefix whose
+    INCLUSIVE cumulative ``val_col`` stays within ``budget`` — "the
+    best-quality N tokens" selection rule of training-data curation.
+    Because ``val_col`` >= 0 makes the running total monotone, the kept
+    set is exactly a prefix, which is also what the SQL oracle's window
+    sum expresses.
+
+    → the selected rows plus ``cum`` (inclusive running total).
+    Same two-pass shape as :func:`ordered_prefix_sum`, generalized to a
+    (score, id) composite order: one range-partitioned sort, O(blocks)
+    driver state (each block's first key + sum), then a map pass that
+    adds the prefix and filters. Rows never leave their block twice.
+    """
+    import ray
+
+    sorted_ds = ds.sort([score_col, id_col],
+                        descending=[descending, False]).materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        s = t[score_col].slice(0, 1)
+        i = t[id_col].slice(0, 1)
+        if len(t) == 0:
+            v = pa.array([], pa.int64())
+        else:
+            v = pa.array([pc.sum(pc.cast(t[val_col], pa.int64())).as_py()
+                          or 0], pa.int64())
+        return pa.table({"s": s, "i": i, "v": v})
+
+    summaries = sorted(
+        sorted_ds.map_batches(block_summary, batch_format="pyarrow",
+                              batch_size=None).take_all(),
+        key=lambda r: ((-r["s"] if descending else r["s"]), r["i"]))
+    keys = {(r["s"], r["i"]): ix for ix, r in enumerate(summaries)}
+    offs = np.concatenate(
+        [[0], np.cumsum([r["v"] for r in summaries])[:-1]]).astype(np.int64)
+    off_ref = ray.put((keys, offs))
+
+    def add_cum_filter(t: pa.Table) -> pa.Table:
+        out_t = t.append_column("cum", pa.array([], pa.int64())) \
+            if len(t) == 0 else None
+        if out_t is not None:
+            return out_t
+        ks, os_ = ray.get(off_ref)
+        base = int(os_[ks[(t[score_col][0].as_py(),
+                           t[id_col][0].as_py())]])
+        v = pc.cast(t[val_col], pa.int64()).to_numpy(zero_copy_only=False)
+        cum = base + np.cumsum(v)
+        out = t.append_column("cum", pa.array(cum, pa.int64()))
+        return out.filter(pa.array(cum <= budget))
+
+    return sorted_ds.map_batches(add_cum_filter, batch_format="pyarrow",
+                                 batch_size=None)

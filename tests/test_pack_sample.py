@@ -392,3 +392,25 @@ def test_weighted_sample_n_deterministic_and_biased(ray_session):
     # the 1000x-weighted ids (i % 100 == 0) should dominate winners
     heavy = sum(1 for _, i in a if i % 100 == 0)
     assert heavy >= 15
+
+
+def test_select_until_budget_prefix_semantics(ray_session):
+    """Kept set is exactly the maximal score-ordered prefix whose
+    inclusive cumsum fits the budget, at any partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.pack import select_until_budget
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"i": np.arange(1000, dtype="int64"),
+                       "score": rng.random(1000),
+                       "tok": rng.integers(1, 50, 1000).astype("int64")})
+    ref = df.sort_values(["score", "i"], ascending=[False, True])
+    ref = ref[ref["tok"].cumsum() <= 3000]
+    for parts in (2, 9):
+        out = select_until_budget(
+            rd.from_pandas(df).repartition(parts), "score", "i", "tok",
+            budget=3000).to_pandas()
+        assert sorted(out["i"]) == sorted(ref["i"])
+        assert out["cum"].max() <= 3000
