@@ -550,6 +550,24 @@ def q_reassemble_docs(sf_dir: str):
     return docs.select_columns(["conv_id", "text"])
 
 
+def q_render_chat(sf_dir: str):
+    """Chat-template rendering over the derived transcripts: per
+    conversation, '<|role|>text' turns concatenated in order plus
+    SFT loss-mask statistics (assistant turn/char counts). Full oracle:
+    string_agg over the SQL-reconstructed turn table
+    (stages/reassemble.py::render_chat)."""
+    import pyarrow.compute as pc2
+    from agraph_ray.stages.reassemble import render_chat
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    out = render_chat(ds)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("doc_seq"), "doc_seq",
+            pc2.cast(t["doc_seq"], "int64")),
+        batch_format="pyarrow")
+
+
 def q_kg_triples(sf_dir: str):
     from agraph_ray.config import KGConfig
     from agraph_ray.pipelines.kg_build import kg_tables
@@ -2940,6 +2958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract": q_events_json_extract,
         "union_region_nation": q_union_region_nation,
         "turns_dedup": q_turns_dedup,
+        "render_chat": q_render_chat,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
         "kg_triples": q_kg_triples,
@@ -4654,6 +4673,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reassemble_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+        """,
+        "render_chat": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                       text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            )
+            SELECT conv_id, 0::BIGINT AS doc_seq,
+                   string_agg('<|' || role || '|>' || text, ''
+                              ORDER BY turn_idx) AS text,
+                   count(*) AS n_turns,
+                   count(*) FILTER (WHERE role = 'assistant')
+                       AS n_assistant_turns,
+                   CAST(coalesce(sum(length(text))
+                       FILTER (WHERE role = 'assistant'), 0) AS BIGINT)
+                       AS assistant_chars
+            FROM t GROUP BY conv_id
         """,
         "turns_dedup": """
             WITH s AS (

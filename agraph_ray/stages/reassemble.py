@@ -153,3 +153,57 @@ def conversation_stats(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
                        Sum("n_tool_calls", alias_name="n_tool_calls"),
                        Sum("total_chars", alias_name="total_chars"),
                        Max("max_turn_chars", alias_name="max_turn_chars")))
+
+
+def render_chat(ds: "ray.data.Dataset", sep_open: str = "<|",
+                sep_close: str = "|>", salt_span: int = 100_000,
+                num_buckets: int = 128) -> "ray.data.Dataset":
+    """Chat-template rendering: turns → one training-ready string per
+    conversation, each turn prefixed with its role tag
+    (``<|role|>text``), plus the loss-masking statistics an SFT data
+    pipeline needs (how much of the sequence is assistant-generated).
+
+    → ``(conv_id, doc_seq, text, n_turns, n_assistant_turns,
+    assistant_chars)``. Same universal-salting contract as
+    :func:`reassemble`: conversations longer than ``salt_span`` turns
+    split into independent sub-renders (doc_seq = span index), so no
+    reducer is ever pinned by a mega-conversation.
+    """
+    import pyarrow.compute as pc
+
+    from .common import bucketed_group_reduce
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        salt = pc.divide(batch["turn_idx"], salt_span)
+        key = pc.binary_join_element_wise(
+            batch["conv_id"], pc.cast(salt, pa.string()), "#")
+        return batch.append_column("group_key", key)
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["group_key", "turn_idx"], kind="mergesort")
+        df = df.assign(
+            piece=sep_open + df["role"] + sep_close + df["text"],
+            is_asst=(df["role"] == "assistant"),
+            asst_chars=(df["role"] == "assistant")
+            * df["text"].str.len())
+        g = df.groupby("group_key", sort=False)
+        out = g.agg(conv_id=("conv_id", "first"),
+                    text=("piece", "".join),
+                    n_turns=("piece", "size"),
+                    n_assistant_turns=("is_asst", "sum"),
+                    assistant_chars=("asst_chars", "sum"),
+                    first_turn_idx=("turn_idx", "first"))
+        out["doc_seq"] = out["first_turn_idx"] // salt_span
+        return out.reset_index(drop=True)[
+            ["conv_id", "doc_seq", "text", "n_turns",
+             "n_assistant_turns", "assistant_chars"]]
+
+    schema = pa.schema([("conv_id", pa.string()), ("doc_seq", pa.int32()),
+                        ("text", pa.string()), ("n_turns", pa.int64()),
+                        ("n_assistant_turns", pa.int64()),
+                        ("assistant_chars", pa.int64())])
+    keyed = ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]).map_batches(
+        add_key, batch_format="pyarrow")
+    return bucketed_group_reduce(keyed, ["group_key"], render,
+                                 num_buckets, schema=schema)

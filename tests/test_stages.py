@@ -249,3 +249,32 @@ def test_canonicalize_rewrites_edges(ray_session):
     assert e["head_id"] == "entity_1"            # rewritten to canonical id
     merged = [r for r in rows(cn) if r["entity_id"] == "entity_1"][0]
     assert merged["n_mentions"] == 2
+
+
+def test_render_chat_salting_and_stats(ray_session):
+    """Role tags render in turn order; assistant stats count only
+    assistant turns; a conversation longer than salt_span splits into
+    doc_seq sub-renders that concatenate back to the full render."""
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import render_chat
+
+    rows = []
+    for i in range(7):
+        rows.append({"conv_id": "c1", "turn_idx": i,
+                     "role": "user" if i % 2 == 0 else "assistant",
+                     "text": f"t{i}"})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = render_chat(ds).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["text"] == ("<|user|>t0<|assistant|>t1<|user|>t2"
+                         "<|assistant|>t3<|user|>t4<|assistant|>t5"
+                         "<|user|>t6")
+    assert r["n_turns"] == 7 and r["n_assistant_turns"] == 3
+    assert r["assistant_chars"] == 6
+    # salted: spans of 3 turns -> 3 sub-renders, concat == unsalted
+    salted = render_chat(ds, salt_span=3).to_pandas().sort_values(
+        "doc_seq")
+    assert list(salted["doc_seq"]) == [0, 1, 2]
+    assert "".join(salted["text"]) == r["text"]
