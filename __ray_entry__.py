@@ -406,6 +406,17 @@ def q_docs_select_budget(sf_dir: str):
     return out.select_columns(["doc_id", "cum"])
 
 
+def q_docs_vocab_prune(sf_dir: str):
+    """Closed-vocabulary preprocessing: corpus words with count < 3
+    become '<unk>', documents rebuilt. Full oracle
+    (ops/text.py::vocab_prune)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import vocab_prune
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return vocab_prune(ds, min_count=3)
+
+
 def q_docs_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a 'new crawl batch' (doc_id % 5 == 0)
     against the 'existing corpus' (the rest): bloom-accelerated anti join
@@ -2841,6 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_heavy_hitters": q_lineitem_heavy_hitters,
         "orders_weighted_sample": q_orders_weighted_sample,
         "docs_select_budget": q_docs_select_budget,
+        "docs_vocab_prune": q_docs_vocab_prune,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_minhash_dedup": q_docs_minhash_dedup,
@@ -3185,6 +3197,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_vocab_prune": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       unnest(generate_series(0,
+                           len(string_split(text, ' ')) - 1)) AS pos
+                FROM documents
+            ), f AS (
+                SELECT word FROM w GROUP BY word HAVING count(*) >= 3
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN word IN (SELECT word FROM f)
+                                   THEN word ELSE '<unk>' END,
+                              ' ' ORDER BY pos) AS text,
+                   count(*) FILTER (WHERE word NOT IN
+                                    (SELECT word FROM f)) AS n_unk
+            FROM w GROUP BY doc_id
         """,
         "docs_select_budget": """
             WITH s AS (

@@ -220,6 +220,117 @@ def corpus_word_counts(ds: "ray.data.Dataset",
         schema=pa.schema([("word", pa.string()), ("cnt", pa.int64())]))
 
 
+def vocab_prune(ds: "ray.data.Dataset", min_count: int = 2,
+                col: str = "text", id_col: str = "doc_id",
+                unk: str = "<unk>", broadcast_cap: int = 5_000_000,
+                num_buckets: int = 64) -> "ray.data.Dataset":
+    """Vocabulary pruning / UNK replacement: every word whose CORPUS-WIDE
+    count is below ``min_count`` is replaced by ``unk`` and each document
+    rebuilt — the closed-vocabulary preprocessing step of classic LM /
+    classifier pipelines.
+
+    → ``(id_col, text, n_unk)`` for every input document.
+
+    Scale shape: the kept vocabulary (count >= min_count) is the
+    BOUNDED side — heavy-tail corpora have unbounded hapax counts but a
+    dictionary-sized frequent vocab — so it is collected and broadcast
+    under ``broadcast_cap`` rows (one ``ray.put``, membership tested
+    per batch with one ``pa.compute.is_in``). Past the cap, documents
+    explode to (id, pos, word) rows, pick up a keep-mark through a
+    word-keyed bucketed co-group, and reassemble through an id-keyed
+    reduce — two shuffles, no driver state."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.common import arrow_col_type, bucketed_group_reduce
+
+    freq = corpus_word_counts(ds.select_columns([id_col, col]), col) \
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], min_count))
+            .select(["word"]), batch_format="pyarrow").materialize()
+
+    id_t = arrow_col_type(ds, id_col)
+    out_schema = pa.schema([(id_col, id_t), (col, pa.string()),
+                            ("n_unk", pa.int64())])
+
+    if freq.count() <= broadcast_cap:
+        words: list = []
+        for b in freq.iter_batches(batch_format="pyarrow"):
+            words.append(b["word"].combine_chunks())
+        vocab_ref = ray.put(pa.concat_arrays(words) if words
+                            else pa.array([], pa.string()))
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            vocab = ray.get(vocab_ref)
+            lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+            flat = lists.flatten()
+            keep = pc.is_in(flat, value_set=vocab)
+            kept = pc.if_else(keep, flat, pa.scalar(unk, pa.string()))
+            lens = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False)
+            words_np = kept.to_numpy(zero_copy_only=False)
+            starts = np.cumsum(lens) - lens
+            texts = [" ".join(words_np[s:s + L])
+                     for s, L in zip(starts, lens)]
+            unks = np.add.reduceat(
+                pc.invert(keep).to_numpy(zero_copy_only=False)
+                .astype(np.int64), starts) \
+                if len(flat) else np.zeros(len(batch), np.int64)
+            unks = np.where(lens == 0, 0, unks)
+            return pa.Table.from_arrays(
+                [batch[id_col].combine_chunks(),
+                 pa.array(texts, pa.string()),
+                 pa.array(unks, pa.int64())], schema=out_schema)
+
+        return ds.select_columns([id_col, col]).map_batches(
+            rebuild, batch_format="pyarrow")
+
+    # beyond-cap: explode -> word-keyed keep-mark co-group -> id-keyed
+    # reassembly. No driver state.
+    def explode(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch[col].combine_chunks(), " ")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.concatenate([np.arange(n, dtype=np.int64)
+                              for n in lens]) if len(lens) else \
+            np.empty(0, np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, lens)).cast(id_t),
+            "pos": pa.array(pos, pa.int64()),
+            "word": lists.flatten()})
+
+    def tag_vocab(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pa.nulls(len(t), id_t),
+                         "pos": pa.nulls(len(t), pa.int64()),
+                         "word": t["word"]})
+
+    marked_schema = pa.schema([(id_col, id_t), ("pos", pa.int64()),
+                               ("word", pa.string())])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        kept = set(df.loc[df[id_col].isna(), "word"])
+        occ = df.loc[df[id_col].notna()].copy()
+        occ.loc[~occ["word"].isin(kept), "word"] = unk
+        return occ[[id_col, "pos", "word"]]
+
+    occurrences = ds.select_columns([id_col, col]).map_batches(
+        explode, batch_format="pyarrow")
+    marked = bucketed_group_reduce(
+        occurrences.union(freq.map_batches(tag_vocab,
+                                           batch_format="pyarrow")),
+        ["word"], mark, num_buckets, schema=marked_schema)
+
+    def reassemble_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        out = g.agg(text=("word", " ".join),
+                    n_unk=("word", lambda w: int((w == unk).sum())))
+        return out.reset_index()[[id_col, "text", "n_unk"]]
+
+    return bucketed_group_reduce(marked, [id_col], reassemble_doc,
+                                 num_buckets, schema=out_schema)
+
+
 def top_words(ds: "ray.data.Dataset", k: int = 20,
               col: str = "text") -> "ray.data.Dataset":
     """Global top-k words by count, ties broken by word ascending (fully

@@ -102,3 +102,29 @@ def test_unigram_logprob_paths_agree(ray_session):
     assert (bc["lp_micro"] == dist["lp_micro"]).all()
     # doc 2 is all-'a' (the most common word) -> highest likelihood
     assert bc.loc[1, "lp_micro"] == bc["lp_micro"].max()
+
+
+def test_vocab_prune_paths_agree(ray_session):
+    """Rare words become <unk> with correct counts; the broadcast and
+    beyond-cap explode/co-group paths produce identical output."""
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.text import vocab_prune
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["common words common rare1",
+                 "common words again again",
+                 "rare2 common"]})
+    ds = rd.from_pandas(df).repartition(2)
+
+    def run(cap):
+        out = vocab_prune(ds, min_count=2, broadcast_cap=cap).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    got = run(5_000_000)
+    assert got.loc[0, "text"] == "common words common <unk>"
+    assert got.loc[1, "text"] == "common words again again"
+    assert got.loc[2, "text"] == "<unk> common"
+    assert got["n_unk"].tolist() == [1, 0, 1]
+    pd.testing.assert_frame_equal(got, run(0))
