@@ -406,6 +406,23 @@ def q_docs_select_budget(sf_dir: str):
     return out.select_columns(["doc_id", "cum"])
 
 
+def q_docs_compress_ratio(sf_dir: str):
+    """Per-document DEFLATE compression ratio (Gopher repetitiveness
+    signal) — zlib is not SQL-expressible, rows-only; values pinned in
+    pytest (ops/text.py::add_compress_ratio)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.text import add_compress_ratio
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return (ds.map_batches(add_compress_ratio, batch_format="pyarrow")
+            .map_batches(lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "ratio_e6": pc.cast(pc.floor(pc.add(pc.multiply(
+                    t["compress_ratio"], 1e6), 0.5)), pa.int64())}),
+                batch_format="pyarrow"))
+
+
 def q_docs_vocab_prune(sf_dir: str):
     """Closed-vocabulary preprocessing: corpus words with count < 3
     become '<unk>', documents rebuilt. Full oracle
@@ -2853,6 +2870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weighted_sample": q_orders_weighted_sample,
         "docs_select_budget": q_docs_select_budget,
         "docs_vocab_prune": q_docs_vocab_prune,
+        "docs_compress_ratio": q_docs_compress_ratio,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_minhash_dedup": q_docs_minhash_dedup,

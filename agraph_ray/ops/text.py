@@ -81,6 +81,22 @@ def add_lang_id(batch: pa.Table, col: str = "text",
     return batch.append_column(out, lang)
 
 
+def add_compress_ratio(batch: pa.Table, col: str = "text",
+                       out: str = "compress_ratio") -> pa.Table:
+    """DEFLATE compression ratio (compressed/raw bytes, level 6) — the
+    Gopher-family repetitiveness signal: boilerplate and template spam
+    compress far below ~0.4, high-entropy noise sits near 1.0. One zlib
+    call per document (inherently per-doc; the C call dominates, not the
+    Python loop). Not SQL-expressible — rows-only, value-pinned in
+    pytest."""
+    import zlib
+    ratios = []
+    for s in batch[col].to_pylist():
+        b = (s or "").encode("utf-8")
+        ratios.append(len(zlib.compress(b, 6)) / max(len(b), 1))
+    return batch.append_column(out, pa.array(ratios, pa.float64()))
+
+
 def add_corpus_filter(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher/C4-style composite quality gate (vectorized, map-side only —
     no shuffle; the rules are per-document projections). Appends:

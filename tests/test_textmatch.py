@@ -128,3 +128,20 @@ def test_vocab_prune_paths_agree(ray_session):
     assert got.loc[2, "text"] == "<unk> common"
     assert got["n_unk"].tolist() == [1, 0, 1]
     pd.testing.assert_frame_equal(got, run(0))
+
+
+def test_add_compress_ratio(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.text import add_compress_ratio
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["spam " * 400,
+                                "the quick brown fox jumps over lazy dogs"]})
+    out = rd.from_pandas(df).map_batches(
+        add_compress_ratio, batch_format="pyarrow").to_pandas()
+    r = dict(zip(out["doc_id"], out["compress_ratio"]))
+    assert r[0] < 0.05          # pure repetition compresses away
+    assert r[1] > 0.8           # short natural text barely compresses
+    import zlib                 # exact pin: one doc, hand-computed
+    s = df.loc[1, "text"].encode()
+    assert abs(r[1] - len(zlib.compress(s, 6)) / len(s)) < 1e-12
