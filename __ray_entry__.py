@@ -1415,6 +1415,47 @@ def q_part_ppr(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_supplier_nbr_features(sf_dir: str):
+    """One-hop GNN-style feature aggregation: each part's feature vector
+    is the mean of its supplying suppliers' embedding vectors (supplier
+    vec_id = l_suppkey). Output long (node, pos, val_e6, n_in) so the
+    DuckDB oracle can average per position: full oracle
+    (ops/embedding.py::neighbor_mean)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.embedding import neighbor_mean
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+    edges = li.map_batches(
+        lambda t: pa.table({"src": t["l_suppkey"],
+                            "dst": t["l_partkey"]}),
+        batch_format="pyarrow")
+    from agraph_ray.stages.common import distinct_on
+    edges = distinct_on(edges, ["src", "dst"])
+    feats = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    out = neighbor_mean(edges, feats)
+
+    def to_long(t: pa.Table) -> pa.Table:
+        import numpy as np
+        vec = t["vec"].combine_chunks()
+        lens = pc.list_value_length(vec).to_numpy(zero_copy_only=False)
+        node = np.repeat(t["node"].to_numpy(zero_copy_only=False), lens)
+        n_in = np.repeat(t["n_in"].to_numpy(zero_copy_only=False), lens)
+        pos = np.concatenate([np.arange(n, dtype=np.int64)
+                              for n in lens]) if len(lens) else \
+            np.empty(0, np.int64)
+        vals = vec.flatten().to_numpy(zero_copy_only=False)
+        v6 = np.floor(vals * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "val_e6": pa.array(v6, pa.int64()),
+                         "n_in": pa.array(n_in, pa.int64())})
+
+    return out.map_batches(to_long, batch_format="pyarrow")
+
+
 def q_supplier_components(sf_dir: str):
     """Connected components (min-label) of the sparse supplier–part
     bipartite graph restricted to l_quantity = 50 lineitems — the
@@ -2914,6 +2955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_components": q_supplier_components,
         "part_pagerank": q_part_pagerank,
         "part_ppr": q_part_ppr,
+        "supplier_nbr_features": q_supplier_nbr_features,
         "part_kcore": q_part_kcore,
         "part_communities": q_part_communities,
         "full_outer_parts": q_full_outer_parts,
@@ -3709,6 +3751,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(dot / greatest(nv * nc, 1e-300)
                               * 1000000 + 0.5) AS BIGINT) AS cos_micro
             FROM j
+        """,
+        "supplier_nbr_features": """
+            WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                       FROM lineitem),
+                 m AS (SELECT e.p AS node, f.embedding AS v
+                       FROM e JOIN embeddings f ON f.vec_id = e.s),
+                 x AS (SELECT node,
+                              unnest(v) AS val,
+                              unnest(generate_series(1, len(v))) AS pos
+                       FROM m)
+            SELECT node, CAST(pos - 1 AS BIGINT) AS pos,
+                   CAST(floor(avg(CAST(val AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) AS val_e6,
+                   count(*) AS n_in
+            FROM x GROUP BY node, pos
         """,
         "part_ppr": """
             WITH RECURSIVE

@@ -315,3 +315,91 @@ def embedding_pca(ds: "ray.data.Dataset", vec_col: str = "embedding",
 
     return comps, explained, ds.map_batches(project,
                                             batch_format="pyarrow")
+
+
+def neighbor_mean(edges: "ray.data.Dataset", feats: "ray.data.Dataset",
+                  src: str = "src", dst: str = "dst",
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  num_buckets: int = 64) -> "ray.data.Dataset":
+    """GNN-style one-hop message passing: for every destination node,
+    the element-wise MEAN of its in-neighbors' feature vectors (inner
+    semantics — edges whose source has no feature row contribute
+    nothing, destinations with no featured in-neighbor are absent).
+
+    → ``(node, vec: list<double>, n_in)``.
+
+    Scale shape: feature vectors ride the shuffle once per edge
+    (inherent to message passing), but each src-keyed bucket pre-sums
+    its messages into at most one ``(dst, Σvec, n)`` partial per
+    destination before the dst-keyed reduce — the combiner discipline of
+    every wide op in this repo. Accumulation in float64 regardless of
+    input precision (matches the SQL oracle's DOUBLE promotion)."""
+    import pyarrow.compute as pc
+
+    from ..stages.common import bucketed_group_reduce
+
+    def tag_feat(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t[id_col], pa.int64()),
+            "dst": pa.nulls(len(t), pa.int64()),
+            "vec": pc.cast(t[vec_col], pa.list_(pa.float64()))})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t[src], pa.int64()),
+            "dst": pc.cast(t[dst], pa.int64()),
+            "vec": pa.nulls(len(t), pa.list_(pa.float64()))})
+
+    part_schema = pa.schema([("dst", pa.int64()),
+                             ("vsum", pa.list_(pa.float64())),
+                             ("n", pa.int64())])
+
+    def fetch_combine(df: pd.DataFrame) -> pd.DataFrame:
+        selfs = df.loc[df["dst"].isna(), ["key", "vec"]]
+        reqs = df.loc[df["dst"].notna(), ["key", "dst"]]
+        m = reqs.merge(selfs, on="key", how="inner")
+        if not len(m):
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                 "vsum": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        vecs = np.stack([np.asarray(v, np.float64) for v in m["vec"]])
+        d = m["dst"].to_numpy(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, vecs = d[order], vecs[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        sums = np.add.reduceat(vecs, starts, axis=0)
+        cnts = np.diff(np.append(starts, len(d)))
+        return pd.DataFrame({"dst": d[starts],
+                             "vsum": list(sums),
+                             "n": cnts.astype("int64")})
+
+    msgs = bucketed_group_reduce(
+        feats.select_columns([id_col, vec_col]).map_batches(
+            tag_feat, batch_format="pyarrow")
+        .union(edges.select_columns([src, dst]).map_batches(
+            tag_edge, batch_format="pyarrow")),
+        ["key"], fetch_combine, num_buckets, schema=part_schema)
+
+    out_schema = pa.schema([("node", pa.int64()),
+                            ("vec", pa.list_(pa.float64())),
+                            ("n_in", pa.int64())])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "vec": pd.Series(dtype="object"),
+                                 "n_in": pd.Series(dtype="int64")})
+        vecs = np.stack([np.asarray(v, np.float64) for v in df["vsum"]])
+        d = df["dst"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, vecs, n = d[order], vecs[order], n[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        sums = np.add.reduceat(vecs, starts, axis=0)
+        cnts = np.add.reduceat(n, starts)
+        return pd.DataFrame({"node": d[starts],
+                             "vec": list(sums / cnts[:, None]),
+                             "n_in": cnts.astype("int64")})
+
+    return bucketed_group_reduce(msgs, ["dst"], finish, num_buckets,
+                                 schema=out_schema)

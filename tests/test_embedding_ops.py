@@ -112,3 +112,28 @@ def test_embedding_join_sharded_equals_broadcast(ray_session):
     assert (wide["b_id"] == shard["b_id"]).all()
     assert (wide["rank"] == shard["rank"]).all()
     assert np.allclose(wide["sim"], shard["sim"], atol=1e-12)
+
+
+def test_neighbor_mean_hand_graph(ray_session):
+    """Mean of in-neighbor vectors; inner semantics; combiner across
+    partitions agrees with a hand computation."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.embedding import neighbor_mean
+
+    feats = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [[1.0, 0.0], [0.0, 2.0], [4.0, 4.0]]})
+    edges = pd.DataFrame({
+        "src": [1, 2, 3, 1, 9],        # 9 has no feature row
+        "dst": [10, 10, 10, 11, 11]})
+    out = neighbor_mean(rd.from_pandas(edges).repartition(3),
+                        rd.from_pandas(feats).repartition(2)).to_pandas()
+    got = {r["node"]: (list(r["vec"]), r["n_in"])
+           for _, r in out.iterrows()}
+    v10, n10 = got[10]
+    assert n10 == 3 and np.allclose(v10, [5/3, 2.0])
+    v11, n11 = got[11]
+    assert n11 == 1 and np.allclose(v11, [1.0, 0.0])
+    assert set(got) == {10, 11}
