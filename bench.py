@@ -102,7 +102,10 @@ def run_bench() -> dict:
                       "docs_tfidf", "lineitem_bloom_semi",
                       "docs_prep_pipeline", "docs_dup_ngrams",
                       "docs_nb_predict", "supplier_link_pred",
-                      "supplier_walks", "docs_decontaminate"]:
+                      "supplier_walks", "docs_decontaminate",
+                      "turns_dedup", "docs_strip_spans", "part_ppr",
+                      "docs_vocab_prune", "docs_select_budget",
+                      "supplier_nbr_features", "render_chat"]:
             t0 = time.time()
             r = qs[qname](SF_DIR)
             if hasattr(r, "materialize"):
