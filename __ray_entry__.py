@@ -596,6 +596,28 @@ def q_render_chat(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_docs_sft_pipeline(sf_dir: str):
+    """Composed SFT-data curation chain, ONE end-to-end oracle:
+    transcripts → corpus-level turn dedup (CCNet first-occurrence rule)
+    → chat-template render ('<|role|>text') → alpha-ratio quality score
+    → budget-capped selection (8,000 whitespace tokens of the rendered
+    strings). Exercises line_dedup + render_chat + add_quality +
+    select_until_budget composed, against one nested-CTE DuckDB query."""
+    from agraph_ray.ops.dedup import line_dedup
+    from agraph_ray.ops.pack import select_until_budget
+    from agraph_ray.ops.text import add_quality
+    from agraph_ray.stages.reassemble import render_chat
+    from agraph_ray.synth import transcripts_from_documents
+
+    turns = transcripts_from_documents(sf_dir)
+    kept = line_dedup(turns, "conv_id", "turn_idx", "text")
+    rendered = render_chat(kept)
+    scored = rendered.map_batches(add_quality, batch_format="pyarrow")
+    out = select_until_budget(scored, "alpha_ratio", "conv_id",
+                              "token_count", budget=8_000)
+    return out.select_columns(["conv_id", "cum"])
+
+
 def q_kg_triples(sf_dir: str):
     from agraph_ray.config import KGConfig
     from agraph_ray.pipelines.kg_build import kg_tables
@@ -3031,6 +3053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_region_nation": q_union_region_nation,
         "turns_dedup": q_turns_dedup,
         "render_chat": q_render_chat,
+        "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
         "kg_triples": q_kg_triples,
@@ -4778,6 +4801,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reassemble_docs": """
             SELECT CAST(doc_id AS VARCHAR) AS conv_id, text FROM documents
+        """,
+        "docs_sft_pipeline": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+                       text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS BIGINT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), kept AS (
+                SELECT conv_id, turn_idx, role, text FROM t
+                QUALIFY row_number() OVER (
+                    PARTITION BY text ORDER BY conv_id, turn_idx) = 1
+            ), rendered AS (
+                SELECT conv_id,
+                       string_agg('<|' || role || '|>' || text, ''
+                                  ORDER BY turn_idx) AS rtext
+                FROM kept GROUP BY conv_id
+            ), scored AS (
+                SELECT conv_id,
+                       len(regexp_extract_all(rtext, '[A-Za-z]'))
+                           / greatest(length(rtext), 1)::DOUBLE AS score,
+                       len(regexp_extract_all(rtext, '\\S+')) AS tok
+                FROM rendered
+            )
+            SELECT conv_id, CAST(cum AS BIGINT) AS cum FROM (
+                SELECT conv_id,
+                       sum(tok) OVER (ORDER BY score DESC, conv_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM scored)
+            WHERE cum <= 8000
         """,
         "render_chat": """
             WITH s AS (
