@@ -423,6 +423,63 @@ def q_docs_compress_ratio(sf_dir: str):
                 batch_format="pyarrow"))
 
 
+def q_docs_redact_pii(sf_dir: str):
+    """PII scrubbing: deterministic synthetic PII (email/phone/IP) is
+    injected into every third document, then redact_pii rewrites it to
+    typed tags with a per-doc replacement count. Oracle = the identical
+    injection + the same RE2 patterns chained through nested
+    regexp_replace (built from ops.text.PII_PATTERNS — one source of
+    truth for both sides)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.text import redact_pii
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        suffix = pc.binary_join_element_wise(
+            " contact user", did,
+            "@example.com or +1 555-123-4567 ip 10.0.0.1", "")
+        three = pa.scalar(3, pa.int64())
+        mod = pc.subtract(t["doc_id"],
+                          pc.multiply(pc.divide(t["doc_id"], three),
+                                      three))
+        hit = pc.equal(mod, pa.scalar(0, pa.int64()))
+        new = pc.if_else(hit,
+                         pc.binary_join_element_wise(t["text"], suffix,
+                                                     ""),
+                         t["text"])
+        return t.set_column(t.schema.get_field_index("text"), "text", new)
+
+    out = redact_pii(ds.map_batches(inject, batch_format="pyarrow"))
+    return out.select_columns(["doc_id", "redacted", "n_pii"])
+
+
+def _pii_oracle_sql() -> str:
+    """docs_redact_pii oracle: same injection, same patterns, same
+    count-then-replace order as ops.text.redact_pii."""
+    from agraph_ray.ops.text import PII_PATTERNS
+    sql = ["WITH r0 AS (SELECT doc_id,",
+           "    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||",
+           "        CAST(doc_id AS VARCHAR) ||",
+           "        '@example.com or +1 555-123-4567 ip 10.0.0.1'",
+           "    ELSE text END AS t, 0::BIGINT AS n FROM documents)"]
+    prev = "r0"
+    for i, (_, pat, tag) in enumerate(PII_PATTERNS, 1):
+        # DuckDB single-quoted literals keep backslashes verbatim —
+        # only quotes need escaping
+        p = pat.replace("'", "''")
+        sql.append(
+            f", r{i} AS (SELECT doc_id, regexp_replace(t, '{p}', "
+            f"'{tag}', 'g') AS t, "
+            f"n + len(regexp_extract_all(t, '{p}')) AS n FROM {prev})")
+        prev = f"r{i}"
+    sql.append(f"SELECT doc_id, t AS redacted, n AS n_pii FROM {prev}")
+    return "\n".join(sql)
+
+
 def q_docs_vocab_prune(sf_dir: str):
     """Closed-vocabulary preprocessing: corpus words with count < 3
     become '<unk>', documents rebuilt. Full oracle
@@ -2932,6 +2989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_heavy_hitters": q_lineitem_heavy_hitters,
         "orders_weighted_sample": q_orders_weighted_sample,
         "docs_select_budget": q_docs_select_budget,
+        "docs_redact_pii": q_docs_redact_pii,
         "docs_vocab_prune": q_docs_vocab_prune,
         "docs_compress_ratio": q_docs_compress_ratio,
         "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -4912,4 +4970,5 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (non-SQL-expressible; driver records rows-only checks):
         # kg_triples, kg_nodes, docs_minhash_pairs, docs_simhash_pairs,
         # docs_minhash_dedup, emb_near_dup, ann_topk_lsh, media_features
+        "docs_redact_pii": _pii_oracle_sql(),
     }

@@ -145,3 +145,24 @@ def test_add_compress_ratio(ray_session):
     import zlib                 # exact pin: one doc, hand-computed
     s = df.loc[1, "text"].encode()
     assert abs(r[1] - len(zlib.compress(s, 6)) / len(s)) < 1e-12
+
+
+def test_redact_pii_patterns(ray_session):
+    """Each PII family redacts to its tag; counts total replacements;
+    card/ssn survive the phone pattern (ordering contract)."""
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.text import redact_pii
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        "mail a.b+c@ex-ample.org call +1 555-123-4567 done",
+        "card 1234-5678-9012-3456 ssn 123-45-6789 ip 10.0.0.255",
+        "nothing sensitive here"]})
+    out = rd.from_pandas(df).map_batches(
+        lambda b: b, batch_format="pyarrow")
+    out = redact_pii(rd.from_pandas(df)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.loc[0, "redacted"] == "mail [EMAIL] call [PHONE] done"
+    assert out.loc[1, "redacted"] == "card [CARD] ssn [SSN] ip [IP]"
+    assert out.loc[2, "redacted"] == "nothing sensitive here"
+    assert out["n_pii"].tolist() == [2, 3, 0]
