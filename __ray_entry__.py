@@ -480,6 +480,20 @@ def _pii_oracle_sql() -> str:
     return "\n".join(sql)
 
 
+def q_docs_temperature_mix(sf_dir: str):
+    """Temperature mixing (alpha=0.5) of documents across 'lang' sources
+    toward a 300-doc target: per-group keep rate min(1, t_g/n_g) with
+    t_g ∝ n_g^0.5, realized by the deterministic md5 uniform — the SQL
+    oracle reproduces the subsample exactly
+    (ops/stats.py::temperature_mix)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import temperature_mix
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return temperature_mix(ds, "lang", "doc_id", alpha=0.5,
+                           target_total=300)
+
+
 def q_docs_vocab_prune(sf_dir: str):
     """Closed-vocabulary preprocessing: corpus words with count < 3
     become '<unk>', documents rebuilt. Full oracle
@@ -2990,6 +3004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weighted_sample": q_orders_weighted_sample,
         "docs_select_budget": q_docs_select_budget,
         "docs_redact_pii": q_docs_redact_pii,
+        "docs_temperature_mix": q_docs_temperature_mix,
         "docs_vocab_prune": q_docs_vocab_prune,
         "docs_compress_ratio": q_docs_compress_ratio,
         "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -3338,6 +3353,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_temperature_mix": """
+            WITH n AS (SELECT lang, count(*)::DOUBLE AS n
+                       FROM documents GROUP BY lang),
+                 d AS (SELECT sum(pow(n, 0.5)) AS den FROM n),
+                 r AS (SELECT lang,
+                              least(1.0, (300 * pow(n.n, 0.5) / d.den)
+                                         / n.n) AS rate
+                       FROM n, d)
+            SELECT doc_id, documents.lang FROM documents
+            JOIN r USING (lang)
+            WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT) / 18446744073709551616.0 < rate
         """,
         "docs_vocab_prune": """
             WITH w AS (

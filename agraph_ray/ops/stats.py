@@ -1147,3 +1147,37 @@ def weighted_sample_n(ds: "ray.data.Dataset", key: str, id_col: str,
         ds.select_columns([key, id_col, weight_col]).map_batches(
             partial, batch_format="pyarrow"),
         ["k"], topn, num_buckets, schema=schema)
+
+
+def temperature_mix(ds: "ray.data.Dataset", group_col: str, id_col: str,
+                    alpha: float = 0.5,
+                    target_total: int = 100_000) -> "ray.data.Dataset":
+    """Temperature-based corpus mixing (the multinomial data-mixture rule
+    of large-LM training sets): target take per group ∝ n_g^alpha
+    (alpha < 1 upweights small sources), realized as a DETERMINISTIC
+    per-row Bernoulli — keep iff md5-uniform(id) < min(1, t_g / n_g)
+    where t_g = target_total · n_g^alpha / Σ n^alpha. No RNG state, so
+    the same input yields the same subsample at any parallelism and the
+    SQL oracle reproduces it exactly.
+
+    Scale shape: one combiner-backed groupby for the group sizes (rows =
+    |groups|, broadcast via closure — sources are few by contract), then
+    a pure filter map. → input rows of the survivors.
+    """
+    import hashlib as _hl
+
+    sizes = {r[group_col]: r["count()"]
+             for r in ds.groupby(group_col).count().take_all()}
+    denom = sum(n ** alpha for n in sizes.values())
+    rates = {g: min(1.0, (target_total * (n ** alpha) / denom) / n)
+             for g, n in sizes.items()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        gs = batch[group_col].to_pylist()
+        u = np.array([int(_hl.md5(str(i).encode()).hexdigest()[:16], 16)
+                      for i in ids], dtype=np.float64) / 2.0 ** 64
+        r = np.array([rates.get(g, 0.0) for g in gs])
+        return batch.filter(pa.array(u < r))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

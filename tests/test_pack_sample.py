@@ -414,3 +414,29 @@ def test_select_until_budget_prefix_semantics(ray_session):
             budget=3000).to_pandas()
         assert sorted(out["i"]) == sorted(ref["i"])
         assert out["cum"].max() <= 3000
+
+
+def test_temperature_mix_rates_and_determinism(ray_session):
+    """alpha<1 upweights the small source; kept set is identical at any
+    partitioning; per-group take is within binomial noise of target."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.stats import temperature_mix
+
+    df = pd.DataFrame({
+        "i": np.arange(11000, dtype="int64"),
+        "g": ["big"] * 10000 + ["small"] * 1000})
+    def run(parts):
+        out = temperature_mix(rd.from_pandas(df).repartition(parts),
+                              "g", "i", alpha=0.5,
+                              target_total=2000).to_pandas()
+        return out
+    a, b = run(3), run(11)
+    assert sorted(a["i"]) == sorted(b["i"])
+    na = a.groupby("g").size()
+    # targets: den = 100 + 31.62; big ~ 2000*100/131.6 = 1520,
+    # small ~ 480 (48% of its 1000 rows vs big's 15%)
+    assert abs(na["big"] - 1520) < 120
+    assert abs(na["small"] - 480) < 60
+    assert na["small"] / 1000 > na["big"] / 10000  # upweighted
