@@ -494,6 +494,28 @@ def q_docs_temperature_mix(sf_dir: str):
                            target_total=300)
 
 
+def q_docs_script_ratios(sf_dir: str):
+    """Unicode script composition (latin/cjk/cyrillic/arabic/digit
+    ratios, x1e6 ints for the hash compare) — the pre-langid routing
+    signal (ops/text.py::add_script_ratios)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.text import add_script_ratios
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": t["doc_id"]}
+        for c in ("latin_ratio", "cjk_ratio", "cyrillic_ratio",
+                  "arabic_ratio", "digit_ratio"):
+            cols[c] = pc.cast(pc.floor(pc.add(pc.multiply(
+                t[c], 1e6), 0.5)), pa.int64())
+        return pa.table(cols)
+
+    return (ds.map_batches(add_script_ratios, batch_format="pyarrow")
+            .map_batches(scale, batch_format="pyarrow"))
+
+
 def q_docs_vocab_prune(sf_dir: str):
     """Closed-vocabulary preprocessing: corpus words with count < 3
     become '<unk>', documents rebuilt. Full oracle
@@ -3005,6 +3027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_select_budget": q_docs_select_budget,
         "docs_redact_pii": q_docs_redact_pii,
         "docs_temperature_mix": q_docs_temperature_mix,
+        "docs_script_ratios": q_docs_script_ratios,
         "docs_vocab_prune": q_docs_vocab_prune,
         "docs_compress_ratio": q_docs_compress_ratio,
         "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -3366,6 +3389,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN r USING (lang)
             WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
                        ::UBIGINT) / 18446744073709551616.0 < rate
+        """,
+        "docs_script_ratios": r"""
+            SELECT doc_id,
+                CAST(floor(len(regexp_extract_all(text, '[A-Za-z]'))
+                    / greatest(length(text), 1)::DOUBLE * 1e6 + 0.5)
+                    AS BIGINT) AS latin_ratio,
+                CAST(floor(len(regexp_extract_all(text,
+                        '[\x{4e00}-\x{9fff}]'))
+                    / greatest(length(text), 1)::DOUBLE * 1e6 + 0.5)
+                    AS BIGINT) AS cjk_ratio,
+                CAST(floor(len(regexp_extract_all(text,
+                        '[\x{0400}-\x{04FF}]'))
+                    / greatest(length(text), 1)::DOUBLE * 1e6 + 0.5)
+                    AS BIGINT) AS cyrillic_ratio,
+                CAST(floor(len(regexp_extract_all(text,
+                        '[\x{0600}-\x{06FF}]'))
+                    / greatest(length(text), 1)::DOUBLE * 1e6 + 0.5)
+                    AS BIGINT) AS arabic_ratio,
+                CAST(floor(len(regexp_extract_all(text, '[0-9]'))
+                    / greatest(length(text), 1)::DOUBLE * 1e6 + 0.5)
+                    AS BIGINT) AS digit_ratio
+            FROM documents
         """,
         "docs_vocab_prune": """
             WITH w AS (

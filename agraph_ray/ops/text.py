@@ -97,6 +97,25 @@ def add_compress_ratio(batch: pa.Table, col: str = "text",
     return batch.append_column(out, pa.array(ratios, pa.float64()))
 
 
+def add_script_ratios(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Unicode script composition per document — the pre-langid routing
+    signal of multilingual curation (which script bucket does this text
+    even live in): latin_ratio, cjk_ratio, cyrillic_ratio, arabic_ratio,
+    digit_ratio over total characters (0 for empty). RE2 character
+    classes, identical in DuckDB."""
+    t = batch[col]
+    n = pc.cast(pc.utf8_length(t), pa.float64())
+    denom = pc.max_element_wise(n, pa.scalar(1.0))
+    for name, pat in (("latin_ratio", r"[A-Za-z]"),
+                      ("cjk_ratio", _CJK_RE),
+                      ("cyrillic_ratio", r"[\x{0400}-\x{04FF}]"),
+                      ("arabic_ratio", r"[\x{0600}-\x{06FF}]"),
+                      ("digit_ratio", r"[0-9]")):
+        cnt = pc.cast(pc.count_substring_regex(t, pat), pa.float64())
+        batch = batch.append_column(name, pc.divide(cnt, denom))
+    return batch
+
+
 def add_corpus_filter(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher/C4-style composite quality gate (vectorized, map-side only —
     no shuffle; the rules are per-document projections). Appends:

@@ -166,3 +166,19 @@ def test_redact_pii_patterns(ray_session):
     assert out.loc[1, "redacted"] == "card [CARD] ssn [SSN] ip [IP]"
     assert out.loc[2, "redacted"] == "nothing sensitive here"
     assert out["n_pii"].tolist() == [2, 3, 0]
+
+
+def test_add_script_ratios(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.text import add_script_ratios
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        "hello", "你好吗", "abc да 12"]})
+    out = rd.from_pandas(df).map_batches(
+        add_script_ratios, batch_format="pyarrow").to_pandas()
+    r0 = out.iloc[0]; r1 = out.iloc[1]; r2 = out.iloc[2]
+    assert r0["latin_ratio"] == 1.0 and r0["cjk_ratio"] == 0.0
+    assert r1["cjk_ratio"] == 1.0 and r1["latin_ratio"] == 0.0
+    assert abs(r2["latin_ratio"] - 3/8) < 1e-12
+    assert abs(r2["cyrillic_ratio"] - 2/8) < 1e-12
+    assert abs(r2["digit_ratio"] - 2/8) < 1e-12
