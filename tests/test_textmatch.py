@@ -179,6 +179,6 @@ def test_add_script_ratios(ray_session):
     r0 = out.iloc[0]; r1 = out.iloc[1]; r2 = out.iloc[2]
     assert r0["latin_ratio"] == 1.0 and r0["cjk_ratio"] == 0.0
     assert r1["cjk_ratio"] == 1.0 and r1["latin_ratio"] == 0.0
-    assert abs(r2["latin_ratio"] - 3/8) < 1e-12
-    assert abs(r2["cyrillic_ratio"] - 2/8) < 1e-12
-    assert abs(r2["digit_ratio"] - 2/8) < 1e-12
+    assert abs(r2["latin_ratio"] - 3/9) < 1e-12
+    assert abs(r2["cyrillic_ratio"] - 2/9) < 1e-12
+    assert abs(r2["digit_ratio"] - 2/9) < 1e-12
