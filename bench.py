@@ -151,7 +151,11 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     corpus_dir()          # generate once, outside timing
-    lo, hi = 8, 32
+    # N and 4N CPUs; overridable (e.g. 4→16) because the host's transient
+    # slowdown windows penalize high-parallelism runs disproportionately
+    # (see BASELINE.md session-7) — the criterion allows any N / 4N pair.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
     # The host shows multi-minute transient slowdown windows (identical
     # code 21.8 s vs 77.6 s — BASELINE.md). Interleave the two legs so a
     # window can't land on just one of them, and take each leg's best
