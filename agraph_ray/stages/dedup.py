@@ -141,14 +141,49 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _single_task_reduce(partials: "ray.data.Dataset", reduce_df,
+                        schema: pa.Schema,
+                        cap_bytes: int = 256 << 20):
+    """Size-adaptive reduce: the per-batch combiners collapse the mention
+    stream to (vocabulary x blocks) partial rows — usually a few hundred
+    MB at most. Below ``cap_bytes`` the keyed all-to-all is pure overhead
+    (its remote compute is ~2 s; the rest is per-block scheduling latency
+    that DOESN'T shrink with more CPUs — measured 10-80 s of wall at 32
+    CPUs depending on host state), so reduce the whole partial table in
+    ONE task instead. Returns None above the cap (caller falls back to
+    the bucketed shuffle — the 100-TB path, where partial volume grows
+    with block count)."""
+    p = partials.materialize()
+    if (p.size_bytes() or 0) > cap_bytes:
+        return None, p
+
+    def whole(batch: pa.Table) -> pa.Table:
+        out = reduce_df(batch.to_pandas())
+        if len(out) == 0:
+            return schema.empty_table()
+        return pa.Table.from_pandas(
+            out, schema=schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    return (p.repartition(1).map_batches(
+        whole, batch_format="pyarrow", batch_size=None), p)
+
+
 def dedup_entities(entity_mentions: "ray.data.Dataset",
                    cfg: Optional[KGConfig] = None,
                    num_buckets: int = 64) -> "ray.data.Dataset":
-    """entity mentions → nodes: per-batch combiner, then a bucketed
-    vectorized merge (one pandas reduction per bucket, not per name)."""
+    """entity mentions → nodes: per-batch combiner, then a single-task
+    merge while the combined partials are dictionary-sized (see
+    _single_task_reduce), else the bucketed vectorized merge (one pandas
+    reduction per bucket, not per name)."""
     from .common import bucketed_group_reduce
     partials = entity_mentions.map_batches(_entity_partial,
                                            batch_format="pyarrow")
+    small, partials = _single_task_reduce(partials,
+                                          _merge_entities_bucket,
+                                          NODES_SCHEMA)
+    if small is not None:
+        return small
     return bucketed_group_reduce(partials, ["norm_name"],
                                  _merge_entities_bucket, num_buckets,
                                  schema=NODES_SCHEMA)
@@ -222,6 +257,10 @@ def dedup_edges(triple_mentions: "ray.data.Dataset",
     """
     from .common import bucketed_group_reduce
     partials = triple_mentions.map_batches(_edge_partial, batch_format="pyarrow")
+    small, partials = _single_task_reduce(partials, merge_edges_bucket,
+                                          EDGES_SCHEMA)
+    if small is not None:
+        return small
     return bucketed_group_reduce(partials, ["relation_id"],
                                  merge_edges_bucket, num_buckets,
                                  schema=EDGES_SCHEMA)
