@@ -689,6 +689,19 @@ def q_render_chat(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_preference_pairs(sf_dir: str):
+    """DPO-style preference pairs over the derived transcripts: adjacent
+    user→assistant turn pairs, grouped by identical prompt text; chosen =
+    longest distinct response (ties → lexicographically greatest),
+    rejected = shortest (ties → smallest). Full oracle: self-join +
+    window functions over the SQL-reconstructed turn table
+    (ops/preference.py::preference_pairs)."""
+    from agraph_ray.ops.preference import preference_pairs
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    return preference_pairs(ds)
+
+
 def q_docs_sft_pipeline(sf_dir: str):
     """Composed SFT-data curation chain, ONE end-to-end oracle:
     transcripts → corpus-level turn dedup (CCNet first-occurrence rule)
@@ -3149,6 +3162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_region_nation": q_union_region_nation,
         "turns_dedup": q_turns_dedup,
         "render_chat": q_render_chat,
+        "preference_pairs": q_preference_pairs,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -4995,6 +5009,42 @@ def oracle_sql() -> dict[str, str]:
                        FILTER (WHERE role = 'assistant'), 0) AS BIGINT)
                        AS assistant_chars
             FROM t GROUP BY conv_id
+        """,
+        "preference_pairs": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), p AS (
+                SELECT u.text AS prompt, a.text AS response
+                FROM t u JOIN t a
+                  ON u.conv_id = a.conv_id AND a.turn_idx = u.turn_idx + 1
+                WHERE u.role = 'user' AND a.role = 'assistant'
+            ), d AS (SELECT DISTINCT prompt, response FROM p),
+            r AS (
+                SELECT prompt, response,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY length(response) DESC, response DESC)
+                           AS rb,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY length(response) ASC, response ASC)
+                           AS rw,
+                       count(*) OVER (PARTITION BY prompt) AS n
+                FROM d
+            )
+            SELECT prompt,
+                   max(CASE WHEN rb = 1 THEN response END) AS chosen,
+                   max(CASE WHEN rw = 1 THEN response END) AS rejected,
+                   max(n) AS n_candidates
+            FROM r GROUP BY prompt HAVING max(n) >= 2
         """,
         "turns_dedup": """
             WITH s AS (
