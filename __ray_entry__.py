@@ -702,6 +702,62 @@ def q_preference_pairs(sf_dir: str):
     return preference_pairs(ds)
 
 
+def q_tool_usage(sf_dir: str):
+    """Agent tool-call analytics over the derived transcripts (the
+    input_hint's ``tool`` column, deterministically annotated by
+    synth.add_synthetic_tools): per tool — total calls, distinct
+    conversations, total response chars. Per-batch (tool, conv) combiner
+    before one tool-keyed reduce; shuffle carries distinct pairs only."""
+    import pyarrow as pa2
+    from agraph_ray.stages.common import bucketed_group_reduce
+    from agraph_ray.synth import add_synthetic_tools, \
+        transcripts_from_documents
+
+    ds = add_synthetic_tools(transcripts_from_documents(sf_dir))
+    ds = ds.filter(expr="tool != ''").select_columns(
+        ["tool", "conv_id", "text"])
+
+    def partial(t: "pa2.Table"):
+        import pandas as pd2
+        import pyarrow.compute as pc2
+        df = pd2.DataFrame({
+            "tool": t["tool"].to_pandas(),
+            "conv_id": t["conv_id"].to_pandas(),
+            "chars": pc2.utf8_length(t["text"]).to_pandas().astype("int64"),
+        })
+        return df.groupby(["tool", "conv_id"], as_index=False).agg(
+            n_calls=("chars", "size"), chars=("chars", "sum"))
+
+    part = ds.map_batches(lambda t: pa2.Table.from_pandas(
+        partial(t), preserve_index=False), batch_format="pyarrow")
+
+    def reduce_df(df):
+        g = df.groupby("tool", as_index=False).agg(
+            n_calls=("n_calls", "sum"), n_convs=("conv_id", "nunique"),
+            chars=("chars", "sum"))
+        g["n_calls"] = g["n_calls"].astype("int64")
+        g["n_convs"] = g["n_convs"].astype("int64")
+        g["chars"] = g["chars"].astype("int64")
+        return g
+
+    return bucketed_group_reduce(part, ["tool"], reduce_df, num_buckets=4)
+
+
+def q_tool_transitions(sf_dir: str):
+    """Markov transition counts between consecutive tool calls within a
+    conversation (reuses ops/window.py::event_transitions; the synthetic
+    ts is monotone in turn_idx so the LAG-by-turn_idx oracle orders
+    identically). Oracle: LAG window over the reconstructed turns."""
+    from agraph_ray.ops.window import event_transitions
+    from agraph_ray.synth import add_synthetic_tools, \
+        transcripts_from_documents
+
+    ds = add_synthetic_tools(transcripts_from_documents(sf_dir))
+    calls = ds.filter(expr="tool != ''")
+    return event_transitions(calls, key="conv_id", ts_col="ts",
+                             type_col="tool", id_col="turn_idx")
+
+
 def q_docs_sft_pipeline(sf_dir: str):
     """Composed SFT-data curation chain, ONE end-to-end oracle:
     transcripts → corpus-level turn dedup (CCNet first-occurrence rule)
@@ -3163,6 +3219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_dedup": q_turns_dedup,
         "render_chat": q_render_chat,
         "preference_pairs": q_preference_pairs,
+        "tool_usage": q_tool_usage,
+        "tool_transitions": q_tool_transitions,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5045,6 +5103,68 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rw = 1 THEN response END) AS rejected,
                    max(n) AS n_candidates
             FROM r GROUP BY prompt HAVING max(n) >= 2
+        """,
+        "tool_usage": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), tl AS (
+                SELECT conv_id, turn_idx, text,
+                       CASE WHEN role = 'assistant' THEN
+                           CASE (turn_idx + length(text)) % 4
+                                WHEN 0 THEN 'search'
+                                WHEN 1 THEN 'calculator'
+                                WHEN 2 THEN 'code_run' ELSE '' END
+                       ELSE '' END AS tool
+                FROM t
+            )
+            SELECT tool, count(*) AS n_calls,
+                   count(DISTINCT conv_id) AS n_convs,
+                   CAST(sum(length(text)) AS BIGINT) AS chars
+            FROM tl WHERE tool <> '' GROUP BY tool
+        """,
+        "tool_transitions": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), tl AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN role = 'assistant' THEN
+                           CASE (turn_idx + length(text)) % 4
+                                WHEN 0 THEN 'search'
+                                WHEN 1 THEN 'calculator'
+                                WHEN 2 THEN 'code_run' ELSE '' END
+                       ELSE '' END AS tool
+                FROM t
+            ), c AS (SELECT conv_id, turn_idx, tool FROM tl
+                     WHERE tool <> ''),
+            lagged AS (
+                SELECT lag(tool) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx) AS from_type,
+                       tool AS to_type
+                FROM c
+            )
+            SELECT from_type, to_type, count(*) AS cnt
+            FROM lagged WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
         """,
         "turns_dedup": """
             WITH s AS (

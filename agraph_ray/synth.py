@@ -199,3 +199,31 @@ def ground_truth_documents(n_convs: int, seed: int, separator: str = "\n",
         rows = generate_conversation(conv_id, int(counts[k]), seed)
         docs[conv_id] = separator.join(r["text"] for r in rows)
     return docs
+
+
+SYNTH_TOOLS = ("search", "calculator", "code_run", "")
+
+
+def add_synthetic_tools(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Deterministic, SQL-reproducible tool annotation for derived
+    transcripts: each assistant turn calls one of three tools (or none)
+    picked by ``(turn_idx + length(text)) % 4``; user turns never do.
+    Exercises the input_hint's ``tool`` column (BASELINE.json) without
+    external data — the DuckDB oracle recomputes the same rule with
+    ``length()`` over the reconstructed turn table. Pure per-batch
+    projection, zero shuffle."""
+    import pyarrow.compute as pc
+
+    tools = np.array(SYNTH_TOOLS, dtype=object)
+
+    def f(t: pa.Table) -> pa.Table:
+        idx = t["turn_idx"].to_numpy().astype(np.int64)
+        ln = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        role = np.asarray(t["role"].to_pylist(), dtype=object)
+        tool = tools[(idx + ln) % 4]
+        tool = np.where(role == "assistant", tool, "")
+        return t.set_column(t.schema.get_field_index("tool"), "tool",
+                            pa.array(tool, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -70,3 +70,18 @@ def test_preference_pairs_partition_invariant(ray_session):
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert (outs[0]["n_candidates"] == 6).all()
+
+
+def test_add_synthetic_tools_rule(ray_session):
+    import ray.data as rd
+    from agraph_ray.synth import add_synthetic_tools
+    df = pd.DataFrame({
+        "conv_id": ["c"] * 4, "turn_idx": [0, 1, 2, 3],
+        "role": ["user", "assistant", "user", "assistant"],
+        "text": ["abc", "abc", "x", "abcd"],  # (1+3)%4=0, (3+4)%4=3
+        "tool": [""] * 4,
+        "ts": pd.to_datetime([0, 1, 2, 3], unit="s"),
+    })
+    out = (add_synthetic_tools(rd.from_pandas(df)).to_pandas()
+           .sort_values("turn_idx"))
+    assert list(out["tool"]) == ["", "search", "", ""]
