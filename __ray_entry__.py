@@ -758,6 +758,28 @@ def q_tool_transitions(sf_dir: str):
                              type_col="tool", id_col="turn_idx")
 
 
+def q_conv_truncate(sf_dir: str):
+    """Chat-history context-window trim: per conversation keep the maximal
+    suffix of whole turns totalling <= 64 whitespace tokens (drop oldest
+    first, never split a turn). Oracle: reverse-ordered window sum
+    (stages/reassemble.py::truncate_context)."""
+    from agraph_ray.stages.reassemble import truncate_context
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    return truncate_context(ds, max_tokens=64)
+
+
+def q_conv_wellformed(sf_dir: str):
+    """Per-conversation well-formedness report (alternation violations,
+    index gaps, empty turns, user-first start) — the triage filter before
+    SFT rendering / preference extraction. Oracle: LAG windows
+    (stages/reassemble.py::validate_conversations)."""
+    from agraph_ray.stages.reassemble import validate_conversations
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    return validate_conversations(ds)
+
+
 def q_docs_sft_pipeline(sf_dir: str):
     """Composed SFT-data curation chain, ONE end-to-end oracle:
     transcripts → corpus-level turn dedup (CCNet first-occurrence rule)
@@ -3221,6 +3243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preference_pairs": q_preference_pairs,
         "tool_usage": q_tool_usage,
         "tool_transitions": q_tool_transitions,
+        "conv_truncate": q_conv_truncate,
+        "conv_wellformed": q_conv_wellformed,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5165,6 +5189,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_type, to_type, count(*) AS cnt
             FROM lagged WHERE from_type IS NOT NULL
             GROUP BY from_type, to_type
+        """,
+        "conv_truncate": r"""
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), tok AS (
+                SELECT conv_id, turn_idx, role, text,
+                       len(regexp_extract_all(text, '\S+')) AS tk
+                FROM t
+            ), suf AS (
+                SELECT conv_id, turn_idx, role, text,
+                       sum(tk) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx DESC) AS sfx
+                FROM tok
+            )
+            SELECT conv_id, turn_idx, role, text FROM suf WHERE sfx <= 64
+        """,
+        "conv_wellformed": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), l AS (
+                SELECT conv_id, turn_idx, role, text,
+                       lag(role) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx) AS prev_role,
+                       lag(turn_idx) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx) AS prev_idx,
+                       row_number() OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx) AS rn
+                FROM t
+            )
+            SELECT conv_id, count(*) AS n_turns,
+                   CAST(coalesce(sum(CASE WHEN prev_role = role
+                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_alternation_violations,
+                   CAST(coalesce(sum(CASE WHEN prev_idx IS NOT NULL
+                       AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS n_gaps,
+                   CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_empty_turns,
+                   CAST(max(CASE WHEN rn = 1 AND turn_idx = 0
+                       AND role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS starts_ok,
+                   CAST(CASE WHEN
+                       coalesce(sum(CASE WHEN prev_role = role
+                           THEN 1 ELSE 0 END), 0) = 0
+                       AND coalesce(sum(CASE WHEN prev_idx IS NOT NULL
+                           AND turn_idx <> prev_idx + 1
+                           THEN 1 ELSE 0 END), 0) = 0
+                       AND sum(CASE WHEN length(text) = 0
+                           THEN 1 ELSE 0 END) = 0
+                       AND max(CASE WHEN rn = 1 AND turn_idx = 0
+                           AND role = 'user' THEN 1 ELSE 0 END) = 1
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_wellformed
+            FROM l GROUP BY conv_id
         """,
         "turns_dedup": """
             WITH s AS (

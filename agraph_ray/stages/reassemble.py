@@ -207,3 +207,97 @@ def render_chat(ds: "ray.data.Dataset", sep_open: str = "<|",
         add_key, batch_format="pyarrow")
     return bucketed_group_reduce(keyed, ["group_key"], render,
                                  num_buckets, schema=schema)
+
+
+def truncate_context(ds: "ray.data.Dataset", max_tokens: int,
+                     conv_col: str = "conv_id", idx_col: str = "turn_idx",
+                     role_col: str = "role", text_col: str = "text",
+                     num_buckets: int = 64) -> "ray.data.Dataset":
+    """Context-window trim: per conversation keep the maximal SUFFIX of
+    whole turns whose total whitespace-token count is <= ``max_tokens``
+    (the standard chat-history truncation rule — drop oldest turns first,
+    never split a turn). Token rule = count of ``\\S+`` runs, identical to
+    ops/text.py::add_token_count and the DuckDB oracle's
+    ``len(regexp_extract_all(text, '\\S+'))``.
+
+    One conv-keyed bucketed shuffle; the suffix cumsum is a vectorized
+    reverse groupby-cumsum per bucket. Scale: text rides the shuffle once;
+    skewed mega-conversations are bounded by the bucket fan-out the same
+    way reassembly is (a conversation larger than worker memory should be
+    pre-filtered by conversation_stats)."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            __tk=df[text_col].str.count(r"\S+").fillna(0).astype("int64"))
+        df = df.sort_values([conv_col, idx_col], ascending=[True, False],
+                            kind="mergesort")
+        suffix = df.groupby(conv_col, sort=False)["__tk"].cumsum()
+        kept = df[suffix <= max_tokens]
+        return (kept.sort_values([conv_col, idx_col], kind="mergesort")
+                [[conv_col, idx_col, role_col, text_col]])
+
+    from .common import bucketed_group_reduce
+    schema = pa.schema([(conv_col, pa.string()), (idx_col, pa.int32()),
+                        (role_col, pa.string()), (text_col, pa.string())])
+    cols = ds.select_columns([conv_col, idx_col, role_col, text_col])
+    return bucketed_group_reduce(cols, [conv_col], per_bucket,
+                                 num_buckets, schema=schema)
+
+
+def validate_conversations(ds: "ray.data.Dataset",
+                           conv_col: str = "conv_id",
+                           idx_col: str = "turn_idx",
+                           role_col: str = "role", text_col: str = "text",
+                           num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-conversation well-formedness report for a transcript corpus:
+    ``(conv_id, n_turns, n_alternation_violations, n_gaps, n_empty_turns,
+    starts_ok, is_wellformed)``. Rules (all pinned, SQL-reproducible):
+    alternation violation = adjacent turns with the same role; gap =
+    turn_idx not previous+1; empty = zero-length text; starts_ok =
+    first turn_idx is 0 AND first role is 'user'. One conv-keyed bucketed
+    shuffle, vectorized shift/groupby body — the triage filter before SFT
+    rendering or preference-pair extraction."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([conv_col, idx_col], kind="mergesort")
+        c = df[conv_col].to_numpy()
+        i = df[idx_col].to_numpy().astype(np.int64)
+        r = df[role_col].to_numpy(dtype=object)
+        same = np.zeros(len(df), dtype=bool)
+        if len(df):
+            same[1:] = c[1:] == c[:-1]
+        viol = same & (r == np.roll(r, 1))
+        gap = same & (i != np.roll(i, 1) + 1)
+        empty = (df[text_col].fillna("").str.len() == 0).to_numpy()
+        first = ~same
+        g = pd.DataFrame({
+            conv_col: c,
+            "viol": viol.astype("int64"), "gap": gap.astype("int64"),
+            "empty": empty.astype("int64"),
+            "start_ok": (first & (i == 0) & (r == "user")).astype("int64"),
+            "one": 1})
+        out = g.groupby(conv_col, as_index=False).agg(
+            n_turns=("one", "sum"),
+            n_alternation_violations=("viol", "sum"),
+            n_gaps=("gap", "sum"),
+            n_empty_turns=("empty", "sum"),
+            starts_ok=("start_ok", "max"))
+        ok = ((out["n_alternation_violations"] == 0) & (out["n_gaps"] == 0)
+              & (out["n_empty_turns"] == 0) & (out["starts_ok"] == 1))
+        out["is_wellformed"] = ok.astype("int64")
+        for col in ("n_turns", "n_alternation_violations", "n_gaps",
+                    "n_empty_turns", "starts_ok"):
+            out[col] = out[col].astype("int64")
+        return out
+
+    from .common import bucketed_group_reduce
+    schema = pa.schema([
+        (conv_col, pa.string()), ("n_turns", pa.int64()),
+        ("n_alternation_violations", pa.int64()), ("n_gaps", pa.int64()),
+        ("n_empty_turns", pa.int64()), ("starts_ok", pa.int64()),
+        ("is_wellformed", pa.int64())])
+    cols = ds.select_columns([conv_col, idx_col, role_col, text_col])
+    return bucketed_group_reduce(cols, [conv_col], per_bucket,
+                                 num_buckets, schema=schema)

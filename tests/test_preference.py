@@ -85,3 +85,42 @@ def test_add_synthetic_tools_rule(ray_session):
     out = (add_synthetic_tools(rd.from_pandas(df)).to_pandas()
            .sort_values("turn_idx"))
     assert list(out["tool"]) == ["", "search", "", ""]
+
+
+def test_truncate_context_suffix_rule(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import truncate_context
+    df = _turns([
+        # tokens per turn: 3, 2, 4, 1  → suffix sums from the end:
+        # t3=1, t2=5, t1=7, t0=10
+        ("c1", 0, "user", "a b c"), ("c1", 1, "assistant", "d e"),
+        ("c1", 2, "user", "f g h i"), ("c1", 3, "assistant", "j"),
+        ("c2", 0, "user", "lone"),
+    ])
+    out = (truncate_context(rd.from_pandas(df).repartition(3), max_tokens=5)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    # c1 keeps turns 2,3 (4+1=5 <= 5); turn 1 would make 7. c2 keeps all.
+    assert [(r.conv_id, r.turn_idx) for r in out.itertuples()] == [
+        ("c1", 2), ("c1", 3), ("c2", 0)]
+
+
+def test_validate_conversations_flags(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import validate_conversations
+    df = _turns([
+        ("ok", 0, "user", "hi"), ("ok", 1, "assistant", "yo"),
+        # double-assistant + gap + empty + assistant-first
+        ("bad", 1, "assistant", "x"), ("bad", 2, "assistant", ""),
+        ("bad", 4, "user", "y"),
+    ])
+    out = (validate_conversations(rd.from_pandas(df).repartition(2))
+           .to_pandas().set_index("conv_id"))
+    ok = out.loc["ok"]
+    assert (ok["is_wellformed"], ok["n_turns"]) == (1, 2)
+    bad = out.loc["bad"]
+    assert bad["n_alternation_violations"] == 1   # asst -> asst
+    assert bad["n_gaps"] == 1                     # 2 -> 4
+    assert bad["n_empty_turns"] == 1
+    assert bad["starts_ok"] == 0                  # first idx 1, role asst
+    assert bad["is_wellformed"] == 0
