@@ -780,6 +780,35 @@ def q_conv_wellformed(sf_dir: str):
     return validate_conversations(ds)
 
 
+def q_conv_curation(sf_dir: str):
+    """Composed agent-transcript curation chain, ONE end-to-end oracle:
+    transcripts → well-formedness gate (validate_conversations + semi
+    join) → 64-token context truncation (whole-turn suffix) →
+    chat-template render with SFT loss-mask stats. Exercises
+    validate_conversations, cogroup semi join, truncate_context and
+    render_chat composed against one nested-CTE DuckDB query."""
+    import pyarrow.compute as pc2
+    from agraph_ray.ops.join import cogroup_join
+    from agraph_ray.stages.reassemble import render_chat, \
+        truncate_context, validate_conversations
+    from agraph_ray.synth import transcripts_from_documents
+
+    turns = transcripts_from_documents(sf_dir)
+    wf = (validate_conversations(turns)
+          .filter(expr="is_wellformed == 1")
+          .select_columns(["conv_id"]))
+    kept = cogroup_join(turns.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]), wf,
+        on=["conv_id"], how="semi")
+    trunc = truncate_context(kept, max_tokens=64)
+    out = render_chat(trunc)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("doc_seq"), "doc_seq",
+            pc2.cast(t["doc_seq"], "int64")),
+        batch_format="pyarrow")
+
+
 def q_docs_sft_pipeline(sf_dir: str):
     """Composed SFT-data curation chain, ONE end-to-end oracle:
     transcripts → corpus-level turn dedup (CCNet first-occurrence rule)
@@ -3245,6 +3274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_transitions": q_tool_transitions,
         "conv_truncate": q_conv_truncate,
         "conv_wellformed": q_conv_wellformed,
+        "conv_curation": q_conv_curation,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5262,6 +5292,59 @@ def oracle_sql() -> dict[str, str]:
                            AND role = 'user' THEN 1 ELSE 0 END) = 1
                        THEN 1 ELSE 0 END AS BIGINT) AS is_wellformed
             FROM l GROUP BY conv_id
+        """,
+        "conv_curation": r"""
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), l AS (
+                SELECT conv_id, turn_idx, role, text,
+                       lag(role) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx) AS prev_role,
+                       lag(turn_idx) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx) AS prev_idx,
+                       row_number() OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx) AS rn
+                FROM t
+            ), wf AS (
+                SELECT conv_id FROM l GROUP BY conv_id
+                HAVING coalesce(sum(CASE WHEN prev_role = role
+                           THEN 1 ELSE 0 END), 0) = 0
+                   AND coalesce(sum(CASE WHEN prev_idx IS NOT NULL
+                           AND turn_idx <> prev_idx + 1
+                           THEN 1 ELSE 0 END), 0) = 0
+                   AND sum(CASE WHEN length(text) = 0
+                           THEN 1 ELSE 0 END) = 0
+                   AND max(CASE WHEN rn = 1 AND turn_idx = 0
+                           AND role = 'user' THEN 1 ELSE 0 END) = 1
+            ), kept AS (
+                SELECT t.* FROM t JOIN wf USING (conv_id)
+            ), suf AS (
+                SELECT conv_id, turn_idx, role, text,
+                       sum(len(regexp_extract_all(text, '\S+')))
+                           OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx DESC) AS sfx
+                FROM kept
+            )
+            SELECT conv_id, 0::BIGINT AS doc_seq,
+                   string_agg('<|' || role || '|>' || text, ''
+                              ORDER BY turn_idx) AS text,
+                   count(*) AS n_turns,
+                   count(*) FILTER (WHERE role = 'assistant')
+                       AS n_assistant_turns,
+                   CAST(coalesce(sum(length(text))
+                       FILTER (WHERE role = 'assistant'), 0) AS BIGINT)
+                       AS assistant_chars
+            FROM suf WHERE sfx <= 64 GROUP BY conv_id
         """,
         "turns_dedup": """
             WITH s AS (
