@@ -809,6 +809,17 @@ def q_conv_curation(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_conv_segments(sf_dir: str):
+    """Overlapping conversation segmentation (window=4 turns, stride=2)
+    for long-context SFT examples. Oracle: generate_series segments
+    joined to row_number positions
+    (stages/reassemble.py::segment_conversations)."""
+    from agraph_ray.stages.reassemble import segment_conversations
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    return segment_conversations(ds, window_turns=4, stride=2)
+
+
 def q_docs_sft_pipeline(sf_dir: str):
     """Composed SFT-data curation chain, ONE end-to-end oracle:
     transcripts → corpus-level turn dedup (CCNet first-occurrence rule)
@@ -3275,6 +3286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_truncate": q_conv_truncate,
         "conv_wellformed": q_conv_wellformed,
         "conv_curation": q_conv_curation,
+        "conv_segments": q_conv_segments,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5345,6 +5357,39 @@ def oracle_sql() -> dict[str, str]:
                        FILTER (WHERE role = 'assistant'), 0) AS BIGINT)
                        AS assistant_chars
             FROM suf WHERE sfx <= 64 GROUP BY conv_id
+        """,
+        "conv_segments": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), convs AS (
+                SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id
+            ), segs AS (
+                SELECT conv_id,
+                       unnest(generate_series(0,
+                           CAST((greatest(n - 4, 0) + 1) // 2 AS INT)))
+                           AS seg_id
+                FROM convs
+            ), pos AS (
+                SELECT conv_id, turn_idx, text,
+                       row_number() OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx) - 1 AS p
+                FROM t
+            )
+            SELECT sg.conv_id, CAST(sg.seg_id AS BIGINT) AS seg_id,
+                   count(*) AS n_turns,
+                   min(p.turn_idx) AS first_turn_idx,
+                   string_agg(p.text, chr(10) ORDER BY p.turn_idx) AS text
+            FROM segs sg JOIN pos p ON sg.conv_id = p.conv_id
+                 AND p.p >= sg.seg_id * 2 AND p.p < sg.seg_id * 2 + 4
+            GROUP BY sg.conv_id, sg.seg_id
         """,
         "turns_dedup": """
             WITH s AS (

@@ -301,3 +301,81 @@ def validate_conversations(ds: "ray.data.Dataset",
     cols = ds.select_columns([conv_col, idx_col, role_col, text_col])
     return bucketed_group_reduce(cols, [conv_col], per_bucket,
                                  num_buckets, schema=schema)
+
+
+def segment_conversations(ds: "ray.data.Dataset", window_turns: int,
+                          stride: int,
+                          conv_col: str = "conv_id",
+                          idx_col: str = "turn_idx",
+                          text_col: str = "text",
+                          sep: str = "\n",
+                          num_buckets: int = 64) -> "ray.data.Dataset":
+    """Split long conversations into overlapping fixed-size windows of
+    whole turns — the standard recipe for turning a conversation that
+    exceeds the training context into multiple examples with shared
+    prefix/suffix context. A conversation with ``n`` turns yields
+    ``1 + ceil(max(n - window_turns, 0) / stride)`` segments; segment
+    ``j`` covers turn positions ``[j*stride, j*stride + window_turns)``
+    (the last segment may be short, and no segment is a pure subset of
+    its predecessor). Returns ``(conv_id, seg_id, n_turns,
+    first_turn_idx, text)`` with turns joined by ``sep`` in turn order.
+
+    One conv-keyed bucketed shuffle; per bucket the windows are
+    materialized with vectorized repeat/arange index arithmetic (each
+    turn lands in at most ceil(window/stride) segments — bounded
+    duplication, no per-conversation Python loop)."""
+    import numpy as np
+
+    if stride <= 0 or window_turns <= 0:
+        raise ValueError("window_turns and stride must be positive")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({conv_col: [], "seg_id": [], "n_turns": [],
+                                 "first_turn_idx": [], "text": []})
+        df = df.sort_values([conv_col, idx_col], kind="mergesort")
+        # dense per-conv position (0..n-1) — segments are defined over
+        # positions, robust to sparse turn_idx
+        grp = df.groupby(conv_col, sort=False)
+        pos = grp.cumcount().to_numpy()
+        n = grp[text_col].transform("size").to_numpy()
+        # number of segments for this conv (no subset-duplicate tails):
+        # 1 + ceil(max(n - window, 0) / stride)
+        m = np.maximum(n - window_turns, 0)
+        n_segs = 1 + m // stride + (m % stride > 0)
+        # segment ids this turn belongs to:
+        # ceil((pos-window+1)/stride) .. min(pos//stride, n_segs-1)
+        lo = np.maximum(0, -(-(pos - window_turns + 1) // stride))
+        hi = np.minimum(pos // stride, n_segs - 1)  # inclusive
+        reps = (hi - lo + 1).astype(np.int64)
+        total = int(reps.sum())
+        # flat [lo_i .. hi_i] ranges without a Python loop
+        starts = np.cumsum(reps) - reps
+        seg = (np.arange(total, dtype=np.int64)
+               - np.repeat(starts, reps) + np.repeat(lo, reps))
+        rep_idx = np.repeat(np.arange(len(df)), reps)
+        out = pd.DataFrame({
+            conv_col: df[conv_col].to_numpy()[rep_idx],
+            "seg_id": seg,
+            idx_col: df[idx_col].to_numpy()[rep_idx],
+            text_col: df[text_col].to_numpy()[rep_idx],
+        })
+        g = (out.sort_values([conv_col, "seg_id", idx_col],
+                             kind="mergesort")
+             .groupby([conv_col, "seg_id"], sort=False))
+        res = g.agg(n_turns=(text_col, "size"),
+                    first_turn_idx=(idx_col, "first"),
+                    text=(text_col, sep.join)).reset_index()
+        res["seg_id"] = res["seg_id"].astype("int64")
+        res["n_turns"] = res["n_turns"].astype("int64")
+        return res[[conv_col, "seg_id", "n_turns", "first_turn_idx",
+                    "text"]]
+
+    from .common import bucketed_group_reduce
+    schema = pa.schema([(conv_col, pa.string()), ("seg_id", pa.int64()),
+                        ("n_turns", pa.int64()),
+                        ("first_turn_idx", pa.int32()),
+                        ("text", pa.string())])
+    cols = ds.select_columns([conv_col, idx_col, text_col])
+    return bucketed_group_reduce(cols, [conv_col], per_bucket,
+                                 num_buckets, schema=schema)

@@ -124,3 +124,49 @@ def test_validate_conversations_flags(ray_session):
     assert bad["n_empty_turns"] == 1
     assert bad["starts_ok"] == 0                  # first idx 1, role asst
     assert bad["is_wellformed"] == 0
+
+
+def test_segment_conversations_windows(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import segment_conversations
+    # conv a: 7 turns, window 4, stride 2 → segs [0..3],[2..5],[4..6]
+    # conv b: 3 turns (< window) → one short seg
+    rows = [("a", i, "user" if i % 2 == 0 else "assistant", f"t{i}")
+            for i in range(7)]
+    rows += [("b", i, "user", f"u{i}") for i in range(3)]
+    df = _turns(rows)
+    out = (segment_conversations(rd.from_pandas(df).repartition(3),
+                                 window_turns=4, stride=2)
+           .to_pandas().sort_values(["conv_id", "seg_id"])
+           .reset_index(drop=True))
+    a = out[out["conv_id"] == "a"]
+    assert list(a["seg_id"]) == [0, 1, 2]
+    assert list(a["text"]) == ["t0\nt1\nt2\nt3", "t2\nt3\nt4\nt5",
+                               "t4\nt5\nt6"]
+    assert list(a["first_turn_idx"]) == [0, 2, 4]
+    b = out[out["conv_id"] == "b"]
+    assert list(b["text"]) == ["u0\nu1\nu2"]
+    assert list(b["seg_id"]) == [0]
+
+
+def test_segment_conversations_partition_invariant(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import segment_conversations
+    rows = []
+    for c in range(12):
+        for i in range(c + 1):
+            rows.append((f"c{c:02d}", i, "user", f"{c}:{i}"))
+    df = _turns(rows)
+    outs = []
+    for parts in (1, 5):
+        out = (segment_conversations(rd.from_pandas(df).repartition(parts),
+                                     window_turns=5, stride=3,
+                                     num_buckets=4)
+               .to_pandas().sort_values(["conv_id", "seg_id"])
+               .reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # a 12-turn conv with window 5 stride 3: 1 + ceil(7/3) = 4 segments
+    assert (outs[0][outs[0]["conv_id"] == "c11"]["seg_id"].to_list()
+            == [0, 1, 2, 3])
