@@ -105,7 +105,8 @@ def run_bench() -> dict:
                       "supplier_walks", "docs_decontaminate",
                       "turns_dedup", "docs_strip_spans", "part_ppr",
                       "docs_vocab_prune", "docs_select_budget",
-                      "supplier_nbr_features", "render_chat"]:
+                      "supplier_nbr_features", "render_chat",
+                      "preference_pairs", "conv_curation"]:
             t0 = time.time()
             r = qs[qname](SF_DIR)
             if hasattr(r, "materialize"):
