@@ -784,24 +784,18 @@ def q_conv_curation(sf_dir: str):
     """Composed agent-transcript curation chain, ONE end-to-end oracle:
     transcripts → well-formedness gate (validate_conversations + semi
     join) → 64-token context truncation (whole-turn suffix) →
-    chat-template render with SFT loss-mask stats. Exercises
-    validate_conversations, cogroup semi join, truncate_context and
-    render_chat composed against one nested-CTE DuckDB query."""
+    chat-template render with SFT loss-mask stats. Runs the FUSED
+    single-shuffle path (stages/reassemble.py::curate_conversations —
+    every step is per-conversation, so one conv-keyed shuffle replaces
+    validate + semi join + truncate + render's four);
+    test_preference.py pins fused == composed row-for-row. One
+    nested-CTE DuckDB oracle."""
     import pyarrow.compute as pc2
-    from agraph_ray.ops.join import cogroup_join
-    from agraph_ray.stages.reassemble import render_chat, \
-        truncate_context, validate_conversations
+    from agraph_ray.stages.reassemble import curate_conversations
     from agraph_ray.synth import transcripts_from_documents
 
     turns = transcripts_from_documents(sf_dir)
-    wf = (validate_conversations(turns)
-          .filter(expr="is_wellformed == 1")
-          .select_columns(["conv_id"]))
-    kept = cogroup_join(turns.select_columns(
-        ["conv_id", "turn_idx", "role", "text"]), wf,
-        on=["conv_id"], how="semi")
-    trunc = truncate_context(kept, max_tokens=64)
-    out = render_chat(trunc)
+    out = curate_conversations(turns, max_tokens=64)
     return out.map_batches(
         lambda t: t.set_column(
             t.schema.get_field_index("doc_seq"), "doc_seq",

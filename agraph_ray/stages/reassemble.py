@@ -379,3 +379,76 @@ def segment_conversations(ds: "ray.data.Dataset", window_turns: int,
     cols = ds.select_columns([conv_col, idx_col, text_col])
     return bucketed_group_reduce(cols, [conv_col], per_bucket,
                                  num_buckets, schema=schema)
+
+
+def curate_conversations(ds: "ray.data.Dataset", max_tokens: int,
+                         conv_col: str = "conv_id",
+                         idx_col: str = "turn_idx",
+                         role_col: str = "role", text_col: str = "text",
+                         sep_open: str = "<|", sep_close: str = "|>",
+                         num_buckets: int = 128) -> "ray.data.Dataset":
+    """Fused curation chain: well-formedness gate (the
+    validate_conversations rules) → whole-turn suffix truncation to
+    ``max_tokens`` (the truncate_context rule) → chat-template render
+    (the render_chat format + loss-mask stats). Output is row-identical
+    to composing those three ops with a semi join — but every step is
+    per-conversation, so the fused path pays ONE conv-keyed shuffle
+    instead of four (validate + join + truncate + render). Use the
+    composed ops when intermediate tables are needed; use this for the
+    end-to-end SFT export."""
+    import numpy as np
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "doc_seq", "text", "n_turns",
+                "n_assistant_turns", "assistant_chars"]
+        if not len(df):
+            return pd.DataFrame({c: [] for c in cols})
+        df = df.sort_values([conv_col, idx_col], kind="mergesort")
+        c = df[conv_col].to_numpy()
+        i = df[idx_col].to_numpy().astype(np.int64)
+        r = df[role_col].to_numpy(dtype=object)
+        same = np.zeros(len(df), dtype=bool)
+        same[1:] = c[1:] == c[:-1]
+        viol = same & (r == np.roll(r, 1))
+        gap = same & (i != np.roll(i, 1) + 1)
+        empty = (df[text_col].fillna("").str.len() == 0).to_numpy()
+        start_bad = (~same) & ((i != 0) | (r != "user"))
+        bad_any = viol | gap | empty | start_bad
+        # conversations with any bad row drop out (vectorized: max of
+        # bad_any per conv broadcast back to rows)
+        bad_conv = pd.Series(bad_any).groupby(c).transform("max").to_numpy()
+        df = df[~bad_conv]
+        if not len(df):
+            return pd.DataFrame({col: [] for col in cols})
+        # suffix truncation
+        tk = df[text_col].str.count(r"\S+").fillna(0).astype("int64")
+        rev = df.assign(__tk=tk).sort_values(
+            [conv_col, idx_col], ascending=[True, False], kind="mergesort")
+        sfx = rev.groupby(conv_col, sort=False)["__tk"].cumsum()
+        kept = rev[sfx <= max_tokens].sort_values(
+            [conv_col, idx_col], kind="mergesort")
+        if not len(kept):
+            return pd.DataFrame({col: [] for col in cols})
+        # render
+        kept = kept.assign(
+            piece=sep_open + kept[role_col] + sep_close + kept[text_col],
+            is_asst=(kept[role_col] == "assistant"),
+            asst_chars=(kept[role_col] == "assistant")
+            * kept[text_col].str.len())
+        g = kept.groupby(conv_col, sort=False)
+        out = g.agg(text=("piece", "".join),
+                    n_turns=("piece", "size"),
+                    n_assistant_turns=("is_asst", "sum"),
+                    assistant_chars=("asst_chars", "sum")).reset_index()
+        out = out.rename(columns={conv_col: "conv_id"})
+        out["doc_seq"] = 0
+        return out[cols]
+
+    schema = pa.schema([("conv_id", pa.string()), ("doc_seq", pa.int32()),
+                        ("text", pa.string()), ("n_turns", pa.int64()),
+                        ("n_assistant_turns", pa.int64()),
+                        ("assistant_chars", pa.int64())])
+    from .common import bucketed_group_reduce
+    cols_ds = ds.select_columns([conv_col, idx_col, role_col, text_col])
+    return bucketed_group_reduce(cols_ds, [conv_col], per_bucket,
+                                 num_buckets, schema=schema)

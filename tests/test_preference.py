@@ -170,3 +170,41 @@ def test_segment_conversations_partition_invariant(ray_session):
     # a 12-turn conv with window 5 stride 3: 1 + ceil(7/3) = 4 segments
     assert (outs[0][outs[0]["conv_id"] == "c11"]["seg_id"].to_list()
             == [0, 1, 2, 3])
+
+
+def test_curate_conversations_fused_equals_composed(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from agraph_ray.ops.join import cogroup_join
+    from agraph_ray.stages.reassemble import (
+        curate_conversations, render_chat, truncate_context,
+        validate_conversations)
+    rng = np.random.default_rng(5)
+    rows = []
+    for c in range(25):
+        n = int(rng.integers(1, 12))
+        for i in range(n):
+            idx = i + (1 if c % 7 == 0 else 0)          # some start at 1
+            role = ("user" if (i + (c % 5 == 0)) % 2 == 0
+                    else "assistant")                    # some asst-first
+            txt = "" if (c % 11 == 0 and i == 2) else (
+                f"w{c}:{i} " * int(rng.integers(1, 6))).strip()
+            rows.append((f"c{c:02d}", idx, role, txt))
+    df = _turns(rows)
+    ds = rd.from_pandas(df).repartition(4)
+
+    fused = (curate_conversations(ds, max_tokens=12)
+             .to_pandas().sort_values("conv_id").reset_index(drop=True))
+
+    wf = (validate_conversations(ds).filter(expr="is_wellformed == 1")
+          .select_columns(["conv_id"]))
+    kept = cogroup_join(ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]), wf,
+        on=["conv_id"], how="semi")
+    composed = (render_chat(truncate_context(kept, max_tokens=12))
+                .to_pandas().sort_values("conv_id")
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        fused.astype({"doc_seq": "int64"}),
+        composed.astype({"doc_seq": "int64"}))
+    assert len(fused) > 0
