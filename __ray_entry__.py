@@ -814,6 +814,18 @@ def q_conv_segments(sf_dir: str):
     return segment_conversations(ds, window_turns=4, stride=2)
 
 
+def q_docs_shuffle(sf_dir: str):
+    """Reproducible global training-order shuffle: dense shuffle_rank by
+    md5(seed|id) — identical on any run/worker-count, per-seed epoch
+    orders (ops/stats.py::deterministic_shuffle). Full oracle: ORDER BY
+    md5 in DuckDB."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import deterministic_shuffle
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return deterministic_shuffle(ds, "doc_id", seed=1)
+
+
 def q_docs_sft_pipeline(sf_dir: str):
     """Composed SFT-data curation chain, ONE end-to-end oracle:
     transcripts → corpus-level turn dedup (CCNet first-occurrence rule)
@@ -3281,6 +3293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_wellformed": q_conv_wellformed,
         "conv_curation": q_conv_curation,
         "conv_segments": q_conv_segments,
+        "docs_shuffle": q_docs_shuffle,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5384,6 +5397,13 @@ def oracle_sql() -> dict[str, str]:
             FROM segs sg JOIN pos p ON sg.conv_id = p.conv_id
                  AND p.p >= sg.seg_id * 2 AND p.p < sg.seg_id * 2 + 4
             GROUP BY sg.conv_id, sg.seg_id
+        """,
+        "docs_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5('1|' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS shuffle_rank
+            FROM documents
         """,
         "turns_dedup": """
             WITH s AS (

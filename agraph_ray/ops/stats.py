@@ -1181,3 +1181,29 @@ def temperature_mix(ds: "ray.data.Dataset", group_col: str, id_col: str,
         return batch.filter(pa.array(u < r))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def deterministic_shuffle(ds: "ray.data.Dataset", id_col: str,
+                          seed: int = 0,
+                          out_col: str = "shuffle_rank"
+                          ) -> "ray.data.Dataset":
+    """Reproducible global training-order shuffle: every row gets a
+    dense 1-based ``shuffle_rank`` by sorting on
+    ``md5(seed || '|' || id)`` (ties by id). Unlike
+    ``Dataset.random_shuffle`` the order is a pure function of
+    (seed, id) — identical on any run, worker count, or engine, so a
+    resumed/re-run training job reads the same sequence, and different
+    seeds give independent epoch orders. One range sort (the same
+    distributed total-order machinery as global_row_number); the hash
+    key is added map-side and dropped on output."""
+    import hashlib
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        h = [hashlib.md5(f"{seed}|{v}".encode()).hexdigest() for v in ids]
+        return t.append_column("__shuf", pa.array(h, pa.string()))
+
+    from .rank import global_row_number
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    ranked = global_row_number(keyed, ["__shuf", id_col], out_col=out_col)
+    return ranked.drop_columns(["__shuf"])

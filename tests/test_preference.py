@@ -208,3 +208,21 @@ def test_curate_conversations_fused_equals_composed(ray_session):
         fused.astype({"doc_seq": "int64"}),
         composed.astype({"doc_seq": "int64"}))
     assert len(fused) > 0
+
+
+def test_deterministic_shuffle_properties(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.stats import deterministic_shuffle
+    df = pd.DataFrame({"doc_id": list(range(40))})
+    a = (deterministic_shuffle(rd.from_pandas(df).repartition(1), "doc_id",
+                               seed=7).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (deterministic_shuffle(rd.from_pandas(df).repartition(6), "doc_id",
+                               seed=7).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)          # partition-invariant
+    ranks = sorted(a["shuffle_rank"])
+    assert ranks == list(range(1, 41))           # dense permutation
+    c = (deterministic_shuffle(rd.from_pandas(df), "doc_id", seed=8)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (a["shuffle_rank"] != c["shuffle_rank"]).any()  # seed matters
