@@ -226,3 +226,32 @@ def test_deterministic_shuffle_properties(ray_session):
     c = (deterministic_shuffle(rd.from_pandas(df), "doc_id", seed=8)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (a["shuffle_rank"] != c["shuffle_rank"]).any()  # seed matters
+
+
+def test_job_entrypoint_resumable(ray_session, tmp_path):
+    """python -m agraph_ray.job contract: runs in an existing Ray session,
+    writes tables + manifests, and a resubmit skips every partition."""
+    import json as _json
+    from agraph_ray.job import main
+    from agraph_ray.synth import generate_transcripts
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    generate_transcripts(inp, n_convs=12, seed=3, num_shards=4, skew=False)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--input", inp, "--output", out, "--resumable",
+                   "--shards-per-partition", "2"])
+    assert rc == 0
+    first = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert first["metrics"]["n_triples"] > 0
+    assert first["metrics"]["skipped"] == 0
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        rc = main(["--input", inp, "--output", out, "--resumable",
+                   "--shards-per-partition", "2"])
+    second = _json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert rc == 0
+    assert second["metrics"]["skipped"] == second["metrics"]["n_partitions"]
+    assert second["metrics"]["n_triples"] == first["metrics"]["n_triples"]
