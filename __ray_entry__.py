@@ -826,6 +826,20 @@ def q_docs_shuffle(sf_dir: str):
     return deterministic_shuffle(ds, "doc_id", seed=1)
 
 
+def q_docs_epoch_order(sf_dir: str):
+    """The epoch a trainer actually reads: temperature-based corpus mix
+    (alpha=0.5 by lang, deterministic md5 Bernoulli) then the
+    reproducible global shuffle order over the survivors — ONE oracle
+    for the composed chain (temperature_mix → deterministic_shuffle)."""
+    import ray.data as rd
+    from agraph_ray.ops.stats import deterministic_shuffle, temperature_mix
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    mixed = temperature_mix(ds, "lang", "doc_id", alpha=0.5,
+                            target_total=300)
+    return deterministic_shuffle(mixed, "doc_id", seed=2)
+
+
 def q_docs_sft_pipeline(sf_dir: str):
     """Composed SFT-data curation chain, ONE end-to-end oracle:
     transcripts → corpus-level turn dedup (CCNet first-occurrence rule)
@@ -3294,6 +3308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_curation": q_conv_curation,
         "conv_segments": q_conv_segments,
         "docs_shuffle": q_docs_shuffle,
+        "docs_epoch_order": q_docs_epoch_order,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5397,6 +5412,27 @@ def oracle_sql() -> dict[str, str]:
             FROM segs sg JOIN pos p ON sg.conv_id = p.conv_id
                  AND p.p >= sg.seg_id * 2 AND p.p < sg.seg_id * 2 + 4
             GROUP BY sg.conv_id, sg.seg_id
+        """,
+        "docs_epoch_order": """
+            WITH n AS (SELECT lang, count(*)::DOUBLE AS n
+                       FROM documents GROUP BY lang),
+                 d AS (SELECT sum(pow(n, 0.5)) AS den FROM n),
+                 r AS (SELECT lang,
+                              least(1.0, (300 * pow(n.n, 0.5) / d.den)
+                                         / n.n) AS rate
+                       FROM n, d),
+                 kept AS (
+                     SELECT doc_id, documents.lang FROM documents
+                     JOIN r USING (lang)
+                     WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 16))::UBIGINT)
+                           / 18446744073709551616.0 < rate
+                 )
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       ORDER BY md5('2|' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS shuffle_rank
+            FROM kept
         """,
         "docs_shuffle": """
             SELECT doc_id,
