@@ -840,6 +840,18 @@ def q_docs_epoch_order(sf_dir: str):
     return deterministic_shuffle(mixed, "doc_id", seed=2)
 
 
+def q_docs_normalize(sf_dir: str):
+    """CCNet/C4-style normalization (NFC + whitespace collapse + trim),
+    byte-equal vs DuckDB nfc_normalize/regexp_replace
+    (ops/text.py::normalize_text)."""
+    import ray.data as rd
+    from agraph_ray.ops.text import normalize_text
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return (ds.map_batches(normalize_text, batch_format="pyarrow")
+            .select_columns(["doc_id", "norm_text"]))
+
+
 def q_docs_sft_pipeline(sf_dir: str):
     """Composed SFT-data curation chain, ONE end-to-end oracle:
     transcripts → corpus-level turn dedup (CCNet first-occurrence rule)
@@ -3309,6 +3321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_segments": q_conv_segments,
         "docs_shuffle": q_docs_shuffle,
         "docs_epoch_order": q_docs_epoch_order,
+        "docs_normalize": q_docs_normalize,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5412,6 +5425,13 @@ def oracle_sql() -> dict[str, str]:
             FROM segs sg JOIN pos p ON sg.conv_id = p.conv_id
                  AND p.p >= sg.seg_id * 2 AND p.p < sg.seg_id * 2 + 4
             GROUP BY sg.conv_id, sg.seg_id
+        """,
+        "docs_normalize": r"""
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(
+                       coalesce(text, ''), '\s+', ' ', 'g')))
+                       AS norm_text
+            FROM documents
         """,
         "docs_epoch_order": """
             WITH n AS (SELECT lang, count(*)::DOUBLE AS n

@@ -1428,3 +1428,30 @@ def word_pmi(ds: "ray.data.Dataset", id_col: str = "doc_id",
     top["pmi_micro"] = np.floor(pmi * 1e6 + 0.5).astype(np.int64)
     return top.rename(columns={"cnt": "c12"})[
         ["w1", "w2", "c12", "pmi_micro"]]
+
+
+def normalize_text(batch: pa.Table, col: str = "text",
+                   out: str = "norm_text") -> pa.Table:
+    """CCNet/C4-style text normalization, byte-reproducible in SQL
+    (DuckDB ``nfc_normalize(trim(regexp_replace(...)))``): any
+    whitespace run collapsed to one space, leading/trailing whitespace
+    stripped (both RE2 kernels), then Unicode NFC. This pyarrow build's
+    ``utf8_normalize`` is a silent no-op (no utf8proc), so NFC uses
+    CPython's C ``unicodedata`` — but only for the rows
+    ``string_is_ascii`` flags as non-ASCII (ASCII is NFC by
+    definition), so an ASCII-dominated corpus stays fully vectorized.
+    Map-side only; run before exact/near dedup so formatting variants
+    collapse."""
+    import unicodedata
+
+    arr = pc.fill_null(batch[col], "")
+    collapsed = pc.replace_substring_regex(arr, r"\s+", " ")
+    trimmed = pc.utf8_trim_whitespace(collapsed)
+    ascii_mask = pc.string_is_ascii(trimmed)
+    if pc.all(ascii_mask).as_py() in (True, None):
+        return batch.append_column(out, trimmed)
+    mask = ascii_mask.to_numpy(zero_copy_only=False)
+    vals = trimmed.to_pylist()
+    fixed = [v if ok else unicodedata.normalize("NFC", v)
+             for v, ok in zip(vals, mask)]
+    return batch.append_column(out, pa.array(fixed, pa.string()))

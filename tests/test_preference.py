@@ -255,3 +255,12 @@ def test_job_entrypoint_resumable(ray_session, tmp_path):
     assert rc == 0
     assert second["metrics"]["skipped"] == second["metrics"]["n_partitions"]
     assert second["metrics"]["n_triples"] == first["metrics"]["n_triples"]
+
+
+def test_normalize_text_rules(ray_session):
+    import pyarrow as pa
+    from agraph_ray.ops.text import normalize_text
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["  a\t\nb  c ", "éclair", None]})
+    out = normalize_text(t)["norm_text"].to_pylist()
+    assert out == ["a b c", "éclair", ""]
