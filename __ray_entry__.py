@@ -317,6 +317,21 @@ def q_docs_dedup_exact(sf_dir: str):
     return exact_dedup(ds).select_columns(["doc_id"])
 
 
+def q_docs_dedup_normalized(sf_dir: str):
+    """Exact dedup on NORMALIZED text (normalize_text → min-id per
+    distinct normalized value): formatting variants (whitespace, NFC)
+    collapse to one survivor — the canonical normalize-then-dedup
+    chain, ONE oracle."""
+    import ray.data as rd
+    from agraph_ray.ops.dedup import exact_dedup
+    from agraph_ray.ops.text import normalize_text
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    norm = ds.map_batches(normalize_text, batch_format="pyarrow")
+    return exact_dedup(norm, text_col="norm_text").select_columns(
+        ["doc_id"])
+
+
 def q_turns_dedup(sf_dir: str):
     """Corpus-level exact turn dedup (CCNet line-hash rule) over the
     transcript turns: keep the globally first (conv_id, turn_idx)
@@ -3322,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffle": q_docs_shuffle,
         "docs_epoch_order": q_docs_epoch_order,
         "docs_normalize": q_docs_normalize,
+        "docs_dedup_normalized": q_docs_dedup_normalized,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5425,6 +5441,11 @@ def oracle_sql() -> dict[str, str]:
             FROM segs sg JOIN pos p ON sg.conv_id = p.conv_id
                  AND p.p >= sg.seg_id * 2 AND p.p < sg.seg_id * 2 + 4
             GROUP BY sg.conv_id, sg.seg_id
+        """,
+        "docs_dedup_normalized": r"""
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY nfc_normalize(trim(regexp_replace(
+                coalesce(text, ''), '\s+', ' ', 'g')))
         """,
         "docs_normalize": r"""
             SELECT doc_id,
