@@ -1069,6 +1069,58 @@ def q_llm_parse_relations(sf_dir: str):
 # joins / windows / graph analytics (oracle-checked where SQL-expressible)
 # ---------------------------------------------------------------------------
 
+def _eval_triples_inputs(sf_dir: str):
+    """Deterministic pred/gold triple tables derived from doc ids (the
+    scorer is the unit under test; the SQL oracle regenerates both
+    sides with the same arithmetic)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def mk(pred: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            rows = {"doc_id": [], "subj": [], "relation_type": [],
+                    "obj": []}
+            for i in ids:
+                if pred or i % 3 != 1:
+                    rows["doc_id"].append(i)
+                    rows["subj"].append(f"e{i}")
+                    rows["relation_type"].append("related_to")
+                    rows["obj"].append(f"c{i}")
+                if i % 2 == 0:
+                    rows["doc_id"].append(i)
+                    rows["subj"].append(f"e{i}")
+                    rows["relation_type"].append("mentions")
+                    rows["obj"].append(f"x{i}")
+                if not pred and i % 5 == 0:
+                    rows["doc_id"].append(i)
+                    rows["subj"].append(f"g{i}")
+                    rows["relation_type"].append("describes")
+                    rows["obj"].append(f"y{i}")
+            return pa.table({"doc_id": pa.array(rows["doc_id"],
+                                                pa.int64()),
+                             "subj": pa.array(rows["subj"], pa.string()),
+                             "relation_type": pa.array(
+                                 rows["relation_type"], pa.string()),
+                             "obj": pa.array(rows["obj"], pa.string())})
+        return f
+
+    return (docs.map_batches(mk(True), batch_format="pyarrow"),
+            docs.map_batches(mk(False), batch_format="pyarrow"))
+
+
+def q_eval_triples(sf_dir: str):
+    """Distributed triple P/R scorer (ops/eval.py::triple_prf): per-doc
+    tp/fp/fn + ppm precision/recall via one tagged-union bucketed
+    reduce. Full oracle: FULL JOIN membership counts in DuckDB."""
+    pred, gold = _eval_triples_inputs(sf_dir)
+    from agraph_ray.ops.eval import triple_prf
+    return triple_prf(pred, gold)
+
+
 def q_customers_without_orders(sf_dir: str):
     """Distributed anti-join via the bucketed co-group primitive. Returns
     a pyarrow Table (Ray's to_pandas drops the schema of an all-empty
@@ -3338,6 +3390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_epoch_order": q_docs_epoch_order,
         "docs_normalize": q_docs_normalize,
         "docs_dedup_normalized": q_docs_dedup_normalized,
+        "eval_triples": q_eval_triples,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5441,6 +5494,60 @@ def oracle_sql() -> dict[str, str]:
             FROM segs sg JOIN pos p ON sg.conv_id = p.conv_id
                  AND p.p >= sg.seg_id * 2 AND p.p < sg.seg_id * 2 + 4
             GROUP BY sg.conv_id, sg.seg_id
+        """,
+        "eval_triples": """
+            WITH ids AS (SELECT doc_id FROM documents),
+            pred AS (
+                SELECT doc_id, 'e' || CAST(doc_id AS VARCHAR) AS subj,
+                       'related_to' AS relation_type,
+                       'c' || CAST(doc_id AS VARCHAR) AS obj FROM ids
+                UNION ALL
+                SELECT doc_id, 'e' || CAST(doc_id AS VARCHAR),
+                       'mentions', 'x' || CAST(doc_id AS VARCHAR)
+                FROM ids WHERE doc_id % 2 = 0
+            ),
+            gold AS (
+                SELECT doc_id, 'e' || CAST(doc_id AS VARCHAR) AS subj,
+                       'related_to' AS relation_type,
+                       'c' || CAST(doc_id AS VARCHAR) AS obj
+                FROM ids WHERE doc_id % 3 <> 1
+                UNION ALL
+                SELECT doc_id, 'e' || CAST(doc_id AS VARCHAR),
+                       'mentions', 'x' || CAST(doc_id AS VARCHAR)
+                FROM ids WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, 'g' || CAST(doc_id AS VARCHAR),
+                       'describes', 'y' || CAST(doc_id AS VARCHAR)
+                FROM ids WHERE doc_id % 5 = 0
+            ),
+            p AS (SELECT DISTINCT * FROM pred),
+            g AS (SELECT DISTINCT * FROM gold),
+            u AS (
+                SELECT coalesce(p.doc_id, g.doc_id) AS doc_id,
+                       CASE WHEN p.doc_id IS NOT NULL
+                                 AND g.doc_id IS NOT NULL THEN 3
+                            WHEN p.doc_id IS NOT NULL THEN 1
+                            ELSE 2 END AS bits
+                FROM p FULL JOIN g
+                  ON p.doc_id = g.doc_id AND p.subj = g.subj
+                 AND p.relation_type = g.relation_type AND p.obj = g.obj
+            ),
+            c AS (
+                SELECT doc_id,
+                       sum(CASE WHEN bits = 3 THEN 1 ELSE 0 END) AS tp,
+                       sum(CASE WHEN bits = 1 THEN 1 ELSE 0 END) AS fp,
+                       sum(CASE WHEN bits = 2 THEN 1 ELSE 0 END) AS fn
+                FROM u GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+                   CAST(CASE WHEN tp + fp > 0 THEN floor(
+                       tp / (tp + fp)::DOUBLE * 1e6 + 0.5)
+                       ELSE 0 END AS BIGINT) AS precision_ppm,
+                   CAST(CASE WHEN tp + fn > 0 THEN floor(
+                       tp / (tp + fn)::DOUBLE * 1e6 + 0.5)
+                       ELSE 0 END AS BIGINT) AS recall_ppm
+            FROM c
         """,
         "docs_dedup_normalized": r"""
             SELECT min(doc_id) AS doc_id FROM documents

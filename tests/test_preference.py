@@ -264,3 +264,31 @@ def test_normalize_text_rules(ray_session):
                   "text": ["  a\t\nb  c ", "éclair", None]})
     out = normalize_text(t)["norm_text"].to_pylist()
     assert out == ["a b c", "éclair", ""]
+
+
+def test_triple_prf_hand_case(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.eval import triple_prf
+    pred = pd.DataFrame({
+        "doc_id": [1, 1, 1, 2],
+        "subj": ["a", "a", "b", "q"],
+        "relation_type": ["r", "r", "r", "r"],   # (1,a,r,c) duplicated
+        "obj": ["c", "c", "d", "z"],
+    })
+    gold = pd.DataFrame({
+        "doc_id": [1, 1, 3],
+        "subj": ["a", "x", "m"],
+        "relation_type": ["r", "r", "r"],
+        "obj": ["c", "y", "n"],
+    })
+    out = (triple_prf(rd.from_pandas(pred).repartition(2),
+                      rd.from_pandas(gold).repartition(2))
+           .to_pandas().set_index("doc_id").sort_index())
+    # doc 1: distinct pred {(a,r,c),(b,r,d)}, gold {(a,r,c),(x,r,y)}
+    assert tuple(out.loc[1][["tp", "fp", "fn"]]) == (1, 1, 1)
+    assert out.loc[1]["precision_ppm"] == 500000
+    # doc 2: pred-only
+    assert tuple(out.loc[2][["tp", "fp", "fn"]]) == (0, 1, 0)
+    assert out.loc[2]["recall_ppm"] == 0
+    # doc 3: gold-only
+    assert tuple(out.loc[3][["tp", "fp", "fn"]]) == (0, 0, 1)
