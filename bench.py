@@ -152,10 +152,14 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     corpus_dir()          # generate once, outside timing
-    # N and 4N CPUs; overridable (e.g. 4→16) because the host's transient
-    # slowdown windows penalize high-parallelism runs disproportionately
-    # (see BASELINE.md session-7) — the criterion allows any N / 4N pair.
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    # N and 4N CPUs. Default pair is 4→16: the criterion allows any
+    # N / 4N pair, and a 32-CPU leg occupies every core of this shared
+    # host, so any co-tenant activity lands entirely on the high leg and
+    # deflates the ratio (session-7/8 measurements: 4→16 = 0.98–1.10,
+    # 8→32 = 0.49–1.19 across windows on identical code). 16 CPUs leaves
+    # headroom, which is also the honest analogue of separate cluster
+    # nodes. Override with GRAFT_SCALE_LO / GRAFT_SCALE_HI.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
     # The host shows multi-minute transient slowdown windows (identical
     # code 21.8 s vs 77.6 s — BASELINE.md). Interleave the two legs so a
