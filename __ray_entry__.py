@@ -1121,6 +1121,28 @@ def q_eval_triples(sf_dir: str):
     return triple_prf(pred, gold)
 
 
+def q_eval_clusters(sf_dir: str):
+    """Pairwise clustering P/R (entity-resolution metric) of a predicted
+    vs gold clustering over doc ids, via contingency-count C(n,2) sums —
+    no pairs materialized (ops/eval.py::cluster_pair_prf). Full oracle:
+    the same combinatorics in SQL."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.eval import cluster_pair_prf
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def assign(t, pa=pa):
+        ids = t["doc_id"]
+        return pa.table({
+            "pred_cluster": pc.divide(ids, 4),
+            "gold_cluster": pc.divide(ids, 5),
+        })
+
+    return cluster_pair_prf(docs.map_batches(assign,
+                                             batch_format="pyarrow"))
+
+
 def q_customers_without_orders(sf_dir: str):
     """Distributed anti-join via the bucketed co-group primitive. Returns
     a pyarrow Table (Ray's to_pandas drops the schema of an all-empty
@@ -3391,6 +3413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize": q_docs_normalize,
         "docs_dedup_normalized": q_docs_dedup_normalized,
         "eval_triples": q_eval_triples,
+        "eval_clusters": q_eval_clusters,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5494,6 +5517,28 @@ def oracle_sql() -> dict[str, str]:
             FROM segs sg JOIN pos p ON sg.conv_id = p.conv_id
                  AND p.p >= sg.seg_id * 2 AND p.p < sg.seg_id * 2 + 4
             GROUP BY sg.conv_id, sg.seg_id
+        """,
+        "eval_clusters": """
+            WITH a AS (
+                SELECT doc_id // 4 AS p, doc_id // 5 AS g FROM documents
+            ),
+            cells AS (SELECT p, g, count(*)::DOUBLE AS n
+                      FROM a GROUP BY p, g),
+            tp AS (SELECT sum(n * (n - 1) / 2) AS v FROM cells),
+            pm AS (SELECT sum(n * (n - 1) / 2) AS v FROM
+                   (SELECT sum(n) AS n FROM cells GROUP BY p)),
+            gm AS (SELECT sum(n * (n - 1) / 2) AS v FROM
+                   (SELECT sum(n) AS n FROM cells GROUP BY g))
+            SELECT CAST(tp.v AS BIGINT) AS tp_pairs,
+                   CAST(pm.v AS BIGINT) AS pred_pairs,
+                   CAST(gm.v AS BIGINT) AS gold_pairs,
+                   CAST(CASE WHEN pm.v > 0 THEN floor(
+                       tp.v / pm.v * 1e6 + 0.5) ELSE 0 END AS BIGINT)
+                       AS precision_ppm,
+                   CAST(CASE WHEN gm.v > 0 THEN floor(
+                       tp.v / gm.v * 1e6 + 0.5) ELSE 0 END AS BIGINT)
+                       AS recall_ppm
+            FROM tp, pm, gm
         """,
         "eval_triples": """
             WITH ids AS (SELECT doc_id FROM documents),

@@ -75,3 +75,69 @@ def triple_prf(pred: "ray.data.Dataset", gold: "ray.data.Dataset",
 
     return bucketed_group_reduce(tagged, [doc_col], reduce_df,
                                  num_buckets=num_buckets)
+
+
+def cluster_pair_prf(assign: "ray.data.Dataset",
+                     pred_col: str = "pred_cluster",
+                     gold_col: str = "gold_cluster") -> pa.Table:
+    """Pairwise precision/recall of a predicted clustering (e.g. the
+    canonicalization step's entity merge) against a gold clustering —
+    the standard entity-resolution metric, computed WITHOUT
+    materializing any pairs: from the (pred, gold) contingency counts,
+    tp_pairs = Σ C(n_ij,2), pred_pairs = Σ C(n_i·,2), gold_pairs =
+    Σ C(n_·j,2). One combiner-backed (pred, gold) groupby (shuffle rows
+    = distinct cells, materialized once — bounded by the overlap-cell
+    count, not by entities), then three scalar reductions. Returns a
+    single-row pyarrow Table (tp_pairs, pred_pairs, gold_pairs,
+    precision_ppm, recall_ppm); ppm rule floor(x*1e6+0.5), 0 when the
+    denominator is 0."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        df = (t.select([pred_col, gold_col]).to_pandas()
+              .groupby([pred_col, gold_col], as_index=False).size()
+              .rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cells = (assign.map_batches(cell_partial, batch_format="pyarrow")
+             .groupby([pred_col, gold_col])
+             .aggregate(Sum("n", alias_name="n"))).materialize()
+
+    def comb2_sum(col: str):
+        """Σ C(n,2) over a dataset's ``col`` counts — additive per block
+        because each key appears exactly once after its groupby."""
+        def f(t: pa.Table) -> pa.Table:
+            n = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({"v": pa.array([float((n * (n - 1) / 2).sum())],
+                                           pa.float64())})
+        return f
+
+    # tp: each contingency cell appears exactly once after the groupby
+    tp_ds = cells.map_batches(comb2_sum("n"), batch_format="pyarrow")
+    # marginals must be summed GLOBALLY before C(n,2) — a cluster's cells
+    # can span blocks, and C is not additive
+    pred_m = (cells.groupby(pred_col).aggregate(Sum("n", alias_name="pn"))
+              .map_batches(comb2_sum("pn"), batch_format="pyarrow"))
+    gold_m = (cells.groupby(gold_col).aggregate(Sum("n", alias_name="gn"))
+              .map_batches(comb2_sum("gn"), batch_format="pyarrow"))
+
+    def scalar_sum(d) -> float:
+        from ray.data.aggregate import Sum as _S
+        row = d.aggregate(_S("v", alias_name="v"))
+        return float(row["v"] or 0.0)
+
+    tp = scalar_sum(tp_ds)
+    pp = scalar_sum(pred_m)
+    gp = scalar_sum(gold_m)
+    prec = tp / pp if pp > 0 else 0.0
+    rec = tp / gp if gp > 0 else 0.0
+    return pa.table({
+        "tp_pairs": pa.array([int(tp)], pa.int64()),
+        "pred_pairs": pa.array([int(pp)], pa.int64()),
+        "gold_pairs": pa.array([int(gp)], pa.int64()),
+        "precision_ppm": pa.array([int(np.floor(prec * 1e6 + 0.5))],
+                                  pa.int64()),
+        "recall_ppm": pa.array([int(np.floor(rec * 1e6 + 0.5))],
+                               pa.int64()),
+    })

@@ -292,3 +292,18 @@ def test_triple_prf_hand_case(ray_session):
     assert out.loc[2]["recall_ppm"] == 0
     # doc 3: gold-only
     assert tuple(out.loc[3][["tp", "fp", "fn"]]) == (0, 0, 1)
+
+
+def test_cluster_pair_prf_hand_case(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.eval import cluster_pair_prf
+    # pred {a,b,c}{d}; gold {a,b}{c,d}
+    df = pd.DataFrame({"pred_cluster": [0, 0, 0, 1],
+                       "gold_cluster": [10, 10, 11, 11],
+                       "id": ["a", "b", "c", "d"]})
+    out = cluster_pair_prf(rd.from_pandas(df).repartition(3)).to_pandas()
+    r = out.iloc[0]
+    # pred pairs: C(3,2)+C(1,2)=3; gold pairs: 1+1=2; tp: (a,b) only = 1
+    assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (1, 3, 2)
+    assert r["precision_ppm"] == 333333
+    assert r["recall_ppm"] == 500000
