@@ -332,6 +332,22 @@ def q_docs_dedup_normalized(sf_dir: str):
         ["doc_id"])
 
 
+def q_docs_dedup_keep_best(sf_dir: str):
+    """Exact dedup on normalized text with a keep-longest-raw rule
+    (keep_cols=[n_chars] desc, ties by min id) — the configurable
+    survivor knob of production dedup (ops/dedup.py::exact_dedup_by).
+    ONE oracle for normalize + ranked dedup."""
+    import ray.data as rd
+    from agraph_ray.ops.dedup import exact_dedup_by
+    from agraph_ray.ops.text import normalize_text
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    norm = ds.map_batches(normalize_text, batch_format="pyarrow")
+    out = exact_dedup_by(norm, text_col="norm_text",
+                         keep_cols=["n_chars"], ascending=[False])
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def q_turns_dedup(sf_dir: str):
     """Corpus-level exact turn dedup (CCNet line-hash rule) over the
     transcript turns: keep the globally first (conv_id, turn_idx)
@@ -3414,6 +3430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_normalized": q_docs_dedup_normalized,
         "eval_triples": q_eval_triples,
         "eval_clusters": q_eval_clusters,
+        "docs_dedup_keep_best": q_docs_dedup_keep_best,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
@@ -5593,6 +5610,13 @@ def oracle_sql() -> dict[str, str]:
                        tp / (tp + fn)::DOUBLE * 1e6 + 0.5)
                        ELSE 0 END AS BIGINT) AS recall_ppm
             FROM c
+        """,
+        "docs_dedup_keep_best": r"""
+            SELECT doc_id, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY nfc_normalize(trim(regexp_replace(
+                    coalesce(text, ''), '\s+', ' ', 'g')))
+                ORDER BY n_chars DESC, doc_id) = 1
         """,
         "docs_dedup_normalized": r"""
             SELECT min(doc_id) AS doc_id FROM documents

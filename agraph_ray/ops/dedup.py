@@ -50,6 +50,49 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     return reps
 
 
+def exact_dedup_by(ds: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id",
+                   keep_cols: "List[str]" = (),
+                   ascending: "List[bool]" = ()) -> "ray.data.Dataset":
+    """Exact dedup with a configurable keep rule (the RefinedWeb/Dolma
+    knob): one survivor per distinct ``text_col`` value, chosen as the
+    first row under ``ORDER BY keep_cols..., id_col`` (per-column
+    ``ascending`` flags; ties always resolve by ascending id). E.g.
+    keep_cols=["source_rank"] keeps the most-trusted source's copy;
+    keep_cols=["n_chars"], ascending=[False] keeps the longest.
+
+    Scale shape matches exact_dedup: only (16-byte hash, id, keep cols)
+    ride the shuffle; a map-side combiner keeps one candidate per hash
+    per batch before the keyed reduce."""
+    keep_cols = list(keep_cols)
+    asc = list(ascending) if ascending else [True] * len(keep_cols)
+    if len(asc) != len(keep_cols):
+        raise ValueError("ascending must match keep_cols")
+    order = keep_cols + [id_col]
+    order_asc = asc + [True]
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, ascending=order_asc, kind="mergesort")
+        return df.drop_duplicates("content_hash", keep="first")
+
+    def sig(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(s.encode("utf-8")).hexdigest()
+             for s in batch[text_col].to_pylist()]
+        cols = {id_col: batch[id_col].to_pandas(),
+                "content_hash": h}
+        for c in keep_cols:
+            cols[c] = batch[c].to_pandas()
+        return pa.Table.from_pandas(best(pd.DataFrame(cols)),
+                                    preserve_index=False)
+
+    from ..stages.common import bucketed_group_reduce
+    sigs = ds.select_columns(
+        [id_col, text_col, *keep_cols]).map_batches(
+        sig, batch_format="pyarrow")
+    out = bucketed_group_reduce(sigs, ["content_hash"], best)
+    return out.drop_columns(["content_hash"])
+
+
 def line_dedup(ds: "ray.data.Dataset", id_col: str = "conv_id",
                pos_col: str = "turn_idx", text_col: str = "text",
                broadcast_cap: int = 2_000_000,

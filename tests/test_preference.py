@@ -307,3 +307,18 @@ def test_cluster_pair_prf_hand_case(ray_session):
     assert (r["tp_pairs"], r["pred_pairs"], r["gold_pairs"]) == (1, 3, 2)
     assert r["precision_ppm"] == 333333
     assert r["recall_ppm"] == 500000
+
+
+def test_exact_dedup_by_keep_rule(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.dedup import exact_dedup_by
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x", "x", "x", "y", "y"],
+        "quality": [5, 9, 9, 1, 1],
+    })
+    out = (exact_dedup_by(rd.from_pandas(df).repartition(3),
+                          keep_cols=["quality"], ascending=[False])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # x: max quality 9 tie between ids 2,3 → min id 2. y: tie → id 4.
+    assert sorted(out["doc_id"]) == [2, 4]
