@@ -1128,6 +1128,43 @@ def _eval_triples_inputs(sf_dir: str):
             docs.map_batches(mk(False), batch_format="pyarrow"))
 
 
+def q_kg_incremental(sf_dir: str):
+    """§2.9 incremental maintenance end-to-end: build the KG on the
+    first half of the derived transcripts, add_documents the second
+    half, remove_documents a fixed conv set — returns the surviving
+    node table. Deterministic ids make add idempotent and remove an
+    anti-join; rows-only (extraction is not SQL-expressible)."""
+    import tempfile
+
+    import pyarrow.compute as pc2
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.incremental import (add_documents,
+                                                  remove_documents)
+    from agraph_ray.pipelines.kg_build import build_kg
+    from agraph_ray.synth import transcripts_from_documents
+
+    ds = transcripts_from_documents(sf_dir)
+
+    def half(parity):
+        def f(t):
+            return t.filter(pc2.equal(
+                pc2.bit_wise_and(t["turn_idx"], 1), parity))
+        return f
+
+    first = ds.map_batches(half(0), batch_format="pyarrow")
+    second = ds.map_batches(half(1), batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="kg_incr_")
+    cfg = KGConfig(turn_separator="")
+    build_kg(first, out, cfg, with_chunks=False)
+    add_documents(out, second, cfg)
+    # tombstone two deterministic conversations
+    import ray.data as rd
+    res = remove_documents(out, ["0", "1"], cfg)
+    nodes = rd.read_parquet(res.tables["nodes"])
+    return (nodes.select_columns(["entity_id", "name", "entity_type"])
+            .sort("entity_id"))
+
+
 def q_eval_triples(sf_dir: str):
     """Distributed triple P/R scorer (ops/eval.py::triple_prf): per-doc
     tp/fp/fn + ppm precision/recall via one tagged-union bucketed
@@ -3431,6 +3468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_triples": q_eval_triples,
         "eval_clusters": q_eval_clusters,
         "docs_dedup_keep_best": q_docs_dedup_keep_best,
+        "kg_incremental": q_kg_incremental,
         "docs_sft_pipeline": q_docs_sft_pipeline,
         # KG pipeline
         "reassemble_docs": q_reassemble_docs,
