@@ -845,6 +845,41 @@ def q_conv_segments(sf_dir: str):
     return segment_conversations(ds, window_turns=4, stride=2)
 
 
+def q_conv_sft_unroll(sf_dir: str):
+    """Conversation → per-reply SFT examples: one row per assistant turn
+    with the rendered context of the previous 4 whole turns
+    (stages/reassemble.py::unroll_sft_examples). Oracle: windowed
+    string_agg over ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING."""
+    from agraph_ray.stages.reassemble import unroll_sft_examples
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    return unroll_sft_examples(ds, context_turns=4)
+
+
+# fixed SQL-reproducible vocabulary for entity_timeline (words planted in
+# the synthetic documents text); single source for the op AND the oracle
+TIMELINE_VOCAB = ("spark", "stream", "window", "join", "table",
+                  "customer", "vector", "hash", "merge", "filter")
+
+
+def q_entity_timeline(sf_dir: str):
+    """Entity-mention timeline over the transcript stream: per vocabulary
+    entity, the mentioning-turn count, exact distinct conversations, and
+    first/last mention timestamps — temporal KG provenance over
+    transcripts (stages/link_chunks.py::mention_timeline; containment
+    rule of reference llm_builders.py:770-812). Full oracle: contains()
+    join + group min/max over the reconstructed turn table."""
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import mention_timeline
+    from agraph_ray.synth import transcripts_from_documents
+
+    nodes = rd.from_items(
+        [{"entity_id": f"w_{w}", "name": w, "aliases": []}
+         for w in TIMELINE_VOCAB])
+    turns = transcripts_from_documents(sf_dir)
+    return mention_timeline(turns, nodes)
+
+
 def q_docs_shuffle(sf_dir: str):
     """Reproducible global training-order shuffle: dense shuffle_rank by
     md5(seed|id) — identical on any run/worker-count, per-seed epoch
@@ -1903,10 +1938,11 @@ def q_supplier_components(sf_dir: str):
 
 def q_part_pagerank(sf_dir: str):
     """PageRank over the co-ordered-parts graph (each undirected edge as
-    two directed edges), 20 power-iteration rounds, dangling mass
-    redistributed. Iterative float fixpoint — not SQL-expressible, so
-    rows-only; exactness is pytest-pinned against a dense numpy
-    power iteration."""
+    two directed edges), 6 power-iteration rounds. The symmetrized graph
+    has no dangling nodes, so the fixpoint is a recursive-CTE power
+    iteration in DuckDB — full oracle (same pattern as part_ppr);
+    exactness additionally pytest-pinned against a dense numpy power
+    iteration at 20 rounds."""
     import pyarrow as pa
     from agraph_ray.ops.graph_algo import pagerank
 
@@ -1919,7 +1955,14 @@ def q_part_pagerank(sf_dir: str):
 
     edges = _coorder_part_edges(sf_dir).map_batches(
         both_dirs, batch_format="pyarrow")
-    return pagerank(edges, damping=0.85, iters=20)
+    out = pagerank(edges, damping=0.85, iters=6,
+                   assume_no_dangling=True, round_to=None)
+    return out.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "rank_e6": pc.cast(pc.floor(pc.add(
+                pc.multiply(t["rank"], 1e6), 0.5)), pa.int64())}),
+        batch_format="pyarrow")
 
 
 def q_part_kcore(sf_dir: str):
@@ -3461,6 +3504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_wellformed": q_conv_wellformed,
         "conv_curation": q_conv_curation,
         "conv_segments": q_conv_segments,
+        "conv_sft_unroll": q_conv_sft_unroll,
+        "entity_timeline": q_entity_timeline,
         "docs_shuffle": q_docs_shuffle,
         "docs_epoch_order": q_docs_epoch_order,
         "docs_normalize": q_docs_normalize,
@@ -5572,6 +5617,90 @@ def oracle_sql() -> dict[str, str]:
             FROM segs sg JOIN pos p ON sg.conv_id = p.conv_id
                  AND p.p >= sg.seg_id * 2 AND p.p < sg.seg_id * 2 + 4
             GROUP BY sg.conv_id, sg.seg_id
+        """,
+        "conv_sft_unroll": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), r AS (
+                SELECT conv_id, turn_idx, role, text,
+                       '<|' || role || '|>' || text AS rend,
+                       row_number() OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx) AS rn
+                FROM t
+            ), w AS (
+                SELECT conv_id, turn_idx, role, text AS response,
+                       coalesce(string_agg(rend, chr(10)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), '')
+                           AS context,
+                       least(rn - 1, 4) AS n_context_turns
+                FROM r
+            )
+            SELECT conv_id, turn_idx, context, response, n_context_turns
+            FROM w WHERE role = 'assistant'
+        """,
+        "entity_timeline": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS BIGINT) AS i,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), v AS (
+                SELECT 'w_' || nm AS entity_id, nm
+                FROM (VALUES ('spark'), ('stream'), ('window'), ('join'),
+                             ('table'), ('customer'), ('vector'), ('hash'),
+                             ('merge'), ('filter')) AS vv(nm)
+            ), m AS (
+                SELECT v.entity_id, t.conv_id,
+                       1700000000000000 + t.i * 1000000 AS ts_us
+                FROM t JOIN v ON contains(lower(t.text), v.nm)
+            )
+            SELECT entity_id, count(*) AS mentions,
+                   count(DISTINCT conv_id) AS n_convs,
+                   min(ts_us) AS first_us, max(ts_us) AS last_us
+            FROM m GROUP BY entity_id
+        """,
+        "part_pagerank": """
+            WITH RECURSIVE
+            eu AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                   FROM lineitem l1 JOIN lineitem l2
+                     ON l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_partkey < l2.l_partkey),
+            e AS (SELECT a AS src, b AS dst FROM eu
+                  UNION ALL SELECT b, a FROM eu),
+            deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+                    FROM e GROUP BY src),
+            nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM e),
+            pr(iter, node, rank) AS (
+                SELECT 0, src, (SELECT CAST(1 AS DOUBLE) / n FROM nn)
+                FROM (SELECT DISTINCT src FROM e)
+                UNION ALL
+                SELECT p.iter + 1, ee.dst,
+                       (CAST(1 AS DOUBLE) - 0.85) *
+                           (SELECT CAST(1 AS DOUBLE) / n FROM nn)
+                       + 0.85 * sum(p.rank / d.od)
+                FROM pr p JOIN e ee ON ee.src = p.node
+                          JOIN deg d ON d.src = p.node
+                WHERE p.iter < 6
+                GROUP BY p.iter, ee.dst
+            )
+            SELECT node, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_e6
+            FROM pr WHERE iter = 6
         """,
         "eval_clusters": """
             WITH a AS (

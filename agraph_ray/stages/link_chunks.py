@@ -112,3 +112,84 @@ def link_chunks(chunks: "ray.data.Dataset", nodes: "ray.data.Dataset",
     names_ref, rels_ref = ray.put(names), ray.put(rels)
     return chunks.map_batches(_linker(names_ref, rels_ref),
                               batch_format="pyarrow")
+
+
+def mention_timeline(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
+                     text_col: str = "text", conv_col: str = "conv_id",
+                     ts_col: str = "ts",
+                     num_buckets: int = 32) -> "ray.data.Dataset":
+    """Entity-mention timeline over a transcript stream: for each vocabulary
+    entity, WHEN it is talked about and HOW WIDELY —
+    ``(entity_id, mentions, n_convs, first_us, last_us)``.
+
+    A turn mentions an entity when the entity's name or an alias appears
+    (substring, case-insensitive) in the turn text — the same containment
+    rule as :func:`link_chunks` (reference llm_builders.py:770-812), applied
+    to the time axis: ``mentions`` counts mentioning TURNS (an entity counts
+    once per turn regardless of repeats), ``first_us``/``last_us`` are the
+    epoch-microsecond timestamps of the first/last mentioning turn, and
+    ``n_convs`` the exact distinct conversations that mention it.
+
+    Scale shape: vocabulary broadcast once (``ray.put``), Aho-Corasick
+    automaton built once per worker (O(|text|) per turn); each batch emits a
+    pre-combined ``(entity, conv)`` partial (count + ts min/max), so the one
+    entity-keyed shuffle carries at most |entities| x |touched convs| rows —
+    never the turn stream. Distinct-conversation counts stay exact because
+    the partials keep (entity, conv) granularity.
+    """
+    import pandas as pd
+
+    names = {}
+    for b in nodes.select_columns(["entity_id", "name", "aliases"]) \
+                  .iter_batches(batch_format="pyarrow"):
+        for eid, name, aliases in zip(b["entity_id"].to_pylist(),
+                                      b["name"].to_pylist(),
+                                      b["aliases"].to_pylist()):
+            if name:
+                names.setdefault(name.lower(), eid)
+            for a in aliases or []:
+                names.setdefault(a.lower(), eid)
+    names_ref, rels_ref = ray.put(names), ray.put([])
+
+    partial_schema = pa.schema([
+        ("entity_id", pa.string()), ("conv_id", pa.string()),
+        ("n", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nm, ac, _ = _get_matcher(names_ref, rels_ref)
+        ts_us = batch[ts_col].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_pylist()
+        ents, convs, tss = [], [], []
+        for text, conv, us in zip(batch[text_col].to_pylist(),
+                                  batch[conv_col].to_pylist(), ts_us):
+            present = ac.find_present((text or "").lower())
+            for eid in {nm[n] for n in present}:
+                ents.append(eid)
+                convs.append(conv)
+                tss.append(us)
+        if not ents:
+            return partial_schema.empty_table()
+        df = (pd.DataFrame({"entity_id": ents, "conv_id": convs, "ts": tss})
+              .groupby(["entity_id", "conv_id"], as_index=False)
+              .agg(n=("ts", "size"), lo=("ts", "min"), hi=("ts", "max")))
+        return pa.Table.from_pandas(df, schema=partial_schema,
+                                    preserve_index=False)
+
+    out_schema = pa.schema([
+        ("entity_id", pa.string()), ("mentions", pa.int64()),
+        ("n_convs", pa.int64()), ("first_us", pa.int64()),
+        ("last_us", pa.int64())])
+
+    def reduce_df(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("entity_id", as_index=False).agg(
+            mentions=("n", "sum"), n_convs=("conv_id", "nunique"),
+            first_us=("lo", "min"), last_us=("hi", "max"))
+        g["mentions"] = g["mentions"].astype("int64")
+        g["n_convs"] = g["n_convs"].astype("int64")
+        return g
+
+    from .common import bucketed_group_reduce
+    parts = turns.select_columns([conv_col, text_col, ts_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, ["entity_id"], reduce_df,
+                                 num_buckets, schema=out_schema)

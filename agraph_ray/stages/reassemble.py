@@ -209,6 +209,62 @@ def render_chat(ds: "ray.data.Dataset", sep_open: str = "<|",
                                  num_buckets, schema=schema)
 
 
+def unroll_sft_examples(ds: "ray.data.Dataset", context_turns: int = 4,
+                        sep: str = "\n", sep_open: str = "<|",
+                        sep_close: str = "|>",
+                        num_buckets: int = 64) -> "ray.data.Dataset":
+    """Conversation → per-reply SFT examples: ONE training example per
+    ASSISTANT turn — ``(conv_id, turn_idx, context, response,
+    n_context_turns)`` where ``context`` is the rendered ``<|role|>text``
+    of the previous ``context_turns`` whole turns joined by ``sep`` (""
+    when nothing precedes) and ``response`` is the assistant turn's text.
+
+    The standard multi-turn→examples expansion for supervised fine-tuning:
+    each assistant reply trains against its bounded recent history. The
+    window bound keeps output size LINEAR in the input — full-history
+    unrolling is quadratic in conversation length, which a 10^6-turn
+    conversation cannot afford (the same reasoning as truncate_context's
+    suffix rule; compose the two for token- rather than turn-bounded
+    context).
+
+    Scale shape: one conv-keyed bucketed shuffle; the per-bucket body is
+    ``context_turns`` grouped shifts + one vectorized string fold — no
+    per-row Python. Partitioning assumption: all turns of a conversation
+    co-hash to one bucket (same contract as reassemble/truncate_context).
+    """
+    from .common import bucketed_group_reduce
+
+    def unroll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = df["conv_id"].to_numpy()
+        rend = sep_open + df["role"] + sep_close + df["text"]
+        grouped = rend.groupby(conv)
+        ctx = pd.Series([""] * len(df), index=df.index, dtype=object)
+        for j in range(context_turns, 0, -1):
+            p = grouped.shift(j)
+            has = p.notna()
+            # append p where present: "" stays p, else ctx + sep + p
+            cand = (ctx + sep + p).where(ctx != "", p)
+            ctx = cand.where(has, ctx)
+        pos = df.groupby("conv_id", sort=False).cumcount()
+        keep = df["role"] == "assistant"
+        out = pd.DataFrame({
+            "conv_id": df["conv_id"],
+            "turn_idx": df["turn_idx"],
+            "context": ctx,
+            "response": df["text"],
+            "n_context_turns": pos.clip(upper=context_turns)
+            .astype("int64")})
+        return out.loc[keep].reset_index(drop=True)
+
+    schema = pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                        ("context", pa.string()), ("response", pa.string()),
+                        ("n_context_turns", pa.int64())])
+    keyed = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+    return bucketed_group_reduce(keyed, ["conv_id"], unroll,
+                                 num_buckets, schema=schema)
+
+
 def truncate_context(ds: "ray.data.Dataset", max_tokens: int,
                      conv_col: str = "conv_id", idx_col: str = "turn_idx",
                      role_col: str = "role", text_col: str = "text",

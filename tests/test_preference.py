@@ -322,3 +322,73 @@ def test_exact_dedup_by_keep_rule(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     # x: max quality 9 tie between ids 2,3 → min id 2. y: tie → id 4.
     assert sorted(out["doc_id"]) == [2, 4]
+
+
+def test_unroll_sft_examples_window_rule(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import unroll_sft_examples
+    df = _turns([
+        ("c1", 0, "user", "u0"), ("c1", 1, "assistant", "a1"),
+        ("c1", 2, "user", "u2"), ("c1", 3, "assistant", "a3"),
+        ("c1", 4, "user", "u4"), ("c1", 5, "assistant", "a5"),
+        # single-turn assistant-only conversation → empty context
+        ("c2", 0, "assistant", "solo"),
+    ])
+    out = (unroll_sft_examples(rd.from_pandas(df).repartition(3),
+                               context_turns=2)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    assert list(out["response"]) == ["a1", "a3", "a5", "solo"]
+    # context = previous min(2, pos) turns rendered, oldest first
+    assert out.loc[0, "context"] == "<|user|>u0"
+    assert out.loc[1, "context"] == "<|assistant|>a1\n<|user|>u2"
+    assert out.loc[2, "context"] == "<|assistant|>a3\n<|user|>u4"
+    assert out.loc[3, "context"] == ""
+    assert list(out["n_context_turns"]) == [1, 2, 2, 0]
+
+
+def test_unroll_sft_examples_partition_invariant(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import unroll_sft_examples
+    rows = []
+    for c in range(12):
+        for i in range(6):
+            rows.append((f"c{c}", i, "user" if i % 2 == 0 else "assistant",
+                         f"t{c}-{i}"))
+    df = _turns(rows)
+    outs = []
+    for parts in (1, 7):
+        out = (unroll_sft_examples(rd.from_pandas(df).repartition(parts),
+                                   context_turns=3)
+               .to_pandas().sort_values(["conv_id", "turn_idx"])
+               .reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_mention_timeline_hand_case(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import mention_timeline
+    turns = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c3"],
+        "text": ["Spark and spark again",   # 1 turn, counted once
+                 "spark beats flink",
+                 "SPARK!",
+                 "nothing here"],
+        "ts": pd.to_datetime([1_000, 2_000, 3_000, 4_000], unit="s"),
+    })
+    nodes = rd.from_items([
+        {"entity_id": "e1", "name": "Spark", "aliases": ["apache spark"]},
+        {"entity_id": "e2", "name": "flink", "aliases": []},
+        {"entity_id": "e3", "name": "absent", "aliases": []},
+    ])
+    out = (mention_timeline(rd.from_pandas(turns).repartition(3), nodes)
+           .to_pandas().sort_values("entity_id").reset_index(drop=True))
+    assert list(out["entity_id"]) == ["e1", "e2"]
+    e1 = out.iloc[0]
+    # 3 mentioning turns (per-turn containment, repeats collapse),
+    # 2 distinct conversations, first/last mention ts in epoch-us
+    assert (e1["mentions"], e1["n_convs"]) == (3, 2)
+    assert (e1["first_us"], e1["last_us"]) == (1_000_000_000, 3_000_000_000)
+    e2 = out.iloc[1]
+    assert (e2["mentions"], e2["n_convs"]) == (1, 1)
