@@ -3116,13 +3116,15 @@ def q_docs_sample_n(sf_dir: str):
 
 def q_events_ewma(sf_dir: str):
     """Per-user exponentially weighted moving average of event values in
-    event-time order (sequential recursion — not SQL-expressible without
-    a quadratic window; rows-only)."""
+    event-time order. Full oracle: the y_i = a*x_i + (1-a)*y_{i-1}
+    recurrence as a DuckDB recursive CTE over per-user row_number
+    (depth = max events per user), e6-scaled."""
     import ray.data as rd
     from agraph_ray.ops.window import grouped_ewma
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
-    return grouped_ewma(ds, "user_id", "ts", "value", alpha=0.3)
+    out = grouped_ewma(ds, "user_id", "ts", "value", alpha=0.3)
+    return _scale_cols(out, {"value": 10**6, "ewma": 10**6})
 
 
 def q_docs_cluster(sf_dir: str):
@@ -5674,6 +5676,28 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT conv_id) AS n_convs,
                    min(ts_us) AS first_us, max(ts_us) AS last_us
             FROM m GROUP BY entity_id
+        """,
+        "events_ewma": """
+            WITH RECURSIVE
+            b AS (SELECT user_id, epoch_us(ts) AS ts,
+                         CAST(value AS DOUBLE) AS v,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), CAST(value AS DOUBLE))
+                             AS rn
+                  FROM events),
+            r(user_id, rn, ts, v, y) AS (
+                SELECT user_id, rn, ts, v, v FROM b WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.rn, b.ts, b.v,
+                       CAST(0.3 AS DOUBLE) * b.v
+                       + CAST(0.7 AS DOUBLE) * r.y
+                FROM r JOIN b ON b.user_id = r.user_id
+                             AND b.rn = r.rn + 1
+            )
+            SELECT user_id, ts,
+                   CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS value,
+                   CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS ewma
+            FROM r
         """,
         "part_pagerank": """
             WITH RECURSIVE
