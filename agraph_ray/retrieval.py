@@ -70,8 +70,10 @@ class KnowledgeRetriever:
                         ["relation_id", "subj", "relation_type", "obj",
                          "confidence"])
         if chunks is not None:
+            extra = [c for c in ("chunk_type", "source")
+                     if c in chunks.schema().names]
             self._index("text_chunk", chunks, "chunk_id", "chunk", num_shards,
-                        ["chunk_id", "conv_id", "text"])
+                        ["chunk_id", "conv_id", "text"] + extra)
 
     def _index(self, kind: str, ds, id_col: str, render: str,
                num_shards: int, meta_cols: Sequence[str]):
@@ -138,6 +140,33 @@ class KnowledgeRetriever:
         return self._list("relation", limit,
                           lambda r: relation_type is None
                           or r.get("relation_type") == relation_type)
+
+    def list_chunks(self, chunk_type: Optional[str] = None,
+                    source: Optional[str] = None,
+                    limit: int = 100) -> List[dict]:
+        return self._list(
+            "text_chunk", limit,
+            lambda r: (chunk_type is None
+                       or r.get("chunk_type") == chunk_type)
+            and (source is None or r.get("source") == source))
+
+    # reference-named listing surface (knowledge_retriever.py:455-558):
+    # filter + first-k, deterministic because _meta preserves insert order
+    def search_entities_by_type(self, entity_type: str,
+                                top_k: int = 10) -> List[dict]:
+        return self.list_entities(entity_type=entity_type, limit=top_k)
+
+    def search_relations_by_type(self, relation_type: str,
+                                 top_k: int = 10) -> List[dict]:
+        return self.list_relations(relation_type=relation_type, limit=top_k)
+
+    def search_text_chunks_by_type(self, chunk_type: str,
+                                   top_k: int = 10) -> List[dict]:
+        return self.list_chunks(chunk_type=chunk_type, limit=top_k)
+
+    def search_text_chunks_by_source(self, source: str,
+                                     top_k: int = 10) -> List[dict]:
+        return self.list_chunks(source=source, limit=top_k)
 
     def get_entity(self, entity_id: str) -> Optional[dict]:
         rec = self._meta.get("entity", {}).get(entity_id)

@@ -129,3 +129,26 @@ def test_chunk_relevance_formula(ray_session):
     assert abs(got - expected) < 1e-9
     assert kr._chunk_relevance("c1", [], []) == 0.0
     assert kr._chunk_relevance("missing", ents, rels) == 0.0
+
+
+def test_chunk_listing_surface(ray_session):
+    """By-type / by-source chunk listings (knowledge_retriever.py:507-558)."""
+    import ray.data as rd
+    from agraph_ray.retrieval import KnowledgeRetriever
+    chunks = rd.from_items([
+        {"chunk_id": "c1", "conv_id": "1", "chunk_type": "chunk",
+         "source": "a.md", "text": "t1"},
+        {"chunk_id": "c2", "conv_id": "1", "chunk_type": "summary",
+         "source": "a.md", "text": "t2"},
+        {"chunk_id": "c3", "conv_id": "2", "chunk_type": "chunk",
+         "source": "b.md", "text": "t3"},
+    ])
+    kr = KnowledgeRetriever(chunks=chunks)
+    by_type = kr.search_text_chunks_by_type("chunk", top_k=10)
+    assert sorted(c["chunk_id"] for c in by_type) == ["c1", "c3"]
+    by_src = kr.search_text_chunks_by_source("a.md", top_k=10)
+    assert sorted(c["chunk_id"] for c in by_src) == ["c1", "c2"]
+    both = kr.list_chunks(chunk_type="chunk", source="a.md")
+    assert [c["chunk_id"] for c in both] == ["c1"]
+    assert len(kr.search_text_chunks_by_type("chunk", top_k=1)) == 1
+    assert kr.search_text_chunks_by_source("missing.md") == []
