@@ -880,6 +880,24 @@ def q_entity_timeline(sf_dir: str):
     return mention_timeline(turns, nodes)
 
 
+def q_conv_pack(sf_dir: str):
+    """SFT batch packing end to end: transcripts → chat-template render
+    (one training string per conversation) → whitespace token count →
+    concat-and-cut packing into 512-token sequences in conv_id order —
+    the exact sequence layout a trainer reads. ONE oracle for the chain
+    (string_agg render + windowed prefix sum)."""
+    from agraph_ray.ops.pack import pack_concat
+    from agraph_ray.ops.text import add_token_count
+    from agraph_ray.stages.reassemble import render_chat
+    from agraph_ray.synth import transcripts_from_documents
+
+    rendered = render_chat(transcripts_from_documents(sf_dir))
+    toks = rendered.map_batches(add_token_count, batch_format="pyarrow")
+    out = pack_concat(toks, "token_count", cap=512, order_col="conv_id")
+    return out.select_columns(["conv_id", "token_count", "seq_id",
+                               "seq_offset"])
+
+
 def q_docs_shuffle(sf_dir: str):
     """Reproducible global training-order shuffle: dense shuffle_rank by
     md5(seed|id) — identical on any run/worker-count, per-seed epoch
@@ -3507,6 +3525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_curation": q_conv_curation,
         "conv_segments": q_conv_segments,
         "conv_sft_unroll": q_conv_sft_unroll,
+        "conv_pack": q_conv_pack,
         "entity_timeline": q_entity_timeline,
         "docs_shuffle": q_docs_shuffle,
         "docs_epoch_order": q_docs_epoch_order,
@@ -5650,6 +5669,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, context, response, n_context_turns
             FROM w WHERE role = 'assistant'
+        """,
+        "conv_pack": r"""
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), r AS (
+                SELECT conv_id,
+                       string_agg('<|' || role || '|>' || text, ''
+                           ORDER BY turn_idx) AS rendered
+                FROM t GROUP BY conv_id
+            ), toks AS (
+                SELECT conv_id,
+                       CAST(len(regexp_extract_all(rendered, '\S+'))
+                           AS BIGINT) AS token_count
+                FROM r
+            ), p AS (
+                SELECT conv_id, token_count,
+                       COALESCE(SUM(token_count) OVER (
+                           ORDER BY conv_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS prefix
+                FROM toks
+            )
+            SELECT conv_id, token_count,
+                   CAST(prefix // 512 AS BIGINT) AS seq_id,
+                   CAST(prefix % 512 AS BIGINT) AS seq_offset
+            FROM p
         """,
         "entity_timeline": """
             WITH s AS (
