@@ -898,6 +898,23 @@ def q_conv_pack(sf_dir: str):
                                "seq_offset"])
 
 
+def q_entity_comention(sf_dir: str):
+    """Co-mention edge construction over transcripts: undirected
+    vocabulary-entity pairs weighted by distinct co-mentioning
+    conversations — the reference's co-occurrence relation rule on
+    SQL-checkable input (stages/link_chunks.py::comention_edges). Full
+    oracle: distinct containment join self-joined on conv_id."""
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import comention_edges
+    from agraph_ray.synth import transcripts_from_documents
+
+    nodes = rd.from_items(
+        [{"entity_id": f"w_{w}", "name": w, "aliases": []}
+         for w in TIMELINE_VOCAB])
+    turns = transcripts_from_documents(sf_dir)
+    return comention_edges(turns, nodes)
+
+
 def q_docs_shuffle(sf_dir: str):
     """Reproducible global training-order shuffle: dense shuffle_rank by
     md5(seed|id) — identical on any run/worker-count, per-seed epoch
@@ -3527,6 +3544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_sft_unroll": q_conv_sft_unroll,
         "conv_pack": q_conv_pack,
         "entity_timeline": q_entity_timeline,
+        "entity_comention": q_entity_comention,
         "docs_shuffle": q_docs_shuffle,
         "docs_epoch_order": q_docs_epoch_order,
         "docs_normalize": q_docs_normalize,
@@ -5753,6 +5771,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS value,
                    CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS ewma
             FROM r
+        """,
+        "entity_comention": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), v AS (
+                SELECT 'w_' || nm AS entity_id, nm
+                FROM (VALUES ('spark'), ('stream'), ('window'), ('join'),
+                             ('table'), ('customer'), ('vector'), ('hash'),
+                             ('merge'), ('filter')) AS vv(nm)
+            ), m AS (
+                SELECT DISTINCT v.entity_id, t.conv_id
+                FROM t JOIN v ON contains(lower(t.text), v.nm)
+            )
+            SELECT m1.entity_id AS a, m2.entity_id AS b,
+                   count(*) AS n_convs
+            FROM m m1 JOIN m m2 ON m1.conv_id = m2.conv_id
+                                AND m1.entity_id < m2.entity_id
+            GROUP BY a, b
         """,
         "part_pagerank": """
             WITH RECURSIVE

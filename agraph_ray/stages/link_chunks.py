@@ -193,3 +193,77 @@ def mention_timeline(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
         partial, batch_format="pyarrow")
     return bucketed_group_reduce(parts, ["entity_id"], reduce_df,
                                  num_buckets, schema=out_schema)
+
+
+def comention_edges(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
+                    text_col: str = "text", conv_col: str = "conv_id",
+                    num_buckets: int = 32) -> "ray.data.Dataset":
+    """Co-mention edge construction over a transcript stream: an
+    undirected edge ``(a, b, n_convs)`` for every vocabulary-entity pair
+    mentioned in the SAME conversation, weighted by the number of
+    distinct conversations that co-mention them — the co-occurrence
+    relation-building rule of the reference
+    (relation_extractor.py co-occurrence path / llm_builders.py:770-812
+    containment), keyed by conversation instead of chunk so it is
+    SQL-checkable end to end.
+
+    Scale shape: vocabulary broadcast once, Aho-Corasick per worker; each
+    batch emits distinct ``(conv, entity)`` partials; one conv-keyed
+    bucketed reduce forms within-conversation pairs (per-conversation
+    entity sets are bounded by the vocabulary, so the pair expansion is
+    O(|vocab|²) per conversation, not corpus-quadratic) and pre-counts
+    them in-bucket; a final pair-keyed Sum yields exact distinct-conv
+    weights. Turn text never shuffles.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    names = {}
+    for b in nodes.select_columns(["entity_id", "name", "aliases"]) \
+                  .iter_batches(batch_format="pyarrow"):
+        for eid, name, aliases in zip(b["entity_id"].to_pylist(),
+                                      b["name"].to_pylist(),
+                                      b["aliases"].to_pylist()):
+            if name:
+                names.setdefault(name.lower(), eid)
+            for a in aliases or []:
+                names.setdefault(a.lower(), eid)
+    names_ref, rels_ref = ray.put(names), ray.put([])
+
+    partial_schema = pa.schema([("conv_id", pa.string()),
+                                ("entity_id", pa.string())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nm, ac, _ = _get_matcher(names_ref, rels_ref)
+        seen = set()
+        for text, conv in zip(batch[text_col].to_pylist(),
+                              batch[conv_col].to_pylist()):
+            present = ac.find_present((text or "").lower())
+            for eid in {nm[n] for n in present}:
+                seen.add((conv, eid))
+        if not seen:
+            return partial_schema.empty_table()
+        convs, eids = zip(*sorted(seen))
+        return pa.table({"conv_id": pa.array(convs, pa.string()),
+                         "entity_id": pa.array(eids, pa.string())})
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("n", pa.int64())])
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        d = df.drop_duplicates(["conv_id", "entity_id"])
+        m = d.merge(d, on="conv_id")
+        m = m[m["entity_id_x"] < m["entity_id_y"]]
+        out = (m.groupby(["entity_id_x", "entity_id_y"], as_index=False)
+               .size().rename(columns={"entity_id_x": "a",
+                                       "entity_id_y": "b", "size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from .common import bucketed_group_reduce
+    parts = turns.select_columns([conv_col, text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    pair_partials = bucketed_group_reduce(parts, ["conv_id"], pairs,
+                                          num_buckets, schema=pair_schema)
+    return (pair_partials.groupby(["a", "b"])
+            .aggregate(Sum("n", alias_name="n_convs")))

@@ -392,3 +392,25 @@ def test_mention_timeline_hand_case(ray_session):
     assert (e1["first_us"], e1["last_us"]) == (1_000_000_000, 3_000_000_000)
     e2 = out.iloc[1]
     assert (e2["mentions"], e2["n_convs"]) == (1, 1)
+
+
+def test_comention_edges_hand_case(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import comention_edges
+    turns = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2", "c3"],
+        "text": ["spark rules", "flink and spark", "flink here",
+                 "spark with flink", "only spark"],
+    })
+    nodes = rd.from_items([
+        {"entity_id": "e_spark", "name": "spark", "aliases": []},
+        {"entity_id": "e_flink", "name": "flink", "aliases": []},
+        {"entity_id": "e_beam", "name": "beam", "aliases": []},
+    ])
+    out = (comention_edges(rd.from_pandas(turns).repartition(3), nodes)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # c1 and c2 co-mention spark+flink (per-conv distinct, repeats
+    # collapse); c3 mentions only spark; beam never appears
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["a"], r["b"], r["n_convs"]) == ("e_flink", "e_spark", 2)
