@@ -87,8 +87,9 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
         df["n_convs"] = (~df.duplicated(["norm_name", "conv_id"])).astype("int64")
     if "properties" not in df:
         df["properties"] = None
-    s = df.sort_values(["confidence", "entity_type", "name"],
-                       ascending=[False, True, True], kind="mergesort")
+    s = df.sort_values(
+        ["confidence", "entity_type", "name", "description", "source"],
+        ascending=[False, True, True, True, True], kind="mergesort")
     rep = s.drop_duplicates("norm_name", keep="first").set_index("norm_name")
     g = df.groupby("norm_name", sort=False)
     rep["confidence"] = g["confidence"].max()
@@ -114,8 +115,9 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
 
 def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Vectorized whole-bucket merge over all norm_names in the bucket."""
-    df = df.sort_values(["confidence", "entity_type", "name"],
-                        ascending=[False, True, True], kind="mergesort")
+    df = df.sort_values(
+        ["confidence", "entity_type", "name", "description", "source"],
+        ascending=[False, True, True, True, True], kind="mergesort")
     rep = df.drop_duplicates("norm_name", keep="first").set_index("norm_name")
     agg = df.groupby("norm_name", sort=False).agg(
         display_name=("name", "min"), confidence=("confidence", "max"),
@@ -214,7 +216,15 @@ def _edge_partial(batch: pa.Table) -> pa.Table:
         if c not in df:
             df[c] = None
     rel_col = "pred" if "pred" in df else "relation_type"
-    df = df.sort_values("confidence", ascending=False, kind="mergesort")
+    # witness election must be a TOTAL order: relation_id pins
+    # head/tail/type/subj/obj (content hash), but subj_type/obj_type/
+    # description/source can differ across mentions of the same id —
+    # confidence alone lets the input partition order pick the winner
+    # (caught by test_incremental_replay_equals_batch: replayed adds
+    # elected different obj_type witnesses than the batch build)
+    df = df.sort_values(
+        ["confidence", "subj_type", "obj_type", "source", "description"],
+        ascending=[False, True, True, True, True], kind="mergesort")
     agg = df.groupby("relation_id", sort=False).agg(
         head_id=("head_id", "first"), tail_id=("tail_id", "first"),
         relation_type=(rel_col, "first"), subj=("subj", "first"),
@@ -233,9 +243,12 @@ def _edge_partial(batch: pa.Table) -> pa.Table:
 def merge_edges_bucket(df: pd.DataFrame,
                        key: str = "relation_id") -> pd.DataFrame:
     """Vectorized whole-bucket edge merge: max-confidence witness per key,
-    mention counts summed, properties dict-merged (witness wins)."""
-    s = df.sort_values(["confidence", "source"], ascending=[False, True],
-                       kind="mergesort")
+    mention counts summed, properties dict-merged (witness wins). The
+    sort is a total order over every witness-carried column so the
+    elected row is partition-invariant (see _edge_partial)."""
+    s = df.sort_values(
+        ["confidence", "subj_type", "obj_type", "source", "description"],
+        ascending=[False, True, True, True, True], kind="mergesort")
     top = s.drop_duplicates(key, keep="first").set_index(key)
     top["n_mentions"] = df.groupby(key, sort=False)["n_mentions"].sum()
     if "properties" in df.columns and df["properties"].notna().any():

@@ -443,3 +443,46 @@ def test_ann_actor_ivf_probing(ray_session):
     for i in range(len(q)):
         s = appr_sims[i][appr_sims[i] > -np.inf]
         assert (np.diff(s) <= 1e-6).all()
+
+
+def test_incremental_replay_equals_batch(ray_session, corpus_dir, tmp_path):
+    """North-rule invariant: replaying the corpus as sequential
+    add_documents micro-batches yields EXACTLY the one-shot batch build —
+    the derived tables are a pure function of the union of mention
+    partitions, so incremental maintenance can never drift."""
+    import glob
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.incremental import add_documents
+    from agraph_ray.pipelines.kg_build import build_kg
+
+    cfg = KGConfig()
+    shards = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    inc, batch = str(tmp_path / "inc"), str(tmp_path / "batch")
+    build_kg(shards[:1], inc, cfg, with_chunks=False)
+    for s in shards[1:]:
+        add_documents(inc, [s], cfg)
+    build_kg(shards, batch, cfg, with_chunks=False)
+
+    def load(out, table):
+        t = pads.dataset(os.path.join(out, table),
+                         format="parquet").to_table()
+        df = t.to_pandas()[sorted(t.column_names)]
+        # list columns (aliases, …) aren't sortable — order rows by the
+        # stringified row rendering instead
+        s = df.astype(str)
+        order = np.lexsort([s[c].to_numpy() for c in reversed(s.columns)])
+        return df.iloc[order].reset_index(drop=True)
+
+    for table in ("nodes", "edges"):
+        a, b = load(inc, table), load(batch, table)
+        assert len(a) == len(b), table
+        for col in a.columns:
+            if a[col].dtype.kind == "f":
+                assert np.allclose(a[col], b[col], atol=1e-12), (table, col)
+            else:
+                assert a[col].astype(str).equals(b[col].astype(str)), \
+                    (table, col)
