@@ -106,7 +106,9 @@ def run_bench() -> dict:
                       "turns_dedup", "docs_strip_spans", "part_ppr",
                       "docs_vocab_prune", "docs_select_budget",
                       "supplier_nbr_features", "render_chat",
-                      "preference_pairs", "conv_curation"]:
+                      "preference_pairs", "conv_curation",
+                      "conv_sft_unroll", "conv_pack",
+                      "entity_timeline", "entity_comention"]:
             t0 = time.time()
             r = qs[qname](SF_DIR)
             if hasattr(r, "materialize"):
