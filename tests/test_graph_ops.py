@@ -467,18 +467,25 @@ def test_incremental_replay_equals_batch(ray_session, corpus_dir, tmp_path):
         add_documents(inc, [s], cfg)
     build_kg(shards, batch, cfg, with_chunks=False)
 
-    def load(out, table):
-        t = pads.dataset(os.path.join(out, table),
-                         format="parquet").to_table()
-        df = t.to_pandas()[sorted(t.column_names)]
-        # list columns (aliases, …) aren't sortable — order rows by the
-        # stringified row rendering instead
-        s = df.astype(str)
-        order = np.lexsort([s[c].to_numpy() for c in reversed(s.columns)])
-        return df.iloc[order].reset_index(drop=True)
+    _assert_graph_tables_equal(inc, batch)
 
+
+def _load_sorted(out, table):
+    import numpy as np
+    import pyarrow.dataset as pads
+    t = pads.dataset(os.path.join(out, table), format="parquet").to_table()
+    df = t.to_pandas()[sorted(t.column_names)]
+    # list columns (aliases, …) aren't sortable — order rows by the
+    # stringified row rendering instead
+    s = df.astype(str)
+    order = np.lexsort([s[c].to_numpy() for c in reversed(s.columns)])
+    return df.iloc[order].reset_index(drop=True)
+
+
+def _assert_graph_tables_equal(out_a, out_b):
+    import numpy as np
     for table in ("nodes", "edges"):
-        a, b = load(inc, table), load(batch, table)
+        a, b = _load_sorted(out_a, table), _load_sorted(out_b, table)
         assert len(a) == len(b), table
         for col in a.columns:
             if a[col].dtype.kind == "f":
@@ -486,3 +493,30 @@ def test_incremental_replay_equals_batch(ray_session, corpus_dir, tmp_path):
             else:
                 assert a[col].astype(str).equals(b[col].astype(str)), \
                     (table, col)
+
+
+def test_build_invariant_to_input_sharding(ray_session, corpus_dir,
+                                           tmp_path):
+    """The built graph is a pure function of the transcript SET: feeding
+    the same corpus as 4 shards vs a single re-written shard (different
+    block layout, different batch boundaries, different row order inside
+    the file) produces identical node/edge tables."""
+    import glob
+
+    import ray.data as rd
+
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.kg_build import build_kg
+
+    cfg = KGConfig()
+    shards = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    one = str(tmp_path / "one_shard")
+    # rewrite the corpus as one file in a scrambled row order
+    ds = rd.read_parquet(shards)
+    ds = ds.random_shuffle(seed=3).repartition(1)
+    ds.write_parquet(one)
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_kg(shards, a, cfg, with_chunks=False)
+    build_kg(one, b, cfg, with_chunks=False)
+    _assert_graph_tables_equal(a, b)
