@@ -898,6 +898,23 @@ def q_conv_pack(sf_dir: str):
                                "seq_offset"])
 
 
+def q_entity_timeline_windowed(sf_dir: str):
+    """Tumbling-window slice of the entity-mention timeline (2-second
+    event-time windows): which entities a window's transcripts mention,
+    how often, in how many conversations — the per-window view of graph
+    construction (stages/link_chunks.py::mention_timeline(window_us=…)).
+    Full oracle: containment join + window-id projection + group."""
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import mention_timeline
+    from agraph_ray.synth import transcripts_from_documents
+
+    nodes = rd.from_items(
+        [{"entity_id": f"w_{w}", "name": w, "aliases": []}
+         for w in TIMELINE_VOCAB])
+    turns = transcripts_from_documents(sf_dir)
+    return mention_timeline(turns, nodes, window_us=2_000_000)
+
+
 def q_entity_comention(sf_dir: str):
     """Co-mention edge construction over transcripts: undirected
     vocabulary-entity pairs weighted by distinct co-mentioning
@@ -3544,6 +3561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_sft_unroll": q_conv_sft_unroll,
         "conv_pack": q_conv_pack,
         "entity_timeline": q_entity_timeline,
+        "entity_timeline_windowed": q_entity_timeline_windowed,
         "entity_comention": q_entity_comention,
         "docs_shuffle": q_docs_shuffle,
         "docs_epoch_order": q_docs_epoch_order,
@@ -5771,6 +5789,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS value,
                    CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS ewma
             FROM r
+        """,
+        "entity_timeline_windowed": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS BIGINT) AS i,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), v AS (
+                SELECT 'w_' || nm AS entity_id, nm
+                FROM (VALUES ('spark'), ('stream'), ('window'), ('join'),
+                             ('table'), ('customer'), ('vector'), ('hash'),
+                             ('merge'), ('filter')) AS vv(nm)
+            ), m AS (
+                SELECT v.entity_id, t.conv_id,
+                       ((1700000000000000 + t.i * 1000000) // 2000000)
+                           * 2000000 AS window_us
+                FROM t JOIN v ON contains(lower(t.text), v.nm)
+            )
+            SELECT entity_id, window_us, count(*) AS mentions,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM m GROUP BY entity_id, window_us
         """,
         "entity_comention": """
             WITH s AS (

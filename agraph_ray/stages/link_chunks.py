@@ -116,11 +116,17 @@ def link_chunks(chunks: "ray.data.Dataset", nodes: "ray.data.Dataset",
 
 def mention_timeline(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
                      text_col: str = "text", conv_col: str = "conv_id",
-                     ts_col: str = "ts",
+                     ts_col: str = "ts", window_us: Optional[int] = None,
                      num_buckets: int = 32) -> "ray.data.Dataset":
     """Entity-mention timeline over a transcript stream: for each vocabulary
     entity, WHEN it is talked about and HOW WIDELY —
     ``(entity_id, mentions, n_convs, first_us, last_us)``.
+
+    With ``window_us`` set, the timeline is sliced into tumbling event-time
+    windows instead: ``(entity_id, window_us [start], mentions, n_convs)``
+    — the per-window view of graph construction (which entities a window's
+    transcripts would add), same partial/combine shape with the window id
+    joining the reduce key.
 
     A turn mentions an entity when the entity's name or an alias appears
     (substring, case-insensitive) in the turn text — the same containment
@@ -151,9 +157,14 @@ def mention_timeline(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
                 names.setdefault(a.lower(), eid)
     names_ref, rels_ref = ray.put(names), ray.put([])
 
-    partial_schema = pa.schema([
-        ("entity_id", pa.string()), ("conv_id", pa.string()),
-        ("n", pa.int64()), ("lo", pa.int64()), ("hi", pa.int64())])
+    windowed = window_us is not None
+    partial_fields = [("entity_id", pa.string()), ("conv_id", pa.string())]
+    if windowed:
+        partial_fields.append(("window_us", pa.int64()))
+    partial_fields += [("n", pa.int64()), ("lo", pa.int64()),
+                       ("hi", pa.int64())]
+    partial_schema = pa.schema(partial_fields)
+    grain = ["entity_id", "conv_id"] + (["window_us"] if windowed else [])
 
     def partial(batch: pa.Table) -> pa.Table:
         nm, ac, _ = _get_matcher(names_ref, rels_ref)
@@ -169,21 +180,31 @@ def mention_timeline(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
                 tss.append(us)
         if not ents:
             return partial_schema.empty_table()
-        df = (pd.DataFrame({"entity_id": ents, "conv_id": convs, "ts": tss})
-              .groupby(["entity_id", "conv_id"], as_index=False)
+        df = pd.DataFrame({"entity_id": ents, "conv_id": convs, "ts": tss})
+        if windowed:
+            df["window_us"] = (df["ts"] // window_us) * window_us
+        df = (df.groupby(grain, as_index=False)
               .agg(n=("ts", "size"), lo=("ts", "min"), hi=("ts", "max")))
         return pa.Table.from_pandas(df, schema=partial_schema,
                                     preserve_index=False)
 
-    out_schema = pa.schema([
-        ("entity_id", pa.string()), ("mentions", pa.int64()),
-        ("n_convs", pa.int64()), ("first_us", pa.int64()),
-        ("last_us", pa.int64())])
+    if windowed:
+        out_schema = pa.schema([
+            ("entity_id", pa.string()), ("window_us", pa.int64()),
+            ("mentions", pa.int64()), ("n_convs", pa.int64())])
+        reduce_keys = ["entity_id", "window_us"]
+    else:
+        out_schema = pa.schema([
+            ("entity_id", pa.string()), ("mentions", pa.int64()),
+            ("n_convs", pa.int64()), ("first_us", pa.int64()),
+            ("last_us", pa.int64())])
+        reduce_keys = ["entity_id"]
 
     def reduce_df(df: "pd.DataFrame") -> "pd.DataFrame":
-        g = df.groupby("entity_id", as_index=False).agg(
-            mentions=("n", "sum"), n_convs=("conv_id", "nunique"),
-            first_us=("lo", "min"), last_us=("hi", "max"))
+        spec = dict(mentions=("n", "sum"), n_convs=("conv_id", "nunique"))
+        if not windowed:
+            spec.update(first_us=("lo", "min"), last_us=("hi", "max"))
+        g = df.groupby(reduce_keys, as_index=False).agg(**spec)
         g["mentions"] = g["mentions"].astype("int64")
         g["n_convs"] = g["n_convs"].astype("int64")
         return g
@@ -191,7 +212,7 @@ def mention_timeline(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
     from .common import bucketed_group_reduce
     parts = turns.select_columns([conv_col, text_col, ts_col]).map_batches(
         partial, batch_format="pyarrow")
-    return bucketed_group_reduce(parts, ["entity_id"], reduce_df,
+    return bucketed_group_reduce(parts, reduce_keys, reduce_df,
                                  num_buckets, schema=out_schema)
 
 
