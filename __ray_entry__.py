@@ -898,6 +898,52 @@ def q_conv_pack(sf_dir: str):
                                "seq_offset"])
 
 
+def q_conv_pack_stats(sf_dir: str):
+    """Training-batch content accounting: per packed 512-token sequence,
+    how many conversations start in it, their token total, and the
+    assistant-generated share (loss-mask mass) — the lineage view a
+    trainer needs per batch. Chain: render_chat (stats) →
+    add_token_count → pack_concat → seq-keyed rollup; ONE oracle."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from agraph_ray.ops.pack import pack_concat
+    from agraph_ray.ops.text import add_token_count
+    from agraph_ray.stages.reassemble import render_chat
+    from agraph_ray.synth import transcripts_from_documents
+
+    rendered = render_chat(transcripts_from_documents(sf_dir))
+    toks = rendered.map_batches(add_token_count, batch_format="pyarrow")
+    # pack_concat projects to (conv_id, token_count, seq_id, seq_offset);
+    # keep the per-conv stats alongside by re-deriving the pack columns
+    # on the stats-bearing rows via the same distributed prefix sum
+    from agraph_ray.ops.pack import ordered_prefix_sum
+    with_prefix = ordered_prefix_sum(toks, "conv_id", "token_count")
+
+    def finish(t: "pa.Table") -> "pa.Table":
+        p = t["prefix"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seq_id": pa.array(p // 512, pa.int64()),
+            "token_count": t["token_count"],
+            "n_assistant_turns": t["n_assistant_turns"],
+            "assistant_chars": t["assistant_chars"]})
+
+    packed = with_prefix.map_batches(finish, batch_format="pyarrow")
+    out = packed.groupby("seq_id").aggregate(
+        Count(alias_name="n_convs"),
+        Sum("token_count", alias_name="seq_tokens"),
+        Sum("n_assistant_turns", alias_name="assistant_turns"),
+        Sum("assistant_chars", alias_name="assistant_chars"))
+    return out.map_batches(
+        lambda t: pa.table({
+            "seq_id": t["seq_id"],
+            "n_convs": pc.cast(t["n_convs"], pa.int64()),
+            "seq_tokens": pc.cast(t["seq_tokens"], pa.int64()),
+            "assistant_turns": pc.cast(t["assistant_turns"], pa.int64()),
+            "assistant_chars": pc.cast(t["assistant_chars"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def q_entity_timeline_windowed(sf_dir: str):
     """Tumbling-window slice of the entity-mention timeline (2-second
     event-time windows): which entities a window's transcripts mention,
@@ -3560,6 +3606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_segments": q_conv_segments,
         "conv_sft_unroll": q_conv_sft_unroll,
         "conv_pack": q_conv_pack,
+        "conv_pack_stats": q_conv_pack_stats,
         "entity_timeline": q_entity_timeline,
         "entity_timeline_windowed": q_entity_timeline_windowed,
         "entity_comention": q_entity_comention,
@@ -5789,6 +5836,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS value,
                    CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS ewma
             FROM r
+        """,
+        "conv_pack_stats": r"""
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS INT) AS turn_idx,
+                       CASE WHEN i % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), r AS (
+                SELECT conv_id,
+                       string_agg('<|' || role || '|>' || text, ''
+                           ORDER BY turn_idx) AS rendered,
+                       CAST(sum(CASE WHEN role = 'assistant'
+                           THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_assistant_turns,
+                       CAST(sum(CASE WHEN role = 'assistant'
+                           THEN length(text) ELSE 0 END) AS BIGINT)
+                           AS assistant_chars
+                FROM t GROUP BY conv_id
+            ), toks AS (
+                SELECT conv_id,
+                       CAST(len(regexp_extract_all(rendered, '\S+'))
+                           AS BIGINT) AS token_count,
+                       n_assistant_turns, assistant_chars
+                FROM r
+            ), p AS (
+                SELECT *,
+                       COALESCE(SUM(token_count) OVER (
+                           ORDER BY conv_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS prefix
+                FROM toks
+            )
+            SELECT CAST(prefix // 512 AS BIGINT) AS seq_id,
+                   count(*) AS n_convs,
+                   CAST(sum(token_count) AS BIGINT) AS seq_tokens,
+                   CAST(sum(n_assistant_turns) AS BIGINT)
+                       AS assistant_turns,
+                   CAST(sum(assistant_chars) AS BIGINT) AS assistant_chars
+            FROM p GROUP BY 1
         """,
         "entity_timeline_windowed": """
             WITH s AS (
