@@ -220,3 +220,79 @@ def test_explode_collect_random_roundtrip(ray_session, seed):
         "k", "pos", "value").to_pandas().sort_values("k") \
         .reset_index(drop=True)
     assert [list(v) for v in back["values"]] == lists
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["person", "concept", "org"]),
+                          st.sampled_from(["person", "concept"]),
+                          st.sampled_from([0.5, 0.8, 0.8, 1.0]),
+                          st.sampled_from(["s1", "s2"])),
+                min_size=1, max_size=25),
+       st.randoms())
+def test_edge_partial_order_invariant(rows, rnd):
+    """The per-batch edge combiner must elect the same witness regardless
+    of row order — confidence ties carrying different subj_type/obj_type
+    once leaked the input partition order into the output (fixed by the
+    total-order witness sort; caught by the replay-equals-batch test)."""
+    from agraph_ray.stages.dedup import _edge_partial
+
+    def mk(rows):
+        return pa.Table.from_pylist([{
+            "relation_id": "relation_x", "head_id": "h", "tail_id": "t",
+            "pred": "related_to", "subj": "a", "obj": "b",
+            "subj_type": stp, "obj_type": otp, "confidence": c,
+            "source": src, "n_mentions": 1,
+        } for stp, otp, c, src in rows])
+
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    a = _edge_partial(mk(rows)).to_pandas()
+    b = _edge_partial(mk(shuffled)).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("relation_id").reset_index(drop=True),
+        b.sort_values("relation_id").reset_index(drop=True))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),          # conv
+                          st.sampled_from(["user", "assistant", "system"]),
+                          st.text(max_size=8)),
+                min_size=1, max_size=40),
+       st.integers(1, 5))
+def test_unroll_matches_python_reference(ray_session, rows, k):
+    """unroll_sft_examples == a plain-python per-conversation scan."""
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import unroll_sft_examples
+
+    # unique (conv, turn_idx): index rows within conv by arrival order
+    seen = {}
+    recs = []
+    for conv, role, text in rows:
+        idx = seen.get(conv, 0)
+        seen[conv] = idx + 1
+        recs.append({"conv_id": f"c{conv}", "turn_idx": idx,
+                     "role": role, "text": text})
+
+    expected = []
+    by_conv = {}
+    for r in recs:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for conv, turns in by_conv.items():
+        rendered = [f"<|{t['role']}|>{t['text']}" for t in turns]
+        for i, t in enumerate(turns):
+            if t["role"] != "assistant":
+                continue
+            ctx = "\n".join(rendered[max(0, i - k):i])
+            expected.append((conv, t["turn_idx"], ctx, t["text"],
+                             min(i, k)))
+    expected.sort()
+
+    out = (unroll_sft_examples(
+        rd.from_items(recs).repartition(3), context_turns=k)
+        .to_pandas())
+    if not expected:
+        assert len(out) == 0
+        return
+    got = sorted(zip(out["conv_id"], out["turn_idx"], out["context"],
+                     out["response"], out["n_context_turns"]))
+    assert [tuple(g) for g in got] == expected
