@@ -520,3 +520,38 @@ def test_build_invariant_to_input_sharding(ray_session, corpus_dir,
     build_kg(shards, a, cfg, with_chunks=False)
     build_kg(one, b, cfg, with_chunks=False)
     _assert_graph_tables_equal(a, b)
+
+
+def test_remove_equals_complement_build(ray_session, corpus_dir, tmp_path):
+    """remove_documents cascade semantics: removing conversations from a
+    built graph equals building from scratch WITHOUT them — entities
+    whose every witness came from the removed convs disappear, edges
+    cascade, survivors keep identical merged rows."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from agraph_ray.config import KGConfig
+    from agraph_ray.pipelines.incremental import remove_documents
+    from agraph_ray.pipelines.kg_build import build_kg
+
+    cfg = KGConfig()
+    shards = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    full, complement = str(tmp_path / "full"), str(tmp_path / "compl")
+    build_kg(shards, full, cfg, with_chunks=False)
+
+    # pick two conversations present in the corpus
+    convs = pads.dataset(shards[0], format="parquet").to_table(
+        columns=["conv_id"])["conv_id"].to_pylist()
+    victims = sorted(set(convs))[:2]
+    remove_documents(full, victims, cfg)
+
+    # batch build over the complement (filter rows at read time)
+    import ray.data as rd
+    ds = rd.read_parquet(shards).filter(
+        lambda r: r["conv_id"] not in set(victims))
+    one = str(tmp_path / "filtered")
+    ds.write_parquet(one)
+    build_kg(one, complement, cfg, with_chunks=False)
+
+    _assert_graph_tables_equal(full, complement)
