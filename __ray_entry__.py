@@ -961,6 +961,24 @@ def q_entity_timeline_windowed(sf_dir: str):
     return mention_timeline(turns, nodes, window_us=2_000_000)
 
 
+def q_conv_pseudonym_plan(sf_dir: str):
+    """Per-conversation anonymization plan for transcript release: each
+    vocabulary entity gets a placeholder numbered by first appearance
+    within its conversation (non-linkable across conversations,
+    readable within one). Full oracle: min(turn_idx) + dense_rank
+    (stages/link_chunks.py::speaker_pseudonym_plan; the text rewrite is
+    apply_pseudonyms, pytest-pinned)."""
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import speaker_pseudonym_plan
+    from agraph_ray.synth import transcripts_from_documents
+
+    nodes = rd.from_items(
+        [{"entity_id": f"w_{w}", "name": w, "aliases": []}
+         for w in TIMELINE_VOCAB])
+    turns = transcripts_from_documents(sf_dir)
+    return speaker_pseudonym_plan(turns, nodes)
+
+
 def q_entity_comention(sf_dir: str):
     """Co-mention edge construction over transcripts: undirected
     vocabulary-entity pairs weighted by distinct co-mentioning
@@ -3610,6 +3628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_timeline": q_entity_timeline,
         "entity_timeline_windowed": q_entity_timeline_windowed,
         "entity_comention": q_entity_comention,
+        "conv_pseudonym_plan": q_conv_pseudonym_plan,
         "docs_shuffle": q_docs_shuffle,
         "docs_epoch_order": q_docs_epoch_order,
         "docs_normalize": q_docs_normalize,
@@ -5908,6 +5927,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, window_us, count(*) AS mentions,
                    count(DISTINCT conv_id) AS n_convs
             FROM m GROUP BY entity_id, window_us
+        """,
+        "conv_pseudonym_plan": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS BIGINT) AS turn_idx,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), v AS (
+                SELECT nm
+                FROM (VALUES ('spark'), ('stream'), ('window'), ('join'),
+                             ('table'), ('customer'), ('vector'), ('hash'),
+                             ('merge'), ('filter')) AS vv(nm)
+            ), m AS (
+                SELECT t.conv_id, v.nm AS name,
+                       min(t.turn_idx) AS first_idx
+                FROM t JOIN v ON contains(lower(t.text), v.nm)
+                GROUP BY t.conv_id, v.nm
+            )
+            SELECT conv_id, name, first_idx,
+                   'ENT_' || dense_rank() OVER (PARTITION BY conv_id
+                       ORDER BY first_idx, name) AS placeholder
+            FROM m
         """,
         "entity_comention": """
             WITH s AS (

@@ -216,6 +216,142 @@ def mention_timeline(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
                                  num_buckets, schema=out_schema)
 
 
+def speaker_pseudonym_plan(turns: "ray.data.Dataset",
+                           nodes: "ray.data.Dataset",
+                           prefix: str = "ENT_",
+                           text_col: str = "text",
+                           conv_col: str = "conv_id",
+                           idx_col: str = "turn_idx",
+                           num_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-conversation pseudonymization PLAN for transcript release: each
+    vocabulary name gets a stable placeholder numbered by FIRST APPEARANCE
+    within its conversation → ``(conv_id, name, first_idx, placeholder)``.
+
+    First-appearance numbering (vs a global map) is what makes released
+    transcripts non-linkable across conversations while staying readable
+    within one — the standard conversational-anonymization rule. Rank rule
+    pinned: dense rank by (first turn_idx, name). Same broadcast-vocab +
+    Aho-Corasick + (conv, name) combiner shape as mention_timeline; one
+    conv-keyed reduce ranks in-bucket (all names of a conversation
+    co-locate). Apply the plan with :func:`apply_pseudonyms`.
+    """
+    import pandas as pd
+
+    names = {}
+    for b in nodes.select_columns(["entity_id", "name", "aliases"]) \
+                  .iter_batches(batch_format="pyarrow"):
+        for _, name, aliases in zip(b["entity_id"].to_pylist(),
+                                    b["name"].to_pylist(),
+                                    b["aliases"].to_pylist()):
+            if name:
+                names.setdefault(name.lower(), name)
+            for a in aliases or []:
+                names.setdefault(a.lower(), name)
+    names_ref, rels_ref = ray.put(names), ray.put([])
+
+    partial_schema = pa.schema([("conv_id", pa.string()),
+                                ("name", pa.string()),
+                                ("first_idx", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nm, ac, _ = _get_matcher(names_ref, rels_ref)
+        convs, out_names, idxs = [], [], []
+        for text, conv, idx in zip(batch[text_col].to_pylist(),
+                                   batch[conv_col].to_pylist(),
+                                   batch[idx_col].to_pylist()):
+            present = ac.find_present((text or "").lower())
+            for canon in {nm[n] for n in present}:
+                convs.append(conv)
+                out_names.append(canon)
+                idxs.append(int(idx))
+        if not convs:
+            return partial_schema.empty_table()
+        df = (pd.DataFrame({"conv_id": convs, "name": out_names,
+                            "first_idx": idxs})
+              .groupby(["conv_id", "name"], as_index=False)["first_idx"]
+              .min())
+        return pa.Table.from_pandas(df, schema=partial_schema,
+                                    preserve_index=False)
+
+    out_schema = pa.schema([("conv_id", pa.string()),
+                            ("name", pa.string()),
+                            ("first_idx", pa.int64()),
+                            ("placeholder", pa.string())])
+
+    def rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (df.groupby(["conv_id", "name"], as_index=False)["first_idx"]
+             .min()
+             .sort_values(["conv_id", "first_idx", "name"],
+                          kind="mergesort"))
+        g["placeholder"] = prefix + (
+            g.groupby("conv_id", sort=False).cumcount() + 1).astype(str)
+        return g
+
+    from .common import bucketed_group_reduce
+    parts = turns.select_columns([conv_col, text_col, idx_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_group_reduce(parts, ["conv_id"], rank,
+                                 num_buckets, schema=out_schema)
+
+
+def apply_pseudonyms(turns: "ray.data.Dataset", plan: "ray.data.Dataset",
+                     text_col: str = "text", conv_col: str = "conv_id",
+                     num_buckets: int = 32) -> "ray.data.Dataset":
+    """Rewrite transcript text per a :func:`speaker_pseudonym_plan`:
+    case-insensitive replacement of each planned name with its
+    conversation's placeholder. One conv-keyed co-group (turns ∪ plan,
+    both sides arbitrary size); per bucket the rewrite runs one
+    vectorized ``str.replace`` per (name, rank) pair actually present —
+    vocabulary-bounded, never per row."""
+    import re
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    plan_tagged = plan.map_batches(
+        lambda t: pa.table({conv_col: t[conv_col], "name": t["name"],
+                            "placeholder": t["placeholder"],
+                            "turn_idx": pa.nulls(len(t), pa.int64()),
+                            text_col: pa.nulls(len(t), pa.string())}),
+        batch_format="pyarrow")
+    turns_tagged = turns.select_columns(
+        [conv_col, "turn_idx", text_col]).map_batches(
+        lambda t: pa.table({conv_col: t[conv_col],
+                            "name": pa.nulls(len(t), pa.string()),
+                            "placeholder": pa.nulls(len(t), pa.string()),
+                            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                            text_col: t[text_col]}),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([(conv_col, pa.string()),
+                            ("turn_idx", pa.int64()),
+                            (text_col, pa.string())])
+
+    def rewrite(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = df[df["name"].isna()][[conv_col, "turn_idx", text_col]]
+        pl = df[df["name"].notna()][[conv_col, "name", "placeholder"]]
+        if not len(rows):
+            return pd.DataFrame(columns=[conv_col, "turn_idx", text_col])
+        text = rows[text_col].copy()
+        # longest names first so "Alice Johnson" rewrites before "Alice"
+        pairs = sorted(pl.groupby(["name", "placeholder"]),
+                       key=lambda kv: (-len(kv[0][0]), kv[0]))
+        for (name, ph), sub in pairs:
+            convs = set(sub[conv_col])
+            mask = rows[conv_col].isin(convs)
+            if mask.any():
+                pat = re.compile(re.escape(name), re.IGNORECASE)
+                text.loc[mask] = text.loc[mask].str.replace(
+                    pat, ph, regex=True)
+        out = rows.assign(**{text_col: text})
+        return out
+
+    from .common import bucketed_group_reduce
+    return bucketed_group_reduce(turns_tagged.union(plan_tagged),
+                                 [conv_col], rewrite, num_buckets,
+                                 schema=out_schema)
+
+
 def comention_edges(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
                     text_col: str = "text", conv_col: str = "conv_id",
                     num_buckets: int = 32) -> "ray.data.Dataset":

@@ -414,3 +414,37 @@ def test_comention_edges_hand_case(ray_session):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["a"], r["b"], r["n_convs"]) == ("e_flink", "e_spark", 2)
+
+
+def test_pseudonymize_plan_and_apply(ray_session):
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import (apply_pseudonyms,
+                                               speaker_pseudonym_plan)
+    turns = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c2"],
+        "turn_idx": [0, 1, 0, 1],
+        "text": ["Bob met someone",            # c1: Bob first (turn 0)
+                 "alice johnson and BOB again",
+                 "Alice Johnson opened",        # c2: Alice Johnson first
+                 "then bob arrived"],
+    })
+    nodes = rd.from_items([
+        {"entity_id": "e1", "name": "Alice Johnson", "aliases": []},
+        {"entity_id": "e2", "name": "Bob", "aliases": []},
+    ])
+    tds = rd.from_pandas(turns).repartition(3)
+    plan = speaker_pseudonym_plan(tds, nodes, prefix="PERSON_")
+    p = plan.to_pandas().sort_values(["conv_id", "placeholder"])
+    got = list(zip(p["conv_id"], p["name"], p["placeholder"]))
+    # first-appearance numbering is PER conversation
+    assert got == [("c1", "Bob", "PERSON_1"),
+                   ("c1", "Alice Johnson", "PERSON_2"),
+                   ("c2", "Alice Johnson", "PERSON_1"),
+                   ("c2", "Bob", "PERSON_2")]
+    out = (apply_pseudonyms(tds, plan)
+           .to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    # case-insensitive rewrite; longest name first
+    assert list(out["text"]) == [
+        "PERSON_1 met someone", "PERSON_2 and PERSON_1 again",
+        "PERSON_1 opened", "then PERSON_2 arrived"]
