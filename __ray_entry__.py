@@ -961,6 +961,23 @@ def q_entity_timeline_windowed(sf_dir: str):
     return mention_timeline(turns, nodes, window_us=2_000_000)
 
 
+def q_entity_comention_windowed(sf_dir: str):
+    """Dynamic-graph snapshot sequence: co-mention edges per 2-second
+    tumbling event-time window (same conversation AND same window) —
+    the temporal-GNN training input
+    (stages/link_chunks.py::comention_edges(window_us=…)). Full oracle:
+    distinct containment join self-joined on (conv, window)."""
+    import ray.data as rd
+    from agraph_ray.stages.link_chunks import comention_edges
+    from agraph_ray.synth import transcripts_from_documents
+
+    nodes = rd.from_items(
+        [{"entity_id": f"w_{w}", "name": w, "aliases": []}
+         for w in TIMELINE_VOCAB])
+    turns = transcripts_from_documents(sf_dir)
+    return comention_edges(turns, nodes, window_us=2_000_000)
+
+
 def q_conv_pseudonym_plan(sf_dir: str):
     """Per-conversation anonymization plan for transcript release: each
     vocabulary entity gets a placeholder numbered by first appearance
@@ -3628,6 +3645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_timeline": q_entity_timeline,
         "entity_timeline_windowed": q_entity_timeline_windowed,
         "entity_comention": q_entity_comention,
+        "entity_comention_windowed": q_entity_comention_windowed,
         "conv_pseudonym_plan": q_conv_pseudonym_plan,
         "docs_shuffle": q_docs_shuffle,
         "docs_epoch_order": q_docs_epoch_order,
@@ -5927,6 +5945,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, window_us, count(*) AS mentions,
                    count(DISTINCT conv_id) AS n_convs
             FROM m GROUP BY entity_id, window_us
+        """,
+        "entity_comention_windowed": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS full_text,
+                       unnest(generate_series(0,
+                           (greatest(length(text), 1) - 1) // 80)) AS i
+                FROM documents
+            ), t AS (
+                SELECT conv_id, CAST(i AS BIGINT) AS i,
+                       substring(full_text, CAST(i * 80 + 1 AS INT), 80)
+                           AS text
+                FROM s
+            ), v AS (
+                SELECT 'w_' || nm AS entity_id, nm
+                FROM (VALUES ('spark'), ('stream'), ('window'), ('join'),
+                             ('table'), ('customer'), ('vector'), ('hash'),
+                             ('merge'), ('filter')) AS vv(nm)
+            ), m AS (
+                SELECT DISTINCT v.entity_id, t.conv_id,
+                       ((1700000000000000 + t.i * 1000000) // 2000000)
+                           * 2000000 AS window_us
+                FROM t JOIN v ON contains(lower(t.text), v.nm)
+            )
+            SELECT m1.entity_id AS a, m2.entity_id AS b,
+                   m1.window_us, count(*) AS n_convs
+            FROM m m1 JOIN m m2 ON m1.conv_id = m2.conv_id
+                                AND m1.window_us = m2.window_us
+                                AND m1.entity_id < m2.entity_id
+            GROUP BY a, b, m1.window_us
         """,
         "conv_pseudonym_plan": """
             WITH s AS (

@@ -354,6 +354,7 @@ def apply_pseudonyms(turns: "ray.data.Dataset", plan: "ray.data.Dataset",
 
 def comention_edges(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
                     text_col: str = "text", conv_col: str = "conv_id",
+                    ts_col: str = "ts", window_us: Optional[int] = None,
                     num_buckets: int = 32) -> "ray.data.Dataset":
     """Co-mention edge construction over a transcript stream: an
     undirected edge ``(a, b, n_convs)`` for every vocabulary-entity pair
@@ -364,13 +365,19 @@ def comention_edges(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
     containment), keyed by conversation instead of chunk so it is
     SQL-checkable end to end.
 
+    With ``window_us`` set, edges are built per tumbling event-time
+    window — ``(a, b, window_us, n_convs)``, co-mention meaning "same
+    conversation AND same window": the dynamic-graph snapshot sequence
+    that temporal-GNN training consumes, produced with the identical
+    shuffle shape (the window id rides the partials).
+
     Scale shape: vocabulary broadcast once, Aho-Corasick per worker; each
-    batch emits distinct ``(conv, entity)`` partials; one conv-keyed
-    bucketed reduce forms within-conversation pairs (per-conversation
-    entity sets are bounded by the vocabulary, so the pair expansion is
-    O(|vocab|²) per conversation, not corpus-quadratic) and pre-counts
-    them in-bucket; a final pair-keyed Sum yields exact distinct-conv
-    weights. Turn text never shuffles.
+    batch emits distinct ``(conv[, window], entity)`` partials; one
+    conv-keyed bucketed reduce forms within-conversation pairs
+    (per-conversation entity sets are bounded by the vocabulary, so the
+    pair expansion is O(|vocab|²) per conversation[, window], not
+    corpus-quadratic) and pre-counts them in-bucket; a final pair-keyed
+    Sum yields exact distinct-conv weights. Turn text never shuffles.
     """
     import pandas as pd
     from ray.data.aggregate import Sum
@@ -387,40 +394,60 @@ def comention_edges(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
                 names.setdefault(a.lower(), eid)
     names_ref, rels_ref = ray.put(names), ray.put([])
 
-    partial_schema = pa.schema([("conv_id", pa.string()),
-                                ("entity_id", pa.string())])
+    windowed = window_us is not None
+    partial_fields = [("conv_id", pa.string()), ("entity_id", pa.string())]
+    if windowed:
+        partial_fields.append(("window_us", pa.int64()))
+    partial_schema = pa.schema(partial_fields)
+    grain = ["conv_id"] + (["window_us"] if windowed else [])
 
     def partial(batch: pa.Table) -> pa.Table:
         nm, ac, _ = _get_matcher(names_ref, rels_ref)
+        if windowed:
+            ts_us = batch[ts_col].cast(pa.timestamp("us")).cast(
+                pa.int64()).to_pylist()
+        else:
+            ts_us = [0] * len(batch)
         seen = set()
-        for text, conv in zip(batch[text_col].to_pylist(),
-                              batch[conv_col].to_pylist()):
+        for text, conv, us in zip(batch[text_col].to_pylist(),
+                                  batch[conv_col].to_pylist(), ts_us):
             present = ac.find_present((text or "").lower())
+            w = (us // window_us) * window_us if windowed else 0
             for eid in {nm[n] for n in present}:
-                seen.add((conv, eid))
+                seen.add((conv, eid, w))
         if not seen:
             return partial_schema.empty_table()
-        convs, eids = zip(*sorted(seen))
-        return pa.table({"conv_id": pa.array(convs, pa.string()),
-                         "entity_id": pa.array(eids, pa.string())})
+        convs, eids, ws = zip(*sorted(seen))
+        cols = {"conv_id": pa.array(convs, pa.string()),
+                "entity_id": pa.array(eids, pa.string())}
+        if windowed:
+            cols["window_us"] = pa.array(ws, pa.int64())
+        return pa.table(cols)
 
-    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
-                             ("n", pa.int64())])
+    pair_fields = [("a", pa.string()), ("b", pa.string())]
+    if windowed:
+        pair_fields.append(("window_us", pa.int64()))
+    pair_fields.append(("n", pa.int64()))
+    pair_schema = pa.schema(pair_fields)
+    pair_keys = ["a", "b"] + (["window_us"] if windowed else [])
 
     def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
-        d = df.drop_duplicates(["conv_id", "entity_id"])
-        m = d.merge(d, on="conv_id")
+        d = df.drop_duplicates(grain + ["entity_id"])
+        m = d.merge(d, on=grain)
         m = m[m["entity_id_x"] < m["entity_id_y"]]
-        out = (m.groupby(["entity_id_x", "entity_id_y"], as_index=False)
+        gkeys = ["entity_id_x", "entity_id_y"] + (
+            ["window_us"] if windowed else [])
+        out = (m.groupby(gkeys, as_index=False)
                .size().rename(columns={"entity_id_x": "a",
                                        "entity_id_y": "b", "size": "n"}))
         out["n"] = out["n"].astype("int64")
-        return out
+        return out[pair_keys + ["n"]]
 
     from .common import bucketed_group_reduce
-    parts = turns.select_columns([conv_col, text_col]).map_batches(
+    cols = [conv_col, text_col] + ([ts_col] if windowed else [])
+    parts = turns.select_columns(cols).map_batches(
         partial, batch_format="pyarrow")
     pair_partials = bucketed_group_reduce(parts, ["conv_id"], pairs,
                                           num_buckets, schema=pair_schema)
-    return (pair_partials.groupby(["a", "b"])
+    return (pair_partials.groupby(pair_keys)
             .aggregate(Sum("n", alias_name="n_convs")))
