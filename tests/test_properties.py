@@ -296,3 +296,63 @@ def test_unroll_matches_python_reference(ray_session, rows, k):
     got = sorted(zip(out["conv_id"], out["turn_idx"], out["context"],
                      out["response"], out["n_context_turns"]))
     assert [tuple(g) for g in got] == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.lists(st.sampled_from(["spark", "flink",
+                                                    "beam", "xx"]),
+                                   max_size=3)),
+                min_size=1, max_size=30))
+def test_timeline_and_comention_match_bruteforce(ray_session, rows):
+    """mention_timeline + comention_edges == plain-python dict scans over
+    random turn streams (per-turn containment, distinct-conv counts)."""
+    import ray.data as rd
+
+    from agraph_ray.stages.link_chunks import (comention_edges,
+                                               mention_timeline)
+
+    recs = []
+    for i, (conv, words) in enumerate(rows):
+        recs.append({"conv_id": f"c{conv}", "turn_idx": i,
+                     "text": " ".join(words),
+                     "ts": pd.Timestamp(1_000 + i, unit="s")})
+    vocab = {"spark": "e_spark", "flink": "e_flink", "beam": "e_beam"}
+    nodes = rd.from_items([{"entity_id": e, "name": n, "aliases": []}
+                           for n, e in vocab.items()])
+
+    # brute force
+    tl = {}
+    conv_ents = {}
+    for r in recs:
+        present = {e for n, e in vocab.items() if n in r["text"]}
+        us = int(r["ts"].value // 1_000)
+        for e in present:
+            m = tl.setdefault(e, {"mentions": 0, "convs": set(),
+                                  "lo": us, "hi": us})
+            m["mentions"] += 1
+            m["convs"].add(r["conv_id"])
+            m["lo"], m["hi"] = min(m["lo"], us), max(m["hi"], us)
+            conv_ents.setdefault(r["conv_id"], set()).add(e)
+    exp_tl = sorted((e, m["mentions"], len(m["convs"]), m["lo"], m["hi"])
+                    for e, m in tl.items())
+    exp_pairs = {}
+    for ents in conv_ents.values():
+        ents = sorted(ents)
+        for i in range(len(ents)):
+            for j in range(i + 1, len(ents)):
+                exp_pairs[(ents[i], ents[j])] = \
+                    exp_pairs.get((ents[i], ents[j]), 0) + 1
+
+    tds = rd.from_items(recs).repartition(3)
+    got_tl = mention_timeline(tds, nodes).to_pandas()
+    got_tl_t = sorted(zip(got_tl["entity_id"], got_tl["mentions"],
+                          got_tl["n_convs"], got_tl["first_us"],
+                          got_tl["last_us"])) if len(got_tl) else []
+    assert [tuple(t) for t in got_tl_t] == exp_tl
+
+    got_cm = comention_edges(tds, nodes).to_pandas()
+    got_pairs = {(a, b): n for a, b, n in zip(
+        got_cm.get("a", []), got_cm.get("b", []),
+        got_cm.get("n_convs", []))}
+    assert got_pairs == exp_pairs
