@@ -1380,7 +1380,7 @@ def q_customers_without_orders(sf_dir: str):
                            batch_format="pyarrow"))
     out = cogroup_join(cust, orders, on=["c_custkey"], how="anti")
     schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
-    batches = [b for b in out.iter_batches(batch_format="pyarrow")]
+    batches = [b for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
     return (pa.concat_tables([t.cast(schema) for t in batches])
             if batches else schema.empty_table())
 

@@ -54,7 +54,7 @@ def write_graphml(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         f.write('  <graph edgedefault="undirected">\n')
         for b in nodes.select_columns(
                 ["entity_id", "name", "entity_type", "description"]
-        ).iter_batches(batch_format="pyarrow"):
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
             for row in b.to_pylist():
                 f.write(f'    <node id="{escape(row["entity_id"])}">\n')
                 for key, val in (("d0", row["name"]),
@@ -101,7 +101,7 @@ def to_cytoscape(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
     out_nodes, out_edges = [], []
     for b in nodes.select_columns(
             ["entity_id", "name", "entity_type", "description", "confidence",
-             "source"]).iter_batches(batch_format="pyarrow"):
+             "source"]).iter_batches(batch_size=None, batch_format="pyarrow"):
         for r in b.to_pylist():
             out_nodes.append({
                 "data": {"id": r["entity_id"], "label": r["name"],
@@ -112,7 +112,7 @@ def to_cytoscape(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
                 "classes": r["entity_type"]})
     for b in edges.select_columns(
             ["relation_id", "head_id", "tail_id", "relation_type",
-             "confidence", "source"]).iter_batches(batch_format="pyarrow"):
+             "confidence", "source"]).iter_batches(batch_size=None, batch_format="pyarrow"):
         for r in b.to_pylist():
             out_edges.append({
                 "data": {"id": r["relation_id"], "source": r["head_id"],
@@ -134,7 +134,7 @@ def to_d3(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
     out_nodes, id_map = [], {}
     for b in nodes.select_columns(
             ["entity_id", "name", "entity_type", "description",
-             "confidence"]).iter_batches(batch_format="pyarrow"):
+             "confidence"]).iter_batches(batch_size=None, batch_format="pyarrow"):
         for r in b.to_pylist():
             i = len(out_nodes)
             id_map[r["entity_id"]] = i
@@ -146,7 +146,7 @@ def to_d3(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
     links = []
     for b in edges.select_columns(
             ["relation_id", "head_id", "tail_id", "relation_type",
-             "confidence"]).iter_batches(batch_format="pyarrow"):
+             "confidence"]).iter_batches(batch_size=None, batch_format="pyarrow"):
         for r in b.to_pylist():
             if r["head_id"] in id_map and r["tail_id"] in id_map:
                 links.append({
@@ -172,7 +172,7 @@ def write_csv(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         for b in nodes.select_columns(
                 ["entity_id", "name", "entity_type", "description",
                  "confidence", "source", "aliases"]
-        ).iter_batches(batch_format="pyarrow"):
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
             for r in b.to_pylist():
                 w.writerow([r["entity_id"], r["name"], r["entity_type"],
                             r["description"], r["confidence"], r["source"],
@@ -184,7 +184,7 @@ def write_csv(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
                     "source"])
         for b in edges.select_columns(
                 ["relation_id", "head_id", "tail_id", "relation_type",
-                 "confidence", "source"]).iter_batches(batch_format="pyarrow"):
+                 "confidence", "source"]).iter_batches(batch_size=None, batch_format="pyarrow"):
             for r in b.to_pylist():
                 w.writerow([r["relation_id"], r["head_id"], r["tail_id"],
                             r["relation_type"], r["confidence"], r["source"]])

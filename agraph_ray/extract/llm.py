@@ -357,7 +357,7 @@ def judge_match_edges(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
     attrs = {}
     for b in nodes.select_columns(
             ["entity_id", "name", "entity_type", "description", "aliases"]
-    ).iter_batches(batch_format="pyarrow"):
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
         for r in b.to_pylist():
             attrs[r["entity_id"]] = r
     ref = ray.put(attrs)

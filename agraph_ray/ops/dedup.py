@@ -139,7 +139,7 @@ def line_dedup(ds: "ray.data.Dataset", id_col: str = "conv_id",
 
     if kills.count() <= broadcast_cap:
         dead = set()
-        for b in kills.iter_batches(batch_format="pyarrow"):
+        for b in kills.iter_batches(batch_size=None, batch_format="pyarrow"):
             dead.update(zip(b[id_col].to_pylist(), b[pos_col].to_pylist()))
         dead_ref = ray.put(dead)
 
@@ -293,7 +293,7 @@ def neardedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
     id_t = arrow_col_type(new, id_col)
     if kills.count() <= broadcast_cap:
         dead: set = set()
-        for b in kills.iter_batches(batch_format="pyarrow"):
+        for b in kills.iter_batches(batch_size=None, batch_format="pyarrow"):
             dead.update(b["a"].to_pylist())
         dead_ref = ray.put(dead)
 
@@ -614,7 +614,7 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     # the matched-duplicate set, never the corpus
     comp_min: dict = {}
     members = []
-    for b in labels.iter_batches(batch_format="pyarrow"):
+    for b in labels.iter_batches(batch_size=None, batch_format="pyarrow"):
         for node, lab in zip(b["node"].to_pylist(), b["label"].to_pylist()):
             v = int(node)
             members.append((v, lab))

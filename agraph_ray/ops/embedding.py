@@ -90,7 +90,7 @@ def centroid_outlier_scores(ds: "ray.data.Dataset",
 
     cent = label_centroids(ds, vec_col, label_col)
     labs, cents = [], []
-    for b in cent.iter_batches(batch_format="pyarrow"):
+    for b in cent.iter_batches(batch_size=None, batch_format="pyarrow"):
         labs.append(b[label_col].to_numpy(zero_copy_only=False))
         cents.append(_batch_vecs(b, "centroid"))
     lab_arr = np.concatenate(labs).astype(np.int64)
@@ -223,7 +223,7 @@ def semdedup(ds: "ray.data.Dataset", threshold: float = 0.95,
     # corpus.
     comp_min: dict = {}
     members: list = []
-    for b in labels.iter_batches(batch_format="pyarrow"):
+    for b in labels.iter_batches(batch_size=None, batch_format="pyarrow"):
         for node, lab in zip(b["node"].to_pylist(), b["label"].to_pylist()):
             v = int(node)
             members.append((v, lab))

@@ -146,7 +146,7 @@ def triangle_counts(edges: "ray.data.Dataset",
         ids = np.empty(n_nodes, dtype=np.int64)
         ds_ = np.empty(n_nodes, dtype=np.int64)
         off = 0
-        for bt in deg.sort("node").iter_batches(batch_format="pyarrow"):
+        for bt in deg.sort("node").iter_batches(batch_size=None, batch_format="pyarrow"):
             k = len(bt)
             ids[off:off + k] = bt["node"].to_numpy(zero_copy_only=False)
             ds_[off:off + k] = bt["deg"].to_numpy(zero_copy_only=False)
@@ -285,7 +285,7 @@ def _driver_pagerank(ed: "ray.data.Dataset", damping: float, iters: int,
     graph (same size-adaptive rationale as state/unionfind.py)."""
     import ray.data as rd
     srcs, dsts = [], []
-    for b in ed.iter_batches(batch_format="pyarrow"):
+    for b in ed.iter_batches(batch_size=None, batch_format="pyarrow"):
         srcs.append(b["src"].to_numpy(zero_copy_only=False))
         dsts.append(b["dst"].to_numpy(zero_copy_only=False))
     src = np.concatenate(srcs).astype(np.int64)

@@ -437,7 +437,7 @@ def skew_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
         return t.filter(_pc.invert(_hot_mask(t)))
 
     hot_batches = list(build.map_batches(only_hot, batch_format="pyarrow")
-                       .iter_batches(batch_format="pyarrow"))
+                       .iter_batches(batch_size=None, batch_format="pyarrow"))
     build_hot = (pa.concat_tables(hot_batches, promote_options="default")
                  if hot_batches else None)
     if build_hot is None:

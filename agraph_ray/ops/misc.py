@@ -331,7 +331,7 @@ def write_graph_json(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         return json.loads(raw) if raw else {}
 
     doc = {"name": graph_name, "entities": {}, "relations": {}}
-    for b in nodes.iter_batches(batch_format="pyarrow"):
+    for b in nodes.iter_batches(batch_size=None, batch_format="pyarrow"):
         for r in b.to_pylist():
             doc["entities"][r["entity_id"]] = {
                 "id": r["entity_id"], "name": r["name"],
@@ -340,7 +340,7 @@ def write_graph_json(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
                 "aliases": list(r.get("aliases") or []),
                 "properties": _props(r),
                 "confidence": r["confidence"], "source": r.get("source", "")}
-    for b in edges.iter_batches(batch_format="pyarrow"):
+    for b in edges.iter_batches(batch_size=None, batch_format="pyarrow"):
         for r in b.to_pylist():
             doc["relations"][r["relation_id"]] = {
                 "id": r["relation_id"],

@@ -290,7 +290,7 @@ def vocab_prune(ds: "ray.data.Dataset", min_count: int = 2,
 
     if freq.count() <= broadcast_cap:
         words: list = []
-        for b in freq.iter_batches(batch_format="pyarrow"):
+        for b in freq.iter_batches(batch_size=None, batch_format="pyarrow"):
             words.append(b["word"].combine_chunks())
         vocab_ref = ray.put(pa.concat_arrays(words) if words
                             else pa.array([], pa.string()))
@@ -496,7 +496,7 @@ def unigram_logprob(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
     if vocab <= broadcast_cap:
         wl, cl = [], []
-        for b in counts.iter_batches(batch_format="pyarrow"):
+        for b in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
             wl.append(np.asarray(b["word"].to_pylist(), dtype=object))
             cl.append(b["cnt"].to_numpy(zero_copy_only=False))
         w_all = np.concatenate(wl) if wl else np.empty(0, dtype=object)
@@ -971,7 +971,7 @@ def remove_duplicate_spans(ds: "ray.data.Dataset", n: int = 8,
 
     if kills.count() <= broadcast_cap:
         by_doc: dict = {}
-        for b in kills.iter_batches(batch_format="pyarrow"):
+        for b in kills.iter_batches(batch_size=None, batch_format="pyarrow"):
             for i, p in zip(b[id_col].to_pylist(), b["pos"].to_pylist()):
                 by_doc.setdefault(i, []).append(p)
         kp_ref = ray.put({i: np.asarray(sorted(p), np.int64)

@@ -86,7 +86,7 @@ class KnowledgeRetriever:
         ids: List[str] = []
         mats: List[np.ndarray] = []
         meta: Dict[str, dict] = {}
-        for b in ds.select_columns(cols).iter_batches(batch_format="pyarrow"):
+        for b in ds.select_columns(cols).iter_batches(batch_size=None, batch_format="pyarrow"):
             bids = b[id_col].to_pylist()
             ids.extend(bids)
             col = b["embedding"].combine_chunks()

@@ -301,7 +301,7 @@ def _pair_factory(threshold: float, cap: int,
 def _collect_df(ds: "ray.data.Dataset") -> pd.DataFrame:
     """Driver-side collect via Arrow concat — bypasses Dataset.to_pandas's
     tensor-extension casting, which chokes on ragged list columns."""
-    tbls = list(ds.iter_batches(batch_format="pyarrow"))
+    tbls = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not tbls:
         return pd.DataFrame()
     return pa.concat_tables(tbls, promote_options="default").to_pandas()

@@ -34,7 +34,7 @@ def _collect_link_dicts(nodes: "ray.data.Dataset",
     """(name_lower → entity_id), [(head_lower, tail_lower, relation_id)]."""
     names = {}
     for b in nodes.select_columns(["entity_id", "name", "aliases"]) \
-                  .iter_batches(batch_format="pyarrow"):
+                  .iter_batches(batch_size=None, batch_format="pyarrow"):
         for eid, name, aliases in zip(b["entity_id"].to_pylist(),
                                       b["name"].to_pylist(),
                                       b["aliases"].to_pylist()):
@@ -44,7 +44,7 @@ def _collect_link_dicts(nodes: "ray.data.Dataset",
                 names.setdefault(a.lower(), eid)
     rels = []
     for b in edges.select_columns(["relation_id", "subj", "obj"]) \
-                  .iter_batches(batch_format="pyarrow"):
+                  .iter_batches(batch_size=None, batch_format="pyarrow"):
         for rid, s, o in zip(b["relation_id"].to_pylist(),
                              b["subj"].to_pylist(),
                              b["obj"].to_pylist()):
@@ -147,7 +147,7 @@ def mention_timeline(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
 
     names = {}
     for b in nodes.select_columns(["entity_id", "name", "aliases"]) \
-                  .iter_batches(batch_format="pyarrow"):
+                  .iter_batches(batch_size=None, batch_format="pyarrow"):
         for eid, name, aliases in zip(b["entity_id"].to_pylist(),
                                       b["name"].to_pylist(),
                                       b["aliases"].to_pylist()):
@@ -239,7 +239,7 @@ def speaker_pseudonym_plan(turns: "ray.data.Dataset",
 
     names = {}
     for b in nodes.select_columns(["entity_id", "name", "aliases"]) \
-                  .iter_batches(batch_format="pyarrow"):
+                  .iter_batches(batch_size=None, batch_format="pyarrow"):
         for _, name, aliases in zip(b["entity_id"].to_pylist(),
                                     b["name"].to_pylist(),
                                     b["aliases"].to_pylist()):
@@ -384,7 +384,7 @@ def comention_edges(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
 
     names = {}
     for b in nodes.select_columns(["entity_id", "name", "aliases"]) \
-                  .iter_batches(batch_format="pyarrow"):
+                  .iter_batches(batch_size=None, batch_format="pyarrow"):
         for eid, name, aliases in zip(b["entity_id"].to_pylist(),
                                       b["name"].to_pylist(),
                                       b["aliases"].to_pylist()):

@@ -60,7 +60,7 @@ def find_hot_conversations(ds: "ray.data.Dataset", cfg: KGConfig) -> Set[str]:
                    .select(["conv_id"]),
         batch_format="pyarrow")
     out = set()
-    for b in hot.iter_batches(batch_format="pyarrow"):
+    for b in hot.iter_batches(batch_size=None, batch_format="pyarrow"):
         out.update(b["conv_id"].to_pylist())
     return out
 

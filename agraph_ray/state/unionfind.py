@@ -54,7 +54,7 @@ def _driver_union_find(sym_edges) -> "ray.data.Dataset":
             parent[x], x = root, parent[x]
         return root
 
-    for b in sym_edges.iter_batches(batch_format="pyarrow"):
+    for b in sym_edges.iter_batches(batch_size=None, batch_format="pyarrow"):
         for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
             rs, rd_ = find(s), find(d)
             if rs != rd_:
@@ -198,7 +198,7 @@ def components_to_canonical_map(labels: "ray.data.Dataset") -> Dict[str, str]:
     nontrivial = labels.map_batches(
         lambda t: t.filter(pc.invert(pc.equal(t["node"], t["label"]))),
         batch_format="pyarrow")
-    for b in nontrivial.iter_batches(batch_format="pyarrow"):
+    for b in nontrivial.iter_batches(batch_size=None, batch_format="pyarrow"):
         out.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
         assert len(out) < 50_000_000, "canonical map too large to broadcast"
     return out
