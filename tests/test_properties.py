@@ -356,3 +356,41 @@ def test_timeline_and_comention_match_bruteforce(ray_session, rows):
         got_cm.get("a", []), got_cm.get("b", []),
         got_cm.get("n_convs", []))}
     assert got_pairs == exp_pairs
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.lists(st.sampled_from(["spark", "flink",
+                                                    "beam"]),
+                                   max_size=2)),
+                min_size=1, max_size=25))
+def test_pseudonym_plan_matches_bruteforce(ray_session, rows):
+    """speaker_pseudonym_plan == plain-python first-appearance ranking."""
+    import ray.data as rd
+
+    from agraph_ray.stages.link_chunks import speaker_pseudonym_plan
+
+    recs = [{"conv_id": f"c{conv}", "turn_idx": i, "text": " ".join(words)}
+            for i, (conv, words) in enumerate(rows)]
+    first = {}
+    for r in recs:
+        for n in ("spark", "flink", "beam"):
+            if n in r["text"]:
+                k = (r["conv_id"], n)
+                first[k] = min(first.get(k, r["turn_idx"]), r["turn_idx"])
+    expected = []
+    by_conv = {}
+    for (conv, n), idx in first.items():
+        by_conv.setdefault(conv, []).append((idx, n))
+    for conv, items in by_conv.items():
+        for rank, (idx, n) in enumerate(sorted(items), start=1):
+            expected.append((conv, n, idx, f"ENT_{rank}"))
+    expected.sort()
+
+    nodes = rd.from_items([{"entity_id": n, "name": n, "aliases": []}
+                           for n in ("spark", "flink", "beam")])
+    out = speaker_pseudonym_plan(
+        rd.from_items(recs).repartition(3), nodes).to_pandas()
+    got = sorted(zip(out.get("conv_id", []), out.get("name", []),
+                     out.get("first_idx", []), out.get("placeholder", [])))
+    assert [tuple(g) for g in got] == expected
