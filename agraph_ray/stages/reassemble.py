@@ -96,6 +96,7 @@ def reassemble(ds: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
         """Whole-bucket reduction: one sort + one pandas groupby handles
         every conversation in the bucket (no per-group UDF dispatch)."""
         df = df.sort_values(["group_key", "turn_idx"], kind="mergesort")
+        df = df.assign(text=df["text"].fillna(""))   # null turn = ""
         g = df.groupby("group_key", sort=False)
         out = g.agg(conv_id=("conv_id", "first"),
                     text=("text", sep.join),
@@ -181,6 +182,7 @@ def render_chat(ds: "ray.data.Dataset", sep_open: str = "<|",
 
     def render(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["group_key", "turn_idx"], kind="mergesort")
+        df = df.assign(text=df["text"].fillna(""))   # null turn = ""
         df = df.assign(
             piece=sep_open + df["role"] + sep_close + df["text"],
             is_asst=(df["role"] == "assistant"),
@@ -236,6 +238,9 @@ def unroll_sft_examples(ds: "ray.data.Dataset", context_turns: int = 4,
 
     def unroll(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        # null turn text = empty string (otherwise the NaN rendering is
+        # silently dropped from downstream contexts)
+        df = df.assign(text=df["text"].fillna(""))
         conv = df["conv_id"].to_numpy()
         rend = sep_open + df["role"] + sep_close + df["text"]
         grouped = rend.groupby(conv)
@@ -487,7 +492,8 @@ def curate_conversations(ds: "ray.data.Dataset", max_tokens: int,
             return pd.DataFrame({col: [] for col in cols})
         # render
         kept = kept.assign(
-            piece=sep_open + kept[role_col] + sep_close + kept[text_col],
+            piece=sep_open + kept[role_col] + sep_close
+            + kept[text_col].fillna(""),   # null turn = ""
             is_asst=(kept[role_col] == "assistant"),
             asst_chars=(kept[role_col] == "assistant")
             * kept[text_col].str.len())

@@ -448,3 +448,21 @@ def test_pseudonymize_plan_and_apply(ray_session):
     assert list(out["text"]) == [
         "PERSON_1 met someone", "PERSON_2 and PERSON_1 again",
         "PERSON_1 opened", "then PERSON_2 arrived"]
+
+
+def test_unroll_and_render_null_text(ray_session):
+    """Null turn text is pinned to '' — it renders as an empty turn and
+    stays in downstream contexts instead of silently vanishing."""
+    import ray.data as rd
+    from agraph_ray.stages.reassemble import render_chat, unroll_sft_examples
+    df = pd.DataFrame({"conv_id": ["c", "c", "c"],
+                       "turn_idx": [0, 1, 2],
+                       "role": ["user", "assistant", "assistant"],
+                       "text": ["hi", None, "ok"]})
+    out = (unroll_sft_examples(rd.from_pandas(df), context_turns=2)
+           .to_pandas().sort_values("turn_idx").reset_index(drop=True))
+    assert list(out["response"]) == ["", "ok"]
+    assert out.loc[1, "context"] == "<|user|>hi\n<|assistant|>"
+    r = render_chat(rd.from_pandas(df)).to_pandas()
+    assert r.iloc[0]["text"] == "<|user|>hi<|assistant|><|assistant|>ok"
+    assert r.iloc[0]["assistant_chars"] == 2
