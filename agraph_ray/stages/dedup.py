@@ -88,8 +88,9 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
     if "properties" not in df:
         df["properties"] = None
     s = df.sort_values(
-        ["confidence", "entity_type", "name", "description", "source"],
-        ascending=[False, True, True, True, True], kind="mergesort")
+        ["confidence", "entity_type", "name", "description", "source",
+         "properties"],
+        ascending=[False, True, True, True, True, True], kind="mergesort")
     rep = s.drop_duplicates("norm_name", keep="first").set_index("norm_name")
     g = df.groupby("norm_name", sort=False)
     rep["confidence"] = g["confidence"].max()
@@ -115,9 +116,12 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
 
 def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Vectorized whole-bucket merge over all norm_names in the bucket."""
+    if "properties" not in df.columns:
+        df = df.assign(properties=None)
     df = df.sort_values(
-        ["confidence", "entity_type", "name", "description", "source"],
-        ascending=[False, True, True, True, True], kind="mergesort")
+        ["confidence", "entity_type", "name", "description", "source",
+         "properties"],
+        ascending=[False, True, True, True, True, True], kind="mergesort")
     rep = df.drop_duplicates("norm_name", keep="first").set_index("norm_name")
     agg = df.groupby("norm_name", sort=False).agg(
         display_name=("name", "min"), confidence=("confidence", "max"),
@@ -221,10 +225,14 @@ def _edge_partial(batch: pa.Table) -> pa.Table:
     # description/source can differ across mentions of the same id —
     # confidence alone lets the input partition order pick the winner
     # (caught by test_incremental_replay_equals_batch: replayed adds
-    # elected different obj_type witnesses than the batch build)
+    # elected different obj_type witnesses than the batch build).
+    # properties is the FINAL tie-break: without it, mentions tying on
+    # every other column but carrying different properties JSON merge
+    # first-writer-wins in partition order (ADVICE r2, medium).
     df = df.sort_values(
-        ["confidence", "subj_type", "obj_type", "source", "description"],
-        ascending=[False, True, True, True, True], kind="mergesort")
+        ["confidence", "subj_type", "obj_type", "source", "description",
+         "properties"],
+        ascending=[False, True, True, True, True, True], kind="mergesort")
     agg = df.groupby("relation_id", sort=False).agg(
         head_id=("head_id", "first"), tail_id=("tail_id", "first"),
         relation_type=(rel_col, "first"), subj=("subj", "first"),
@@ -244,11 +252,15 @@ def merge_edges_bucket(df: pd.DataFrame,
                        key: str = "relation_id") -> pd.DataFrame:
     """Vectorized whole-bucket edge merge: max-confidence witness per key,
     mention counts summed, properties dict-merged (witness wins). The
-    sort is a total order over every witness-carried column so the
-    elected row is partition-invariant (see _edge_partial)."""
+    sort is a total order over every witness-carried column — including
+    the properties JSON — so the elected row is partition-invariant
+    (see _edge_partial)."""
+    if "properties" not in df.columns:
+        df = df.assign(properties=None)
     s = df.sort_values(
-        ["confidence", "subj_type", "obj_type", "source", "description"],
-        ascending=[False, True, True, True, True], kind="mergesort")
+        ["confidence", "subj_type", "obj_type", "source", "description",
+         "properties"],
+        ascending=[False, True, True, True, True, True], kind="mergesort")
     top = s.drop_duplicates(key, keep="first").set_index(key)
     top["n_mentions"] = df.groupby(key, sort=False)["n_mentions"].sum()
     if "properties" in df.columns and df["properties"].notna().any():

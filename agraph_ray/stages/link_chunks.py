@@ -173,6 +173,8 @@ def mention_timeline(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
         ents, convs, tss = [], [], []
         for text, conv, us in zip(batch[text_col].to_pylist(),
                                   batch[conv_col].to_pylist(), ts_us):
+            if us is None:   # null-ts turns carry no event time: excluded
+                continue     # from the timeline (ADVICE r2 — was TypeError)
             present = ac.find_present((text or "").lower())
             for eid in {nm[n] for n in present}:
                 ents.append(eid)
@@ -300,9 +302,15 @@ def apply_pseudonyms(turns: "ray.data.Dataset", plan: "ray.data.Dataset",
     """Rewrite transcript text per a :func:`speaker_pseudonym_plan`:
     case-insensitive replacement of each planned name with its
     conversation's placeholder. One conv-keyed co-group (turns ∪ plan,
-    both sides arbitrary size); per bucket the rewrite runs one
-    vectorized ``str.replace`` per (name, rank) pair actually present —
-    vocabulary-bounded, never per row."""
+    both sides arbitrary size); per bucket the rewrite is a SINGLE PASS
+    per distinct conversation mapping — one alternation regex (longest
+    name first, so "Alice Johnson" wins over "Alice") applied once per
+    row. Single-pass matters: sequential per-name replacement rescans
+    already-rewritten text, so a vocabulary name that happens to match
+    inside a placeholder (e.g. entity "ent" vs prefix "ENT_") would
+    corrupt earlier substitutions (ADVICE r2). Substring (not
+    word-boundary) matching is intentional — it mirrors the containment
+    rule the plan itself uses (llm_builders.py:770-812)."""
     import re
 
     import pandas as pd
@@ -332,17 +340,28 @@ def apply_pseudonyms(turns: "ray.data.Dataset", plan: "ray.data.Dataset",
         pl = df[df["name"].notna()][[conv_col, "name", "placeholder"]]
         if not len(rows):
             return pd.DataFrame(columns=[conv_col, "turn_idx", text_col])
+        # conv → sorted((name, placeholder)) mapping; convs sharing a
+        # mapping share one compiled regex and one vectorized pass
+        conv_map: dict = {}
+        for conv, name, ph in zip(pl[conv_col], pl["name"],
+                                  pl["placeholder"]):
+            conv_map.setdefault(conv, {})[name] = ph
+        by_sig: dict = {}
+        for conv, m in conv_map.items():
+            by_sig.setdefault(tuple(sorted(m.items())), []).append(conv)
         text = rows[text_col].copy()
-        # longest names first so "Alice Johnson" rewrites before "Alice"
-        pairs = sorted(pl.groupby(["name", "placeholder"]),
-                       key=lambda kv: (-len(kv[0][0]), kv[0]))
-        for (name, ph), sub in pairs:
-            convs = set(sub[conv_col])
-            mask = rows[conv_col].isin(convs)
-            if mask.any():
-                pat = re.compile(re.escape(name), re.IGNORECASE)
-                text.loc[mask] = text.loc[mask].str.replace(
-                    pat, ph, regex=True)
+        for sig, convs in by_sig.items():
+            mask = rows[conv_col].isin(set(convs))
+            if not mask.any():
+                continue
+            # longest first: the alternation tries branches in order, so
+            # "Alice Johnson" must precede "Alice"
+            names = sorted((n for n, _ in sig), key=lambda n: (-len(n), n))
+            lookup = {n.lower(): ph for n, ph in sig}
+            pat = re.compile("|".join(re.escape(n) for n in names),
+                             re.IGNORECASE)
+            text.loc[mask] = text.loc[mask].str.replace(
+                pat, lambda m: lookup[m.group(0).lower()], regex=True)
         out = rows.assign(**{text_col: text})
         return out
 
@@ -411,6 +430,8 @@ def comention_edges(turns: "ray.data.Dataset", nodes: "ray.data.Dataset",
         seen = set()
         for text, conv, us in zip(batch[text_col].to_pylist(),
                                   batch[conv_col].to_pylist(), ts_us):
+            if windowed and us is None:  # no event time → no window
+                continue                 # (ADVICE r2 — was TypeError)
             present = ac.find_present((text or "").lower())
             w = (us // window_us) * window_us if windowed else 0
             for eid in {nm[n] for n in present}:
