@@ -480,13 +480,26 @@ def _shingle_sets(texts: "ray.data.Dataset", signer: "MinHashSigner",
 def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
                           signer: "MinHashSigner", id_col: str,
                           text_col: str,
-                          semi_join_cap: int = 20_000_000
+                          semi_join_cap: int = 20_000_000,
+                          broadcast_ids_cap: int = 200_000,
+                          broadcast_bytes_cap: int = 512 << 20
                           ) -> "ray.data.Dataset":
     """cand(a, b) → (a, b, jaccard), fully distributed.
 
     NO driver-side text dict and no corpus broadcast (the round-1 version
-    broadcast every document body and crashed past 200k docs). Two bucketed
-    shuffles, reading the shingle table exactly once:
+    broadcast every document body and crashed past 200k docs). Two regimes:
+
+    **Small candidate set** (≤ ``broadcast_ids_cap`` distinct endpoints AND
+    the candidates' shingle sets fit ``broadcast_bytes_cap``): the shingle
+    sets of CANDIDATE DOCUMENTS ONLY — never the corpus — are computed
+    distributed, collected, and broadcast once via ``ray.put``; scoring is
+    a single shuffle-free ``map_batches`` over the distinct pairs. This is
+    the common case (near-dup candidates are a tiny fraction of the corpus)
+    and restores the pre-rewrite wall-time (r2 regression: the general path
+    paid two bucketed shuffles for 256 pairs).
+
+    **Large candidate set** (fallback): two bucketed shuffles, reading the
+    shingle table exactly once —
 
       1. key-join by document id: each candidate pair emits a request row
          per endpoint; the shingle table is unioned in and each request
@@ -496,8 +509,7 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
          computed per pair.
 
     Semi-join reduction: only documents that appear in a candidate pair
-    need a shingle set at all, and near-dup candidates are normally a tiny
-    fraction of the corpus — so the distinct endpoint *ids* (int64 only,
+    need a shingle set at all — the distinct endpoint *ids* (int64 only,
     never text) are collected, broadcast once, and used to filter ``texts``
     before shingling. Above ``semi_join_cap`` distinct ids the filter is
     skipped and every document's shingle set rides the shuffle as before
@@ -508,12 +520,19 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
 
     cand = cand.materialize()   # consumed twice: id collection + requests
     ids: Optional[set] = set()
+    pairs: Optional[set] = set()   # distinct (a, b) — collected alongside
     for b in cand.select_columns(["a", "b"]).iter_batches(
             batch_format="pyarrow"):
-        ids.update(b["a"].to_pylist())
-        ids.update(b["b"].to_pylist())
+        a_l, b_l = b["a"].to_pylist(), b["b"].to_pylist()
+        ids.update(a_l)
+        ids.update(b_l)
+        if pairs is not None:
+            pairs.update(zip(a_l, b_l))
+            if len(pairs) > 4 * broadcast_ids_cap:
+                pairs = None    # too many pairs to hold → shuffle regime
         if len(ids) > semi_join_cap:
             ids = None
+            pairs = None
             break
     if ids is not None:
         wanted = np.fromiter(ids, dtype=np.int64, count=len(ids))
@@ -529,6 +548,55 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
         texts = texts.map_batches(keep, batch_format="pyarrow")
 
     sh = _shingle_sets(texts, signer, id_col, text_col)
+
+    if (pairs is not None and ids is not None
+            and len(ids) <= broadcast_ids_cap):
+        # ---- broadcast regime: candidate-only shingle sets, no shuffle.
+        # Shingling still runs distributed; the driver only collects the
+        # candidates' uint64 hash arrays under a hard bytes guard.
+        sh_map: Optional[dict] = {}
+        nbytes = 0
+        for b in sh.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for i, s in zip(
+                    pc.cast(b[id_col], pa.int64()).to_pylist(),
+                    b["sh"].combine_chunks()):
+                arr = np.asarray(s.values, dtype=np.uint64)
+                sh_map[i] = arr
+                nbytes += arr.nbytes + 96
+            if nbytes > broadcast_bytes_cap:
+                sh_map = None   # candidates too heavy → shuffle regime
+                break
+        if sh_map is not None:
+            import ray.data as rd
+            sh_ref = ray.put(sh_map)
+            pair_arr = np.fromiter(
+                (v for ab in sorted(pairs) for v in ab),
+                dtype=np.int64, count=2 * len(pairs)).reshape(-1, 2)
+            dcand = rd.from_arrow(pa.Table.from_arrays(
+                [pa.array(pair_arr[:, 0]), pa.array(pair_arr[:, 1])],
+                names=["a", "b"]))
+            if len(pair_arr) > 4096:
+                dcand = dcand.repartition(max(
+                    2, min(64, len(pair_arr) // 4096)))
+            empty_u64 = np.empty(0, dtype=np.uint64)
+
+            def score_bc(t: pa.Table) -> pa.Table:
+                m = ray.get(sh_ref)
+                a_np = t["a"].to_numpy(zero_copy_only=False)
+                b_np = t["b"].to_numpy(zero_copy_only=False)
+                jac = np.empty(len(t), dtype=np.float64)
+                for k in range(len(t)):
+                    sa = m.get(int(a_np[k]), empty_u64)
+                    sb = m.get(int(b_np[k]), empty_u64)
+                    # shingle sets are sorted-unique (np.unique output)
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    union = sa.size + sb.size - inter
+                    jac[k] = (inter / union) if union else 0.0
+                return pa.Table.from_arrays(
+                    [t["a"], t["b"], pa.array(jac)],
+                    names=["a", "b", "jaccard"])
+
+            return dcand.map_batches(score_bc, batch_format="pyarrow")
 
     def tag_sh(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(

@@ -64,6 +64,33 @@ def test_jaccard_verify_semi_join_paths_agree(ray_session):
     assert filtered == full and filtered, "paths diverged or found nothing"
 
 
+def test_jaccard_verify_broadcast_and_shuffle_regimes_agree(ray_session):
+    """The r3 candidate-only shingle-broadcast fast path (default for
+    small candidate sets) must score identically to the two-shuffle
+    regime, under every forced fallback: ids-cap overflow (the pinned
+    >200k-doc no-broadcast behavior), bytes-guard overflow mid-collect,
+    and the semi-join-cap overflow that disables both reductions."""
+    import ray.data as rd
+    from agraph_ray.ops.dedup import (MinHashSigner, _jaccard_scored_pairs,
+                                      minhash_lsh_groups)
+    texts = rd.from_arrow(_corpus())
+    cand = minhash_lsh_groups(texts, dedup=False)
+    signer = MinHashSigner()
+
+    def rows(**kw):
+        out = _jaccard_scored_pairs(texts, cand, signer, "doc_id", "text",
+                                    **kw).to_pandas()
+        return sorted((a, b, round(j, 9)) for a, b, j in
+                      zip(out["a"], out["b"], out["jaccard"]))
+
+    broadcast = rows()
+    no_bcast_ids = rows(broadcast_ids_cap=0)
+    no_bcast_bytes = rows(broadcast_bytes_cap=0)
+    no_semi = rows(semi_join_cap=0)
+    assert broadcast == no_bcast_ids == no_bcast_bytes == no_semi
+    assert broadcast, "found nothing"
+
+
 def test_minhash_dedup_no_duplicates_is_identity(ray_session):
     import ray.data as rd
     from agraph_ray.ops.dedup import minhash_dedup
