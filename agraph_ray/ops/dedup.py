@@ -568,17 +568,33 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
                 break
         if sh_map is not None:
             import ray.data as rd
-            sh_ref = ray.put(sh_map)
             pair_arr = np.fromiter(
                 (v for ab in sorted(pairs) for v in ab),
                 dtype=np.int64, count=2 * len(pairs)).reshape(-1, 2)
+            empty_u64 = np.empty(0, dtype=np.uint64)
+            if len(pair_arr) <= 20_000:
+                # Tiny pair set: score on the driver — the shingle map is
+                # already local, and skipping the scoring execution saves a
+                # whole streaming-executor round (~0.5 s fixed cost) that
+                # dominated this path at bench scale.
+                jac = np.empty(len(pair_arr), dtype=np.float64)
+                for k, (ai, bi) in enumerate(pair_arr):
+                    sa = sh_map.get(int(ai), empty_u64)
+                    sb = sh_map.get(int(bi), empty_u64)
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    union = sa.size + sb.size - inter
+                    jac[k] = (inter / union) if union else 0.0
+                return rd.from_arrow(pa.Table.from_arrays(
+                    [pa.array(pair_arr[:, 0]), pa.array(pair_arr[:, 1]),
+                     pa.array(jac)],
+                    names=["a", "b", "jaccard"]))
+            sh_ref = ray.put(sh_map)
             dcand = rd.from_arrow(pa.Table.from_arrays(
                 [pa.array(pair_arr[:, 0]), pa.array(pair_arr[:, 1])],
                 names=["a", "b"]))
             if len(pair_arr) > 4096:
                 dcand = dcand.repartition(max(
                     2, min(64, len(pair_arr) // 4096)))
-            empty_u64 = np.empty(0, dtype=np.uint64)
 
             def score_bc(t: pa.Table) -> pa.Table:
                 m = ray.get(sh_ref)
