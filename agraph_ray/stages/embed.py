@@ -124,7 +124,8 @@ class EmbedStage:
 def embed_dataset(ds: "ray.data.Dataset", render: str = "raw",
                   dim: int = 64, text_col: str = "text",
                   batch_size: Optional[int] = None,
-                  concurrency: Optional[int] = None) -> "ray.data.Dataset":
+                  concurrency: Optional[int] = None,
+                  embedder=None) -> "ray.data.Dataset":
     """Append an ``embedding`` column.
 
     The Ray batch size is a TASK-granularity knob, not the embedding-API
@@ -135,14 +136,19 @@ def embed_dataset(ds: "ray.data.Dataset", render: str = "raw",
     the compute (observed 26 s -> 3 s with 4096). The deterministic
     stand-in runs as elastic stateless tasks; pass ``concurrency`` to get
     an actor pool, the right shape for a real API-client embedder
-    (connection + rate-limiter state per actor)."""
+    (connection + rate-limiter state per actor). ``embedder`` swaps the
+    deterministic HashEmbedder for a real client (e.g.
+    ``clients.OpenAIEmbeddingClient.from_env()`` — picklable config-only,
+    so each actor reconstructs its own connections)."""
     batch_size = batch_size or 4096
     if concurrency:
         return ds.map_batches(
             EmbedStage, batch_format="pyarrow", batch_size=batch_size,
             fn_constructor_kwargs={"render": render, "dim": dim,
-                                   "text_col": text_col},
+                                   "text_col": text_col,
+                                   "embedder": embedder},
             concurrency=concurrency)
-    stage = EmbedStage(render=render, dim=dim, text_col=text_col)
+    stage = EmbedStage(render=render, dim=dim, text_col=text_col,
+                       embedder=embedder)
     return ds.map_batches(stage, batch_format="pyarrow",
                           batch_size=batch_size)
