@@ -275,35 +275,73 @@ def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
                        cfg: Optional[KGConfig] = None,
                        shards_per_partition: int = 4,
                        do_canonicalize: bool = True,
-                       engine=None) -> KGBuildResult:
-    """Partitioned, checkpointed build over conv_id-partitioned shards."""
+                       engine=None,
+                       group_concurrency: Optional[int] = None
+                       ) -> KGBuildResult:
+    """Partitioned, checkpointed build over conv_id-partitioned shards.
+
+    Partition groups run ``group_concurrency`` at a time (bounded thread
+    pool, each thread its own streaming execution): at thousands of groups
+    the ~1-2 s per-execution fixed cost would otherwise serialize (the
+    round-2 verdict's design note). The commit protocol is unchanged —
+    atomic rename + per-partition manifest; deterministic content-hash ids
+    make concurrent groups race-free (no shared mutable state). Default
+    concurrency: 1 below 16 CPUs (one execution already uses the machine),
+    else 2-4 scaled by width (A/B at sf0.1 / 32 CPUs / 8 groups: serial
+    25.8-30.2 s, overlap-2 21.1-21.7 s, overlap-4 23.2 s — two overlapped
+    executions hide the per-execution fixed cost; more just contend).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray as _ray
     import ray.data as rd
     cfg = cfg or KGConfig()
     t0 = time.time()
     groups: List[List[str]] = [
         list(shard_paths[i:i + shards_per_partition])
         for i in range(0, len(shard_paths), shards_per_partition)]
+    if group_concurrency is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        group_concurrency = 1 if cpus < 16 else max(2, min(4, cpus // 16))
 
     metrics: Dict[str, float] = {"n_partitions": len(groups), "skipped": 0}
-    for pid, files in enumerate(groups):
-        if is_committed(out_dir, "mentions", pid):
-            metrics["skipped"] += 1
-            continue
+
+    def run_group(pid: int, files: List[str]) -> None:
         part_t0 = time.time()
         ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
         n_turns = ds.count()
         docs = reassemble(ds, cfg)
         mentions = extract_mentions(docs, cfg, engine=engine)
         part_dir = os.path.join(out_dir, "mentions", f"part={pid}")
-        n_rows = atomic_write_parquet(mentions, part_dir, cfg.min_rows_per_file)
+        n_rows = atomic_write_parquet(mentions, part_dir,
+                                      cfg.min_rows_per_file)
         part = pads.dataset(part_dir, format="parquet")
-        n_ent = part.count_rows(filter=pc.field("kind") == "entity")
+        # a 0-row partition writes an empty dir (valid artifact) whose
+        # schema has no columns — filtering it would raise
+        n_ent = (part.count_rows(filter=pc.field("kind") == "entity")
+                 if "kind" in part.schema.names else 0)
         commit_manifest(out_dir, "mentions", pid, {
             "input_files": files, "input_rows": n_turns,
             "output_rows": n_rows, "entities": n_ent,
             "triples": n_rows - n_ent,
             "duration_sec": time.time() - part_t0,
         })
+
+    todo = []
+    for pid, files in enumerate(groups):
+        if is_committed(out_dir, "mentions", pid):
+            metrics["skipped"] += 1
+        else:
+            todo.append((pid, files))
+    if group_concurrency <= 1 or len(todo) <= 1:
+        for pid, files in todo:
+            run_group(pid, files)
+    else:
+        with ThreadPoolExecutor(max_workers=group_concurrency) as pool:
+            # list() so the first exception propagates (fail the build,
+            # committed partitions stay committed — that's the resume)
+            list(pool.map(lambda pf: run_group(*pf), todo))
 
     tables = _mentions_to_outputs(out_dir, cfg, do_canonicalize, metrics)
     metrics["wall_sec"] = time.time() - t0

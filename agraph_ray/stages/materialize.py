@@ -101,9 +101,17 @@ def atomic_write_parquet(ds, final_dir: str,
     Dataset write costs — meaningful when a pipeline ends in several
     dictionary-sized artifacts.
     """
+    import glob as _glob
+
     import pyarrow as pa
     parent = os.path.dirname(final_dir.rstrip("/"))
     os.makedirs(parent, exist_ok=True)
+    # Clean stale temp siblings from a prior crashed attempt: a reader of
+    # the PARENT directory (the resumable path reads out/mentions/ whole)
+    # must never see half-written files, and each retry uses a fresh uuid
+    # so the old ones would otherwise linger forever.
+    for stale in _glob.glob(f"{final_dir.rstrip('/')}.tmp-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     tmp = f"{final_dir.rstrip('/')}.tmp-{uuid.uuid4().hex[:8]}"
     if isinstance(ds, pa.Table):
         import pyarrow.parquet as pq

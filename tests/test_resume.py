@@ -67,3 +67,35 @@ def test_torn_manifest_not_committed(tmp_path):
     with open(p, "w") as f:
         f.write('{"stage": "s", "partition')
     assert not is_committed(out, "s", 1)
+
+
+def test_concurrent_groups_match_serial(resumable_setup, tmp_path):
+    """group_concurrency=2 (overlapped streaming executions) produces the
+    same tables as the serial path — commit protocol and deterministic
+    ids make the overlap invisible."""
+    import duckdb
+
+    from agraph_ray.pipelines.kg_build import build_kg_resumable
+    paths = resumable_setup
+    cfg = KGConfig()
+    out_s = str(tmp_path / "serial")
+    out_c = str(tmp_path / "conc")
+    rs = build_kg_resumable(paths, out_s, cfg, shards_per_partition=1,
+                            do_canonicalize=False, group_concurrency=1)
+    rc = build_kg_resumable(paths, out_c, cfg, shards_per_partition=1,
+                            do_canonicalize=False, group_concurrency=2)
+    assert rs.metrics["n_partitions"] == rc.metrics["n_partitions"] == 4
+    assert rc.metrics["n_triples"] == rs.metrics["n_triples"]
+    assert rc.metrics["n_nodes"] == rs.metrics["n_nodes"]
+    con = duckdb.connect()
+
+    def table_hash(out, t):
+        return con.execute(
+            f"SELECT count(*), sum(hash(relation_id)) "
+            f"FROM parquet_scan('{out}/{t}/*.parquet')").fetchone()
+
+    assert table_hash(out_s, "triples") == table_hash(out_c, "triples")
+    # resume over the concurrent run's manifests: all skipped
+    r2 = build_kg_resumable(paths, out_c, cfg, shards_per_partition=1,
+                            do_canonicalize=False, group_concurrency=2)
+    assert r2.metrics["skipped"] == 4
