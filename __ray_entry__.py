@@ -640,11 +640,18 @@ def q_docs_minhash_dedup(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _load_queries(sf_dir: str, n: int = 4):
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id")
-    vecs = np.asarray(t["embedding"].to_pylist()[:n], dtype=np.float64)
-    ids = t["vec_id"].to_pylist()[:n]
-    return vecs, ids
+    """The n lowest-vec_id query vectors. Reads the int64 id column whole
+    (cheap at any scale), then fetches ONLY those n rows' vectors with a
+    pushed-down filter — never the full vector table on the driver."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    d = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet")
+    id_col = d.to_table(columns=["vec_id"])["vec_id"]
+    ids = sorted(id_col.to_pylist())[:n]
+    t = d.to_table(columns=["vec_id", "embedding"],
+                   filter=pc.field("vec_id").isin(ids)).sort_by("vec_id")
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return vecs, t["vec_id"].to_pylist()
 
 
 def q_ann_topk(sf_dir: str):
@@ -676,6 +683,37 @@ def q_ann_topk_ivf(sf_dir: str):
                          columns=["vec_id", "embedding"])
     out = topk_cosine_ivf(ds, vecs, query_ids=ids, k=10, nlist=8, nprobe=8)
     return _scale_cols(out, {"sim": 10**6})
+
+
+def q_ann_topk_pq(sf_dir: str):
+    """IVF-PQ shard-pool ANN (state/ann.py): ADC over uint8 codes in the
+    probed lists + exact re-rank. Rows-only (approximate by design);
+    recall floor vs the exact path is pytest-pinned
+    (test_graph_ops.py::test_ann_actor_pq_recall_floor)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from agraph_ray.state.ann import AnnShardPool
+    vecs, qids = _load_queries(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = [str(i) for i in t["vec_id"].to_pylist()]
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    pool = AnnShardPool(ids, mat, num_shards=4, ivf_nlist=16, pq_m=8)
+    got_ids, got_sims = pool.query_pq(np.asarray(vecs, dtype=np.float32),
+                                      k=10, nprobe=8, rerank=200)
+    rows_q, rows_id, rows_rank, rows_sim = [], [], [], []
+    for qi, qid in enumerate(qids):
+        for r in range(got_ids.shape[1]):
+            if got_sims[qi, r] == -np.inf:
+                continue
+            rows_q.append(qid)
+            rows_id.append(int(got_ids[qi, r]))
+            rows_rank.append(r + 1)
+            rows_sim.append(int(round(float(got_sims[qi, r]) * 10**6)))
+    return pa.Table.from_arrays(
+        [pa.array(rows_q, pa.int64()), pa.array(rows_id, pa.int64()),
+         pa.array(rows_rank, pa.int64()), pa.array(rows_sim, pa.int64())],
+        names=["query_id", "vec_id", "rank", "sim"])
 
 
 def q_emb_near_dup(sf_dir: str):
@@ -3521,6 +3559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_pq": q_ann_topk_pq,
         # joins / windows / graph analytics
         "customers_without_orders": q_customers_without_orders,
         "lineitem_bloom_semi": q_lineitem_bloom_semi,

@@ -28,7 +28,8 @@ class AnnIndexActor:
 
     def __init__(self, ids: Optional[List[str]] = None,
                  matrix: Optional[np.ndarray] = None,
-                 path: Optional[str] = None, ivf_nlist: int = 0):
+                 path: Optional[str] = None, ivf_nlist: int = 0,
+                 pq_m: int = 0):
         if path is not None:
             import pyarrow.parquet as pq
             t = pq.read_table(path)
@@ -56,6 +57,54 @@ class AnnIndexActor:
             starts = np.searchsorted(assign[order],
                                      np.arange(len(cents) + 1))
             self.ivf = (cents, order, starts)
+        # optional product quantization over IVF residuals — the sublinear
+        # 100-TB path: codes are n x pq_m uint8 (vs n x d float32), ADC
+        # scoring touches only the probed lists' codes, and the exact
+        # matrix is consulted just for the final re-rank. Shared-codebook
+        # IVF-PQ (one codebook set for all lists; Jegou et al. 2011).
+        self.pq = None
+        if pq_m and self.ivf is not None:
+            dim = self.matrix.shape[1]
+            if dim % pq_m:
+                raise ValueError(f"pq_m={pq_m} must divide dim={dim}")
+            cents, order, starts = self.ivf
+            assign = np.empty(len(self.ids), dtype=np.int64)
+            for j in range(len(cents)):
+                assign[order[starts[j]:starts[j + 1]]] = j
+            resid = self.matrix - cents[assign]          # (n, d) float32
+            dsub = dim // pq_m
+            samp = resid[:min(len(resid), 8192)].astype(np.float64)
+            ksub = int(min(256, max(2, len(samp))))
+            from ..ops.similarity import _kmeans_centroids as _km
+            books = np.empty((pq_m, ksub, dsub), dtype=np.float32)
+            codes = np.empty((len(resid), pq_m), dtype=np.uint8)
+            def _l2_assign(x, cb, block: int = 262144):
+                # blockwise: the dense (n, ksub) distance matrix for a
+                # million-vector shard would be GBs; cap it at ~256k rows
+                out = np.empty(len(x), dtype=np.int64)
+                cb2 = (cb ** 2).sum(1)[None]
+                for s in range(0, len(x), block):
+                    xx = x[s:s + block]
+                    d2 = ((xx ** 2).sum(1)[:, None] - 2.0 * (xx @ cb.T)
+                          + cb2)
+                    out[s:s + block] = np.argmin(d2, axis=1)
+                return out
+
+            for j in range(pq_m):
+                sub = samp[:, j * dsub:(j + 1) * dsub]
+                # plain L2 Lloyd's on residual subvectors (deterministic:
+                # first-k init over the id-ordered sample, fixed iters)
+                cb = sub[:ksub].copy()
+                for _ in range(8):
+                    lab = _l2_assign(sub, cb)
+                    for c in range(ksub):
+                        mem = sub[lab == c]
+                        cb[c] = mem.mean(0) if len(mem) else sub[c % len(sub)]
+                books[j] = cb.astype(np.float32)
+                codes[:, j] = _l2_assign(
+                    resid[:, j * dsub:(j + 1) * dsub].astype(np.float64),
+                    cb).astype(np.uint8)
+            self.pq = (books, codes)
 
     def save(self, path: str) -> int:
         """Persist this shard (normalized vectors; normalization is
@@ -115,6 +164,58 @@ class AnnIndexActor:
             out_sims[qi, :kk] = sims[sel]
         return out_ids, out_sims
 
+    def query_pq(self, vecs: np.ndarray, k: int = 10, nprobe: int = 4,
+                 rerank: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """Sublinear approximate top-k via IVF-PQ asymmetric distance:
+        per query, only the ``nprobe`` nearest lists' uint8 codes are
+        scored (one (pq_m, ksub) lookup table per query, summed over code
+        columns), then the best ``rerank`` candidates (default 4k) are
+        re-scored exactly against the float matrix. Requires ``pq_m`` and
+        ``ivf_nlist`` at build; falls back to the exact scan otherwise.
+
+        score(x) ≈ q·c_list + Σ_j LUT[j, code_j(x)]   (cosine, since the
+        stored vectors are unit-normalized at build)."""
+        if self.pq is None:
+            return self.query(vecs, k)
+        cents, order, starts = self.ivf
+        books, codes = self.pq
+        pq_m, ksub, dsub = books.shape
+        rerank = rerank or 4 * k
+        q = np.asarray(vecs, dtype=np.float32)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qm = q / qn
+        nprobe = min(nprobe, len(cents))
+        coarse = qm @ cents.T                            # (Q, nlist)
+        probes = np.argsort(-coarse, kind="stable", axis=1)[:, :nprobe]
+        out_ids = np.full((len(qm), k), "", dtype=object)
+        out_sims = np.full((len(qm), k), -np.inf, dtype=np.float32)
+        col = np.arange(pq_m)
+        for qi in range(len(qm)):
+            # one LUT per query: LUT[j, c] = q_sub_j · codebook_j[c]
+            lut = np.einsum("jd,jkd->jk",
+                            qm[qi].reshape(pq_m, dsub), books)
+            members, adc = [], []
+            for p in probes[qi]:
+                mem = order[starts[p]:starts[p + 1]]
+                if not len(mem):
+                    continue
+                members.append(mem)
+                adc.append(coarse[qi, p] + lut[col, codes[mem]].sum(axis=1))
+            if not members:
+                continue
+            members = np.concatenate(members)
+            adc = np.concatenate(adc)
+            rr = min(rerank, len(members))
+            cand = members[np.argpartition(-adc, rr - 1)[:rr]]
+            sims = self.matrix[cand] @ qm[qi]
+            kk = min(k, len(cand))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            sel = part[np.argsort(-sims[part], kind="stable")]
+            out_ids[qi, :kk] = self.ids[cand[sel]]
+            out_sims[qi, :kk] = sims[sel]
+        return out_ids, out_sims
+
     def size(self) -> int:
         return len(self.ids)
 
@@ -122,13 +223,29 @@ class AnnIndexActor:
 class AnnShardPool:
     """Driver-side handle over N index shards; merges per-shard top-k."""
 
-    def __init__(self, ids: List[str], matrix: np.ndarray, num_shards: int = 4):
+    def __init__(self, ids: List[str], matrix: np.ndarray,
+                 num_shards: int = 4, ivf_nlist: int = 0, pq_m: int = 0):
         n = max(1, min(num_shards, len(ids)))
         bounds = np.linspace(0, len(ids), n + 1, dtype=int)
         self.shards = [
-            AnnIndexActor.remote(list(np.asarray(ids)[a:b]), matrix[a:b])
+            AnnIndexActor.remote(list(np.asarray(ids)[a:b]), matrix[a:b],
+                                 ivf_nlist=ivf_nlist, pq_m=pq_m)
             for a, b in zip(bounds, bounds[1:]) if b > a
         ]
+
+    def query_pq(self, vecs: np.ndarray, k: int = 10, nprobe: int = 4,
+                 rerank: int = 0):
+        """Merged IVF-PQ top-k across shards (same contract as query)."""
+        parts = ray.get([s.query_pq.remote(vecs, k, nprobe, rerank)
+                         for s in self.shards])
+        ids = np.concatenate([p[0] for p in parts], axis=1)
+        sims = np.concatenate([p[1] for p in parts], axis=1)
+        kk = min(k, sims.shape[1])
+        row = np.arange(sims.shape[0])[:, None]
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        order = np.argsort(-sims[row, part], kind="stable", axis=1)
+        top = part[row, order]
+        return ids[row, top], sims[row, top]
 
     def query(self, vecs: np.ndarray, k: int = 10):
         parts = ray.get([s.query.remote(vecs, k) for s in self.shards])

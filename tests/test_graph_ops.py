@@ -555,3 +555,58 @@ def test_remove_equals_complement_build(ray_session, corpus_dir, tmp_path):
     build_kg(one, complement, cfg, with_chunks=False)
 
     _assert_graph_tables_equal(full, complement)
+
+
+def test_ann_actor_pq_recall_floor(ray_session):
+    """IVF-PQ ADC + exact re-rank holds a recall@10 floor vs the exact
+    scan on clustered data (the regime PQ serves), and degrades cleanly
+    to valid orderings at small nprobe."""
+    import numpy as np
+    import ray
+    from agraph_ray.state.ann import AnnIndexActor
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 16, 256, 32
+    cents = rng.normal(size=(n_clusters, dim))
+    mat = np.repeat(cents, per, axis=0) + \
+        0.15 * rng.normal(size=(n_clusters * per, dim))
+    mat = mat.astype("float32")
+    ids = [f"v{i}" for i in range(len(mat))]
+    actor = AnnIndexActor.remote(ids, mat, ivf_nlist=16, pq_m=8)
+    q = (cents[:6] + 0.1 * rng.normal(size=(6, dim))).astype("float32")
+    exact_ids, exact_sims = ray.get(actor.query.remote(q, 10))
+    pq_ids, pq_sims = ray.get(
+        actor.query_pq.remote(q, 10, 4, 256))
+    rec = np.mean([len(set(pq_ids[i]) & set(exact_ids[i])) / 10
+                   for i in range(len(q))])
+    assert rec >= 0.9, rec
+    # re-ranked sims are EXACT cosines: every reported sim matches the
+    # exact run's sim for the same id
+    for i in range(len(q)):
+        lut = dict(zip(exact_ids[i], exact_sims[i]))
+        for j, vid in enumerate(pq_ids[i]):
+            if vid in lut:
+                assert abs(float(pq_sims[i][j]) - float(lut[vid])) < 1e-5
+        s = pq_sims[i][pq_sims[i] > -np.inf]
+        assert (np.diff(s) <= 1e-6).all()
+    # no-PQ build falls back to the exact scan
+    plain = AnnIndexActor.remote(ids, mat)
+    f_ids, _ = ray.get(plain.query_pq.remote(q, 10, 4, 256))
+    assert (f_ids == exact_ids).all()
+
+
+def test_ann_pool_pq_merge(ray_session):
+    import numpy as np
+    from agraph_ray.state.ann import AnnShardPool
+    rng = np.random.default_rng(11)
+    cents = rng.normal(size=(8, 16))
+    mat = (np.repeat(cents, 128, axis=0)
+           + 0.1 * rng.normal(size=(1024, 16))).astype("float32")
+    ids = [f"v{i}" for i in range(1024)]
+    pool = AnnShardPool(ids, mat, num_shards=3, ivf_nlist=8, pq_m=4)
+    q = cents[:3].astype("float32")
+    e_ids, _ = pool.query(q, k=5)
+    p_ids, p_sims = pool.query_pq(q, k=5, nprobe=4, rerank=96)
+    rec = np.mean([len(set(p_ids[i]) & set(e_ids[i])) / 5
+                   for i in range(len(q))])
+    assert rec >= 0.8, rec
+    assert p_ids.shape == (3, 5)
