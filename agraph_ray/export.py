@@ -70,7 +70,7 @@ def write_graphml(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         if has_desc:
             edge_cols.append("description")
         for b in edges.select_columns(edge_cols).iter_batches(
-                batch_format="pyarrow"):
+                batch_size=None, batch_format="pyarrow"):
             for row in b.to_pylist():
                 f.write(f'    <edge source="{escape(row["head_id"])}" '
                         f'target="{escape(row["tail_id"])}">\n')

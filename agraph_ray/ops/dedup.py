@@ -222,6 +222,8 @@ def neardedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
 
     signer = MinHashSigner(num_perm, bands, text_col=text_col,
                            id_col=id_col)
+    id_t = arrow_col_type(new, id_col)
+    pd_id = "int64" if pa.types.is_integer(id_t) else "object"
 
     def band_side(side: int):
         def f(t: pa.Table) -> pa.Table:
@@ -241,13 +243,13 @@ def neardedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
         boundary scan; the loop touches only buckets holding BOTH sides
         (rare — almost every bucket is a singleton or one-sided)."""
         n = len(df)
-        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                              "b": pd.Series(dtype="int64")})
+        empty = pd.DataFrame({"a": pd.Series(dtype=pd_id),
+                              "b": pd.Series(dtype=pd_id)})
         if n == 0:
             return empty
         band = df["band"].to_numpy()
         buck = df["bucket"].to_numpy()
-        ids = df[id_col].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy()
         side = df["side"].to_numpy(dtype=np.int8)
         order = np.lexsort((ids, side, buck, band))
         band, buck, ids, side = (band[order], buck[order], ids[order],
@@ -273,10 +275,10 @@ def neardedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
         if not out_a:
             return empty
         return pd.DataFrame({
-            "a": pd.Series(np.concatenate(out_a), dtype="int64"),
-            "b": pd.Series(np.concatenate(out_b), dtype="int64")})
+            "a": pd.Series(np.concatenate(out_a), dtype=pd_id),
+            "b": pd.Series(np.concatenate(out_b), dtype=pd_id)})
 
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    pair_schema = pa.schema([("a", id_t), ("b", id_t)])
     cand = bucketed_group_reduce(band_rows, ["band", "bucket"],
                                  cross_pairs, schema=pair_schema).union(
         rd.from_arrow(pair_schema.empty_table()))
@@ -290,7 +292,6 @@ def neardedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
             t["jaccard"], jaccard_threshold)).select(["a"]),
         batch_format="pyarrow").materialize()
 
-    id_t = arrow_col_type(new, id_col)
     if kills.count() <= broadcast_cap:
         dead: set = set()
         for b in kills.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -300,7 +301,7 @@ def neardedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
         def keep(batch: pa.Table) -> pa.Table:
             d = ray.get(dead_ref)
             vals = pc.cast(batch[id_col].combine_chunks(),
-                           pa.int64()).to_pylist()
+                           id_t).to_pylist()
             return batch.filter(pa.array([v not in d for v in vals]))
 
         return new.map_batches(keep, batch_format="pyarrow")
@@ -411,10 +412,17 @@ def minhash_lsh_groups(ds: "ray.data.Dataset", text_col: str = "text",
     already groups by (a, b) (the Jaccard verify) dedup for free and
     should pass False; the duplicate factor is bounded by ``bands``.
     """
-    from ..stages.common import bucketed_group_reduce, distinct_on
+    from ..stages.common import arrow_col_type, bucketed_group_reduce, \
+        distinct_on
     signer = MinHashSigner(num_perm, bands, text_col=text_col, id_col=id_col)
     bandrows = ds.select_columns([id_col, text_col]).map_batches(
         signer, batch_format="pyarrow")
+    # doc ids may be any comparable type (int64 in the bench tables,
+    # strings in user corpora) — the lexsort/unique kernels below are
+    # dtype-generic, so only the output schema needs to follow the input
+    id_type = arrow_col_type(ds, id_col)
+    pd_id = "int64" if pa.types.is_integer(id_type) else "object"
+    np_id = np.int64 if pa.types.is_integer(id_type) else object
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Vectorized per-bucket pair expansion. Almost every (band,
@@ -425,11 +433,11 @@ def minhash_lsh_groups(ds: "ray.data.Dataset", text_col: str = "text",
         rare larger buckets."""
         n = len(df)
         if n == 0:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
+            return pd.DataFrame({"a": pd.Series(dtype=pd_id),
+                                 "b": pd.Series(dtype=pd_id)})
         band = df["band"].to_numpy()
         buck = df["bucket"].to_numpy()
-        ids = df[id_col].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy()
         order = np.lexsort((ids, buck, band))
         band, buck, ids = band[order], buck[order], ids[order]
         new = np.empty(n, dtype=bool)
@@ -448,13 +456,13 @@ def minhash_lsh_groups(ds: "ray.data.Dataset", text_col: str = "text",
             if len(u) >= 2:
                 iu, ju = np.triu_indices(len(u), k=1)
                 out_a.append(u[iu]); out_b.append(u[ju])
-        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
-        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
-                             "b": pd.Series(b, dtype="int64")})
+        a = np.concatenate(out_a) if out_a else np.empty(0, np_id)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np_id)
+        return pd.DataFrame({"a": pd.Series(a, dtype=pd_id),
+                             "b": pd.Series(b, dtype=pd_id)})
 
     import ray.data as rd
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    pair_schema = pa.schema([("a", id_type), ("b", id_type)])
     cand = bucketed_group_reduce(bandrows, ["band", "bucket"], pairs,
                                  schema=pair_schema)
     if dedup:
@@ -509,20 +517,26 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
          computed per pair.
 
     Semi-join reduction: only documents that appear in a candidate pair
-    need a shingle set at all — the distinct endpoint *ids* (int64 only,
+    need a shingle set at all — the distinct endpoint *ids* (ids only,
     never text) are collected, broadcast once, and used to filter ``texts``
     before shingling. Above ``semi_join_cap`` distinct ids the filter is
     skipped and every document's shingle set rides the shuffle as before
     (at 20M ids the broadcast vector is 160 MB — past that, the shuffle
     is the cheaper citizen)."""
     import ray
-    from ..stages.common import bucketed_group_reduce
+    from ..stages.common import arrow_col_type, bucketed_group_reduce
+
+    # ids may be int64 (bench tables) or strings (user corpora): every
+    # kernel below keys on raw id values and parametrizes dtypes
+    id_t = arrow_col_type(texts, id_col)
+    int_ids = pa.types.is_integer(id_t)
+    pd_id = "int64" if int_ids else "object"
 
     cand = cand.materialize()   # consumed twice: id collection + requests
     ids: Optional[set] = set()
     pairs: Optional[set] = set()   # distinct (a, b) — collected alongside
     for b in cand.select_columns(["a", "b"]).iter_batches(
-            batch_format="pyarrow"):
+            batch_size=None, batch_format="pyarrow"):
         a_l, b_l = b["a"].to_pylist(), b["b"].to_pylist()
         ids.update(a_l)
         ids.update(b_l)
@@ -535,14 +549,15 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
             pairs = None
             break
     if ids is not None:
-        wanted = np.fromiter(ids, dtype=np.int64, count=len(ids))
+        wanted = np.fromiter(ids, dtype=np.int64, count=len(ids)) \
+            if int_ids else np.array(sorted(ids), dtype=object)
         wanted.sort()
         wanted_ref = ray.put(wanted)
 
         def keep(t: pa.Table) -> pa.Table:
             w = ray.get(wanted_ref)   # zero-copy numpy view
-            vals = pc.cast(t[id_col].combine_chunks(),
-                           pa.int64()).to_numpy(zero_copy_only=False)
+            vals = t[id_col].combine_chunks().to_numpy(
+                zero_copy_only=False)
             return t.filter(pa.array(np.isin(vals, w, assume_unique=False)))
 
         texts = texts.map_batches(keep, batch_format="pyarrow")
@@ -558,7 +573,7 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
         nbytes = 0
         for b in sh.iter_batches(batch_size=None, batch_format="pyarrow"):
             for i, s in zip(
-                    pc.cast(b[id_col], pa.int64()).to_pylist(),
+                    b[id_col].to_pylist(),
                     b["sh"].combine_chunks()):
                 arr = np.asarray(s.values, dtype=np.uint64)
                 sh_map[i] = arr
@@ -568,33 +583,31 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
                 break
         if sh_map is not None:
             import ray.data as rd
-            pair_arr = np.fromiter(
-                (v for ab in sorted(pairs) for v in ab),
-                dtype=np.int64, count=2 * len(pairs)).reshape(-1, 2)
+            pair_list = sorted(pairs)
+            a_col = pa.array([p[0] for p in pair_list], id_t)
+            b_col = pa.array([p[1] for p in pair_list], id_t)
             empty_u64 = np.empty(0, dtype=np.uint64)
-            if len(pair_arr) <= 20_000:
+            if len(pair_list) <= 20_000:
                 # Tiny pair set: score on the driver — the shingle map is
                 # already local, and skipping the scoring execution saves a
                 # whole streaming-executor round (~0.5 s fixed cost) that
                 # dominated this path at bench scale.
-                jac = np.empty(len(pair_arr), dtype=np.float64)
-                for k, (ai, bi) in enumerate(pair_arr):
-                    sa = sh_map.get(int(ai), empty_u64)
-                    sb = sh_map.get(int(bi), empty_u64)
+                jac = np.empty(len(pair_list), dtype=np.float64)
+                for k, (ai, bi) in enumerate(pair_list):
+                    sa = sh_map.get(ai, empty_u64)
+                    sb = sh_map.get(bi, empty_u64)
                     inter = np.intersect1d(sa, sb, assume_unique=True).size
                     union = sa.size + sb.size - inter
                     jac[k] = (inter / union) if union else 0.0
                 return rd.from_arrow(pa.Table.from_arrays(
-                    [pa.array(pair_arr[:, 0]), pa.array(pair_arr[:, 1]),
-                     pa.array(jac)],
+                    [a_col, b_col, pa.array(jac)],
                     names=["a", "b", "jaccard"]))
             sh_ref = ray.put(sh_map)
             dcand = rd.from_arrow(pa.Table.from_arrays(
-                [pa.array(pair_arr[:, 0]), pa.array(pair_arr[:, 1])],
-                names=["a", "b"]))
-            if len(pair_arr) > 4096:
+                [a_col, b_col], names=["a", "b"]))
+            if len(pair_list) > 4096:
                 dcand = dcand.repartition(max(
-                    2, min(64, len(pair_arr) // 4096)))
+                    2, min(64, len(pair_list) // 4096)))
 
             def score_bc(t: pa.Table) -> pa.Table:
                 m = ray.get(sh_ref)
@@ -602,8 +615,8 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
                 b_np = t["b"].to_numpy(zero_copy_only=False)
                 jac = np.empty(len(t), dtype=np.float64)
                 for k in range(len(t)):
-                    sa = m.get(int(a_np[k]), empty_u64)
-                    sb = m.get(int(b_np[k]), empty_u64)
+                    sa = m.get(a_np[k], empty_u64)
+                    sb = m.get(b_np[k], empty_u64)
                     # shingle sets are sorted-unique (np.unique output)
                     inter = np.intersect1d(sa, sb, assume_unique=True).size
                     union = sa.size + sb.size - inter
@@ -616,14 +629,14 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
 
     def tag_sh(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
-            [pc.cast(t[id_col].combine_chunks(), pa.int64()),
-             pa.nulls(len(t), pa.int64()), pa.nulls(len(t), pa.int64()),
+            [pc.cast(t[id_col].combine_chunks(), id_t),
+             pa.nulls(len(t), id_t), pa.nulls(len(t), id_t),
              t["sh"].combine_chunks()],
             names=["key", "a", "b", "sh"])
 
     def tag_req(t: pa.Table) -> pa.Table:
-        a = pc.cast(t["a"].combine_chunks(), pa.int64())
-        b = pc.cast(t["b"].combine_chunks(), pa.int64())
+        a = pc.cast(t["a"].combine_chunks(), id_t)
+        b = pc.cast(t["b"].combine_chunks(), id_t)
         empty = pa.nulls(len(t), pa.list_(pa.uint64()))
         ta = pa.Table.from_arrays([a, a, b, empty],
                                   names=["key", "a", "b", "sh"])
@@ -631,8 +644,8 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
                                   names=["key", "a", "b", "sh"])
         return pa.concat_tables([ta, tb])
 
-    stage1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                               ("key", pa.int64()),
+    stage1_schema = pa.schema([("a", id_t), ("b", id_t),
+                               ("key", id_t),
                                ("sh", pa.list_(pa.uint64()))])
 
     def fetch(df: pd.DataFrame) -> pd.DataFrame:
@@ -656,13 +669,13 @@ def _jaccard_scored_pairs(texts: "ray.data.Dataset", cand: "ray.data.Dataset",
             union = len(sa | sb)
             a_o.append(a); b_o.append(b)
             j_o.append((len(sa & sb) / union) if union else 0.0)
-        return pd.DataFrame({"a": pd.Series(a_o, dtype="int64"),
-                             "b": pd.Series(b_o, dtype="int64"),
+        return pd.DataFrame({"a": pd.Series(a_o, dtype=pd_id),
+                             "b": pd.Series(b_o, dtype=pd_id),
                              "jaccard": pd.Series(j_o, dtype="float64")})
 
     return bucketed_group_reduce(
         fetched, ["a", "b"], score,
-        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+        schema=pa.schema([("a", id_t), ("b", id_t),
                           ("jaccard", pa.float64())]))
 
 
@@ -693,14 +706,17 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
     matches = scored.map_batches(to_match, batch_format="pyarrow")
     labels = connected_components(matches)
-    # survivor = NUMERIC min id per component (the string component label
-    # is the lexicographic min — "102" < "2"); membership is bounded by
-    # the matched-duplicate set, never the corpus
+    # survivor = min id per component, compared in the id column's OWN
+    # type — numeric min for integer ids (the string component label is
+    # the lexicographic min: "102" < "2"), plain min for string ids.
+    # Membership is bounded by the matched-duplicate set, never the corpus.
+    from ..stages.common import arrow_col_type
+    int_ids = pa.types.is_integer(arrow_col_type(ds, id_col))
     comp_min: dict = {}
     members = []
     for b in labels.iter_batches(batch_size=None, batch_format="pyarrow"):
         for node, lab in zip(b["node"].to_pylist(), b["label"].to_pylist()):
-            v = int(node)
+            v = int(node) if int_ids else node
             members.append((v, lab))
             if lab not in comp_min or v < comp_min[lab]:
                 comp_min[lab] = v
@@ -780,7 +796,10 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                            id_col: str = "doc_id", max_hamming: int = 3):
     """Candidate pairs with hamming(simhash) <= max_hamming via 16-bit-band
     blocking, verified exactly inside each block."""
+    from ..stages.common import arrow_col_type
     sigs = simhash_signatures(ds, text_col, id_col)
+    pd_id = "int64" if pa.types.is_integer(arrow_col_type(ds, id_col)) \
+        else "object"
 
     def band_rows(batch: pa.Table) -> pa.Table:
         """Vectorized (id, band, 16-bit-band-key, simhash) expansion."""
@@ -803,15 +822,15 @@ def simhash_near_dup_pairs(ds: "ray.data.Dataset", text_col: str = "text",
         ~260k blocks at 250k docs. Instead: one lexsort, per-size-class
         triu index construction (few distinct block sizes), and one
         unpackbits popcount over all candidate pairs at once."""
-        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
-                              "b": pd.Series(dtype="int64"),
+        empty = pd.DataFrame({"a": pd.Series(dtype=pd_id),
+                              "b": pd.Series(dtype=pd_id),
                               "hamming": pd.Series(dtype="int32")})
         n = len(df)
         if n == 0:
             return empty
         band = df["band"].to_numpy()
         bkey = df["bkey"].to_numpy()
-        ids = df[id_col].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy()
         sims = df["simhash"].to_numpy(dtype=np.uint64)
         order = np.lexsort((ids, bkey, band))
         band, bkey, ids, sims = (band[order], bkey[order], ids[order],

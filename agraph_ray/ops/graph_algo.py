@@ -1036,7 +1036,7 @@ def random_walks(edges: "ray.data.Dataset", src: str, dst: str,
         import ray
         an_l, ab_l = [], []
         for bt in adj.sort(["node", "nbr"]).iter_batches(
-                batch_format="pyarrow"):
+                batch_size=None, batch_format="pyarrow"):
             an_l.append(bt["node"].to_numpy(zero_copy_only=False))
             ab_l.append(bt["nbr"].to_numpy(zero_copy_only=False))
         an = (np.concatenate(an_l) if an_l

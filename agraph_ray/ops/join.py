@@ -507,7 +507,7 @@ def broadcast_join(probe: "ray.data.Dataset", build: "ray.data.Dataset",
     nulls."""
     lookup = {}
     for b in build.select_columns([on] + list(columns)).iter_batches(
-            batch_format="pyarrow"):
+            batch_size=None, batch_format="pyarrow"):
         rows = b.to_pylist()
         for r in rows:
             lookup[r[on]] = tuple(r[c] for c in columns)

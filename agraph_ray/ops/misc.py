@@ -199,7 +199,7 @@ def chunk_similarity_pairs(linked_chunks: "ray.data.Dataset",
     # ---- phase 2: relation Jaccard for the candidates only ----
     ids: Optional[set] = set()
     for b in cand.select_columns(["chunk_a", "chunk_b"]).iter_batches(
-            batch_format="pyarrow"):
+            batch_size=None, batch_format="pyarrow"):
         ids.update(b["chunk_a"].to_pylist())
         ids.update(b["chunk_b"].to_pylist())
         if len(ids) > semi_join_cap:

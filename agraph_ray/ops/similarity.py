@@ -303,7 +303,7 @@ def embedding_join(a: "ray.data.Dataset", b: "ray.data.Dataset",
             n_shards=int(np.ceil(n_b / broadcast_cap)))
     ids_b, vecs_b = [], []
     for bt in b.select_columns([id_col, vec_col]).iter_batches(
-            batch_format="pyarrow"):
+            batch_size=None, batch_format="pyarrow"):
         ids_b.append(np.asarray(bt[id_col].to_pylist()))
         vecs_b.append(np.asarray(bt[vec_col].to_pylist(), dtype=np.float64))
     ids_b = np.concatenate(ids_b) if ids_b else np.empty(0, np.int64)

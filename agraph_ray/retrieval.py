@@ -49,7 +49,7 @@ class KnowledgeRetriever:
                 chunks.schema().names):
             for b in chunks.select_columns(
                     ["chunk_id", "entities", "relations"]).iter_batches(
-                    batch_format="pyarrow"):
+                    batch_size=None, batch_format="pyarrow"):
                 for r in b.to_pylist():
                     es = list(r["entities"] or [])
                     rs = list(r["relations"] or [])
@@ -308,7 +308,7 @@ class GraphPathFinder:
     def __init__(self, edges: "ray.data.Dataset"):
         self.adj: Dict[str, set] = {}
         for b in edges.select_columns(["head_id", "tail_id"]).iter_batches(
-                batch_format="pyarrow"):
+                batch_size=None, batch_format="pyarrow"):
             for h, t in zip(b["head_id"].to_pylist(),
                             b["tail_id"].to_pylist()):
                 self.adj.setdefault(h, set()).add(t)

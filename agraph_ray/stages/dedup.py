@@ -51,30 +51,90 @@ ENTITY_PARTIAL_SCHEMA = pa.schema([
     ("properties", pa.string()),
     ("confidence", pa.float64()), ("source", pa.string()),
     ("n_mentions", pa.int64()), ("n_convs", pa.int64()),
+    # exact distinct-conversation lineage: union of conv_ids seen so far.
+    # Same scale shape as the alias union (bounded by the entity's true
+    # conversation fan-out); for sketch-bounded state at extreme fan-out
+    # see ops.sketch.hll_count_distinct.
+    ("conv_ids", pa.list_(pa.string())),
 ])
 
+# witness-priority columns per merge family — ORDER MATCHES the rep sort
+# in _entity_partial/_merge_entities_bucket and _edge_partial/
+# merge_edges_bucket respectively (confidence desc is prepended).
+ENT_PRI_COLS = ["entity_type", "name", "description", "source"]
+EDGE_PRI_COLS = ["subj_type", "obj_type", "source", "description"]
 
-def merge_properties(df: pd.DataFrame, key: str) -> pd.Series:
-    """Per-key merged JSON properties (reference dict-update semantics,
-    entity_extractor.py:113-115, made deterministic): records are visited
-    in the frame's order — callers pass the rep-sorted frame (confidence
-    desc, …) — and the FIRST writer of each property key wins, i.e. the
-    representative's values take precedence and lower-priority records
-    fill in missing keys. Only rows with non-null properties are touched
-    (rare in the regex path), so the loop is output-bound."""
+# amalgam marker for partially-merged property state (see merge_properties)
+_PW = "__pw__"
+
+
+def _prop_state(df: pd.DataFrame, key: str, pri_cols: "list[str]") -> dict:
+    """Accumulate per-key per-property-key winner state:
+    ``{key: {prop_key: [priority, value]}}`` where priority is the witness
+    tuple of the record that wrote the property — ``[-confidence,
+    *pri_cols, own-plain-properties-JSON]`` (None → "" so lists compare).
+    min(priority) wins per property key, which is associative AND
+    commutative — so the two-level reduce (per-batch partial → bucket
+    merge) yields the same result as a single global first-writer pass in
+    rep-sorted order, for ANY partitioning of the input (r3 invariance
+    harness finding: the previous first-writer-within-each-level compose
+    was partition-dependent)."""
     import json
     if "properties" not in df.columns:
-        return pd.Series(dtype="object")
+        return {}
     has = df[df["properties"].notna()]
     if has.empty:
+        return {}
+    state: dict = {}
+    cols = [has[key], has["properties"], has["confidence"]] \
+        + [has[c] for c in pri_cols]
+    for k, p, conf, *rest in zip(*cols):
+        d = json.loads(p)
+        cur = state.setdefault(k, {})
+        if isinstance(d, dict) and set(d) == {_PW} \
+                and isinstance(d[_PW], dict):
+            for pk, (pri, v) in d[_PW].items():
+                if pk not in cur or pri < cur[pk][0]:
+                    cur[pk] = [pri, v]
+        else:
+            pri_self = [-float(conf)] \
+                + ["" if v is None else str(v) for v in rest] \
+                + [json.dumps(d, sort_keys=True, ensure_ascii=False)]
+            for pk, v in d.items():
+                if pk not in cur or pri_self < cur[pk][0]:
+                    cur[pk] = [pri_self, v]
+    return state
+
+
+def merge_properties(df: pd.DataFrame, key: str,
+                     pri_cols: "Optional[list[str]]" = None,
+                     final: bool = True) -> pd.Series:
+    """Per-key merged JSON properties (reference dict-update semantics,
+    entity_extractor.py:113-115, made deterministic AND associative): the
+    winner of each property key is the record with the best witness tuple
+    (max confidence, then ``pri_cols`` ascending, then its own canonical
+    properties JSON) — equivalent to a first-writer-wins pass over the
+    globally rep-sorted records, i.e. the representative's values take
+    precedence and lower-priority records fill in missing keys.
+
+    ``final=False`` returns the mergeable amalgam state
+    (``{"__pw__": {prop_key: [priority, value]}}``) for combiner output;
+    ``final=True`` collapses to the plain user-facing dict. Only rows
+    with non-null properties are touched (rare in the regex path), so
+    the loop is output-bound."""
+    import json
+    pri_cols = ENT_PRI_COLS if pri_cols is None else pri_cols
+    state = _prop_state(df, key, pri_cols)
+    if not state:
         return pd.Series(dtype="object")
-    out: dict = {}
-    for k, p in zip(has[key], has["properties"]):
-        d = out.setdefault(k, {})
-        for kk, vv in json.loads(p).items():
-            d.setdefault(kk, vv)
-    return pd.Series({k: json.dumps(v, sort_keys=True, ensure_ascii=False)
-                      for k, v in out.items()}, dtype="object")
+    if final:
+        return pd.Series(
+            {k: json.dumps({pk: pv[1] for pk, pv in kv.items()},
+                           sort_keys=True, ensure_ascii=False)
+             for k, kv in state.items()}, dtype="object")
+    return pd.Series(
+        {k: json.dumps({_PW: kv}, sort_keys=True, ensure_ascii=False)
+         for k, kv in state.items()}, dtype="object")
 
 
 def _entity_partial(batch: pa.Table) -> pa.Table:
@@ -84,9 +144,21 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
     df = batch.to_pandas()
     if "n_mentions" not in df:
         df["n_mentions"] = 1
-        df["n_convs"] = (~df.duplicated(["norm_name", "conv_id"])).astype("int64")
+    if "n_convs" not in df:
+        df["n_convs"] = 1
     if "properties" not in df:
         df["properties"] = None
+    # exact conversation lineage: each raw mention contributes its conv_id;
+    # re-combined partials contribute their conv_ids union. The legacy
+    # n_convs int sum remains only for lineage-free inputs (no conv_id
+    # column) — the old per-batch distinct count was partition-dependent
+    # (and in the real pipeline counted documents, not conversations).
+    if "conv_ids" not in df:
+        if "conv_id" in df:
+            df["conv_ids"] = df["conv_id"].map(
+                lambda c: [c] if c is not None else [])
+        else:
+            df["conv_ids"] = [[] for _ in range(len(df))]
     s = df.sort_values(
         ["confidence", "entity_type", "name", "description", "source",
          "properties"],
@@ -96,7 +168,13 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
     rep["confidence"] = g["confidence"].max()
     rep["n_mentions"] = g["n_mentions"].sum()
     rep["n_convs"] = g["n_convs"].sum()
-    props = merge_properties(s, "norm_name")
+    cids = (df[["norm_name", "conv_ids"]].explode("conv_ids").dropna()
+            .groupby("norm_name", sort=False)["conv_ids"]
+            .agg(lambda x: sorted(set(x))))
+    rep["conv_ids"] = cids.reindex(rep.index)
+    rep["conv_ids"] = rep["conv_ids"].map(
+        lambda v: v if isinstance(v, list) else [])
+    props = merge_properties(s, "norm_name", ENT_PRI_COLS, final=False)
     rep["properties"] = props.reindex(rep.index) if len(props) else None
     # alias union: most rows carry no aliases — explode only the few that do
     has = df[df["aliases"].map(lambda v: v is not None and len(v) > 0)]
@@ -115,9 +193,17 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
 
 
 def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized whole-bucket merge over all norm_names in the bucket."""
+    """Vectorized whole-bucket merge over all norm_names in the bucket.
+    n_convs is the exact distinct-conversation count when lineage
+    (conv_ids / conv_id) is present, else the legacy n_convs sum."""
     if "properties" not in df.columns:
         df = df.assign(properties=None)
+    if "conv_ids" not in df.columns:
+        if "conv_id" in df.columns:
+            df = df.assign(conv_ids=df["conv_id"].map(
+                lambda c: [c] if c is not None else []))
+        else:
+            df = df.assign(conv_ids=[[] for _ in range(len(df))])
     df = df.sort_values(
         ["confidence", "entity_type", "name", "description", "source",
          "properties"],
@@ -129,7 +215,12 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
     aliases = (df[["norm_name", "aliases"]].explode("aliases").dropna()
                .groupby("norm_name", sort=False)["aliases"]
                .agg(lambda s: sorted(set(s))))
-    props = merge_properties(df, "norm_name")
+    cids = (df[["norm_name", "conv_ids"]].explode("conv_ids").dropna()
+            .groupby("norm_name", sort=False)["conv_ids"]
+            .agg(lambda x: len(set(x))))
+    n_convs = cids.reindex(rep.index).fillna(0).astype("int64")
+    legacy = agg["n_convs"].astype("int64")
+    props = merge_properties(df, "norm_name", ENT_PRI_COLS, final=True)
     out = pd.DataFrame({
         "entity_id": rep["entity_id"],
         "name": rep.index,
@@ -142,7 +233,7 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
         "confidence": agg["confidence"],
         "source": rep["source"],
         "n_mentions": agg["n_mentions"].astype("int64"),
-        "n_convs": agg["n_convs"].astype("int64"),
+        "n_convs": n_convs.where(n_convs > 0, legacy),
     }).reset_index(drop=True)
     return out
 
@@ -242,7 +333,7 @@ def _edge_partial(batch: pa.Table) -> pa.Table:
         confidence=("confidence", "max"),
         source=("source", "first"), n_mentions=("n_mentions", "sum"),
     )
-    props = merge_properties(df, "relation_id")
+    props = merge_properties(df, "relation_id", EDGE_PRI_COLS, final=False)
     agg["properties"] = props.reindex(agg.index) if len(props) else None
     return pa.Table.from_pandas(agg.reset_index(), preserve_index=False,
                                 schema=EDGES_SCHEMA)
@@ -264,7 +355,7 @@ def merge_edges_bucket(df: pd.DataFrame,
     top = s.drop_duplicates(key, keep="first").set_index(key)
     top["n_mentions"] = df.groupby(key, sort=False)["n_mentions"].sum()
     if "properties" in df.columns and df["properties"].notna().any():
-        props = merge_properties(s, key)
+        props = merge_properties(s, key, EDGE_PRI_COLS, final=True)
         top["properties"] = props.reindex(top.index)
     return top.reset_index()
 
