@@ -153,12 +153,7 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
     # n_convs int sum remains only for lineage-free inputs (no conv_id
     # column) — the old per-batch distinct count was partition-dependent
     # (and in the real pipeline counted documents, not conversations).
-    if "conv_ids" not in df:
-        if "conv_id" in df:
-            df["conv_ids"] = df["conv_id"].map(
-                lambda c: [c] if c is not None else [])
-        else:
-            df["conv_ids"] = [[] for _ in range(len(df))]
+    has_lists = "conv_ids" in df
     s = df.sort_values(
         ["confidence", "entity_type", "name", "description", "source",
          "properties"],
@@ -168,9 +163,18 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
     rep["confidence"] = g["confidence"].max()
     rep["n_mentions"] = g["n_mentions"].sum()
     rep["n_convs"] = g["n_convs"].sum()
-    cids = (df[["norm_name", "conv_ids"]].explode("conv_ids").dropna()
-            .groupby("norm_name", sort=False)["conv_ids"]
-            .agg(lambda x: sorted(set(x))))
+    if has_lists:      # re-combined partials: union the (short) lists
+        cids = (df[["norm_name", "conv_ids"]].explode("conv_ids").dropna()
+                .groupby("norm_name", sort=False)["conv_ids"]
+                .agg(lambda x: sorted(set(x))))
+    elif "conv_id" in df:
+        # raw mentions: vectorized distinct (norm_name, conv_id) — no
+        # per-row list objects, no explode (35% of the stage's wall)
+        pairs = (df[["norm_name", "conv_id"]].dropna()
+                 .drop_duplicates().sort_values("conv_id"))
+        cids = pairs.groupby("norm_name", sort=False)["conv_id"].agg(list)
+    else:
+        cids = pd.Series(dtype="object")
     rep["conv_ids"] = cids.reindex(rep.index)
     rep["conv_ids"] = rep["conv_ids"].map(
         lambda v: v if isinstance(v, list) else [])
@@ -198,12 +202,6 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
     (conv_ids / conv_id) is present, else the legacy n_convs sum."""
     if "properties" not in df.columns:
         df = df.assign(properties=None)
-    if "conv_ids" not in df.columns:
-        if "conv_id" in df.columns:
-            df = df.assign(conv_ids=df["conv_id"].map(
-                lambda c: [c] if c is not None else []))
-        else:
-            df = df.assign(conv_ids=[[] for _ in range(len(df))])
     df = df.sort_values(
         ["confidence", "entity_type", "name", "description", "source",
          "properties"],
@@ -215,9 +213,14 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
     aliases = (df[["norm_name", "aliases"]].explode("aliases").dropna()
                .groupby("norm_name", sort=False)["aliases"]
                .agg(lambda s: sorted(set(s))))
-    cids = (df[["norm_name", "conv_ids"]].explode("conv_ids").dropna()
-            .groupby("norm_name", sort=False)["conv_ids"]
-            .agg(lambda x: len(set(x))))
+    if "conv_ids" in df.columns:
+        cids = (df[["norm_name", "conv_ids"]].explode("conv_ids").dropna()
+                .groupby("norm_name", sort=False)["conv_ids"].nunique())
+    elif "conv_id" in df.columns:
+        cids = (df[["norm_name", "conv_id"]].dropna()
+                .groupby("norm_name", sort=False)["conv_id"].nunique())
+    else:
+        cids = pd.Series(dtype="int64")
     n_convs = cids.reindex(rep.index).fillna(0).astype("int64")
     legacy = agg["n_convs"].astype("int64")
     props = merge_properties(df, "norm_name", ENT_PRI_COLS, final=True)
