@@ -88,24 +88,18 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
             .select(tri_cols), batch_format="pyarrow")
 
     t = time.time()
-    # Adaptive execution overlap (measured on the 1.1M-turn corpus):
-    # at >= 16 CPUs one streaming execution already saturates the
-    # cluster, and TWO concurrent sort-shuffles thrash the object store
-    # (37 s concurrent vs 19 s sequential at 32 CPUs — and 107 s inside
-    # the full build); at low CPU counts a single execution can't hide
-    # its per-execution serial overhead, so overlapping wins there
-    # (74 s concurrent vs 98 s sequential at 8 CPUs).
-    import ray as _ray
-    wide = _ray.cluster_resources().get("CPU", 8) >= 16
-    if wide:
-        nodes = dedup_entities(entities, cfg).materialize()
-        edges = dedup_edges(triples, cfg).materialize()
-    else:
-        f_nodes = pool.submit(
-            lambda: dedup_entities(entities, cfg).materialize())
-        f_edges = pool.submit(
-            lambda: dedup_edges(triples, cfg).materialize())
-        nodes, edges = f_nodes.result(), f_edges.result()
+    # Entity and edge dedup always overlap on threads: in the single-task
+    # regime there is no shuffle to thrash (the r2 concurrent-sort-shuffle
+    # measurement — 37 s concurrent vs 19 s sequential at 32 CPUs — no
+    # longer applies after the r3 two-level reduce), and each side's
+    # per-execution serial overhead hides under the other. Re-measured at
+    # 554k turns / 32 CPUs: overlapped 4.6-6.8 s vs sequential 7.6-11.5 s
+    # (both sources); at 8 CPUs overlap was already the winner.
+    f_nodes = pool.submit(
+        lambda: dedup_entities(entities, cfg).materialize())
+    f_edges = pool.submit(
+        lambda: dedup_edges(triples, cfg).materialize())
+    nodes, edges = f_nodes.result(), f_edges.result()
     if metrics is not None:
         metrics["sec_dedup"] = round(time.time() - t, 2)
 
@@ -239,18 +233,21 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
         atomic_write_parquet, mentions, os.path.join(out_dir, "mentions"),
         cfg.min_rows_per_file)
 
-    # Wide clusters dedup from the mentions PARQUET checkpoint (pruned
-    # columns + kind pushdown), not the in-memory extract output:
-    # measured at 32 CPUs on the 1.1M-turn corpus, the in-memory-sourced
-    # dedup ran 94-104 s vs 21 s from parquet (the full-width 2.9 GiB
-    # blocks are rescanned twice and dominate), while at 8 CPUs the
-    # in-memory overlapped path wins (45 s vs 74-98 s — parquet decode
-    # costs compute the narrow cluster doesn't have spare). Blocking on
-    # the checkpoint write costs ~3 s and also makes the dedup phase
-    # restartable from the checkpoint.
+    # Dedup sources from the in-memory extract output while it fits the
+    # object store comfortably, else from the mentions PARQUET checkpoint
+    # (pruned columns + kind pushdown). The discriminator is mentions
+    # BYTES vs store headroom, not CPU count: the old wide-cluster
+    # measurement (in-memory 94-104 s vs 21 s parquet at 1.1M turns) was
+    # spill-induced — full-width blocks evicted to disk get re-read twice
+    # — while within-store re-scans are zero-copy. Re-measured at 554k
+    # turns / 32 CPUs with the r3 two-level reduce: in-memory 7.6 s vs
+    # parquet 10.7-11.5 s sequential (4.6-5.5 vs 6.2-6.8 overlapped).
+    # Blocking on the checkpoint write (big regime only) also makes the
+    # dedup phase restartable from the checkpoint.
     import ray as _ray
-    wide = _ray.cluster_resources().get("CPU", 8) >= 16
-    if wide:
+    store = _ray.cluster_resources().get("object_store_memory", 0) \
+        or (4 << 30)
+    if (mentions.size_bytes() or 0) > store // 4:
         metrics["n_mentions"] = futures["mentions"].result()
         src = None
         mentions = None   # release the in-memory blocks — the parquet

@@ -243,7 +243,8 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 def _single_task_reduce(partials: "ray.data.Dataset", reduce_df,
                         schema: pa.Schema,
-                        cap_bytes: int = 256 << 20):
+                        cap_bytes: int = 256 << 20,
+                        combiner=None, combine_width: int = 16):
     """Size-adaptive reduce: the per-batch combiners collapse the mention
     stream to (vocabulary x blocks) partial rows — usually a few hundred
     MB at most. Below ``cap_bytes`` the keyed all-to-all is pure overhead
@@ -252,7 +253,17 @@ def _single_task_reduce(partials: "ray.data.Dataset", reduce_df,
     CPUs depending on host state), so reduce the whole partial table in
     ONE task instead. Returns None above the cap (caller falls back to
     the bucketed shuffle — the 100-TB path, where partial volume grows
-    with block count)."""
+    with block count).
+
+    When ``combiner`` (pa.Table → pa.Table, same schema in and out) is
+    given and the partial table spans many blocks, a SECOND combine level
+    runs first: repartition to ``combine_width`` blocks, collapse each to
+    ≤ vocabulary rows in parallel, then the single final task merges only
+    width × vocabulary rows. Legal because the merges are associative
+    (per-key witness-priority winners, unions, sums — the r3 property
+    rewrite); measured: the final entity merge over 86k partial rows cost
+    1.46 s SERIAL at 554k turns — the dominant non-scaling term of the
+    8→32 scaling leg — vs ~0.1 s over 16 × 718 pre-combined rows."""
     p = partials.materialize()
     if (p.size_bytes() or 0) > cap_bytes:
         return None, p
@@ -265,7 +276,17 @@ def _single_task_reduce(partials: "ray.data.Dataset", reduce_df,
             out, schema=schema,
             preserve_index=False).replace_schema_metadata(None)
 
-    return (p.repartition(1).map_batches(
+    small = p
+    n_rows = p.count()
+    if combiner is not None and p.num_blocks() > 2 * combine_width \
+            and n_rows > 8 * combine_width:
+        # batch_size coalescing fans the combine over ~combine_width tasks
+        # WITHOUT an all-to-all (a repartition here costs more than the
+        # serial merge it saves — measured)
+        small = p.map_batches(
+            combiner, batch_format="pyarrow",
+            batch_size=max(1, n_rows // combine_width))
+    return (small.repartition(1).map_batches(
         whole, batch_format="pyarrow", batch_size=None), p)
 
 
@@ -281,7 +302,8 @@ def dedup_entities(entity_mentions: "ray.data.Dataset",
                                            batch_format="pyarrow")
     small, partials = _single_task_reduce(partials,
                                           _merge_entities_bucket,
-                                          NODES_SCHEMA)
+                                          NODES_SCHEMA,
+                                          combiner=_entity_partial)
     if small is not None:
         return small
     return bucketed_group_reduce(partials, ["norm_name"],
@@ -377,7 +399,8 @@ def dedup_edges(triple_mentions: "ray.data.Dataset",
     from .common import bucketed_group_reduce
     partials = triple_mentions.map_batches(_edge_partial, batch_format="pyarrow")
     small, partials = _single_task_reduce(partials, merge_edges_bucket,
-                                          EDGES_SCHEMA)
+                                          EDGES_SCHEMA,
+                                          combiner=_edge_partial)
     if small is not None:
         return small
     return bucketed_group_reduce(partials, ["relation_id"],

@@ -202,6 +202,17 @@ def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
         return _worker_stage(th, kw)(t)
 
     thresh = int(cfg.hot_doc_turns)
+    # Task-granularity fix (r3): documents arrive in as many blocks as the
+    # reassembly reduce had buckets (64) with ~10x row skew between them,
+    # and map tasks can't split blocks — measured at 554k turns / 32 CPUs
+    # the extraction operator ran 64 tasks (0.8 s min, 8.6 s max, 3.25 s
+    # mean) keeping only ~9.5 of 32 cores busy (207.9 s compute in 21.9 s
+    # wall). Re-splitting to ~4 blocks per core makes tasks fine-grained
+    # and evens the skew; the extra exchange moves only the (small)
+    # document table and rides the same execution.
+    import ray as _ray
+    nblocks = max(64, 4 * int(_ray.cluster_resources().get("CPU", 8)))
+    docs = docs.repartition(nblocks)
     small = docs.map_batches(
         lambda t: t.filter(pc.less_equal(t["n_turns"], thresh)),
         batch_format="pyarrow")

@@ -319,3 +319,117 @@ def test_inv_minhash_dedup(ray_session):
         lambda: (_docs_df(),),
         lambda ds: minhash_dedup(ds, "text", "doc_id",
                                  jaccard_threshold=0.8))
+
+
+# ---------------------------------------------------------------------------
+# second tier — more keyed reduces under the same harness
+# ---------------------------------------------------------------------------
+
+def test_inv_sessionize(ray_session):
+    from agraph_ray.ops.window import sessionize
+    rng = np.random.default_rng(31)
+    rows = [dict(user=int(rng.integers(0, 10)),
+                 ts_us=1_700_000_000_000_000
+                 + int(rng.integers(0, 50)) * 600_000_000)
+            for _ in range(250)]
+    df = pd.DataFrame(rows).drop_duplicates(["user", "ts_us"])
+    _assert_invariant(
+        lambda: (df,),
+        lambda ds: sessionize(ds, "user", "ts_us", gap_sec=1200,
+                              num_buckets=8))
+
+
+def test_inv_ranked_agg(ray_session):
+    from agraph_ray.ops.window import ranked_agg
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame(dict(
+        id=np.arange(300, dtype=np.int64),
+        k=rng.integers(0, 8, size=300).astype(np.int64),
+        v=rng.integers(0, 20, size=300).astype(np.int64)))  # heavy ties
+    _assert_invariant(
+        lambda: (df,),
+        lambda ds: ranked_agg(ds, "k", "v", "id", ntiles=4, num_buckets=8))
+
+
+def test_inv_line_dedup(ray_session):
+    from agraph_ray.ops.dedup import line_dedup
+    rng = np.random.default_rng(35)
+    rows = [dict(conv_id=f"c{k % 12}", turn_idx=k // 12,
+                 text=f"line {int(rng.integers(0, 40))}")  # heavy repeats
+            for k in range(240)]
+    _assert_invariant(
+        lambda: (pd.DataFrame(rows),),
+        lambda ds: line_dedup(ds, "conv_id", "turn_idx", "text",
+                              num_buckets=8))
+
+
+def test_inv_dedup_edges(ray_session):
+    from agraph_ray.stages.dedup import dedup_edges
+    rng = np.random.default_rng(37)
+    rows = []
+    for k in range(200):
+        i = int(rng.integers(0, 25))
+        tie = k % 3 == 0
+        rows.append(dict(
+            kind="triple", conv_id=f"c{k % 7}",
+            relation_id=f"relation_{i:04d}",
+            head_id=f"entity_a{i}", tail_id=f"entity_b{i}",
+            subj=f"subj {i}", obj=f"obj {i}", pred="related_to",
+            subj_type="person", obj_type=["person", "organization"][k % 2],
+            description="" if tie else f"d{k % 4}",
+            properties=(json.dumps({"p": k % 5}, sort_keys=True)
+                        if k % 2 == 0 else None),
+            confidence=0.7 if tie else round(0.4 + (k % 6) * 0.1, 2),
+            source="cooccurrence"))
+    _assert_invariant(
+        lambda: (pd.DataFrame(rows),),
+        lambda ds: dedup_edges(ds, num_buckets=8))
+
+
+def test_inv_funnel_depths(ray_session):
+    from agraph_ray.ops.window import funnel_depths
+    rng = np.random.default_rng(39)
+    stages = ["view", "cart", "buy"]
+    rows = [dict(user=f"u{int(rng.integers(0, 15))}",
+                 ts_us=1_700_000_000_000_000
+                 + int(rng.integers(0, 10**9)),
+                 etype=stages[int(rng.integers(0, 3))])
+            for _ in range(300)]
+    df = pd.DataFrame(rows).drop_duplicates(["user", "ts_us"])
+    _assert_invariant(
+        lambda: (df,),
+        lambda ds: funnel_depths(ds, "user", "ts_us", "etype", stages,
+                                 num_buckets=8))
+
+
+def _turns_and_vocab():
+    rng = np.random.default_rng(41)
+    names = ["alpha systems", "beta corp", "gamma labs", "delta inc"]
+    nodes = pd.DataFrame([dict(entity_id=f"entity_{i:04d}", name=n,
+                               aliases=[n.split()[0]])
+                          for i, n in enumerate(names)])
+    rows = []
+    for k in range(220):
+        mentioned = [n for n in names if rng.random() < 0.3]
+        rows.append(dict(
+            conv_id=f"c{k % 16}",
+            ts=1_700_000_000_000_000 + int(rng.integers(0, 10**9)),
+            text="we discussed " + " and ".join(mentioned)
+                 if mentioned else "nothing relevant here"))
+    return pd.DataFrame(rows), nodes
+
+
+def test_inv_mention_timeline(ray_session):
+    from agraph_ray.stages.link_chunks import mention_timeline
+    turns, nodes = _turns_and_vocab()
+    _assert_invariant(
+        lambda: (turns, nodes),
+        lambda t, n: mention_timeline(t, n, num_buckets=8))
+
+
+def test_inv_comention_edges(ray_session):
+    from agraph_ray.stages.link_chunks import comention_edges
+    turns, nodes = _turns_and_vocab()
+    _assert_invariant(
+        lambda: (turns, nodes),
+        lambda t, n: comention_edges(t, n, num_buckets=8))
