@@ -271,12 +271,16 @@ class AnnShardPool:
         return manifest
 
     @classmethod
-    def load(cls, out_dir: str) -> "AnnShardPool":
+    def load(cls, out_dir: str, ivf_nlist: int = 0,
+             pq_m: int = 0) -> "AnnShardPool":
         """Rebuild a pool from :meth:`save` output — each actor reads its
-        own shard file; no vector data crosses the driver."""
+        own shard file; no vector data crosses the driver. Pass
+        ``ivf_nlist``/``pq_m`` to rebuild the in-shard index on load (each
+        actor trains over its own shard, concurrently)."""
         with open(os.path.join(out_dir, "manifest.json")) as fh:
             manifest = json.load(fh)
         pool = cls.__new__(cls)
-        pool.shards = [AnnIndexActor.remote(path=os.path.join(out_dir, f))
+        pool.shards = [AnnIndexActor.remote(path=os.path.join(out_dir, f),
+                                            ivf_nlist=ivf_nlist, pq_m=pq_m)
                        for f in manifest["shards"]]
         return pool

@@ -134,6 +134,40 @@ def run_bench() -> dict:
     return result
 
 
+def _hw_work(i):
+    """Embarrassingly parallel probe task (regex over in-heap text —
+    the same instruction mix as the extraction hot loop)."""
+    import re
+    pat = re.compile(r"(\w+) (?:is|was|works at|lives in) ([A-Z]\w+)")
+    text = "Alice works at Globex and Bob lives in Paris. " * 200
+    n = 0
+    for _ in range(1500):
+        n += len(pat.findall(text))
+    return n
+
+
+def hw_ceiling(lo: int, hi: int) -> dict:
+    """Measure THIS HOST's own N→4N scaling ceiling with a
+    zero-coordination multiprocessing workload (no Ray, no shuffles, no
+    scheduler). No pipeline can scale better than the silicon: on shared
+    sandbox hosts the ceiling measures <1.0 because memory bandwidth and
+    sustained clocks don't quadruple with occupancy. Reported alongside
+    the pipeline ratio so the pipeline's coordination overhead can be
+    read separately from the host's parallel yield."""
+    from multiprocessing import Pool
+    ntask = 8 * hi
+    walls = {lo: [], hi: []}
+    for procs in (lo, hi, lo, hi):   # interleaved, best-of-two per leg
+        with Pool(procs) as p:
+            p.map(_hw_work, range(procs))   # warm forks, untimed
+            t0 = time.time()
+            p.map(_hw_work, range(ntask))
+            walls[procs].append(time.time() - t0)
+    w_lo, w_hi = min(walls[lo]), min(walls[hi])
+    return {"hw_wall_lo": round(w_lo, 2), "hw_wall_hi": round(w_hi, 2),
+            "hw_efficiency": round((w_lo / w_hi) / (hi / lo), 3)}
+
+
 def run_scaling() -> dict:
     # The scaling criterion measures how the SAME job on the SAME input
     # speeds up from N to 4N CPUs. At bench-sized corpora the job is
@@ -178,6 +212,7 @@ def run_scaling() -> dict:
     tp_lo = r_lo["turns_per_sec"]
     tp_hi = r_hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    hw = hw_ceiling(lo, hi)
     return {
         "metric": "scaling efficiency (throughput ratio / cpu ratio)",
         "value": round(eff, 3),
@@ -186,6 +221,11 @@ def run_scaling() -> dict:
         "turns_per_sec_8": tp_lo, "turns_per_sec_32": tp_hi,
         "cpus": [lo, hi],
         "sf": r_hi["sf"],
+        # this host's own parallel ceiling at the same pair (see
+        # hw_ceiling docstring) and the pipeline's efficiency normalized
+        # by it — how much of the attainable scaling the pipeline captures
+        **hw,
+        "normalized_efficiency": round(eff / hw["hw_efficiency"], 3),
     }
 
 

@@ -420,6 +420,14 @@ def test_ann_pool_save_load_roundtrip(ray_session, tmp_path):
     assert ids1.tolist() == ids2.tolist()
     assert np.allclose(sims1, sims2, atol=1e-6)
 
+    # load with index-rebuild options: each actor retrains IVF-PQ over its
+    # own shard; exhaustive probe + full re-rank must reproduce the exact
+    # top-k (ids may tie-swap only on equal sims — this data has none)
+    indexed = AnnShardPool.load(str(tmp_path / "ann"), ivf_nlist=4, pq_m=4)
+    ids3, sims3 = indexed.query_pq(q, k=5, nprobe=4, rerank=57)
+    assert ids1.tolist() == ids3.tolist()
+    assert np.allclose(sims1, sims3, atol=1e-5)
+
 
 def test_ann_actor_ivf_probing(ray_session):
     import numpy as np
