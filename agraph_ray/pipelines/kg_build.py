@@ -32,7 +32,7 @@ import pyarrow.dataset as pads
 from ..config import KGConfig
 from ..stages.canonicalize import canonicalize
 from ..stages.chunk import chunk_documents
-from ..stages.dedup import dedup_edges, dedup_entities
+from ..stages.dedup import dedup_both, dedup_edges, dedup_entities
 from ..stages.extract import extract_mentions
 from ..stages.materialize import (atomic_write_parquet, commit_manifest,
                                   is_committed)
@@ -88,18 +88,31 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
             .select(tri_cols), batch_format="pyarrow")
 
     t = time.time()
-    # Entity and edge dedup always overlap on threads: in the single-task
-    # regime there is no shuffle to thrash (the r2 concurrent-sort-shuffle
-    # measurement — 37 s concurrent vs 19 s sequential at 32 CPUs — no
-    # longer applies after the r3 two-level reduce), and each side's
-    # per-execution serial overhead hides under the other. Re-measured at
-    # 554k turns / 32 CPUs: overlapped 4.6-6.8 s vs sequential 7.6-11.5 s
-    # (both sources); at 8 CPUs overlap was already the winner.
-    f_nodes = pool.submit(
-        lambda: dedup_entities(entities, cfg).materialize())
-    f_edges = pool.submit(
-        lambda: dedup_edges(triples, cfg).materialize())
-    nodes, edges = f_nodes.result(), f_edges.result()
+    pair = None
+    if mentions is None:
+        # Parquet-checkpoint regime (mentions exceeded the store): the
+        # FUSED single-scan dedup reads the checkpoint ONCE for both
+        # kinds (stages/dedup.py dedup_both) — halves the dominant I/O
+        # vs the two pruned per-kind reads. Returns None (fall through)
+        # when the partial volume exceeds its cap.
+        fused_cols = sorted(set(ent_cols) | set(tri_cols))
+        pair = dedup_both(rd.read_parquet(mentions_dir, columns=fused_cols),
+                          cfg)
+    if pair is not None:
+        nodes, edges = pair[0].materialize(), pair[1].materialize()
+    else:
+        # In-memory regime (and fused-cap fallback): per-kind branches
+        # overlap on threads — each side's per-execution serial overhead
+        # hides under the other. A/B at 554k turns / 32 CPUs, writes
+        # no-opped: overlapped per-kind 3.9-5.5 s vs fused single-scan
+        # 5.8-7.8 s (both pandas partials serialize inside each fused
+        # task), so in-store re-scans stay per-kind; sequential was
+        # 7.6-11.5 s (r2 measurement).
+        f_nodes = pool.submit(
+            lambda: dedup_entities(entities, cfg).materialize())
+        f_edges = pool.submit(
+            lambda: dedup_edges(triples, cfg).materialize())
+        nodes, edges = f_nodes.result(), f_edges.result()
     if metrics is not None:
         metrics["sec_dedup"] = round(time.time() - t, 2)
 

@@ -406,3 +406,153 @@ def dedup_edges(triple_mentions: "ray.data.Dataset",
     return bucketed_group_reduce(partials, ["relation_id"],
                                  merge_edges_bucket, num_buckets,
                                  schema=EDGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-scan dedup (both kinds in one pass over the mentions blocks)
+# ---------------------------------------------------------------------------
+# One map over the mentions blocks emits a kind-tagged union of entity and
+# edge partials, one bounded re-combine (~combine_width tasks), and — while
+# the combined partials are dictionary-sized (driver_cap) — both merges
+# finish on the driver from `to_arrow_refs` (a few MB; the same associative
+# merge functions, so the result is partition-invariant and equal to the
+# distributed path — pinned by test_dedup_both_equals_per_kind). Above
+# driver_cap each side finishes with the repartition(1) single-task merge;
+# above cap_bytes the caller falls back to the per-kind bucketed paths.
+#
+# WHERE IT WINS (measured, 554k turns / 32 CPUs): the PARQUET-checkpoint
+# regime — the checkpoint is read ONCE for both kinds instead of twice.
+# Locally (page-cached reads) that's a wash (fused 6.3-7.7 s vs two-read
+# 6.9-7.4 s: the two pandas partials serialize inside each fused task,
+# offsetting the read saving); at 100-TB scan-I/O-bound storage the read
+# halving is the dominant term. For IN-STORE mentions the per-kind
+# overlapped branches stay faster (3.9-5.5 s vs 5.8-7.8 s fused — in-store
+# re-scans are zero-copy, so the extra scan is cheaper than serializing
+# the partials), so build_kg keeps per-kind there.
+
+_EDGE_ONLY = ["relation_id", "head_id", "tail_id", "relation_type",
+              "subj", "obj", "subj_type", "obj_type"]
+FUSED_PARTIAL_SCHEMA = pa.schema(
+    [("kind", pa.string())]
+    + list(ENTITY_PARTIAL_SCHEMA)
+    + [EDGES_SCHEMA.field(n) for n in _EDGE_ONLY])
+_ENT_NAMES = [f.name for f in ENTITY_PARTIAL_SCHEMA]
+_EDGE_NAMES = [f.name for f in EDGES_SCHEMA]
+
+
+def _pad_union(tbl: pa.Table, kind: str) -> pa.Table:
+    """Lift a per-kind partial table into FUSED_PARTIAL_SCHEMA (missing
+    columns become typed nulls)."""
+    n = tbl.num_rows
+    cols = []
+    for f in FUSED_PARTIAL_SCHEMA:
+        if f.name == "kind":
+            cols.append(pa.array([kind] * n, pa.string()))
+        elif f.name in tbl.column_names:
+            cols.append(tbl.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))
+    return pa.Table.from_arrays(cols, schema=FUSED_PARTIAL_SCHEMA)
+
+
+def _split_kinds(batch: pa.Table):
+    import pyarrow.compute as pc
+    ent = batch.filter(pc.equal(batch["kind"], "entity"))
+    edg = batch.filter(pc.equal(batch["kind"], "triple"))
+    return ent, edg
+
+
+# raw-mention columns each partial needs (prune before to_pandas — the
+# mention blocks carry both kinds' columns)
+_ENT_RAW = ["conv_id", "entity_id", "name", "norm_name", "entity_type",
+            "description", "aliases", "properties", "confidence", "source",
+            "n_mentions", "n_convs"]
+_EDGE_RAW = ["relation_id", "subj", "subj_type", "pred", "obj", "obj_type",
+             "head_id", "tail_id", "description", "properties",
+             "confidence", "source", "n_mentions"]
+
+
+def _fused_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner over RAW mentions: both kinds in one pass."""
+    ent, edg = _split_kinds(batch)
+    parts = []
+    if ent.num_rows:
+        cols = [c for c in _ENT_RAW if c in ent.column_names]
+        parts.append(_pad_union(_entity_partial(ent.select(cols)), "entity"))
+    if edg.num_rows:
+        cols = [c for c in _EDGE_RAW if c in edg.column_names]
+        parts.append(_pad_union(_edge_partial(edg.select(cols)), "triple"))
+    if not parts:
+        return FUSED_PARTIAL_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def _fused_combine(batch: pa.Table) -> pa.Table:
+    """Second-level combiner over union PARTIALS (associative re-merge)."""
+    ent, edg = _split_kinds(batch)
+    parts = []
+    if ent.num_rows:
+        parts.append(_pad_union(_entity_partial(ent.select(_ENT_NAMES)),
+                                "entity"))
+    if edg.num_rows:
+        parts.append(_pad_union(_edge_partial(edg.select(_EDGE_NAMES)),
+                                "triple"))
+    if not parts:
+        return FUSED_PARTIAL_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
+
+
+def _final_table(df: pd.DataFrame, merge_df, schema: pa.Schema) -> pa.Table:
+    if len(df) == 0:
+        return schema.empty_table()
+    out = merge_df(df)
+    return pa.Table.from_pandas(out, schema=schema,
+                                preserve_index=False
+                                ).replace_schema_metadata(None)
+
+
+def dedup_both(mentions: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
+               cap_bytes: int = 512 << 20, driver_cap: int = 48 << 20,
+               combine_width: int = 16):
+    """mentions → (nodes, edges) via the fused single-scan path, or None
+    when the partial volume exceeds ``cap_bytes`` (caller falls back to
+    the per-kind bucketed paths)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    union = mentions.map_batches(_fused_partial,
+                                 batch_format="pyarrow").materialize()
+    if (union.size_bytes() or 0) > cap_bytes:
+        return None
+    comb = union
+    n = union.count()
+    if union.num_blocks() > 2 * combine_width and n > 8 * combine_width:
+        comb = union.map_batches(
+            _fused_combine, batch_format="pyarrow",
+            batch_size=max(1, n // combine_width)).materialize()
+    if (comb.size_bytes() or 0) <= driver_cap:
+        refs = [t for t in ray.get(comb.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(refs) if refs \
+            else FUSED_PARTIAL_SCHEMA.empty_table()
+        ent, edg = _split_kinds(tbl)
+        nodes = rd.from_arrow(_final_table(
+            ent.select(_ENT_NAMES).to_pandas(), _merge_entities_bucket,
+            NODES_SCHEMA))
+        edges = rd.from_arrow(_final_table(
+            edg.select(_EDGE_NAMES).to_pandas(), merge_edges_bucket,
+            EDGES_SCHEMA))
+        return nodes, edges
+    # mid regime: combined partials too big for the driver — finish each
+    # side with the single-task merge (still one mentions scan total)
+    def _side(names, merge_df, schema, kind):
+        side = comb.map_batches(
+            lambda t, k=kind, ns=names: t.filter(
+                pc.equal(t["kind"], k)).select(ns),
+            batch_format="pyarrow")
+        return side.repartition(1).map_batches(
+            lambda t, m=merge_df, s=schema: _final_table(t.to_pandas(), m, s),
+            batch_format="pyarrow", batch_size=None)
+    return (_side(_ENT_NAMES, _merge_entities_bucket, NODES_SCHEMA,
+                  "entity"),
+            _side(_EDGE_NAMES, merge_edges_bucket, EDGES_SCHEMA, "triple"))

@@ -433,3 +433,68 @@ def test_inv_comention_edges(ray_session):
     _assert_invariant(
         lambda: (turns, nodes),
         lambda t, n: comention_edges(t, n, num_buckets=8))
+
+
+def _mixed_mentions_df() -> pd.DataFrame:
+    """Kind-tagged union frame (entity + triple mentions) as the extract
+    stage emits it: every column present, per-kind irrelevant columns
+    None."""
+    ent = _mentions_df().assign(kind="entity")
+    rng = np.random.default_rng(37)
+    rows = []
+    for k in range(200):
+        i = int(rng.integers(0, 25))
+        tie = k % 3 == 0
+        rows.append(dict(
+            kind="triple", conv_id=f"c{k % 7}",
+            relation_id=f"relation_{i:04d}",
+            head_id=f"entity_a{i}", tail_id=f"entity_b{i}",
+            subj=f"subj {i}", obj=f"obj {i}", pred="related_to",
+            subj_type="person", obj_type=["person", "organization"][k % 2],
+            description="" if tie else f"d{k % 4}",
+            properties=(json.dumps({"p": k % 5}, sort_keys=True)
+                        if k % 2 == 0 else None),
+            confidence=0.7 if tie else round(0.4 + (k % 6) * 0.1, 2),
+            source="cooccurrence"))
+    edg = pd.DataFrame(rows)
+    both = pd.concat([ent, edg], ignore_index=True)
+    # object-dtype None padding for per-kind missing columns (as Arrow
+    # nulls, not NaN floats)
+    for c in both.columns:
+        if both[c].dtype == np.float64 and c != "confidence":
+            both[c] = both[c].astype(object)
+        both[c] = both[c].where(both[c].notna(), None)
+    both["aliases"] = both["aliases"].map(
+        lambda v: v if isinstance(v, list) else [])
+    return both
+
+
+def test_inv_dedup_both_fused(ray_session):
+    """The fused single-scan dedup is partition-invariant AND byte-equal
+    to the per-kind dedup paths, in every size regime (driver merge, mid
+    repartition(1) merge)."""
+    from agraph_ray.stages.dedup import dedup_both
+
+    for kwargs in ({}, {"driver_cap": 0}):
+        _assert_invariant(
+            lambda: (_mixed_mentions_df(),),
+            lambda ds: dedup_both(ds, KGConfig(), **kwargs))
+
+
+def test_dedup_both_equals_per_kind(ray_session):
+    from agraph_ray.stages.dedup import (dedup_both, dedup_edges,
+                                         dedup_entities)
+    import ray.data as rd
+    df = _mixed_mentions_df()
+    ds = rd.from_pandas([df]).repartition(7)
+    nodes_f, edges_f = dedup_both(ds, KGConfig())
+    ents = df[df["kind"] == "entity"]
+    edgs = df[df["kind"] == "triple"]
+    nodes_ref = dedup_entities(rd.from_pandas([ents]), KGConfig())
+    edges_ref = dedup_edges(rd.from_pandas([edgs]))
+    pd.testing.assert_frame_equal(_normalize(nodes_f), _normalize(nodes_ref),
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(_normalize(edges_f), _normalize(edges_ref),
+                                  check_dtype=False)
+    # cap fallback: oversized partials → None (caller falls back)
+    assert dedup_both(ds, KGConfig(), cap_bytes=1) is None
