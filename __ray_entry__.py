@@ -28,6 +28,35 @@ def _quiet():
     ctx.enable_progress_bars = False
 
 
+def _pandas_safe(ds, schema=None):
+    """Dataset → pandas, preserving column names/dtypes when the result
+    is legitimately EMPTY: Ray's ``to_pandas`` returns a zero-column
+    frame when every block is empty (even though ``ds.schema()`` still
+    knows the columns), which fails the driver's column-name compare.
+    Only used by queries whose correct answer can be 0 rows (set ops,
+    strict filter chains) — caught by the sf0.1 sweep. ``schema`` is the
+    explicit fallback for chains whose lazy schema can't be inferred."""
+    import pyarrow as pa
+
+    df = ds.to_pandas()
+    if len(df.columns) > 0:
+        return df
+    if schema is not None:
+        return schema.empty_table().to_pandas()
+    sch = ds.schema()
+    if sch is None:
+        return df
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.empty_table().to_pandas()
+    py_map = {str: pa.string(), int: pa.int64(),
+              float: pa.float64(), bool: pa.bool_()}
+    fields = [(n, t if isinstance(t, pa.DataType) else
+               py_map.get(t, pa.string()))
+              for n, t in zip(sch.names, sch.types)]
+    return pa.schema(fields).empty_table().to_pandas()
+
+
 def _scale_cols(ds, spec):
     """Turn float columns into scaled BIGINTs via floor(x*f + 0.5) — an
     explicit half-up rule identical to the oracle's
@@ -2880,7 +2909,7 @@ def q_docs_scd2(sf_dir: str):
 def q_docs_curation_v2(sf_dir: str):
     """Composed curation pipeline v2, one oracle for the whole chain:
     held-out eval split → exact dedup (min-id per content hash, Bloom
-    semi join pulls survivors) → trigram benchmark decontamination
+    semi join pulls survivors) → 8-gram benchmark decontamination
     (drop) → token counts + deterministic 95/5 split. Text never rides
     a shuffle (hashes and gram strings only)."""
     import pyarrow as pa
@@ -2905,7 +2934,7 @@ def q_docs_curation_v2(sf_dir: str):
     surv_ids = exact_dedup(train)                      # (hash, min doc_id)
     deduped = auto_join(train, surv_ids.select_columns(["doc_id"]),
                         ["doc_id"], how="semi")
-    kept = decontaminate_ngrams(deduped, ev, n=3, mode="drop")
+    kept = decontaminate_ngrams(deduped, ev, n=8, mode="drop")
 
     def finish(t: pa.Table) -> pa.Table:
         t = add_token_count(t)
@@ -2915,7 +2944,11 @@ def q_docs_curation_v2(sf_dir: str):
             "token_count": t["token_count"],
             "split": pa.array(np.where(hv < 95, "train", "val"))})
 
-    return kept.map_batches(finish, batch_format="pyarrow")
+    return _pandas_safe(
+        kept.map_batches(finish, batch_format="pyarrow"),
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("token_count", pa.int64()),
+                          ("split", pa.string())]))
 
 
 def q_lineitem_expectations(sf_dir: str):
@@ -3115,7 +3148,7 @@ def q_docs_except(sf_dir: str):
                          columns=["lang", "source", "n_chars"])
     short = ds.filter(expr="n_chars < 400").drop_columns(["n_chars"])
     long_ = ds.filter(expr="n_chars >= 400").drop_columns(["n_chars"])
-    return except_distinct(short, long_)
+    return _pandas_safe(except_distinct(short, long_))
 
 
 def q_docs_intersect(sf_dir: str):
@@ -3127,7 +3160,7 @@ def q_docs_intersect(sf_dir: str):
                          columns=["lang", "source", "n_chars"])
     short = ds.filter(expr="n_chars < 400").drop_columns(["n_chars"])
     long_ = ds.filter(expr="n_chars >= 400").drop_columns(["n_chars"])
-    return intersect_distinct(short, long_)
+    return _pandas_safe(intersect_distinct(short, long_))
 
 
 def q_orders_row_number(sf_dir: str):
@@ -3211,7 +3244,11 @@ def q_docs_diff(sf_dir: str):
                          columns=["lang", "source", "n_chars"])
     short = ds.filter(expr="n_chars < 400").drop_columns(["n_chars"])
     long_ = ds.filter(expr="n_chars >= 400").drop_columns(["n_chars"])
-    return table_diff(short, long_)
+    import pyarrow as pa
+    return _pandas_safe(table_diff(short, long_),
+                        schema=pa.schema([("lang", pa.string()),
+                                          ("source", pa.string()),
+                                          ("status", pa.string())]))
 
 
 def q_emb_pca(sf_dir: str):
@@ -4954,13 +4991,11 @@ def oracle_sql() -> dict[str, str]:
                                1, len(string_split(text, ' ')))) AS pos
                     FROM ev),
             trg AS (SELECT doc_id,
-                           w || ' ' || lead(w, 1) OVER win
-                             || ' ' || lead(w, 2) OVER win AS gram
+                           w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' || lead(w, 7) OVER win AS gram
                     FROM trt
                     WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
             evg AS (SELECT DISTINCT
-                           w || ' ' || lead(w, 1) OVER win
-                             || ' ' || lead(w, 2) OVER win AS gram
+                           w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' || lead(w, 7) OVER win AS gram
                     FROM evt
                     WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
             bad AS (SELECT DISTINCT doc_id FROM trg
@@ -5139,13 +5174,11 @@ def oracle_sql() -> dict[str, str]:
                                1, len(string_split(text, ' ')))) AS pos
                     FROM ev),
             trg AS (SELECT doc_id,
-                           w || ' ' || lead(w, 1) OVER win
-                             || ' ' || lead(w, 2) OVER win AS gram
+                           w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' || lead(w, 7) OVER win AS gram
                     FROM trt
                     WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
             evg AS (SELECT DISTINCT
-                           w || ' ' || lead(w, 1) OVER win
-                             || ' ' || lead(w, 2) OVER win AS gram
+                           w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' || lead(w, 7) OVER win AS gram
                     FROM evt
                     WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
             bad AS (SELECT DISTINCT doc_id FROM trg

@@ -841,8 +841,10 @@ def link_prediction_scores(edges: "ray.data.Dataset", src: str, dst: str,
     import ray
     from .join import cogroup_join
 
+    # materialized once: both the pair chain and the degree chain consume
+    # it — lazy, the distinct shuffle would execute twice
     e = distinct_on(edges.select_columns([src, dst]), [src, dst],
-                    num_buckets)
+                    num_buckets).materialize()
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("cn", pa.int64()), ("aa", pa.float64())])
@@ -913,9 +915,23 @@ def link_prediction_scores(edges: "ray.data.Dataset", src: str, dst: str,
                             ("cn", pa.int64()), ("aa_micro", pa.int64()),
                             ("jac_micro", pa.int64())])
 
-    if deg.count() <= broadcast_limit:
-        dd = deg.to_pandas()
-        ref = ray.put((dd["s"].to_numpy(), dd["ds"].to_numpy()))
+    # size probe and collect in ONE pass (count + to_pandas would run the
+    # degree reduce twice); cap trips conservatively mid-stream
+    s_l, ds_l, nrows, over = [], [], 0, False
+    it = deg.iter_batches(batch_size=None, batch_format="pyarrow")
+    for bt in it:
+        s_l.append(bt["s"].to_numpy(zero_copy_only=False))
+        ds_l.append(bt["ds"].to_numpy(zero_copy_only=False))
+        nrows += len(bt["s"])
+        if nrows > broadcast_limit:
+            over = True
+            del it
+            break
+
+    if not over:
+        ref = ray.put((
+            np.concatenate(s_l) if s_l else np.zeros(0, np.int64),
+            np.concatenate(ds_l) if ds_l else np.zeros(0, np.int64)))
 
         def score(t: pa.Table) -> pa.Table:
             s_sorted, ds_v = ray.get(ref)
@@ -938,6 +954,8 @@ def link_prediction_scores(edges: "ray.data.Dataset", src: str, dst: str,
 
         scored = pairs.map_batches(score, batch_format="pyarrow")
     else:
+        del s_l, ds_l
+        deg = deg.materialize()  # consumed by two joins below
         j1 = cogroup_join(
             pairs, deg.map_batches(
                 lambda t: t.rename_columns(["a", "ds_a"]),
@@ -1006,11 +1024,6 @@ def random_walks(edges: "ray.data.Dataset", src: str, dst: str,
             pd.DataFrame({"node": node, "nbr": nbr}).drop_duplicates(),
             preserve_index=False)
 
-    adj = distinct_on(
-        edges.select_columns([src, dst]).map_batches(
-            norm, batch_format="pyarrow"),
-        ["node", "nbr"], num_buckets).materialize()
-
     def seed(t: pa.Table) -> pa.Table:
         nodes = t["node"].to_numpy(zero_copy_only=False)
         n = len(nodes)
@@ -1021,29 +1034,52 @@ def random_walks(edges: "ray.data.Dataset", src: str, dst: str,
         return pa.table({"walk_id": pa.array(wid, pa.string()),
                          "node": pa.array(nd, pa.int64())})
 
-    def both_endpoints(t: pa.Table) -> pa.Table:
-        u = np.unique(np.concatenate([
-            t["node"].to_numpy(zero_copy_only=False),
-            t["nbr"].to_numpy(zero_copy_only=False)]).astype(np.int64))
-        return pa.table({"node": pa.array(u, pa.int64())})
+    # Size probe without a shuffle: collect the per-batch-deduped pairs
+    # straight to the driver until the cap trips. In the (common)
+    # broadcast regime the sorted adjacency has to live on the driver
+    # anyway, so the distinct/sort shuffles and the frontier shuffle are
+    # pure overhead — one streaming pass replaces three executions.
+    # Per-batch dedup overcounts true distinct pairs, so the cap check
+    # is conservative (trips early, never late).
+    normed = edges.select_columns([src, dst]).map_batches(
+        norm, batch_format="pyarrow")
+    an_l, ab_l, rows, over = [], [], 0, False
+    it = normed.iter_batches(batch_size=None, batch_format="pyarrow")
+    for bt in it:
+        an_l.append(bt["node"].to_numpy(zero_copy_only=False))
+        ab_l.append(bt["nbr"].to_numpy(zero_copy_only=False))
+        rows += len(bt["node"])
+        if rows > adj_broadcast_cap:
+            over = True
+            del it  # cancel the streaming execution
+            break
 
-    frontier = distinct_on(
-        adj.map_batches(both_endpoints, batch_format="pyarrow"),
-        ["node"], num_buckets).map_batches(
-        seed, batch_format="pyarrow").materialize()
-
-    if adj.count() <= adj_broadcast_cap:
+    if not over:
         import ray
-        an_l, ab_l = [], []
-        for bt in adj.sort(["node", "nbr"]).iter_batches(
-                batch_size=None, batch_format="pyarrow"):
-            an_l.append(bt["node"].to_numpy(zero_copy_only=False))
-            ab_l.append(bt["nbr"].to_numpy(zero_copy_only=False))
         an = (np.concatenate(an_l) if an_l
               else np.zeros(0, np.int64)).astype(np.int64)
         ab = (np.concatenate(ab_l) if ab_l
               else np.zeros(0, np.int64)).astype(np.int64)
+        # driver-side distinct + sort(node, nbr) — identical to the
+        # distributed distinct_on + Dataset.sort it replaces
+        order = np.lexsort((ab, an))
+        an, ab = an[order], ab[order]
+        if len(an):
+            keep = np.ones(len(an), bool)
+            keep[1:] = (an[1:] != an[:-1]) | (ab[1:] != ab[:-1])
+            an, ab = an[keep], ab[keep]
         ref = ray.put((an, ab))
+
+        # seeds = every distinct endpoint (node col already holds all of
+        # them when undirected; nbr adds the dsts otherwise)
+        u = np.unique(np.concatenate([an, ab])) if len(an) else \
+            np.zeros(0, np.int64)
+        chunk = max(1, (len(u) + num_buckets - 1) // num_buckets)
+        seed_tabs = [seed(pa.table({"node": pa.array(u[i:i + chunk],
+                                                     pa.int64())}))
+                     for i in range(0, max(len(u), 1), chunk)]
+        import ray.data as _rd
+        frontier = _rd.from_arrow(seed_tabs)
 
         def walk_all(t: pa.Table) -> pa.Table:
             node_arr, nbr_arr = ray.get(ref)
@@ -1073,6 +1109,25 @@ def random_walks(edges: "ray.data.Dataset", src: str, dst: str,
                 "node": pa.array(np.concatenate(out_n), pa.int64())})
 
         return frontier.map_batches(walk_all, batch_format="pyarrow")
+
+    # Beyond the cap: full distributed path — distinct adjacency and
+    # seed frontier via bucketed shuffles, then one node-keyed reduce
+    # per step. (The partial driver collect above is discarded; this
+    # regime re-reads the input once, which is noise next to the
+    # length-1 keyed reduces that follow.)
+    del an_l, ab_l
+    adj = distinct_on(normed, ["node", "nbr"], num_buckets).materialize()
+
+    def both_endpoints(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["node"].to_numpy(zero_copy_only=False),
+            t["nbr"].to_numpy(zero_copy_only=False)]).astype(np.int64))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    frontier = distinct_on(
+        adj.map_batches(both_endpoints, batch_format="pyarrow"),
+        ["node"], num_buckets).map_batches(
+        seed, batch_format="pyarrow").materialize()
 
     def stamp(step_val: int):
         def f(t: pa.Table) -> pa.Table:

@@ -854,8 +854,8 @@ def grouped_quantiles_cont(ds: "ray.data.Dataset", key: str,
                            qs: Sequence[float] = (0.25, 0.5, 0.75),
                            num_buckets: int = 64) -> "ray.data.Dataset":
     """Interpolated per-group quantiles with SQL ``quantile_cont``
-    semantics: h = q*(n-1), result = v[floor(h)] + frac(h) *
-    (v[floor(h)+1] - v[floor(h)]) over the ascending-sorted values —
+    semantics: h = q*(n-1), result = v[floor(h)]*(1-frac(h)) +
+    v[floor(h)+1]*frac(h) over the ascending-sorted values —
     bit-compatible with DuckDB/Postgres percentile_cont. Same co-grouped
     sort shape as :func:`grouped_quantiles` (nearest-rank)."""
     qcols = [f"q{int(round(q * 100)):02d}" for q in qs]
@@ -878,8 +878,11 @@ def grouped_quantiles_cont(ds: "ray.data.Dataset", key: str,
             lo = np.floor(h).astype(np.int64)
             frac = h - lo
             hi = np.minimum(lo + 1, ns - 1)
-            out[c] = (v[starts + lo]
-                      + frac * (v[starts + hi] - v[starts + lo]))
+            # DuckDB/Postgres interpolate as lo*(1-d) + hi*d — the
+            # algebraically-equal lo + d*(hi-lo) differs by one ulp at
+            # exact rounding boundaries (caught by the sf0.1 sweep)
+            out[c] = (v[starts + lo] * (1.0 - frac)
+                      + v[starts + hi] * frac)
         out["n"] = ns
         return pd.DataFrame(out)
 
