@@ -550,8 +550,12 @@ def auto_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         from .bloom import bloom_join
         return bloom_join(left, right.select_columns(on), on[0], how=how,
                           num_buckets=num_buckets)
-    if how in ("inner", "left") and len(on) == 1 \
-            and right.count() <= broadcast_rows:
-        cols = [c for c in right.schema().names if c != on[0]]
-        return broadcast_join(left, right, on[0], cols, how=how)
+    if how in ("inner", "left") and len(on) == 1:
+        # materialize before the size probe: count() on a lazy right side
+        # executes its whole upstream, and whichever join runs next would
+        # execute it AGAIN
+        right = right.materialize()
+        if right.count() <= broadcast_rows:
+            cols = [c for c in right.schema().names if c != on[0]]
+            return broadcast_join(left, right, on[0], cols, how=how)
     return cogroup_join(left, right, on, how=how, num_buckets=num_buckets)

@@ -296,13 +296,17 @@ def embedding_join(a: "ray.data.Dataset", b: "ray.data.Dataset",
     never more than ``cap`` index rows are resident anywhere. (The
     sharded ANN actor pool in state/ann.py serves the repeated-query
     deployment.)"""
+    # materialize the index side before the size probe: a lazy count()
+    # would execute b's upstream once for the probe and again for the
+    # collect below (or S more times on the sharded path)
+    b = b.select_columns([id_col, vec_col]).materialize()
     n_b = b.count()
     if n_b > broadcast_cap:
         return _embedding_join_sharded(
             a, b, k, vec_col, id_col,
             n_shards=int(np.ceil(n_b / broadcast_cap)))
     ids_b, vecs_b = [], []
-    for bt in b.select_columns([id_col, vec_col]).iter_batches(
+    for bt in b.iter_batches(
             batch_size=None, batch_format="pyarrow"):
         ids_b.append(np.asarray(bt[id_col].to_pylist()))
         vecs_b.append(np.asarray(bt[vec_col].to_pylist(), dtype=np.float64))

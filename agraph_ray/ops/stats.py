@@ -613,11 +613,14 @@ def grouped_zscore(ds: "ray.data.Dataset", group_col: str, val_col: str,
         agg = d.groupby("g", as_index=False).sum()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
+    # materialized: the lazy count() probe below plus take_all/join would
+    # otherwise execute the whole moment pass twice
     stats = (ds.select_columns([group_col, val_col])
              .map_batches(partial, batch_format="pyarrow")
              .groupby("g").aggregate(Sum("n", alias_name="n"),
                                      Sum("s", alias_name="s"),
-                                     Sum("ss", alias_name="ss")))
+                                     Sum("ss", alias_name="ss"))
+             .materialize())
 
     def _ms(t: pa.Table) -> pa.Table:
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
