@@ -3372,9 +3372,10 @@ def q_docs_resample(sf_dir: str):
 def q_docs_decontaminate(sf_dir: str):
     """GPT-3-style benchmark decontamination: even-id docs are the train
     split, odd-id docs the eval set; a train doc is contaminated if it
-    shares any word trigram with eval. Exact string grams ride one
-    gram-keyed semi join; the hit-id set broadcasts for a map-side
-    mark."""
+    shares any word 8-gram with eval (the GPT-3 appendix-C rule; short
+    grams mark nearly every doc at corpus scale). Exact string grams
+    decide membership — eval grams broadcast, the train side is pure
+    map passes."""
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.text import decontaminate_ngrams
@@ -3390,7 +3391,7 @@ def q_docs_decontaminate(sf_dir: str):
 
     train = ds.map_batches(split(0), batch_format="pyarrow")
     ev = ds.map_batches(split(1), batch_format="pyarrow")
-    out = decontaminate_ngrams(train, ev, n=3)
+    out = decontaminate_ngrams(train, ev, n=8)
     return out.select_columns(["doc_id", "contaminated"])
 
 

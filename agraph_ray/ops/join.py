@@ -361,33 +361,39 @@ def heavy_hitter_keys(ds: "ray.data.Dataset", on: str, k: int = 64,
     (Misra-Gries flavor — counts of surviving keys are exact-or-under,
     state is O(cap) regardless of cardinality, so the reduce never holds
     the full key domain). Returns {key: count} for the top ``k``."""
+    import pickle
+
     from ray.data.aggregate import AggregateFn
 
+    # the accumulator rides Ray blocks as an explicit bytes payload: a
+    # raw dict (int keys) fails Arrow conversion and hits the slow
+    # throw-and-pickle fallback on every emission
     def _prune(d: dict) -> dict:
         if len(d) <= cap:
             return d
         return dict(sorted(d.items(), key=lambda x: -x[1])[:cap])
 
-    def acc_block(acc: dict, block) -> dict:
+    def acc_block(acc: bytes, block) -> bytes:
         t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(
             block)
         if len(t) == 0:
             return acc
         vc = t[on].to_pandas().value_counts()   # vectorized count per block
-        out = dict(acc)
+        out = pickle.loads(acc) if acc else {}
         for key, c in vc.items():
             out[key] = out.get(key, 0) + int(c)
-        return _prune(out)
+        return pickle.dumps(_prune(out))
 
-    def merge(a: dict, b: dict) -> dict:
-        out = dict(a)
-        for key, c in b.items():
+    def merge(a: bytes, b: bytes) -> bytes:
+        out = pickle.loads(a) if a else {}
+        for key, c in (pickle.loads(b) if b else {}).items():
             out[key] = out.get(key, 0) + c
-        return _prune(out)
+        return pickle.dumps(_prune(out))
 
-    counts = ds.select_columns([on]).aggregate(AggregateFn(
-        init=lambda _k: {}, accumulate_block=acc_block, merge=merge,
+    raw = ds.select_columns([on]).aggregate(AggregateFn(
+        init=lambda _k: b"", accumulate_block=acc_block, merge=merge,
         name="hh"))["hh"]
+    counts = pickle.loads(raw) if raw else {}
     top = sorted(counts.items(), key=lambda x: (-x[1], str(x[0])))[:k]
     return dict(top)
 

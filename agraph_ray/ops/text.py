@@ -1245,53 +1245,79 @@ def decontaminate_ngrams(train: "ray.data.Dataset",
                          id_col: str = "doc_id", col: str = "text",
                          mode: str = "mark",
                          broadcast_limit: int = 5_000_000,
+                         eval_broadcast_bytes: int = 256 << 20,
                          num_buckets: int = 64) -> "ray.data.Dataset":
     """Benchmark decontamination (GPT-3 appendix-C style): a train doc is
     contaminated if it shares ANY word ``n``-gram with the eval set.
     ``mode="mark"`` appends an int64 0/1 ``contaminated`` column;
     ``mode="drop"`` filters contaminated docs out.
 
-    Shuffle shape: both sides reduce to distinct gram rows (per-batch
-    combiners); a Bloom filter of the eval grams prunes train gram rows
-    MAP-SIDE before the one gram-keyed semi join (the join then carries
-    ~|true overlaps|, not |train grams| — the Spark runtime-filter
-    pattern, exact because the join re-verifies on the string); the
-    (small) contaminated-id set is broadcast for a map-side mark/drop —
-    with a co-group anti/semi join fallback above ``broadcast_limit``.
-    Exact string grams decide membership, so there are no false
-    positives at any scale."""
+    Shuffle shape: eval sets are benchmarks — small by construction — so
+    the primary path broadcasts their sorted distinct grams (one driver
+    collect under ``eval_broadcast_bytes``, no shuffle) and the train
+    side, the 100-TB side, gets two pure map passes (exact searchsorted
+    membership; contaminated ids fold per batch). Beyond the guard the
+    distributed shape takes over: distinct eval grams, a Bloom
+    runtime-filter pruning train gram rows MAP-SIDE before the one
+    gram-keyed exact semi join (the Spark runtime-filter pattern), and a
+    broadcast (or co-grouped, above ``broadcast_limit``) contaminated-id
+    mark/drop. Exact string grams decide membership on every path, so
+    there are no false positives at any scale."""
     import ray
 
     from ..stages.common import bucketed_group_reduce, distinct_on
     from .bloom import _member_mask, build_bloom
     from .join import cogroup_join
 
-    ev_grams = distinct_on(
-        eval_ds.map_batches(_doc_gram_rows(id_col, col, n),
-                            batch_format="pyarrow")
-        .select_columns(["gram"]), ["gram"], num_buckets).materialize()
-    tr_grams = train.map_batches(_doc_gram_rows(id_col, col, n),
-                                 batch_format="pyarrow")
+    # Fast path — and the 100-TB-correct shape: eval sets are BENCHMARKS
+    # (small by construction), so their distinct grams broadcast and the
+    # huge train side only ever gets map passes. Collect per-batch
+    # distinct eval grams straight to the driver (one streaming pass, no
+    # shuffle) under a size guard; exact membership is a searchsorted
+    # against the sorted unique gram array — no bloom, no join, and
+    # contaminated ids fold map-side per batch.
+    ev_rows = (eval_ds.map_batches(_doc_gram_rows(id_col, col, n),
+                                   batch_format="pyarrow")
+               .select_columns(["gram"])
+               .map_batches(lambda t: t.group_by("gram").aggregate([]),
+                            batch_format="pyarrow"))
+    gram_chunks, gbytes, gover = [], 0, False
+    it = ev_rows.iter_batches(batch_size=None, batch_format="pyarrow")
+    for bt in it:
+        g = bt["gram"].combine_chunks()
+        gram_chunks.append(g)
+        gbytes += g.nbytes
+        if gbytes > eval_broadcast_bytes:
+            gover = True
+            del it
+            break
 
-    m_bits, kh = 1 << 23, 7
-    bloom = build_bloom(ev_grams, "gram", m_bits, kh)
-    bref = ray.put(bloom)
+    if not gover:
+        ev_arr = np.unique(np.asarray(
+            pa.concat_arrays(gram_chunks).to_pylist(), dtype=object)) \
+            if gram_chunks else np.empty(0, object)
+        gref = ray.put(ev_arr)
 
-    def prefilter(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        b = ray.get(bref)
-        keep = _member_mask(b, t["gram"].to_pandas(), m_bits, kh)
-        return t.filter(pa.array(keep))
+        def find_ids(t: pa.Table) -> pa.Table:
+            ev = ray.get(gref)
+            if len(ev) == 0 or len(t) == 0:
+                return pa.table({id_col: pa.array([], pa.int64())})
+            grams = np.asarray(t["gram"].to_pylist(), dtype=object)
+            i = np.searchsorted(ev, grams)
+            hit = (i < len(ev)) & (ev[np.clip(i, 0, len(ev) - 1)] == grams)
+            ids = np.unique(t[id_col].to_numpy(
+                zero_copy_only=False)[hit].astype(np.int64))
+            return pa.table({id_col: pa.array(ids, pa.int64())})
 
-    cand = tr_grams.map_batches(prefilter, batch_format="pyarrow")
-    hits = cogroup_join(cand, ev_grams, on=["gram"], how="semi",
-                        num_buckets=num_buckets)
-    contaminated = distinct_on(hits.select_columns([id_col]), [id_col],
-                               num_buckets).materialize()
-
-    if contaminated.count() <= broadcast_limit:
-        bad = np.sort(np.asarray(
-            [r[id_col] for r in contaminated.take_all()], dtype=np.int64))
+        bad_chunks = [bt[id_col].to_numpy(zero_copy_only=False)
+                      for bt in train
+                      .map_batches(_doc_gram_rows(id_col, col, n),
+                                   batch_format="pyarrow")
+                      .map_batches(find_ids, batch_format="pyarrow")
+                      .iter_batches(batch_size=None,
+                                    batch_format="pyarrow")]
+        bad = (np.unique(np.concatenate(bad_chunks).astype(np.int64))
+               if bad_chunks else np.zeros(0, np.int64))
         ref = ray.put(bad)
 
         def mark(t: pa.Table) -> pa.Table:
@@ -1307,6 +1333,49 @@ def decontaminate_ngrams(train: "ray.data.Dataset",
                 "contaminated", pa.array(hit.astype(np.int64), pa.int64()))
 
         return train.map_batches(mark, batch_format="pyarrow")
+
+    # Eval grams beyond the broadcast guard: the original distributed
+    # shape — distinct eval grams, Bloom runtime-filter on the train
+    # gram stream, one gram-keyed exact semi join, distinct ids.
+    del gram_chunks
+    ev_grams = distinct_on(ev_rows, ["gram"], num_buckets).materialize()
+    tr_grams = train.map_batches(_doc_gram_rows(id_col, col, n),
+                                 batch_format="pyarrow")
+
+    m_bits, kh = 1 << 23, 7
+    bloom = build_bloom(ev_grams, "gram", m_bits, kh)
+    bref = ray.put(bloom)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        keep = _member_mask(b, t["gram"].to_pandas(), m_bits, kh)
+        return t.filter(pa.array(keep))
+
+    cand = tr_grams.map_batches(prefilter, batch_format="pyarrow")
+    hits = cogroup_join(cand, ev_grams, on=["gram"], how="semi",
+                        num_buckets=num_buckets)
+    contaminated = distinct_on(hits.select_columns([id_col]), [id_col],
+                               num_buckets).materialize()
+
+    if contaminated.count() <= broadcast_limit:
+        bad = np.sort(np.asarray(
+            [r[id_col] for r in contaminated.take_all()], dtype=np.int64))
+        ref = ray.put(bad)
+
+        def mark2(t: pa.Table) -> pa.Table:
+            b = ray.get(ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            hit = np.zeros(len(t), dtype=bool)
+            if len(b):
+                i = np.searchsorted(b, ids)
+                hit = (i < len(b)) & (b[np.clip(i, 0, len(b) - 1)] == ids)
+            if mode == "drop":
+                return t.filter(pa.array(~hit))
+            return t.append_column(
+                "contaminated",
+                pa.array(hit.astype(np.int64), pa.int64()))
+
+        return train.map_batches(mark2, batch_format="pyarrow")
 
     # contaminated set too large to broadcast: co-group by id
     flag = contaminated.map_batches(

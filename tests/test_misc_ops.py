@@ -245,11 +245,22 @@ def test_decontaminate_ngrams_mark_and_drop(ray_session):
     kept = decontaminate_ngrams(rd.from_pandas(train), rd.from_pandas(ev),
                                 n=3, mode="drop").to_pandas()
     assert sorted(kept["doc_id"]) == [2, 4]
-    # cogroup fallback path gives the same answer
+    # distributed bloom+join path (eval grams beyond the broadcast
+    # guard) gives the same answer
     out2 = decontaminate_ngrams(rd.from_pandas(train), rd.from_pandas(ev),
-                                n=3, broadcast_limit=0).to_pandas() \
+                                n=3, eval_broadcast_bytes=0).to_pandas() \
         .sort_values("doc_id")
     assert list(out2["contaminated"]) == [1, 0, 0]
+    # ...and its cogroup mark branch (contaminated ids beyond the limit)
+    out3 = decontaminate_ngrams(rd.from_pandas(train), rd.from_pandas(ev),
+                                n=3, eval_broadcast_bytes=0,
+                                broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id")
+    assert list(out3["contaminated"]) == [1, 0, 0]
+    kept3 = decontaminate_ngrams(rd.from_pandas(train), rd.from_pandas(ev),
+                                 n=3, eval_broadcast_bytes=0,
+                                 broadcast_limit=0, mode="drop").to_pandas()
+    assert sorted(kept3["doc_id"]) == [2, 4]
 
 
 def test_word_pmi_hand_computed(ray_session):
