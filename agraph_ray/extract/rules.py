@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 # ---------------------------------------------------------------------------
 # type vocabulary (agraph/types.py:11-51)
@@ -165,6 +165,8 @@ _SENTENCE_SPLIT_RE = re.compile(r"[.!?]+")
 _TRIGGER_SHAPE_RE = re.compile(r"^\(\.\+\?\)( ?)\(\?:([^()]+)\)( ?)")
 # "(.+?)<pure literal run>(" prefix shape, e.g. "(.+?) of (.+)"
 _TRIGGER_LITERAL_RE = re.compile(r"^\(\.\+\?\)([^()\\\[\]+*?|{}^$.]+)\(")
+# any regex metacharacter — a string without one matches itself literally
+_REGEX_META_RE = re.compile(r"[\\\[\](){}+*?|^$.]")
 
 
 def _required_literals(pattern_src: str) -> Optional[List[str]]:
@@ -177,7 +179,10 @@ def _required_literals(pattern_src: str) -> Optional[List[str]]:
     if m:
         pre, body, post = m.group(1), m.group(2), m.group(3)
         alts = body.split("|")
-        if any(re.escape(a) != a for a in alts):
+        # literal iff no regex metacharacter (re.escape also escapes
+        # spaces since 3.7, which wrongly rejected multi-word
+        # alternatives like "is part of")
+        if any(_REGEX_META_RE.search(a) for a in alts):
             return None
         return [f"{pre}{a.lower()}{post}" for a in alts]
     m = _TRIGGER_LITERAL_RE.match(pattern_src)
@@ -333,21 +338,38 @@ class RuleExtractor:
         entity_map: Dict[str, EntityRec] = {e.name.lower(): e for e in entities}
         out: List[TripleRec] = []
 
-        tl = text.lower()
+        # `.` never crosses newlines and no pattern is anchored, so a
+        # match lives entirely inside one line: scanning per line yields
+        # the exact match set in the same (position) order, and the
+        # trigger prefilter then skips the lazy-prefix regex on every
+        # line that lacks the required literal — the dominant extraction
+        # cost on large documents (pinned lossless by
+        # test_trigger_prefilter_is_lossless + test_fixture_parity).
+        lines = text.split("\n")
+        lines_l = [ln.lower() for ln in lines]
+
+        def emit(m: "re.Match", rtype: str) -> None:
+            g = m.groups()
+            if len(g) < 2 or g[0] is None or g[1] is None:
+                return
+            head = self._resolve(g[0].strip().lower(), entity_map)
+            tail = self._resolve(g[1].strip().lower(), entity_map)
+            if head is not None and tail is not None:
+                out.append(TripleRec(head.key, head.etype, rtype,
+                                     tail.key, tail.etype, 0.7,
+                                     "text_pattern_matching"))
+
         for (rtype, pat), trig in zip(self.relation_patterns,
                                       self._relation_triggers):
-            if trig is not None and not any(t in tl for t in trig):
+            if trig is None:
+                for m in pat.finditer(text):
+                    emit(m, rtype)
                 continue
-            for m in pat.finditer(text):
-                g = m.groups()
-                if len(g) < 2 or g[0] is None or g[1] is None:
+            for ln, ll in zip(lines, lines_l):
+                if not any(t in ll for t in trig):
                     continue
-                head = self._resolve(g[0].strip().lower(), entity_map)
-                tail = self._resolve(g[1].strip().lower(), entity_map)
-                if head is not None and tail is not None:
-                    out.append(TripleRec(head.key, head.etype, rtype,
-                                         tail.key, tail.etype, 0.7,
-                                         "text_pattern_matching"))
+                for m in pat.finditer(ln):
+                    emit(m, rtype)
 
         out.extend(self._cooccurrence(text, entities))
         return [t for t in out if self._valid(t)]
@@ -378,13 +400,36 @@ class RuleExtractor:
         per-check allocation."""
         lowered = [(e, e.name.lower(), [a.lower() for a in e.aliases])
                    for e in entities]
+
+        # presence test per sentence: C-speed substring checks are right
+        # for small vocabularies; beyond ~64 entities an Aho-Corasick
+        # over names+aliases turns O(sentences x entities) scans into one
+        # O(sentence) walk — same substring semantics, same entity order
+        if len(lowered) >= 64:
+            from ..state.textmatch import AhoCorasick
+            pat2idx: Dict[str, List[int]] = {}
+            for idx, (_e, nl, al) in enumerate(lowered):
+                for p in (nl, *al):
+                    if p:
+                        pat2idx.setdefault(p, []).append(idx)
+            ac = AhoCorasick(pat2idx.keys())
+
+            def present_in(s: str) -> List[EntityRec]:
+                idxs: Set[int] = set()
+                for p in ac.find_present(s):
+                    idxs.update(pat2idx[p])
+                return [lowered[i][0] for i in sorted(idxs)]
+        else:
+            def present_in(s: str) -> List[EntityRec]:
+                return [e for e, nl, al in lowered
+                        if nl in s or (al and any(a in s for a in al))]
+
         out: List[TripleRec] = []
         for sentence in _SENTENCE_SPLIT_RE.split(text):
             s = sentence.strip().lower()
             if not s:
                 continue
-            present = [e for e, nl, al in lowered
-                       if nl in s or (al and any(a in s for a in al))]
+            present = present_in(s)
             if self.max_cooc and len(present) > self.max_cooc:
                 present = present[: self.max_cooc]
             for i, e1 in enumerate(present):

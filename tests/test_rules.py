@@ -97,3 +97,33 @@ def test_trigger_prefilter_is_lossless():
         assert eng.extract(d) == base.extract(d)
         total += len(base.extract(d)[1])
     assert total > 0
+
+
+def test_cooccurrence_automaton_equals_bruteforce():
+    """Above the entity-count threshold _cooccurrence switches to an
+    Aho-Corasick presence scan — pair output must equal the brute-force
+    substring rule on entity-heavy documents (order included)."""
+    from agraph_ray.extract.rules import _SENTENCE_SPLIT_RE, RuleExtractor
+    from agraph_ray.synth import ground_truth_documents
+    rx = RuleExtractor()
+    docs = sorted(ground_truth_documents(60, seed=7).values(), key=len)
+    checked_big = 0
+    for t in docs[-8:] + docs[:4]:
+        ents = rx.extract_entities(t)
+        if len(ents) >= 64:
+            checked_big += 1
+        lowered = [(e, e.name.lower(), [a.lower() for a in e.aliases])
+                   for e in ents]
+        ref = []
+        for sentence in _SENTENCE_SPLIT_RE.split(t):
+            s = sentence.strip().lower()
+            if not s:
+                continue
+            present = [e for e, nl, al in lowered
+                       if nl in s or (al and any(a in s for a in al))]
+            for i, e1 in enumerate(present):
+                for e2 in present[i + 1:]:
+                    ref.append((e1.key, e2.key))
+        got = [(x.subj, x.obj) for x in rx._cooccurrence(t, ents)]
+        assert got == ref
+    assert checked_big >= 1, "no document exercised the automaton path"
