@@ -285,11 +285,20 @@ class RuleExtractor:
         """Pattern NER + frequency-keyword concepts + in-doc dedup, in the
         reference's exact order (entity_extractor.py:202-257)."""
         raw: List[EntityRec] = []
+        # collapse exact (name, etype) repeats inline: a same-name
+        # duplicate contributes nothing to the dedup merge (same
+        # confidence, no alias, empty description/properties), and large
+        # documents repeat mentions tens of thousands of times
+        seen: Set[Tuple[str, str]] = set()
         for etype, pat in self.entity_patterns:
             for m in pat.finditer(text):
                 name = m.group().strip()
                 if len(name) < 2:
                     continue
+                k2 = (name, etype)
+                if k2 in seen:
+                    continue
+                seen.add(k2)
                 conf = _entity_confidence(name)
                 if conf < self.confidence_threshold:
                     continue
