@@ -357,12 +357,24 @@ class RuleExtractor:
         lines = text.split("\n")
         lines_l = [ln.lower() for ln in lines]
 
+        # per-document memo: entity_map is fixed for the call, and the
+        # same head/tail surface forms repeat across pattern matches —
+        # the fuzzy miss path walks the whole entity map otherwise
+        rcache: Dict[str, Optional[EntityRec]] = {}
+
+        def resolve(nm: str) -> Optional[EntityRec]:
+            if nm in rcache:
+                return rcache[nm]
+            r = self._resolve(nm, entity_map)
+            rcache[nm] = r
+            return r
+
         def emit(m: "re.Match", rtype: str) -> None:
             g = m.groups()
             if len(g) < 2 or g[0] is None or g[1] is None:
                 return
-            head = self._resolve(g[0].strip().lower(), entity_map)
-            tail = self._resolve(g[1].strip().lower(), entity_map)
+            head = resolve(g[0].strip().lower())
+            tail = resolve(g[1].strip().lower())
             if head is not None and tail is not None:
                 out.append(TripleRec(head.key, head.etype, rtype,
                                      tail.key, tail.etype, 0.7,

