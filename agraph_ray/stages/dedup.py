@@ -524,7 +524,26 @@ def dedup_both(mentions: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
     union = mentions.map_batches(_fused_partial,
                                  batch_format="pyarrow").materialize()
     if (union.size_bytes() or 0) > cap_bytes:
-        return None
+        # Partial volume beyond the single-task caps: CONTINUE from the
+        # already-materialized partials with one key-bucketed reduce per
+        # kind — every partial of a key lands in one bucket, where the
+        # (associative, invariance-tested) bucket merge is the final
+        # merge. Discarding the scan and re-reading the checkpoint
+        # per-kind (the old None fallback) paid the dominant read twice.
+        from .common import bucketed_group_reduce
+
+        def _side_bucketed(names, merge_df, schema, kind, key):
+            side = union.map_batches(
+                lambda t, k=kind, ns=names: t.filter(
+                    pc.equal(t["kind"], k)).select(ns),
+                batch_format="pyarrow")
+            return bucketed_group_reduce(side, [key], merge_df,
+                                         schema=schema)
+
+        return (_side_bucketed(_ENT_NAMES, _merge_entities_bucket,
+                               NODES_SCHEMA, "entity", "norm_name"),
+                _side_bucketed(_EDGE_NAMES, merge_edges_bucket,
+                               EDGES_SCHEMA, "triple", "relation_id"))
     comb = union
     n = union.count()
     if union.num_blocks() > 2 * combine_width and n > 8 * combine_width:

@@ -475,7 +475,7 @@ def test_inv_dedup_both_fused(ray_session):
     repartition(1) merge)."""
     from agraph_ray.stages.dedup import dedup_both
 
-    for kwargs in ({}, {"driver_cap": 0}):
+    for kwargs in ({}, {"driver_cap": 0}, {"cap_bytes": 1}):
         _assert_invariant(
             lambda: (_mixed_mentions_df(),),
             lambda ds: dedup_both(ds, KGConfig(), **kwargs))
@@ -496,5 +496,11 @@ def test_dedup_both_equals_per_kind(ray_session):
                                   check_dtype=False)
     pd.testing.assert_frame_equal(_normalize(edges_f), _normalize(edges_ref),
                                   check_dtype=False)
-    # cap fallback: oversized partials → None (caller falls back)
-    assert dedup_both(ds, KGConfig(), cap_bytes=1) is None
+    # beyond cap_bytes the fused path continues from its partials with a
+    # key-bucketed reduce per kind — still value-identical to per-kind
+    pair = dedup_both(ds, KGConfig(), cap_bytes=1)
+    assert pair is not None
+    pd.testing.assert_frame_equal(_normalize(pair[0]),
+                                  _normalize(nodes_ref), check_dtype=False)
+    pd.testing.assert_frame_equal(_normalize(pair[1]),
+                                  _normalize(edges_ref), check_dtype=False)
