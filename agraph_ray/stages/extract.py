@@ -221,5 +221,13 @@ def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
         batch_format="pyarrow")
     m_small = small.map_batches(run, batch_format="pyarrow",
                                 batch_size=cfg.extract_batch_size)
-    m_big = big.map_batches(run, batch_format="pyarrow", batch_size=1)
+    # batch_size=1 alone does NOT give one TASK per hot doc — tasks are
+    # per block, and a skewed conversation's salted sub-docs sit
+    # consecutively in the same reassembly bucket, so they land clustered
+    # in a handful of blocks (observed: a single task serially extracting
+    # ~500 hot sub-docs, a 60 s straggler stalling the union). Rebalance
+    # the (small) hot-doc table across nblocks so each task holds at most
+    # a few hot docs.
+    m_big = big.repartition(nblocks).map_batches(
+        run, batch_format="pyarrow", batch_size=1)
     return m_small.union(m_big)
