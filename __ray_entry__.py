@@ -21,6 +21,8 @@ from typing import Any
 import numpy as np
 import pyarrow.compute as pc
 
+from agraph_ray.sources import sized_read_parquet as _sized_read
+
 
 def _quiet():
     from ray.data import DataContext
@@ -84,7 +86,7 @@ def q_lineitem_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_linestatus",
                                   "l_quantity", "l_extendedprice"])
 
@@ -116,9 +118,9 @@ def q_orders_by_segment(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    cust_ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust_ds = _sized_read(f"{sf_dir}/customer.parquet",
                               columns=["c_custkey", "c_mktsegment"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _sized_read(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
 
     if cust_ds.count() <= 5_000_000:
@@ -146,7 +148,7 @@ def q_orders_by_segment(sf_dir: str):
 
 def q_top10_orders(sf_dir: str):
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _sized_read(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"],
                    descending=[True, False]).limit(10)
@@ -154,7 +156,7 @@ def q_top10_orders(sf_dir: str):
 
 def q_filter_lineitem(sf_dir: str):
     import ray.data as rd
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber", "l_quantity"])
     return ds.map_batches(
         lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)),
@@ -165,7 +167,7 @@ def q_nation_region(sf_dir: str):
     import pyarrow as pa
     import ray
     import ray.data as rd
-    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    reg = _sized_read(f"{sf_dir}/region.parquet").to_pandas()
     reg_ref = ray.put(dict(zip(reg["r_regionkey"], reg["r_name"])))
 
     def add_region(t):
@@ -176,14 +178,14 @@ def q_nation_region(sf_dir: str):
                       pa.string())],
             names=["n_name", "r_name"])
 
-    return rd.read_parquet(f"{sf_dir}/nation.parquet").map_batches(
+    return _sized_read(f"{sf_dir}/nation.parquet").map_batches(
         add_region, batch_format="pyarrow")
 
 
 def q_part_brand_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean
-    out = (rd.read_parquet(f"{sf_dir}/part.parquet",
+    out = (_sized_read(f"{sf_dir}/part.parquet",
                            columns=["p_brand", "p_retailprice"])
            .groupby("p_brand")
            .aggregate(Count(alias_name="n"),
@@ -201,7 +203,7 @@ def q_customer_top3_per_segment(sf_dir: str):
                              ascending=[False, True],
                              kind="mergesort").head(3)
 
-    return (rd.read_parquet(f"{sf_dir}/customer.parquet",
+    return (_sized_read(f"{sf_dir}/customer.parquet",
                             columns=["c_mktsegment", "c_custkey", "c_acctbal"])
             .groupby("c_mktsegment")
             .map_groups(top3, batch_format="pandas"))
@@ -218,7 +220,7 @@ def q_events_window(sf_dir: str):
         day = pc.divide(us, 86_400_000_000)
         return t.append_column("day", pc.cast(day, pa.int64()))
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
     out = (ds.map_batches(add_day, batch_format="pyarrow")
            .groupby(["user_id", "day"])
@@ -230,7 +232,7 @@ def q_events_window(sf_dir: str):
 def q_events_by_type(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
-    out = (rd.read_parquet(f"{sf_dir}/events.parquet",
+    out = (_sized_read(f"{sf_dir}/events.parquet",
                            columns=["event_type", "value"])
            .groupby("event_type")
            .aggregate(Count(alias_name="n"),
@@ -241,7 +243,7 @@ def q_events_by_type(sf_dir: str):
 def q_distinct_event_types(sf_dir: str):
     import ray.data as rd
     import pandas as pd
-    vals = (rd.read_parquet(f"{sf_dir}/events.parquet",
+    vals = (_sized_read(f"{sf_dir}/events.parquet",
                             columns=["event_type"]).unique("event_type"))
     return pd.DataFrame({"event_type": sorted(vals)})
 
@@ -253,7 +255,7 @@ def q_distinct_event_types(sf_dir: str):
 def q_docs_token_count(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.text import add_token_count
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(lambda t: add_token_count(t).drop(["text"]),
                           batch_format="pyarrow")
@@ -264,7 +266,7 @@ def q_docs_bpe_tokens(sf_dir: str):
     RE2 pattern identical in pyarrow and the DuckDB oracle)."""
     import ray.data as rd
     from agraph_ray.ops.text import add_bpe_token_count
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(lambda t: add_bpe_token_count(t).drop(["text"]),
                           batch_format="pyarrow")
@@ -273,7 +275,7 @@ def q_docs_bpe_tokens(sf_dir: str):
 def q_docs_quality(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.text import add_quality
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: add_quality(t).drop(["text"]),
                          batch_format="pyarrow")
@@ -284,7 +286,7 @@ def q_docs_quality(sf_dir: str):
 def q_docs_langid(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.text import add_lang_id
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(lambda t: add_lang_id(t).drop(["text"]),
                           batch_format="pyarrow")
@@ -293,7 +295,7 @@ def q_docs_langid(sf_dir: str):
 def q_docs_fingerprint(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.text import add_fingerprint
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return ds.map_batches(lambda t: add_fingerprint(t).drop(["text"]),
                           batch_format="pyarrow")
@@ -302,7 +304,7 @@ def q_docs_fingerprint(sf_dir: str):
 def q_docs_repetition(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.text import add_word_repetition
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(lambda t: add_word_repetition(t).drop(["text"]),
                          batch_format="pyarrow")
@@ -313,7 +315,7 @@ def q_docs_repetition(sf_dir: str):
 def q_docs_top_words(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.text import top_words
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _sized_read(f"{sf_dir}/documents.parquet", columns=["text"])
     return top_words(ds, k=20)
 
 
@@ -323,7 +325,7 @@ def q_docs_top_words_sketch(sf_dir: str):
     only — same oracle as docs_top_words, scale-path execution."""
     import ray.data as rd
     from agraph_ray.ops.text import top_words_sketch
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _sized_read(f"{sf_dir}/documents.parquet", columns=["text"])
     return top_words_sketch(ds, k=20)
 
 
@@ -332,7 +334,7 @@ def q_docs_corpus_filter(sf_dir: str):
     reasons per document, all map-side (ops/text.py::add_corpus_filter)."""
     import ray.data as rd
     from agraph_ray.ops.text import add_corpus_filter
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return (ds.map_batches(add_corpus_filter, batch_format="pyarrow")
             .select_columns(["doc_id", "keep", "reasons"]))
@@ -341,7 +343,7 @@ def q_docs_corpus_filter(sf_dir: str):
 def q_docs_dedup_exact(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import exact_dedup
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return exact_dedup(ds).select_columns(["doc_id"])
 
@@ -354,7 +356,7 @@ def q_docs_dedup_normalized(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import exact_dedup
     from agraph_ray.ops.text import normalize_text
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     norm = ds.map_batches(normalize_text, batch_format="pyarrow")
     return exact_dedup(norm, text_col="norm_text").select_columns(
@@ -369,7 +371,7 @@ def q_docs_dedup_keep_best(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import exact_dedup_by
     from agraph_ray.ops.text import normalize_text
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "n_chars"])
     norm = ds.map_batches(normalize_text, batch_format="pyarrow")
     out = exact_dedup_by(norm, text_col="norm_text",
@@ -402,7 +404,7 @@ def q_docs_strip_spans(sf_dir: str):
     document rebuilt from the survivors."""
     import ray.data as rd
     from agraph_ray.ops.text import remove_duplicate_spans
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return remove_duplicate_spans(ds, n=8, min_count=2)
 
@@ -415,7 +417,7 @@ def q_lineitem_quantiles_sketch(sf_dir: str):
     bound is pytest-pinned (ops/sketch.py::approx_quantiles)."""
     import ray.data as rd
     from agraph_ray.ops.sketch import approx_quantiles
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_extendedprice"])
     return approx_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75],
                             key="l_returnflag")
@@ -428,7 +430,7 @@ def q_lineitem_heavy_hitters(sf_dir: str):
     full DuckDB oracle (ops/sketch.py::grouped_heavy_hitters)."""
     import ray.data as rd
     from agraph_ray.ops.sketch import grouped_heavy_hitters
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_linenumber"])
     return grouped_heavy_hitters(ds, "l_returnflag", "l_linenumber",
                                  k=3, capacity=64)
@@ -441,7 +443,7 @@ def q_orders_weighted_sample(sf_dir: str):
     identical key, full oracle (ops/stats.py::weighted_sample_n)."""
     import ray.data as rd
     from agraph_ray.ops.stats import weighted_sample_n
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _sized_read(f"{sf_dir}/orders.parquet",
                          columns=["o_orderpriority", "o_orderkey",
                                   "o_totalprice"])
     out = weighted_sample_n(ds, "o_orderpriority", "o_orderkey",
@@ -458,7 +460,7 @@ def q_docs_select_budget(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.pack import select_until_budget
     from agraph_ray.ops.text import add_quality
-    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = (_sized_read(f"{sf_dir}/documents.parquet",
                           columns=["doc_id", "text"])
           .map_batches(add_quality, batch_format="pyarrow"))
     out = select_until_budget(ds, "alpha_ratio", "doc_id", "token_count",
@@ -473,7 +475,7 @@ def q_docs_compress_ratio(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.text import add_compress_ratio
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return (ds.map_batches(add_compress_ratio, batch_format="pyarrow")
             .map_batches(lambda t: pa.table({
@@ -494,7 +496,7 @@ def q_docs_redact_pii(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.text import redact_pii
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def inject(t: pa.Table) -> pa.Table:
@@ -548,7 +550,7 @@ def q_docs_temperature_mix(sf_dir: str):
     (ops/stats.py::temperature_mix)."""
     import ray.data as rd
     from agraph_ray.ops.stats import temperature_mix
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang"])
     return temperature_mix(ds, "lang", "doc_id", alpha=0.5,
                            target_total=300)
@@ -561,7 +563,7 @@ def q_docs_script_ratios(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.text import add_script_ratios
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def scale(t: pa.Table) -> pa.Table:
@@ -582,7 +584,7 @@ def q_docs_vocab_prune(sf_dir: str):
     (ops/text.py::vocab_prune)."""
     import ray.data as rd
     from agraph_ray.ops.text import vocab_prune
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return vocab_prune(ds, min_count=3)
 
@@ -596,7 +598,7 @@ def q_docs_dedup_incremental(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import dedup_against
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _sized_read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def part(t: pa.Table, is_new: bool) -> pa.Table:
@@ -622,7 +624,7 @@ def q_docs_neardedup_incremental(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import neardedup_against
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _sized_read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def part(t: pa.Table, is_new: bool) -> pa.Table:
@@ -642,7 +644,7 @@ def q_docs_neardedup_incremental(sf_dir: str):
 def q_docs_minhash_pairs(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import ngram_jaccard_pairs
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ngram_jaccard_pairs(ds, threshold=0.5)
     return _scale_cols(out, {"jaccard": 10**6})
@@ -651,7 +653,7 @@ def q_docs_minhash_pairs(sf_dir: str):
 def q_docs_simhash_pairs(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import simhash_near_dup_pairs
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return simhash_near_dup_pairs(ds, max_hamming=8)
 
@@ -659,7 +661,7 @@ def q_docs_simhash_pairs(sf_dir: str):
 def q_docs_minhash_dedup(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import minhash_dedup
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return minhash_dedup(ds, jaccard_threshold=0.8).select_columns(["doc_id"])
 
@@ -687,7 +689,7 @@ def q_ann_topk(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.similarity import topk_cosine
     vecs, ids = _load_queries(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return _scale_cols(topk_cosine(ds, vecs, query_ids=ids, k=10),
                        {"sim": 10**6})
@@ -697,7 +699,7 @@ def q_ann_topk_lsh(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.similarity import topk_cosine_lsh
     vecs, ids = _load_queries(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return topk_cosine_lsh(ds, vecs, query_ids=ids, k=10)
 
@@ -708,7 +710,7 @@ def q_ann_topk_ivf(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.similarity import topk_cosine_ivf
     vecs, ids = _load_queries(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     out = topk_cosine_ivf(ds, vecs, query_ids=ids, k=10, nlist=8, nprobe=8)
     return _scale_cols(out, {"sim": 10**6})
@@ -748,7 +750,7 @@ def q_ann_topk_pq(sf_dir: str):
 def q_emb_near_dup(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import embedding_near_dup_pairs
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     out = embedding_near_dup_pairs(ds, threshold=0.35)
     return _scale_cols(out, {"cosine": 10**6})
@@ -1087,7 +1089,7 @@ def q_docs_shuffle(sf_dir: str):
     md5 in DuckDB."""
     import ray.data as rd
     from agraph_ray.ops.stats import deterministic_shuffle
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
     return deterministic_shuffle(ds, "doc_id", seed=1)
 
@@ -1099,7 +1101,7 @@ def q_docs_epoch_order(sf_dir: str):
     for the composed chain (temperature_mix → deterministic_shuffle)."""
     import ray.data as rd
     from agraph_ray.ops.stats import deterministic_shuffle, temperature_mix
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang"])
     mixed = temperature_mix(ds, "lang", "doc_id", alpha=0.5,
                             target_total=300)
@@ -1112,7 +1114,7 @@ def q_docs_normalize(sf_dir: str):
     (ops/text.py::normalize_text)."""
     import ray.data as rd
     from agraph_ray.ops.text import normalize_text
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return (ds.map_batches(normalize_text, batch_format="pyarrow")
             .select_columns(["doc_id", "norm_text"]))
@@ -1258,7 +1260,7 @@ def _llm_parse(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.extract.llm import LLMExtractorEngine
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     canned = _make_canned_llm()
 
     def run(t: "pa.Table") -> "pa.Table":
@@ -1327,7 +1329,7 @@ def _eval_triples_inputs(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _sized_read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
 
     def mk(pred: bool):
@@ -1395,7 +1397,7 @@ def q_kg_incremental(sf_dir: str):
     # tombstone two deterministic conversations
     import ray.data as rd
     res = remove_documents(out, ["0", "1"], cfg)
-    nodes = rd.read_parquet(res.tables["nodes"])
+    nodes = _sized_read(res.tables["nodes"])
     return (nodes.select_columns(["entity_id", "name", "entity_type"])
             .sort("entity_id"))
 
@@ -1417,7 +1419,7 @@ def q_eval_clusters(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.eval import cluster_pair_prf
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _sized_read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
 
     def assign(t, pa=pa):
@@ -1439,9 +1441,9 @@ def q_customers_without_orders(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.join import cogroup_join
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _sized_read(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
-    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = (_sized_read(f"{sf_dir}/orders.parquet",
                               columns=["o_custkey"])
               .map_batches(lambda t: t.rename_columns(["c_custkey"]),
                            batch_format="pyarrow"))
@@ -1464,7 +1466,7 @@ def q_lineitem_bloom_semi(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from agraph_ray.ops.bloom import bloom_join
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_quantity", "l_returnflag"])
 
     def sliver(t: pa.Table) -> pa.Table:
@@ -1475,7 +1477,7 @@ def q_lineitem_bloom_semi(sf_dir: str):
         return (t.filter(pc.equal(mod, pa.scalar(3, pa.int64())))
                 .select(["p_partkey"]).rename_columns(["l_partkey"]))
 
-    part = rd.read_parquet(
+    part = _sized_read(
         f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
         sliver, batch_format="pyarrow")
     out = bloom_join(li, part, on="l_partkey", how="semi")
@@ -1495,14 +1497,14 @@ def q_orders_bloom_anti(sf_dir: str):
     from ray.data.aggregate import Count
     from agraph_ray.ops.bloom import bloom_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _sized_read(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderpriority"])
     def building(t: pa.Table) -> pa.Table:
         m = pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))
         return (t.filter(m).select(["c_custkey"])
                 .rename_columns(["o_custkey"]))
 
-    cust = rd.read_parquet(
+    cust = _sized_read(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"]).map_batches(
         building, batch_format="pyarrow")
@@ -1520,9 +1522,9 @@ def q_lineitem_skew_join(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from agraph_ray.ops.join import skew_join
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_quantity"])
-    part = (rd.read_parquet(f"{sf_dir}/part.parquet",
+    part = (_sized_read(f"{sf_dir}/part.parquet",
                             columns=["p_partkey", "p_brand"])
             .map_batches(lambda t: t.rename_columns(
                 ["l_partkey", "p_brand"]), batch_format="pyarrow"))
@@ -1555,7 +1557,7 @@ def q_tpch_q3(sf_dir: str):
         return (t.filter(m).select(["c_custkey"])
                 .rename_columns(["o_custkey"]))
 
-    cust = rd.read_parquet(
+    cust = _sized_read(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_mktsegment"]).map_batches(
         building, batch_format="pyarrow")
@@ -1567,7 +1569,7 @@ def q_tpch_q3(sf_dir: str):
                          "o_custkey": t["o_custkey"],
                          "od_day": pc.cast(day, pa.int64())})
 
-    orders = rd.read_parquet(
+    orders = _sized_read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         order_filter, batch_format="pyarrow")
@@ -1580,7 +1582,7 @@ def q_tpch_q3(sf_dir: str):
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
 
-    li = rd.read_parquet(
+    li = _sized_read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"]).map_batches(li_rev, batch_format="pyarrow")
@@ -1613,7 +1615,7 @@ def q_revenue_by_priority(sf_dir: str):
         return (df.groupby("o_orderkey", as_index=False)["order_rev"]
                 .sum().rename(columns={"order_rev": "rev"}))
 
-    li = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = (_sized_read(f"{sf_dir}/lineitem.parquet",
                           columns=["l_orderkey", "l_extendedprice"])
           .map_batches(lambda t: t.rename_columns(
               ["o_orderkey", "order_rev"]), batch_format="pyarrow"))
@@ -1625,7 +1627,7 @@ def q_revenue_by_priority(sf_dir: str):
         li, ["o_orderkey"], sum_bucket,
         schema=pa.schema([("o_orderkey", pa.int64()),
                           ("rev", pa.float64())]))
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _sized_read(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"])
     joined = cogroup_join(orders, li, on=["o_orderkey"], how="inner")
     out = (joined.groupby("o_orderpriority")
@@ -1654,7 +1656,7 @@ def q_supplier_part_degree(sf_dir: str):
             ["head_id", "tail_id"]).aggregate([])
 
     edges = distinct_on(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+        _sized_read(f"{sf_dir}/lineitem.parquet",
                         columns=["l_suppkey", "l_partkey"])
         .map_batches(to_edges, batch_format="pyarrow"),
         ["head_id", "tail_id"])
@@ -1676,7 +1678,7 @@ def _supplier_part_graph(sf_dir: str):
                          "relation_type": pa.array(["supplies"] * len(s))})
 
     edges = distinct_on(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+        _sized_read(f"{sf_dir}/lineitem.parquet",
                         columns=["l_suppkey", "l_partkey"])
         .map_batches(to_edges, batch_format="pyarrow"),
         ["head_id", "tail_id"]).materialize()
@@ -1729,8 +1731,8 @@ def _vocab_linked_docs(sf_dir: str):
     import ray.data as rd
     from agraph_ray.stages.link_chunks import link_chunks
 
-    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nat = _sized_read(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = _sized_read(f"{sf_dir}/region.parquet").to_pandas()
     rname = dict(zip(reg["r_regionkey"], reg["r_name"]))
     nodes = rd.from_items(
         [{"entity_id": f"n{k}", "name": n, "aliases": []}
@@ -1741,7 +1743,7 @@ def _vocab_linked_docs(sf_dir: str):
         [{"relation_id": f"e{k}", "subj": rname[rk], "obj": n}
          for k, rk, n in zip(nat["n_nationkey"], nat["n_regionkey"],
                              nat["n_name"])])
-    chunks = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    chunks = _sized_read(f"{sf_dir}/documents.parquet",
                              columns=["doc_id", "text"])
     return link_chunks(chunks, nodes, edges)
 
@@ -1788,7 +1790,7 @@ def q_events_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user."""
     import ray.data as rd
     from agraph_ray.ops.window import sessionize
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     out = sessionize(ds, key="user_id", ts_col="ts", gap_sec=1800)
     return _scale_cols(out, {"duration_sec": 10**6})
@@ -1800,9 +1802,9 @@ def q_events_asof_order(sf_dir: str):
     import pyarrow.compute as pc2
     import ray.data as rd
     from agraph_ray.ops.join import asof_join
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id"])
-    orders = rd.read_parquet(
+    orders = _sized_read(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
     out = asof_join(ev, orders, left_on="ts", right_on="o_orderdate",
@@ -1821,7 +1823,7 @@ def q_events_hopping(sf_dir: str):
     """4h windows hopping by 1h per user — every event in 4 windows."""
     import ray.data as rd
     from agraph_ray.ops.window import hopping_window
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
     out = hopping_window(ds, key="user_id", ts_col="ts",
                          width_sec=4 * 3600, hop_sec=3600, agg_col="value")
@@ -1847,7 +1849,7 @@ def q_events_rolling(sf_dir: str):
     """Per-event trailing-24h count + sum per user (RANGE window)."""
     import ray.data as rd
     from agraph_ray.ops.window import rolling_range_agg
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     out = rolling_range_agg(_cents(ds, "value"), key="user_id",
                             ts_col="ts", value_col="value",
@@ -1859,7 +1861,7 @@ def q_events_lag_delta(sf_dir: str):
     """Microseconds since each user's previous event (LAG; -1 = first)."""
     import ray.data as rd
     from agraph_ray.ops.window import lag_delta
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
     return lag_delta(ds, key="user_id", ts_col="ts", id_col="event_id")
 
@@ -1869,7 +1871,7 @@ def q_events_pivot(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.stats import pivot_counts
     types = ["click", "error", "purchase", "signup", "view"]
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type", "value"])
     out = pivot_counts(_cents(ds, "value"), key="user_id",
                        pivot_col="event_type", categories=types,
@@ -1882,7 +1884,7 @@ def q_events_running(sf_dir: str):
     ROWS UNBOUNDED PRECEDING window, order-exact (no float accumulation)."""
     import ray.data as rd
     from agraph_ray.ops.window import running_agg
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "ts", "value"])
     return running_agg(_cents(ds, "value"), key="user_id", ts_col="ts",
                        id_col="event_id", value_col="value")
@@ -1894,7 +1896,7 @@ def q_rollup_orders(sf_dir: str):
     finest aggregate."""
     import ray.data as rd
     from agraph_ray.ops.stats import rollup_agg
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _sized_read(f"{sf_dir}/orders.parquet",
                          columns=["o_orderpriority", "o_orderstatus",
                                   "o_totalprice"])
     return rollup_agg(_cents(ds, "o_totalprice"),
@@ -1908,7 +1910,7 @@ def q_events_ranked(sf_dir: str):
     deterministic NTILE(4) ordered by (value, event_id)."""
     import ray.data as rd
     from agraph_ray.ops.window import ranked_agg
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "value"])
     return ranked_agg(_cents(ds, "value"), key="user_id",
                       value_col="value", id_col="event_id", ntiles=4)
@@ -1920,7 +1922,7 @@ def q_cube_orders(sf_dir: str):
     finest aggregate)."""
     import ray.data as rd
     from agraph_ray.ops.stats import cube_agg
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _sized_read(f"{sf_dir}/orders.parquet",
                          columns=["o_orderpriority", "o_orderstatus",
                                   "o_totalprice"])
     return cube_agg(_cents(ds, "o_totalprice"),
@@ -1933,7 +1935,7 @@ def q_lineitem_price_hist(sf_dir: str):
     per-batch np.bincount combiner, O(nbins) rows through the shuffle."""
     import ray.data as rd
     from agraph_ray.ops.stats import histogram
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_extendedprice"])
     return histogram(ds, "l_extendedprice", lo=0.0, hi=110000.0, nbins=22)
 
@@ -1943,7 +1945,7 @@ def q_docs_unigram_lp(sf_dir: str):
     LM (micro-scaled integer) — the cheap LM-quality signal."""
     import ray.data as rd
     from agraph_ray.ops.text import unigram_logprob
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return unigram_logprob(ds)
 
@@ -1957,7 +1959,7 @@ def q_emb_label_centroids(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.embedding import label_centroids
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["label", "embedding"])
     cent = label_centroids(ds)
 
@@ -1985,7 +1987,7 @@ def q_emb_outliers(sf_dir: str):
     label-quality / outlier signal, centroids broadcast once."""
     import ray.data as rd
     from agraph_ray.ops.embedding import centroid_outlier_scores
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "label", "embedding"])
     return centroid_outlier_scores(ds)
 
@@ -1996,7 +1998,7 @@ def q_emb_semdedup(sf_dir: str):
     clustering — rows-only; exactness pytest-pinned with planted dups."""
     import ray.data as rd
     from agraph_ray.ops.embedding import semdedup
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "label", "embedding"])
     return semdedup(ds, threshold=0.97, n_clusters=16).select_columns(
         ["vec_id", "label"])
@@ -2008,7 +2010,7 @@ def q_customer_fuzzy_names(sf_dir: str):
     DuckDB oracle is the all-pairs levenshtein() cross join."""
     import ray.data as rd
     from agraph_ray.ops.fuzzy import fuzzy_self_join
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    ds = _sized_read(f"{sf_dir}/customer.parquet", columns=["c_name"])
     return fuzzy_self_join(ds, "c_name", max_edits=1)
 
 
@@ -2019,7 +2021,7 @@ def q_events_hll_users(sf_dir: str):
     are pytest-pinned against exact counts."""
     import ray.data as rd
     from agraph_ray.ops.sketch import hll_count_distinct
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
     return hll_count_distinct(ds, key="event_type", value_col="user_id")
 
@@ -2029,7 +2031,7 @@ def _coorder_part_edges(sf_dir: str):
     the co-occurrence edge builder over SQL-checkable input."""
     import ray.data as rd
     from agraph_ray.ops.graph_algo import pairs_within_groups
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey"])
     return pairs_within_groups(li, group_col="l_orderkey",
                                item_col="l_partkey")
@@ -2080,7 +2082,7 @@ def q_supplier_nbr_features(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.embedding import neighbor_mean
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    li = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_suppkey", "l_partkey"])
     edges = li.map_batches(
         lambda t: pa.table({"src": t["l_suppkey"],
@@ -2088,7 +2090,7 @@ def q_supplier_nbr_features(sf_dir: str):
         batch_format="pyarrow")
     from agraph_ray.stages.common import distinct_on
     edges = distinct_on(edges, ["src", "dst"])
-    feats = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    feats = _sized_read(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     out = neighbor_mean(edges, feats)
 
@@ -2129,7 +2131,7 @@ def q_supplier_components(sf_dir: str):
         return pa.table({"src": s, "dst": p}).group_by(
             ["src", "dst"]).aggregate([])
 
-    edges = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    edges = (_sized_read(f"{sf_dir}/lineitem.parquet",
                              columns=["l_suppkey", "l_partkey"],
                              filter=pads.field("l_quantity") == 50.0)
              .map_batches(to_edges, batch_format="pyarrow"))
@@ -2192,7 +2194,7 @@ def q_full_outer_parts(sf_dir: str):
     from ray.data.aggregate import Sum
     from agraph_ray.ops.join import cogroup_join
 
-    left = (rd.read_parquet(f"{sf_dir}/part.parquet",
+    left = (_sized_read(f"{sf_dir}/part.parquet",
                             columns=["p_partkey", "p_brand"],
                             filter=pads.field("p_size") >= 48)
             .rename_columns({"p_partkey": "partkey"}))
@@ -2200,7 +2202,7 @@ def q_full_outer_parts(sf_dir: str):
     def part_counts(t: "pa.Table") -> "pa.Table":
         return t.group_by(["l_partkey"]).aggregate([("l_partkey", "count")])
 
-    right = (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    right = (_sized_read(f"{sf_dir}/lineitem.parquet",
                              columns=["l_partkey"])
              .map_batches(part_counts, batch_format="pyarrow")
              .groupby("l_partkey")
@@ -2219,7 +2221,7 @@ def q_events_click_attrib(sf_dir: str):
     day = 86400 * 1_000_000
 
     def side(kind):   # row-group/page-level predicate pushdown at the read
-        return rd.read_parquet(f"{sf_dir}/events.parquet",
+        return _sized_read(f"{sf_dir}/events.parquet",
                                columns=["event_id", "ts", "user_id"],
                                filter=pads.field("event_type") == kind)
 
@@ -2239,7 +2241,7 @@ def q_docs_tfidf(sf_dir: str):
     """Top-5 TF-IDF terms per document (smoothed idf, word-asc ties)."""
     import ray.data as rd
     from agraph_ray.ops.text import tfidf_top_terms
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _scale_cols(tfidf_top_terms(ds, k=5), {"score": 10**6})
 
@@ -2248,7 +2250,7 @@ def q_docs_top_trigrams(sf_dir: str):
     """Global top-20 word trigrams (combiner, ties by gram asc)."""
     import ray.data as rd
     from agraph_ray.ops.text import top_ngrams
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _sized_read(f"{sf_dir}/documents.parquet", columns=["text"])
     return top_ngrams(ds, n=3, k=20)
 
 
@@ -2260,7 +2262,7 @@ def q_docs_contamination(sf_dir: str):
     """Benchmark-leakage scan: docs containing any needle substring."""
     import ray.data as rd
     from agraph_ray.ops.text import scan_contains
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return scan_contains(ds, _CONTAM_NEEDLES)
 
@@ -2269,7 +2271,7 @@ def q_docs_redact(sf_dir: str):
     """Regex scrub of flagged tokens (PII-removal shape)."""
     import ray.data as rd
     from agraph_ray.ops.text import redact_pattern
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return redact_pattern(ds, r"(spark|hash)", "[X]").select_columns(
         ["doc_id", "redacted"])
@@ -2280,7 +2282,7 @@ def q_lineitem_exact_quantiles(sf_dir: str):
     no driver materialization)."""
     import ray.data as rd
     from agraph_ray.ops.stats import exact_quantiles
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_extendedprice"])
     df = exact_quantiles(ds, "l_extendedprice", qs=(0.25, 0.5, 0.75, 0.99))
     import numpy as np
@@ -2293,7 +2295,7 @@ def q_events_user_type_distinct(sf_dir: str):
     """Exact distinct event types per user (pair-combiner + keyed reduce)."""
     import ray.data as rd
     from agraph_ray.ops.stats import grouped_count_distinct
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
     return grouped_count_distinct(ds, "user_id", "event_type")
 
@@ -2302,7 +2304,7 @@ def q_docs_sample(sf_dir: str):
     """Deterministic 25% Bernoulli sample by doc_id hash bucket."""
     import ray.data as rd
     from agraph_ray.ops.stats import hash_sample
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _sized_read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return hash_sample(ds, "doc_id", 0.25)
 
 
@@ -2310,7 +2312,7 @@ def q_events_stratified(sf_dir: str):
     """Deterministic 50-per-event-type stratum sample (hash-ranked)."""
     import ray.data as rd
     from agraph_ray.ops.stats import stratified_sample
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type"])
     return stratified_sample(ds, "event_type", "event_id", 50)
 
@@ -2320,7 +2322,7 @@ def q_lineitem_quantiles(sf_dir: str):
     nearest-rank half-up on the (n-1) scale)."""
     import ray.data as rd
     from agraph_ray.ops.stats import grouped_quantiles
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_extendedprice"])
     out = grouped_quantiles(ds, "l_returnflag", "l_extendedprice",
                             qs=(0.25, 0.5, 0.75))
@@ -2338,7 +2340,7 @@ def q_orders_date_stats(sf_dir: str):
         return pa.table({"o_orderstatus": t["o_orderstatus"],
                          "d": d})
 
-    out = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+    out = (_sized_read(f"{sf_dir}/orders.parquet",
                            columns=["o_orderstatus", "o_orderdate"])
            .map_batches(prep, batch_format="pyarrow")
            .groupby("o_orderstatus")
@@ -2359,7 +2361,7 @@ def q_part_type_tokens(sf_dir: str):
             pc.list_element(pc.split_pattern(t["p_type"], " "), 0))
         return pa.table({"type_head": first})
 
-    return (rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type"])
+    return (_sized_read(f"{sf_dir}/part.parquet", columns=["p_type"])
             .map_batches(prep, batch_format="pyarrow")
             .groupby("type_head").aggregate(Count(alias_name="n")))
 
@@ -2369,9 +2371,9 @@ def q_supplier_acct_by_nation(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
     from agraph_ray.ops.join import broadcast_join
-    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+    sup = _sized_read(f"{sf_dir}/supplier.parquet",
                           columns=["s_nationkey", "s_acctbal"])
-    nat = (rd.read_parquet(f"{sf_dir}/nation.parquet",
+    nat = (_sized_read(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
            .map_batches(lambda t: t.rename_columns(["s_nationkey", "n_name"]),
                         batch_format="pyarrow"))
@@ -2394,7 +2396,7 @@ def q_events_json_extract(sf_dir: str):
         return pa.table({"event_type": t["event_type"],
                          "k": pc.cast(ks, pa.int64())})
 
-    return (rd.read_parquet(f"{sf_dir}/events.parquet",
+    return (_sized_read(f"{sf_dir}/events.parquet",
                             columns=["event_type", "props"])
             .map_batches(prep, batch_format="pyarrow")
             .groupby("event_type")
@@ -2412,9 +2414,9 @@ def q_union_region_nation(sf_dir: str):
                              "kind": pa.array([kind] * len(t))})
         return f
 
-    r = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"]) \
+    r = _sized_read(f"{sf_dir}/region.parquet", columns=["r_name"]) \
         .map_batches(tag("r_name", "region"), batch_format="pyarrow")
-    n = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"]) \
+    n = _sized_read(f"{sf_dir}/nation.parquet", columns=["n_name"]) \
         .map_batches(tag("n_name", "nation"), batch_format="pyarrow")
     return r.union(n)
 
@@ -2591,7 +2593,7 @@ def q_parse_documents(sf_dir: str):
                          "content": pa.array(contents, pa.string()),
                          "format": pa.array(fmts, pa.string())})
 
-    ds = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = (_sized_read(f"{sf_dir}/documents.parquet",
                           columns=["doc_id", "text"])
           .map_batches(to_formats, batch_format="pyarrow"))
     out = parse_documents(ds)
@@ -2610,7 +2612,7 @@ def q_lineitem_melt(sf_dir: str):
     """Wide→long unpivot of four lineitem measures (zero-shuffle)."""
     import ray.data as rd
     from agraph_ray.ops.stats import melt
-    ds = rd.read_parquet(
+    ds = _sized_read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity",
                  "l_extendedprice", "l_discount", "l_tax"])
@@ -2626,7 +2628,7 @@ def q_events_zscore(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.stats import grouped_zscore
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "event_type", "value"])
     out = grouped_zscore(ds, "event_type", "value")
     return _scale_cols(out.select_columns(
@@ -2638,7 +2640,7 @@ def q_events_funnel(sf_dir: str):
     after the first event of the previous stage)."""
     import ray.data as rd
     from agraph_ray.ops.window import funnel_depths
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type", "ts"])
     return funnel_depths(ds, "user_id", "ts", "event_type",
                          ["view", "click", "purchase"])
@@ -2650,7 +2652,7 @@ def q_docs_pack_concat(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.pack import pack_concat
     from agraph_ray.ops.text import add_token_count
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     toks = ds.map_batches(lambda t: add_token_count(t).drop(["text"]),
                           batch_format="pyarrow")
@@ -2664,7 +2666,7 @@ def q_docs_pack_greedy(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.pack import pack_greedy
     from agraph_ray.ops.text import add_token_count
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     toks = ds.map_batches(lambda t: add_token_count(t).drop(["text"]),
                           batch_format="pyarrow")
@@ -2687,7 +2689,7 @@ def q_docs_prep_pipeline(sf_dir: str):
     from agraph_ray.ops.text import add_corpus_filter, add_token_count
     from agraph_ray.stages.common import bucketed_group_reduce
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _sized_read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def filter_and_sig(t: pa.Table) -> pa.Table:
@@ -2723,7 +2725,7 @@ def q_docs_dup_ngrams(sf_dir: str):
     dedup signal from Lee et al. 2022)."""
     import ray.data as rd
     from agraph_ray.ops.text import duplicate_ngram_stats
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return duplicate_ngram_stats(ds, n=8, min_count=2)
 
@@ -2732,7 +2734,7 @@ def q_events_window_dedup(sf_dir: str):
     """Earliest event per (user, type) per 1-hour tumbling window."""
     import ray.data as rd
     from agraph_ray.ops.window import window_dedup
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["event_id", "user_id", "event_type", "ts"])
     out = window_dedup(ds, ["user_id", "event_type"], "ts",
                        width_sec=3600, tie_col="event_id")
@@ -2745,7 +2747,7 @@ def q_supplier_neighbor_sample(sf_dir: str):
     supplier–part co-purchase graph (GNN fan-out primitive)."""
     import ray.data as rd
     from agraph_ray.ops.graph_algo import sample_neighbors
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_suppkey", "l_partkey"])
     return sample_neighbors(ds, "l_suppkey", "l_partkey", k=5)
 
@@ -2757,7 +2759,7 @@ def q_emb_nn_join(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.similarity import embedding_join
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
     def parity(p: int):
@@ -2778,7 +2780,7 @@ def q_ann_recall_lsh(sf_dir: str):
     from agraph_ray.ops.similarity import (recall_at_k, topk_cosine,
                                            topk_cosine_lsh)
     vecs, ids = _load_queries(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     exact = topk_cosine(ds, vecs, query_ids=ids, k=10)
     approx = topk_cosine_lsh(ds, vecs, query_ids=ids, k=10)
@@ -2792,7 +2794,7 @@ def q_ann_ndcg_ivf(sf_dir: str):
     from agraph_ray.ops.similarity import (ndcg_at_k, topk_cosine,
                                            topk_cosine_ivf)
     vecs, ids = _load_queries(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     exact = topk_cosine(ds, vecs, query_ids=ids, k=10)
     approx = topk_cosine_ivf(ds, vecs, query_ids=ids, k=10)
@@ -2806,7 +2808,7 @@ def q_docs_corpus_drift(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.text import corpus_js_divergence
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _sized_read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def half(parity: int):
@@ -2830,7 +2832,7 @@ def q_events_trending(sf_dir: str):
 
     from agraph_ray.stages.common import bucketed_group_reduce
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type"])
 
     def add_day(t: pa.Table) -> pa.Table:
@@ -2867,7 +2869,7 @@ def q_docs_bm25(sf_dir: str):
     retrieval; integer-scaled scores so ranking is float-noise-proof)."""
     import ray.data as rd
     from agraph_ray.ops.text import bm25_topk
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
@@ -2879,7 +2881,7 @@ def q_docs_scd2(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.setops import OPEN_SENTINEL, scd2_apply
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _sized_read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang"])
 
     def as_hist(t: pa.Table) -> pa.Table:
@@ -2918,7 +2920,7 @@ def q_docs_curation_v2(sf_dir: str):
     from agraph_ray.ops.join import auto_join
     from agraph_ray.ops.stats import _key_hash32
     from agraph_ray.ops.text import add_token_count, decontaminate_ngrams
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _sized_read(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
     def mod_split(want_eval: bool):
@@ -2957,7 +2959,7 @@ def q_lineitem_expectations(sf_dir: str):
     distinct-count."""
     import ray.data as rd
     from agraph_ray.ops.stats import validate_expectations
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber",
                                   "l_quantity", "l_returnflag"])
     return validate_expectations(ds, [
@@ -2975,7 +2977,7 @@ def q_events_attrib_linear(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.window import linear_attribution
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id",
                                   "event_type"])
     out = linear_attribution(ds, "user_id", "ts", "event_id",
@@ -2992,7 +2994,7 @@ def q_docs_cdc_dedup(sf_dir: str):
     chunking isn't SQL-expressible — rows-only."""
     import ray.data as rd
     from agraph_ray.ops.dedup import cdc_chunk_stats
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return cdc_chunk_stats(ds, mask_bits=9)
 
@@ -3002,7 +3004,7 @@ def q_events_transitions(sf_dir: str):
     ((ts, event_id)-pinned order) — the user-journey matrix."""
     import ray.data as rd
     from agraph_ray.ops.window import event_transitions
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_type",
                                   "event_id"])
     return event_transitions(ds, "user_id", "ts", "event_type",
@@ -3014,7 +3016,7 @@ def q_lineitem_means(sf_dir: str):
     pass of (n, Σv, Σln v, Σ1/v) partials."""
     import ray.data as rd
     from agraph_ray.ops.stats import grouped_means
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_quantity"])
     out = grouped_means(ds, "l_returnflag", "l_quantity")
     return _scale_cols(out, {"mean_v": 1000, "geomean_v": 1000,
@@ -3026,7 +3028,7 @@ def q_events_cohorts(sf_dir: str):
     distinct active users per (cohort, week)."""
     import ray.data as rd
     from agraph_ray.ops.window import cohort_retention
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     return cohort_retention(ds, "user_id", "ts")
 
@@ -3036,7 +3038,7 @@ def q_docs_word_pmi(sf_dir: str):
     (capped per-doc distinct sets, SQL-reproducible cap rule)."""
     import ray.data as rd
     from agraph_ray.ops.text import word_pmi
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return word_pmi(ds, max_words=64, k=100)
 
@@ -3053,7 +3055,7 @@ def q_docs_hybrid_search(sf_dir: str):
     from agraph_ray.ops.similarity import rrf_fuse, topk_cosine
     from agraph_ray.ops.stats import _key_hash32
     from agraph_ray.ops.text import bm25_topk
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     lex = bm25_topk(ds, _BM25_QUERIES, k=10)
     dim = 32
@@ -3079,9 +3081,9 @@ def q_kg_negative_samples(sf_dir: str):
     pool)."""
     import ray.data as rd
     from agraph_ray.ops.graph_algo import negative_sample_edges
-    edges = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    edges = _sized_read(f"{sf_dir}/lineitem.parquet",
                             columns=["l_suppkey", "l_partkey"])
-    pool = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    pool = _sized_read(f"{sf_dir}/part.parquet", columns=["p_partkey"])
     return negative_sample_edges(edges, "l_suppkey", "l_partkey",
                                  pool, "p_partkey", k=2)
 
@@ -3099,7 +3101,7 @@ def q_lineitem_corr(sf_dir: str):
     of sums ride the shuffle)."""
     import ray.data as rd
     from agraph_ray.ops.stats import grouped_corr
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_quantity",
                                   "l_extendedprice"])
     out = grouped_corr(ds, "l_returnflag", "l_quantity", "l_extendedprice")
@@ -3112,7 +3114,7 @@ def q_events_user_mode(sf_dir: str):
     smallest) — exact integer counts, combiner + one bucketed argmax."""
     import ray.data as rd
     from agraph_ray.ops.stats import grouped_mode
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
     return grouped_mode(ds, "user_id", "event_type")
 
@@ -3122,7 +3124,7 @@ def q_user_event_entropy(sf_dir: str):
     diversity signal; counts combiner, one bucketed reduce)."""
     import ray.data as rd
     from agraph_ray.ops.stats import grouped_entropy
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
     out = grouped_entropy(ds, "user_id", "event_type")
     return _scale_cols(out, {"entropy": 10**6})
@@ -3133,7 +3135,7 @@ def q_region_nation_concat(sf_dir: str):
     order (deterministic total order under any shuffle)."""
     import ray.data as rd
     from agraph_ray.ops.stats import group_concat
-    ds = rd.read_parquet(f"{sf_dir}/nation.parquet",
+    ds = _sized_read(f"{sf_dir}/nation.parquet",
                          columns=["n_regionkey", "n_name"])
     return group_concat(ds, "n_regionkey", "n_name", order_col="n_name")
 
@@ -3144,7 +3146,7 @@ def q_docs_except(sf_dir: str):
     neither side collected."""
     import ray.data as rd
     from agraph_ray.ops.setops import except_distinct
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "source", "n_chars"])
     short = ds.filter(expr="n_chars < 400").drop_columns(["n_chars"])
     long_ = ds.filter(expr="n_chars >= 400").drop_columns(["n_chars"])
@@ -3156,7 +3158,7 @@ def q_docs_intersect(sf_dir: str):
     short- and long-document halves."""
     import ray.data as rd
     from agraph_ray.ops.setops import intersect_distinct
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "source", "n_chars"])
     short = ds.filter(expr="n_chars < 400").drop_columns(["n_chars"])
     long_ = ds.filter(expr="n_chars >= 400").drop_columns(["n_chars"])
@@ -3168,7 +3170,7 @@ def q_orders_row_number(sf_dir: str):
     distributed two-pass rank, O(blocks) driver state."""
     import ray.data as rd
     from agraph_ray.ops.rank import global_row_number
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _sized_read(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_totalprice"])
     out = global_row_number(ds, ["o_totalprice", "o_orderkey"])
     return out.select_columns(["o_orderkey", "rn"])
@@ -3179,7 +3181,7 @@ def q_orders_ntile(sf_dir: str):
     equal-count range partitioner (SQL tile-size rule)."""
     import ray.data as rd
     from agraph_ray.ops.rank import global_ntile
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = _sized_read(f"{sf_dir}/orders.parquet",
                          columns=["o_orderkey", "o_totalprice"])
     out = global_ntile(ds, ["o_totalprice", "o_orderkey"], k=7)
     return out.select_columns(["o_orderkey", "tile"])
@@ -3191,7 +3193,7 @@ def q_events_resample(sf_dir: str):
     grid expansion)."""
     import ray.data as rd
     from agraph_ray.ops.window import dense_time_series
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
     out = dense_time_series(ds, "user_id", "ts", width_sec=3600,
                             agg_col="value")
@@ -3204,7 +3206,7 @@ def q_docs_bpe_vocab(sf_dir: str):
     pinned). Iterative global argmax — rows-only."""
     import ray.data as rd
     from agraph_ray.ops.bpe import learn_bpe
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return learn_bpe(ds, num_merges=60)
 
@@ -3214,7 +3216,7 @@ def q_docs_bpe_encode(sf_dir: str):
     ranks built once per actor, unique-word memoization)."""
     import ray.data as rd
     from agraph_ray.ops.bpe import bpe_encode, learn_bpe
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     merges = learn_bpe(ds, num_merges=60)
     return bpe_encode(ds, merges).select_columns(
@@ -3227,7 +3229,7 @@ def q_lineitem_winsorize(sf_dir: str):
     pure map-side clip."""
     import ray.data as rd
     from agraph_ray.ops.stats import winsorize
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_linenumber",
                                   "l_extendedprice"])
     out = winsorize(ds, "l_extendedprice", 0.05, 0.95)
@@ -3240,7 +3242,7 @@ def q_docs_diff(sf_dir: str):
     sets: added/removed rows only."""
     import ray.data as rd
     from agraph_ray.ops.setops import table_diff
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["lang", "source", "n_chars"])
     short = ds.filter(expr="n_chars < 400").drop_columns(["n_chars"])
     long_ = ds.filter(expr="n_chars >= 400").drop_columns(["n_chars"])
@@ -3258,7 +3260,7 @@ def q_emb_pca(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.embedding import embedding_pca
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     _, _, proj = embedding_pca(ds, "embedding", k=8, id_col="vec_id")
 
@@ -3278,7 +3280,7 @@ def q_lineitem_profile(sf_dir: str):
     count, ride the shuffle."""
     import ray.data as rd
     from agraph_ray.ops.stats import profile_table
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_quantity", "l_extendedprice",
                                   "l_returnflag", "l_linestatus"])
     out = profile_table(ds)
@@ -3290,7 +3292,7 @@ def q_lineitem_quantiles_cont(sf_dir: str):
     the smooth counterpart of lineitem_quantiles' nearest-rank rule."""
     import ray.data as rd
     from agraph_ray.ops.stats import grouped_quantiles_cont
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_extendedprice"])
     out = grouped_quantiles_cont(ds, "l_returnflag", "l_extendedprice")
     return _scale_cols(out, {"q25": 1000, "q50": 1000, "q75": 1000})
@@ -3304,7 +3306,7 @@ def q_lineitem_quantile_radix(sf_dir: str):
     import pandas as pd
     import ray.data as rd
     from agraph_ray.ops.stats import grouped_quantile_radix
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_extendedprice"])
     out = grouped_quantile_radix(ds, "l_returnflag", "l_extendedprice",
                                  q=0.5)
@@ -3317,7 +3319,7 @@ def q_docs_sample_n(sf_dir: str):
     forwards its local n smallest hashes; reproducible in SQL."""
     import ray.data as rd
     from agraph_ray.ops.stats import sample_n
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang"])
     return sample_n(ds, "doc_id", 25)
 
@@ -3329,7 +3331,7 @@ def q_events_ewma(sf_dir: str):
     (depth = max events per user), e6-scaled."""
     import ray.data as rd
     from agraph_ray.ops.window import grouped_ewma
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
     out = grouped_ewma(ds, "user_id", "ts", "value", alpha=0.3)
     return _scale_cols(out, {"value": 10**6, "ewma": 10**6})
@@ -3341,7 +3343,7 @@ def q_docs_cluster(sf_dir: str):
     rows-only."""
     import ray.data as rd
     from agraph_ray.ops.ml import embedding_kmeans, hash_vectorize
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     vecs = hash_vectorize(ds, dim=32)
     assigns, _ = embedding_kmeans(vecs, k=5, iters=10, id_col="doc_id")
@@ -3355,7 +3357,7 @@ def q_docs_resample(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.stats import resample_by_weight
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def weight(t: pa.Table) -> pa.Table:
@@ -3379,7 +3381,7 @@ def q_docs_decontaminate(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.text import decontaminate_ngrams
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def split(parity: int):
@@ -3400,7 +3402,7 @@ def q_emb_explode(sf_dir: str):
     per-batch Arrow projection, zero shuffle."""
     import ray.data as rd
     from agraph_ray.ops.stats import explode
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     out = explode(ds, "embedding", ["vec_id"], value_col="v")
     return _scale_cols(out, {"v": 1_000_000}).map_batches(
@@ -3416,7 +3418,7 @@ def q_supplier_walks(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.graph_algo import random_walks
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_suppkey", "l_partkey"])
 
     def offset(t: pa.Table) -> pa.Table:
@@ -3436,7 +3438,7 @@ def q_docs_upsert(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.setops import upsert_latest
     cols = ["doc_id", "lang", "source", "n_chars"]
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    docs = _sized_read(f"{sf_dir}/documents.parquet", columns=cols)
 
     def with_version(v: int):
         def f(t: pa.Table) -> pa.Table:
@@ -3476,7 +3478,7 @@ def q_lineitem_checksum(sf_dir: str):
     batch."""
     import ray.data as rd
     from agraph_ray.ops.setops import table_checksum
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_partkey", "l_suppkey",
                                   "l_linenumber", "l_returnflag"])
     return table_checksum(ds, ["l_orderkey", "l_partkey", "l_suppkey",
@@ -3490,7 +3492,7 @@ def q_supplier_link_pred(sf_dir: str):
     integer-scaled Adamic-Adar with pinned ties."""
     import ray.data as rd
     from agraph_ray.ops.graph_algo import link_prediction_scores
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = _sized_read(f"{sf_dir}/lineitem.parquet",
                          columns=["l_suppkey", "l_partkey"])
     return link_prediction_scores(ds, "l_suppkey", "l_partkey", k=100)
 
@@ -3503,7 +3505,7 @@ def q_docs_nb_predict(sf_dir: str):
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.ml import train_nb, score_nb
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     model = train_nb(ds, text_col="text", label_col="lang", alpha=1.0)
     out = _scale_cols(score_nb(ds, model), {"score": 1000})
@@ -3520,7 +3522,7 @@ def q_emb_kmeans(sf_dir: str):
     SQL-expressible — rows-only."""
     import ray.data as rd
     from agraph_ray.ops.ml import embedding_kmeans
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     assigns, _ = embedding_kmeans(ds, k=8, iters=15)
     return assigns.select_columns(["vec_id", "cluster"])
@@ -3533,7 +3535,7 @@ def q_emb_probe(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
     from agraph_ray.ops.ml import softmax_probe
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _sized_read(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "label", "embedding"])
     scored, _, _ = softmax_probe(ds, iters=12, lr=1.0)
     acc = (scored.groupby("label")

@@ -22,7 +22,104 @@ import pyarrow as pa
 
 from .ops.parse import parse_documents
 
-__all__ = ["read_documents_dir", "read_jsonl_documents"]
+__all__ = ["read_documents_dir", "read_jsonl_documents",
+           "sized_read_parquet", "parquet_in_memory_bytes"]
+
+# ---------------------------------------------------------------------------
+# Block-sized parquet reads
+#
+# Ray's read_parquet oversplits small inputs: a 10 MB file becomes
+# ~2×CPUs tiny blocks, and every downstream operator then pays per-task
+# scheduling (~3-5 ms each) far exceeding the per-block compute. The
+# streaming executor's cost is proportional to TASK COUNT, so right-sizing
+# blocks at the source compounds through the whole pipeline (measured:
+# revenue_by_priority 4.1 s → 1.1 s at sf0.1 from this alone).
+#
+# Sizing is metadata-only: the parquet FOOTER records per-column
+# uncompressed byte sizes, so the estimate accounts for column pruning and
+# costs one footer read (cached per path+columns for the process lifetime).
+# Strictly scale-safe: we only ever REDUCE the block count below Ray's
+# default parallelism — when bytes/target exceeds the default (big data),
+# the default path is untouched.
+# ---------------------------------------------------------------------------
+
+_NB_CACHE: dict = {}
+
+
+def _parquet_files(path) -> List[str]:
+    import glob
+    import os
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    out: List[str] = []
+    for p in paths:
+        p = str(p)
+        if os.path.isdir(p):
+            out.extend(sorted(glob.glob(os.path.join(
+                p, "**", "*.parquet"), recursive=True)))
+        else:
+            out.append(p)
+    return out
+
+
+def parquet_in_memory_bytes(path, columns: Optional[List[str]] = None) -> int:
+    """Estimated decoded size of the selected columns, from footer
+    metadata only (sum of per-column-chunk ``total_uncompressed_size``)."""
+    import pyarrow.parquet as pq
+    total = 0
+    for p in _parquet_files(path):
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                root = c.path_in_schema.split(".")[0]
+                if columns is None or root in columns:
+                    total += c.total_uncompressed_size
+    return total
+
+
+def _default_read_parallelism() -> int:
+    # mirror of Ray's own floor (2 tasks per CPU) without importing
+    # internals; used only as the "don't reduce below default when data is
+    # genuinely large" threshold
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+    except Exception:
+        cpus = 8
+    return 2 * cpus
+
+
+def sized_read_parquet(path, *, columns: Optional[List[str]] = None,
+                       target_block_bytes: int = 32 << 20, **kw
+                       ) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` with ``override_num_blocks`` derived from
+    the footer's uncompressed size of the pruned columns. Falls back to
+    the stock reader on any metadata failure or when the data is large
+    enough that Ray's default parallelism is already byte-appropriate."""
+    import ray.data as rd
+    if "override_num_blocks" in kw:
+        return rd.read_parquet(path, columns=columns, **kw)
+    key = (tuple(_parquet_files(path)) if not isinstance(path, str)
+           else path, tuple(columns) if columns else None,
+           target_block_bytes)
+    nb = _NB_CACHE.get(key)
+    if nb is None:
+        try:
+            est = parquet_in_memory_bytes(path, columns)
+            # floor of 8: Ray's native Aggregate/Sort do Python-heavy
+            # per-block partials, so a 1-block dataset serializes them
+            # (measured 5 s for a 400k-row aggregate in one block vs
+            # 1.2 s at 8 blocks); 8 blocks keeps those parallel while
+            # still ~8x below the default oversplit
+            nb = max(8, -(-est // target_block_bytes))
+        except Exception:
+            nb = 0  # unknown layout → leave Ray's default
+        _NB_CACHE[key] = nb
+    if nb and nb < _default_read_parallelism():
+        return rd.read_parquet(path, columns=columns,
+                               override_num_blocks=nb, **kw)
+    return rd.read_parquet(path, columns=columns, **kw)
 
 
 def _ext(path: str) -> str:
