@@ -41,9 +41,13 @@ def degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """edges → (entity_id, out_degree, in_degree, degree).
 
     Unpivot (head_id, tail_id) with a per-batch partial count, then one
-    small groupby-sum — the shuffle moves one row per (entity, batch).
+    small keyed sum — the shuffle moves one row per (entity, batch). The
+    final sum runs through ``bucketed_group_reduce`` (vectorized pandas
+    per bucket): Ray's native Aggregate does Python-level per-row partial
+    merges (~15 us/row — measured 2.9 s on a 590k-edge bipartite graph
+    where the pandas path is 0.3 s).
     """
-    from ray.data.aggregate import Sum
+    from ..stages.common import bucketed_group_reduce
 
     def partial(t: pa.Table) -> pa.Table:
         heads = t.group_by("head_id").aggregate([("head_id", "count")])
@@ -55,14 +59,28 @@ def degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
               .fillna(0).astype("int64").reset_index())
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return (edges.select_columns(["head_id", "tail_id"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("entity_id")
-            .aggregate(Sum("out_partial", alias_name="out_degree"),
-                       Sum("in_partial", alias_name="in_degree"))
-            .map_batches(lambda t: t.append_column(
-                "degree", pc.add(t["out_degree"], t["in_degree"])),
-                batch_format="pyarrow"))
+    def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("entity_id", as_index=False)
+               [["out_partial", "in_partial"]].sum())
+        return out.rename(columns={"out_partial": "out_degree",
+                                   "in_partial": "in_degree"})
+
+    id_type = pa.string()
+    try:
+        from ..stages.common import arrow_col_type
+        id_type = arrow_col_type(edges, "head_id")
+    except Exception:
+        pass
+    summed = bucketed_group_reduce(
+        edges.select_columns(["head_id", "tail_id"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["entity_id"], sum_bucket,
+        schema=pa.schema([("entity_id", id_type),
+                          ("out_degree", pa.int64()),
+                          ("in_degree", pa.int64())]))
+    return summed.map_batches(lambda t: t.append_column(
+        "degree", pc.add(t["out_degree"], t["in_degree"])),
+        batch_format="pyarrow")
 
 
 def chunk_statistics(chunks: "ray.data.Dataset") -> Dict:

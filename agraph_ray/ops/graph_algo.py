@@ -87,8 +87,8 @@ def pairs_within_groups(ds: "ray.data.Dataset", group_col: str,
 
 def _degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """(node, deg) over undirected distinct edges (a < b) — per-batch
-    bincount combiner, one small groupby."""
-    from ray.data.aggregate import Sum
+    bincount combiner, one small keyed sum."""
+    from ..stages.common import keyed_sum
 
     def partial(t: pa.Table) -> pa.Table:
         both = np.concatenate([
@@ -98,8 +98,9 @@ def _degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.table({"node": pa.array(u, pa.int64()),
                          "d": pa.array(c, pa.int64())})
 
-    return (edges.map_batches(partial, batch_format="pyarrow")
-            .groupby("node").aggregate(Sum("d", alias_name="deg")))
+    return keyed_sum(edges.map_batches(partial, batch_format="pyarrow"),
+                     ["node"], {"d": "deg"},
+                     key_schema=[pa.field("node", pa.int64())])
 
 
 def triangle_counts(edges: "ray.data.Dataset",
@@ -268,12 +269,13 @@ def triangle_counts(edges: "ray.data.Dataset",
         u, c = np.unique(corners, return_counts=True)
         return pd.DataFrame({"node": u, "c": c})
 
-    from ray.data.aggregate import Sum
+    from ..stages.common import keyed_sum
     tagged = wedge_rows.union(
         oriented.map_batches(tag_edge, batch_format="pyarrow"))
     partial = bucketed_group_reduce(tagged, ["x", "y"], close, num_buckets,
                                     schema=cnt_schema)
-    return (partial.groupby("node").aggregate(Sum("c", alias_name="n_tri")))
+    return keyed_sum(partial, ["node"], {"c": "n_tri"},
+                     key_schema=[pa.field("node", pa.int64())])
 
 
 def _driver_pagerank(ed: "ray.data.Dataset", damping: float, iters: int,
@@ -368,9 +370,11 @@ def pagerank(edges: "ray.data.Dataset", damping: float = 0.85,
         return pa.table({"node": pa.array(u_all, pa.int64()),
                          "o": pa.array(out, pa.int64())})
 
-    state = (ed.map_batches(node_partial, batch_format="pyarrow")
-             .groupby("node").aggregate(Sum("o", alias_name="outdeg"))
-             .materialize())
+    from ..stages.common import keyed_sum
+    state = keyed_sum(
+        ed.map_batches(node_partial, batch_format="pyarrow"),
+        ["node"], {"o": "outdeg"},
+        key_schema=[pa.field("node", pa.int64())]).materialize()
     n = state.count()
     if n == 0:
         return rd.from_arrow(pa.table(
