@@ -210,22 +210,31 @@ def q_customer_top3_per_segment(sf_dir: str):
 
 
 def q_events_window(sf_dir: str):
-    """Tumbling 1-day event-time window per user (streaming-shaped)."""
+    """Tumbling 1-day event-time window per user (streaming-shaped).
+    ~40k distinct (user, day) groups — the vectorized bucketed reduce,
+    not the native Aggregate (Python per-row partial merges)."""
     import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from agraph_ray.stages.common import bucketed_group_reduce
 
     def add_day(t: "pa.Table") -> "pa.Table":
         us = pc.cast(t["ts"], pa.int64())
         day = pc.divide(us, 86_400_000_000)
-        return t.append_column("day", pc.cast(day, pa.int64()))
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.cast(day, pa.int64()),
+                         "value": t["value"]})
+
+    def win(df):
+        return (df.groupby(["user_id", "day"], as_index=False)
+                .agg(n=("value", "size"), sum_value=("value", "sum")))
 
     ds = _sized_read(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
-    out = (ds.map_batches(add_day, batch_format="pyarrow")
-           .groupby(["user_id", "day"])
-           .aggregate(Count(alias_name="n"),
-                      Sum("value", alias_name="sum_value")))
+    out = bucketed_group_reduce(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["user_id", "day"], win,
+        schema=pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                          ("n", pa.int64()), ("sum_value", pa.float64())]))
     return _scale_cols(out, {"sum_value": 100})
 
 
@@ -974,7 +983,6 @@ def q_conv_pack_stats(sf_dir: str):
     trainer needs per batch. Chain: render_chat (stats) →
     add_token_count → pack_concat → seq-keyed rollup; ONE oracle."""
     import pyarrow as pa
-    from ray.data.aggregate import Count, Sum
 
     from agraph_ray.ops.pack import pack_concat
     from agraph_ray.ops.text import add_token_count
@@ -998,19 +1006,22 @@ def q_conv_pack_stats(sf_dir: str):
             "assistant_chars": t["assistant_chars"]})
 
     packed = with_prefix.map_batches(finish, batch_format="pyarrow")
-    out = packed.groupby("seq_id").aggregate(
-        Count(alias_name="n_convs"),
-        Sum("token_count", alias_name="seq_tokens"),
-        Sum("n_assistant_turns", alias_name="assistant_turns"),
-        Sum("assistant_chars", alias_name="assistant_chars"))
-    return out.map_batches(
-        lambda t: pa.table({
-            "seq_id": t["seq_id"],
-            "n_convs": pc.cast(t["n_convs"], pa.int64()),
-            "seq_tokens": pc.cast(t["seq_tokens"], pa.int64()),
-            "assistant_turns": pc.cast(t["assistant_turns"], pa.int64()),
-            "assistant_chars": pc.cast(t["assistant_chars"], pa.int64())}),
-        batch_format="pyarrow")
+    from agraph_ray.stages.common import bucketed_group_reduce
+
+    def rollup(df):
+        return (df.groupby("seq_id", as_index=False)
+                .agg(n_convs=("token_count", "size"),
+                     seq_tokens=("token_count", "sum"),
+                     assistant_turns=("n_assistant_turns", "sum"),
+                     assistant_chars=("assistant_chars", "sum")))
+
+    return bucketed_group_reduce(
+        packed, ["seq_id"], rollup,
+        schema=pa.schema([("seq_id", pa.int64()),
+                          ("n_convs", pa.int64()),
+                          ("seq_tokens", pa.int64()),
+                          ("assistant_turns", pa.int64()),
+                          ("assistant_chars", pa.int64())]))
 
 
 def q_entity_timeline_windowed(sf_dir: str):
@@ -2189,9 +2200,9 @@ def q_full_outer_parts(sf_dir: str):
     """FULL OUTER co-group join: large parts (p_size >= 48) vs
     heavily-ordered partkeys (lineitem count >= 8) — unmatched rows
     survive from BOTH sides with NULLs for the absent side."""
+    import pyarrow as pa
     import pyarrow.dataset as pads
     import ray.data as rd
-    from ray.data.aggregate import Sum
     from agraph_ray.ops.join import cogroup_join
 
     left = (_sized_read(f"{sf_dir}/part.parquet",
@@ -2202,11 +2213,12 @@ def q_full_outer_parts(sf_dir: str):
     def part_counts(t: "pa.Table") -> "pa.Table":
         return t.group_by(["l_partkey"]).aggregate([("l_partkey", "count")])
 
-    right = (_sized_read(f"{sf_dir}/lineitem.parquet",
-                             columns=["l_partkey"])
-             .map_batches(part_counts, batch_format="pyarrow")
-             .groupby("l_partkey")
-             .aggregate(Sum("l_partkey_count", alias_name="cnt"))
+    from agraph_ray.stages.common import keyed_sum
+    right = (keyed_sum(_sized_read(f"{sf_dir}/lineitem.parquet",
+                                   columns=["l_partkey"])
+                       .map_batches(part_counts, batch_format="pyarrow"),
+                       ["l_partkey"], {"l_partkey_count": "cnt"},
+                       key_schema=[pa.field("l_partkey", pa.int64())])
              .filter(expr="cnt >= 8")
              .rename_columns({"l_partkey": "partkey"}))
     return cogroup_join(left, right, on=["partkey"], how="full")

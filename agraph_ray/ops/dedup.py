@@ -33,21 +33,36 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     """Keep one representative (min id) per exact text value.
 
     hash-partition on a content hash + per-group first — only the 16-byte
-    hash and the id ride the shuffle, not the document bodies.
+    hash and the id ride the shuffle, not the document bodies. The keyed
+    min runs through the vectorized bucketed reduce (hash cardinality ~
+    |corpus|, where the native Aggregate's Python per-row partial merges
+    dominate); ``sig`` is also the map-side combiner — one candidate per
+    hash per batch before the shuffle.
     """
+    from ..stages.common import arrow_col_type, bucketed_group_reduce
+
     def sig(batch: pa.Table) -> pa.Table:
         h = [hashlib.md5(s.encode("utf-8")).hexdigest()
              for s in batch[text_col].to_pylist()]
-        return pa.Table.from_arrays(
+        t = pa.Table.from_arrays(
             [batch[id_col].combine_chunks(), pa.array(h, pa.string())],
             names=[id_col, "content_hash"])
+        df = t.to_pandas().sort_values(id_col, kind="mergesort")
+        return pa.Table.from_pandas(
+            df.drop_duplicates("content_hash", keep="first"),
+            preserve_index=False)
 
-    from ray.data.aggregate import Min
-    reps = (ds.select_columns([id_col, text_col])
-            .map_batches(sig, batch_format="pyarrow")
-            .groupby("content_hash")
-            .aggregate(Min(id_col, alias_name=id_col)))
-    return reps
+    def min_per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        return df.drop_duplicates("content_hash", keep="first")
+
+    id_t = arrow_col_type(ds, id_col)
+    reps = bucketed_group_reduce(
+        ds.select_columns([id_col, text_col])
+        .map_batches(sig, batch_format="pyarrow"),
+        ["content_hash"], min_per_hash,
+        schema=pa.schema([(id_col, id_t), ("content_hash", pa.string())]))
+    return reps.select_columns(["content_hash", id_col])
 
 
 def exact_dedup_by(ds: "ray.data.Dataset", text_col: str = "text",
@@ -170,8 +185,6 @@ def dedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
     against the existing hash set. Within ``new`` itself, exact
     duplicates collapse to the min-id representative first (same rule as
     :func:`exact_dedup`). Returns (id_col, content_hash) of survivors."""
-    from ray.data.aggregate import Min
-
     from .bloom import bloom_join
 
     def sig(batch: pa.Table) -> pa.Table:
@@ -181,10 +194,7 @@ def dedup_against(new: "ray.data.Dataset", existing: "ray.data.Dataset",
             [batch[id_col].combine_chunks(), pa.array(h, pa.string())],
             names=[id_col, "content_hash"])
 
-    new_reps = (new.select_columns([id_col, text_col])
-                .map_batches(sig, batch_format="pyarrow")
-                .groupby("content_hash")
-                .aggregate(Min(id_col, alias_name=id_col)))
+    new_reps = exact_dedup(new, text_col=text_col, id_col=id_col)
     old_hashes = (existing.select_columns([id_col, text_col])
                   .map_batches(sig, batch_format="pyarrow")
                   .select_columns(["content_hash"]))

@@ -27,12 +27,34 @@ def _ts_us(arr: "pa.ChunkedArray") -> "pa.ChunkedArray":
     return pc.cast(arr, pa.int64())
 
 
+def _window_count_sum(windowed: "ray.data.Dataset", key: str,
+                      agg_col: str) -> "ray.data.Dataset":
+    """(key, window_start) → n + sum(agg_col) via the vectorized bucketed
+    reduce — (key × window) cardinality scales with users × time, where
+    the native Aggregate's Python per-row partial merges dominate."""
+    from ..stages.common import arrow_col_type
+
+    sum_name = f"sum_{agg_col}"
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([key, "window_start"], as_index=False)
+                .agg(n=(agg_col, "size"), **{sum_name: (agg_col, "sum")}))
+
+    key_t = arrow_col_type(windowed, key)
+    val_t = arrow_col_type(windowed, agg_col)
+    sum_t = pa.int64() if pa.types.is_integer(val_t) else pa.float64()
+    return bucketed_group_reduce(
+        windowed.select_columns([key, "window_start", agg_col]),
+        [key, "window_start"], red,
+        schema=pa.schema([(key, key_t), ("window_start", pa.int64()),
+                          ("n", pa.int64()), (sum_name, sum_t)]))
+
+
 def tumbling_window(ds: "ray.data.Dataset", key: str, ts_col: str,
                     width_sec: int, agg_col: str) -> "ray.data.Dataset":
     """(key, window_start) count + sum over ``agg_col``. The window id is a
-    pure per-batch projection; the only shuffle is the final groupby."""
-    from ray.data.aggregate import Count, Sum
-
+    pure per-batch projection; the only shuffle is the final keyed
+    reduce."""
     us = width_sec * 1_000_000
 
     def add_win(t: pa.Table) -> pa.Table:
@@ -40,10 +62,8 @@ def tumbling_window(ds: "ray.data.Dataset", key: str, ts_col: str,
         win = pc.multiply(pc.divide(micros, us), us)
         return t.append_column("window_start", pc.cast(win, pa.int64()))
 
-    return (ds.map_batches(add_win, batch_format="pyarrow")
-            .groupby([key, "window_start"])
-            .aggregate(Count(alias_name="n"),
-                       Sum(agg_col, alias_name=f"sum_{agg_col}")))
+    return _window_count_sum(
+        ds.map_batches(add_win, batch_format="pyarrow"), key, agg_col)
 
 
 def hopping_window(ds: "ray.data.Dataset", key: str, ts_col: str,
@@ -53,10 +73,8 @@ def hopping_window(ds: "ray.data.Dataset", key: str, ts_col: str,
     ``width/hop`` windows. The expansion is a vectorized per-batch
     repeat (shuffle volume scales with the overlap factor — the inherent
     cost of hopping windows, stated rather than hidden); the only
-    shuffle is the final groupby. ``width_sec`` must be a multiple of
-    ``hop_sec``."""
-    from ray.data.aggregate import Count, Sum
-
+    shuffle is the final keyed reduce. ``width_sec`` must be a multiple
+    of ``hop_sec``."""
     if width_sec % hop_sec:
         raise ValueError("width_sec must be a multiple of hop_sec")
     w_us, h_us = width_sec * 1_000_000, hop_sec * 1_000_000
@@ -75,10 +93,8 @@ def hopping_window(ds: "ray.data.Dataset", key: str, ts_col: str,
         return t.append_column("window_start",
                                pa.array(starts[keep], pa.int64()))
 
-    return (ds.map_batches(expand, batch_format="pyarrow")
-            .groupby([key, "window_start"])
-            .aggregate(Count(alias_name="n"),
-                       Sum(agg_col, alias_name=f"sum_{agg_col}")))
+    return _window_count_sum(
+        ds.map_batches(expand, batch_format="pyarrow"), key, agg_col)
 
 
 def rolling_range_agg(ds: "ray.data.Dataset", key: str, ts_col: str,
