@@ -44,8 +44,9 @@ def compact_parquet(src_dir: str, target_rows_per_file: int = 1_000_000,
     compaction is a layout operation)."""
     import ray.data as rd
 
+    from ..sources import sized_read_parquet
     files_before = sum(len(fs) for _, _, fs in os.walk(src_dir))
-    ds = rd.read_parquet(src_dir)
+    ds = sized_read_parquet(src_dir)
     n = ds.count()
     blocks = max(1, int(np.ceil(n / target_rows_per_file)))
     final = dst_dir or src_dir
@@ -170,7 +171,8 @@ def read_range(out_dir: str, lo, hi) -> "ray.data.Dataset":
     if not files:
         return rd.from_items([])
     import pyarrow.compute as _pc
-    ds = rd.read_parquet(files)
+    from ..sources import sized_read_parquet
+    ds = sized_read_parquet(files)
     return ds.map_batches(
         lambda t: t.filter(_pc.and_(_pc.greater_equal(t[col], lo),
                                     _pc.less_equal(t[col], hi))),

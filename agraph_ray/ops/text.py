@@ -873,9 +873,10 @@ def duplicate_ngram_stats(ds: "ray.data.Dataset", n: int = 8,
         ["gram"], attach_total, num_buckets,
         schema=pa.schema([(id_col, id_type), ("n", pa.int64()),
                           ("d", pa.int64())]))
-    return (partials.groupby(id_col)
-            .aggregate(Sum("n", alias_name="n_ngrams"),
-                       Sum("d", alias_name="n_dup_ngrams")))
+    from ..stages.common import keyed_sum
+    return keyed_sum(partials, [id_col],
+                     {"n": "n_ngrams", "d": "n_dup_ngrams"},
+                     key_schema=[pa.field(id_col, id_type)])
 
 
 def remove_duplicate_spans(ds: "ray.data.Dataset", n: int = 8,

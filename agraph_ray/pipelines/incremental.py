@@ -41,10 +41,11 @@ def add_documents(out_dir: str, new_transcripts,
     conversations changes nothing (content-hash ids + max/sum merges
     over identical rows)."""
     import ray.data as rd
+    from ..sources import sized_read_parquet
     cfg = cfg or KGConfig()
     t0 = time.time()
     if isinstance(new_transcripts, (str, list)):
-        new_transcripts = rd.read_parquet(
+        new_transcripts = sized_read_parquet(
             new_transcripts, columns=["conv_id", "turn_idx", "text"])
 
     docs = reassemble(new_transcripts, cfg)
@@ -84,7 +85,8 @@ def remove_documents(out_dir: str, conv_ids: Sequence[str],
         return t.filter(mask)
 
     mentions_dir = os.path.join(out_dir, "mentions")
-    surviving = rd.read_parquet(mentions_dir).map_batches(
+    from ..sources import sized_read_parquet
+    surviving = sized_read_parquet(mentions_dir).map_batches(
         drop_tombstoned, batch_format="pyarrow")
     # rewrite the mentions checkpoint (atomic swap), then re-derive
     tmp = mentions_dir + ".tomb"

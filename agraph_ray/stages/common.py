@@ -80,9 +80,15 @@ def keyed_sum(ds: "ray.data.Dataset", keys: List[str],
 
     schema = None
     if key_schema is not None:
+        def _sum_type(col: str) -> pa.DataType:
+            try:
+                t = arrow_col_type(ds, col)
+            except Exception:
+                return pa.int64()
+            return pa.float64() if pa.types.is_floating(t) else pa.int64()
         schema = pa.schema(list(key_schema) +
-                           [pa.field(v, pa.int64()) for v in
-                            sum_cols.values()])
+                           [pa.field(v, _sum_type(c)) for c, v in
+                            sum_cols.items()])
     return bucketed_group_reduce(ds, keys, sum_bucket, num_buckets,
                                  schema=schema)
 

@@ -18,14 +18,15 @@ from typing import Dict, Optional
 
 
 def load_graph(out_dir: str) -> Dict[str, "ray.data.Dataset"]:
-    """Load the materialized KG tables back as Datasets (lazy reads)."""
-    import ray.data as rd
+    """Load the materialized KG tables back as Datasets (lazy reads,
+    block count sized to each table's footprint)."""
+    from .sources import sized_read_parquet
     tables = {}
     for name in ["nodes", "edges", "chunks", "triples", "documents",
                  "mentions"]:
         path = os.path.join(out_dir, name)
         if os.path.isdir(path):
-            tables[name] = rd.read_parquet(path)
+            tables[name] = sized_read_parquet(path)
     return tables
 
 

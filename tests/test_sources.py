@@ -64,3 +64,69 @@ def test_read_jsonl_documents(ray_session, tmp_path):
     # no id field → stable content hash ids
     rows2 = read_jsonl_documents(str(p)).take_all()
     assert all(len(r["doc_id"]) == 16 for r in rows2)
+
+
+# ---------------------------------------------------------------------------
+# sized_read_parquet + keyed_sum
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def small_parquet(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({"k": np.arange(10_000) % 137,
+                  "v": np.arange(10_000, dtype="float64"),
+                  "w": np.ones(10_000, dtype="int64"),
+                  "txt": ["x" * 50] * 10_000})
+    p = tmp_path / "t.parquet"
+    pq.write_table(t, p)
+    return str(p)
+
+
+def test_sized_read_small_file_few_blocks(ray_session, small_parquet):
+    from agraph_ray.sources import (parquet_in_memory_bytes,
+                                    sized_read_parquet)
+    # footer estimate accounts for column pruning
+    all_b = parquet_in_memory_bytes(small_parquet)
+    pruned = parquet_in_memory_bytes(small_parquet, ["k", "v"])
+    assert 0 < pruned < all_b
+    ds = sized_read_parquet(small_parquet, columns=["k", "v"])
+    # tiny table → the 8-block floor, far below Ray's 2xCPU default
+    assert ds.materialize().num_blocks() == 8
+    assert ds.count() == 10_000
+    # explicit override wins
+    ds2 = sized_read_parquet(small_parquet, columns=["k"],
+                             override_num_blocks=3)
+    assert ds2.materialize().num_blocks() == 3
+
+
+def test_sized_read_respects_large_estimate(ray_session, small_parquet):
+    from agraph_ray.sources import sized_read_parquet
+    # a 1-byte target makes the byte-derived count exceed the default
+    # parallelism → the stock reader path (no tiny-block override)
+    ds = sized_read_parquet(small_parquet, target_block_bytes=1)
+    assert ds.count() == 10_000
+
+
+def test_keyed_sum_matches_pandas(ray_session, small_parquet):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from agraph_ray.stages.common import keyed_sum
+    ds = rd.read_parquet(small_parquet, columns=["k", "v", "w"])
+    out = keyed_sum(ds, ["k"], {"v": "sv", "w": "cnt"},
+                    key_schema=[pa.field("k", pa.int64())]).to_pandas()
+    # sum dtype follows the input column: float v -> float64, int w -> int64
+    assert str(out["sv"].dtype) == "float64"
+    assert str(out["cnt"].dtype) == "int64"
+    df = pd.read_parquet(small_parquet, columns=["k", "v", "w"])
+    want = (df.groupby("k", as_index=False)
+            .agg(sv=("v", "sum"), cnt=("w", "sum")))
+    got = out.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    assert (got["cnt"] == want["cnt"]).all()
+    assert (got["sv"].astype("float64") == want["sv"]).all()
+    assert len(got) == 137
