@@ -268,6 +268,16 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
         #                   checkpoint is now the source of truth
     else:
         src = mentions
+        # Coalesce for the dedup shuffles: extraction emits fine-grained
+        # blocks (~8/CPU — right for its own load balancing, wrong for
+        # the two dedup all-to-alls, whose cost is per-block scheduling).
+        # The mentions are materialized, so the byte size is known free:
+        # target ~32 MB blocks, floor 8, only when it actually halves
+        # the block count. One cheap streaming pass on the small table.
+        nb_now = mentions.num_blocks()
+        nb_tgt = max(8, -(-int(mentions.size_bytes() or 0) // (32 << 20)))
+        if nb_tgt * 2 <= nb_now:
+            src = mentions.repartition(nb_tgt).materialize()
     tables = _mentions_to_outputs(out_dir, cfg, do_canonicalize, metrics,
                                   mentions=src, pool=pool)
     t = time.time()
