@@ -222,8 +222,10 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
     t0 = time.time()
     metrics: Dict[str, float] = {}
     if isinstance(transcripts, (str, list)):
-        transcripts = rd.read_parquet(transcripts,
-                                      columns=["conv_id", "turn_idx", "text"])
+        from ..sources import sized_read_parquet
+        transcripts = sized_read_parquet(
+            transcripts, columns=["conv_id", "turn_idx", "text"],
+            target_block_bytes=8 << 20)
 
     pool = ThreadPoolExecutor(max_workers=4)
     futures = {}
@@ -335,7 +337,10 @@ def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
 
     def run_group(pid: int, files: List[str]) -> None:
         part_t0 = time.time()
-        ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+        from ..sources import sized_read_parquet
+        ds = sized_read_parquet(files,
+                                columns=["conv_id", "turn_idx", "text"],
+                                target_block_bytes=8 << 20)
         n_turns = ds.count()
         docs = reassemble(ds, cfg)
         mentions = extract_mentions(docs, cfg, engine=engine)
