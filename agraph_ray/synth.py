@@ -183,8 +183,10 @@ def transcripts_from_documents(sf_dir: str, turn_chars: int = 80):
              pa.array(ts, pa.timestamp("us"))],
             schema=TRANSCRIPT_SCHEMA)
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
+    from .sources import sized_read_parquet
+    docs = sized_read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"],
+                              target_block_bytes=4 << 20)
     return docs.map_batches(to_turns, batch_format="pyarrow")
 
 
