@@ -849,6 +849,11 @@ def link_prediction_scores(edges: "ray.data.Dataset", src: str, dst: str,
     # it — lazy, the distinct shuffle would execute twice
     e = distinct_on(edges.select_columns([src, dst]), [src, dst],
                     num_buckets).materialize()
+    # bucket count for the pair/fold shuffles: byte-adaptive below the
+    # caller's value (which stays the cap — large graphs are unchanged).
+    # The x8 allowance covers the wedge-pair expansion over the edge list.
+    num_buckets = int(min(num_buckets, max(
+        8, ((e.size_bytes() or 0) * 8) // (32 << 20) + 1)))
 
     pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("cn", pa.int64()), ("aa", pa.float64())])
