@@ -313,6 +313,22 @@ def test_inv_exact_dedup_by(ray_session):
                                   keep_cols=["rank"], ascending=[False]))
 
 
+def test_inv_exact_dedup(ray_session):
+    # r3 s13: exact_dedup moved from the native Min aggregate to the
+    # bucketed reduce with a map-side combiner — pin layout invariance
+    from agraph_ray.ops.dedup import exact_dedup
+    _assert_invariant(
+        lambda: (_docs_df(),),
+        lambda ds: exact_dedup(ds, "text", "doc_id"))
+
+
+def test_inv_tumbling_window(ray_session):
+    from agraph_ray.ops.window import tumbling_window
+    _assert_invariant(
+        lambda: (_events_df(),),
+        lambda ds: tumbling_window(ds, "user", "ts_us", 3600, "val"))
+
+
 def test_inv_minhash_dedup(ray_session):
     from agraph_ray.ops.dedup import minhash_dedup
     _assert_invariant(
