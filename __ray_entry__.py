@@ -1868,6 +1868,30 @@ def q_events_rolling(sf_dir: str):
     return _scale_cols(out, {"roll_sum": 1})
 
 
+def q_events_late(sf_dir: str):
+    """Watermark-based late-event flagging over the arrival-ordered event
+    stream (event_id = ingest sequence): an event is late when its event
+    time lags the running max over all earlier arrivals by more than 10
+    minutes — the §2.9 late-data concern as a distributed prefix-max
+    (ops/window.py::late_events). Full oracle: running-MAX window frame
+    in DuckDB."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.window import late_events
+    ds = _sized_read(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+    out = late_events(ds, ts_col="ts", seq_col="event_id",
+                      lateness_sec=600)
+
+    def finish(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "event_id": t["event_id"],
+            "watermark_us": t["watermark_us"],
+            "late": pc.cast(t["late"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_events_lag_delta(sf_dir: str):
     """Microseconds since each user's previous event (LAG; -1 = first)."""
     import ray.data as rd
@@ -3630,6 +3654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": q_docs_sample,
         "events_hopping": q_events_hopping,
         "events_rolling": q_events_rolling,
+        "events_late": q_events_late,
         "events_lag_delta": q_events_lag_delta,
         "events_pivot": q_events_pivot,
         "events_running": q_events_running,
@@ -4402,6 +4427,22 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 86400000000 PRECEDING
                          AND CURRENT ROW)
+        """,
+        "events_late": """
+            SELECT event_id, watermark_us,
+                   -- additive form: the sentinel minus lateness would
+                   -- underflow INT64 (no short-circuit in SQL)
+                   CAST(watermark_us <> -9223372036854775808
+                        AND ts_us + 600000000 < watermark_us
+                        AS BIGINT) AS late
+            FROM (
+                SELECT event_id, epoch_us(ts) AS ts_us,
+                       COALESCE(MAX(epoch_us(ts)) OVER (
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), -9223372036854775808)
+                           AS watermark_us
+                FROM events)
         """,
         "events_lag_delta": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -682,3 +682,68 @@ def linear_attribution(ds: "ray.data.Dataset", key: str, ts_col: str,
     return (part.groupby("event_type")
             .aggregate(Sum("n_touches", alias_name="n_touches"),
                        Sum("credit", alias_name="credit")))
+
+
+def late_events(ds: "ray.data.Dataset", ts_col: str, seq_col: str,
+                lateness_sec: float, out_col: str = "late"
+                ) -> "ray.data.Dataset":
+    """Watermark-based late-event flagging over an arrival-ordered stream
+    (the §2.9 late-data concern made concrete; the batch analogue of a
+    streaming watermark, e.g. Akidau et al., "The Dataflow Model",
+    VLDB'15). ``seq_col`` (unique — an ingest sequence id) defines
+    arrival order; the watermark at each row is the running MAX event
+    time over all strictly-earlier arrivals; a row is late when its own
+    event time lags that watermark by more than ``lateness_sec``.
+
+    Distributed prefix-max with O(num_blocks) driver state — the same
+    sorted-block/summary/broadcast shape as
+    :func:`agraph_ray.ops.pack.ordered_prefix_sum`: one sort, one tiny
+    per-block summary pass, one flagging pass. The first arrival (empty
+    watermark) is never late. Emits ``out_col`` (bool) plus
+    ``watermark_us`` (int64; the exclusive running max, min-int64 for
+    the first row) so an oracle can compare the full decision basis.
+    """
+    import ray
+
+    lateness_us = int(round(lateness_sec * 1_000_000))
+    sorted_ds = ds.sort(seq_col).materialize()
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        k = t[seq_col].slice(0, 1)
+        if len(t) == 0:
+            m = pa.array([], pa.int64())
+        else:
+            m = pa.array([pc.max(_ts_us(t[ts_col])).as_py()], pa.int64())
+        return pa.table({"k": k, "m": m})
+
+    summaries = sorted(sorted_ds.map_batches(
+        block_summary, batch_format="pyarrow",
+        batch_size=None).take_all(), key=lambda r: r["k"])
+    keys = {r["k"]: i for i, r in enumerate(summaries)}
+    NEG = np.iinfo(np.int64).min
+    maxes = np.array([r["m"] for r in summaries], dtype=np.int64) \
+        if summaries else np.empty(0, np.int64)
+    # exclusive running max across blocks: base watermark entering block i
+    bases = np.concatenate(
+        [[NEG], np.maximum.accumulate(maxes)[:-1]]).astype(np.int64) \
+        if len(maxes) else np.empty(0, np.int64)
+    ref = ray.put((keys, bases))
+
+    def flag(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            t = t.append_column("watermark_us", pa.array([], pa.int64()))
+            return t.append_column(out_col, pa.array([], pa.bool_()))
+        ks, bs = ray.get(ref)
+        base = int(bs[ks[t[seq_col][0].as_py()]])
+        us = _ts_us(t[ts_col]).to_numpy(zero_copy_only=False)
+        run = np.maximum.accumulate(us)
+        wm = np.maximum(
+            np.concatenate([[NEG], run[:-1]]), base).astype(np.int64)
+        # NEG means "no prior arrival": never late. Additive comparison —
+        # the sentinel minus lateness would wrap int64
+        late = (wm != NEG) & (us + lateness_us < wm)
+        t = t.append_column("watermark_us", pa.array(wm, pa.int64()))
+        return t.append_column(out_col, pa.array(late, pa.bool_()))
+
+    return sorted_ds.map_batches(flag, batch_format="pyarrow",
+                                 batch_size=None)

@@ -565,3 +565,27 @@ def test_linear_attribution_hand_computed(ray_session):
     # u1 purchase: view+click split 0.5 each; u1 trailing view dangles
     # u2 purchase#1: view alone (1.0); purchase#2: click alone (1.0)
     assert got == {"view": (2, 1.5), "click": (2, 1.5)}
+
+
+def test_late_events_hand_computed(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from agraph_ray.ops.window import late_events
+    # arrival order (seq): event times in seconds
+    #   seq 0: t=100   first arrival, never late, watermark = sentinel
+    #   seq 1: t=200   wm=100 → on time
+    #   seq 2: t=150   wm=200, lag 50s ≤ 60s → on time
+    #   seq 3: t=130   wm=200, lag 70s > 60s → LATE
+    #   seq 4: t=300   wm=200 → on time
+    #   seq 5: t=100   wm=300, lag 200s → LATE
+    df = pd.DataFrame({
+        "seq": [0, 1, 2, 3, 4, 5],
+        "ts": pd.to_datetime([100, 200, 150, 130, 300, 100], unit="s")})
+    out = (late_events(rd.from_pandas(df).repartition(3), "ts", "seq",
+                       lateness_sec=60)
+           .to_pandas().sort_values("seq").reset_index(drop=True))
+    assert out["late"].tolist() == [False, False, False, True, False, True]
+    NEG = -(2 ** 63)
+    assert out["watermark_us"].tolist() == [
+        NEG, 100_000_000, 200_000_000, 200_000_000, 200_000_000,
+        300_000_000]
