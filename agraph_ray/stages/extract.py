@@ -212,6 +212,12 @@ def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
     # document table and rides the same execution.
     import ray as _ray
     nblocks = max(64, 4 * int(_ray.cluster_resources().get("CPU", 8)))
+    # size of the incoming docs, known free ONLY when the caller
+    # materialized them (size_bytes() on a lazy dataset would trigger a
+    # full extra execution — the resumable path passes lazy docs)
+    from ray.data.dataset import MaterializedDataset
+    docs_bytes = (docs.size_bytes() or 0) \
+        if isinstance(docs, MaterializedDataset) else 0
     docs = docs.repartition(nblocks)
     small = docs.map_batches(
         lambda t: t.filter(pc.less_equal(t["n_turns"], thresh)),
@@ -230,4 +236,20 @@ def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
     # a few hot docs.
     m_big = big.repartition(nblocks).map_batches(
         run, batch_format="pyarrow", batch_size=1)
+    # Large corpora: the fused union execution collapses — with both
+    # branches' (huge) mention outputs sharing one execution's resource
+    # budget the executor throttles tasks to ~25% CPU occupancy
+    # (measured at 5.5M turns / 69M mentions: fused 130 s wall vs 23.8 s
+    # + 16.0 s for the branches run separately; no spilling — pure
+    # buffer-budget backpressure). Above a docs-bytes threshold,
+    # materialize the branches as two thread-overlapped executions and
+    # return the (free) union of materialized blocks. Small corpora keep
+    # the single fused execution — two executions would only add fixed
+    # cost there.
+    if docs_bytes > 64 << 20:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as tp:
+            fut_s = tp.submit(m_small.materialize)
+            fut_b = tp.submit(m_big.materialize)
+            return fut_s.result().union(fut_b.result())
     return m_small.union(m_big)
