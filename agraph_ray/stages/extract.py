@@ -155,6 +155,12 @@ class ExtractStage:
         return pa.Table.from_arrays(arrays, schema=MENTIONS_SCHEMA)
 
 
+# docs-bytes threshold above which the small/big extraction branches run
+# as two thread-overlapped executions instead of one fused union — see
+# extract_mentions; module-level so tests can pin either path
+_BRANCH_OVERLAP_BYTES = 64 << 20
+
+
 def _auto_concurrency() -> int:
     """Fixed pool of cluster_cpus - 2: a pool that reserves every CPU
     starves the read/write tasks of its own pipeline (observed livelock),
@@ -246,7 +252,7 @@ def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
     # return the (free) union of materialized blocks. Small corpora keep
     # the single fused execution — two executions would only add fixed
     # cost there.
-    if docs_bytes > 64 << 20:
+    if docs_bytes > _BRANCH_OVERLAP_BYTES:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=2) as tp:
             fut_s = tp.submit(m_small.materialize)

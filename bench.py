@@ -98,7 +98,8 @@ def run_bench() -> dict:
                       "supplier_part_degree", "linked_vocab",
                       "llm_parse_entities", "docs_repetition",
                       "events_asof_order", "lineitem_quantiles",
-                      "events_rolling", "events_click_attrib",
+                      "events_rolling", "events_late",
+                      "events_click_attrib",
                       "docs_tfidf", "lineitem_bloom_semi",
                       "docs_prep_pipeline", "docs_dup_ngrams",
                       "docs_nb_predict", "supplier_link_pred",

@@ -278,3 +278,45 @@ def test_render_chat_salting_and_stats(ray_session):
         "doc_seq")
     assert list(salted["doc_seq"]) == [0, 1, 2]
     assert "".join(salted["text"]) == r["text"]
+
+
+def test_extract_branch_overlap_equals_fused(ray_session, tmp_path):
+    """The large-corpus path (two thread-overlapped branch executions)
+    must emit exactly the fused single-execution's mentions."""
+    import pandas as pd
+
+    import agraph_ray.stages.extract as ex
+    from agraph_ray.config import KGConfig
+    from agraph_ray.stages.reassemble import reassemble
+    from agraph_ray.synth import generate_transcripts
+    import ray.data as rd
+
+    d = str(tmp_path / "in")
+    generate_transcripts(d, n_convs=30, seed=7, num_shards=2)
+    cfg = KGConfig(hot_conv_turns=100, salt_span=64)
+    docs = reassemble(
+        rd.read_parquet(d, columns=["conv_id", "turn_idx", "text"]),
+        cfg).materialize()
+
+    import json
+
+    import ray
+
+    def run(thresh):
+        import pyarrow as pa
+        old = ex._BRANCH_OVERLAP_BYTES
+        ex._BRANCH_OVERLAP_BYTES = thresh
+        try:
+            m = ex.extract_mentions(docs, cfg).materialize()
+        finally:
+            ex._BRANCH_OVERLAP_BYTES = old
+        refs = [t for t in ray.get(m.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(refs, promote_options="default")
+        # json-render rows (list columns are ragged — pandas' tensor
+        # conversion chokes) and sort for order-independent compare
+        return sorted(json.dumps(r, sort_keys=True, default=str)
+                      for r in tbl.to_pylist())
+
+    fused = run(1 << 60)      # threshold never reached → fused union
+    overlap = run(0)          # always overlap → two executions
+    assert fused == overlap and len(fused) > 0
