@@ -1892,6 +1892,42 @@ def q_events_late(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_window_ontime(sf_dir: str):
+    """Allowed-lateness windowed aggregate: the 1-day-per-user tumbling
+    window computed over ON-TIME events only — events arriving (by
+    event_id ingest order) more than 10 minutes behind the running
+    watermark are dropped before aggregation, the standard streaming
+    late-data rule (late_events ∘ filter ∘ tumbling window). ONE oracle
+    for the composed chain."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.ops.window import late_events
+    from agraph_ray.stages.common import bucketed_group_reduce
+
+    ds = _sized_read(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    flagged = late_events(ds, ts_col="ts", seq_col="event_id",
+                          lateness_sec=600)
+
+    def ontime_day(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.equal(t["late"], False))
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.cast(pc.divide(us, 86_400_000_000), pa.int64())
+        return pa.table({"user_id": t["user_id"], "day": day,
+                         "value": t["value"]})
+
+    def win(df):
+        return (df.groupby(["user_id", "day"], as_index=False)
+                .agg(n=("value", "size"), sum_value=("value", "sum")))
+
+    out = bucketed_group_reduce(
+        flagged.map_batches(ontime_day, batch_format="pyarrow"),
+        ["user_id", "day"], win,
+        schema=pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                          ("n", pa.int64()), ("sum_value", pa.float64())]))
+    return _scale_cols(out, {"sum_value": 100})
+
+
 def q_events_lag_delta(sf_dir: str):
     """Microseconds since each user's previous event (LAG; -1 = first)."""
     import ray.data as rd
@@ -3655,6 +3691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "events_rolling": q_events_rolling,
         "events_late": q_events_late,
+        "events_window_ontime": q_events_window_ontime,
         "events_lag_delta": q_events_lag_delta,
         "events_pivot": q_events_pivot,
         "events_running": q_events_running,
@@ -4443,6 +4480,23 @@ def oracle_sql() -> dict[str, str]:
                            AND 1 PRECEDING), -9223372036854775808)
                            AS watermark_us
                 FROM events)
+        """,
+        "events_window_ontime": """
+            SELECT user_id,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   count(*) AS n,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)
+                       AS sum_value
+            FROM (
+                SELECT user_id, ts, value,
+                       COALESCE(MAX(epoch_us(ts)) OVER (
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), -9223372036854775808) AS wm
+                FROM events)
+            WHERE NOT (wm <> -9223372036854775808
+                       AND epoch_us(ts) + 600000000 < wm)
+            GROUP BY user_id, day
         """,
         "events_lag_delta": """
             SELECT event_id, user_id, epoch_us(ts) AS ts_us,
