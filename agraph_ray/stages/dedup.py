@@ -525,25 +525,63 @@ def dedup_both(mentions: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
                                  batch_format="pyarrow").materialize()
     if (union.size_bytes() or 0) > cap_bytes:
         # Partial volume beyond the single-task caps: CONTINUE from the
-        # already-materialized partials with one key-bucketed reduce per
-        # kind — every partial of a key lands in one bucket, where the
+        # already-materialized partials with ONE composite-key bucketed
+        # reduce over BOTH kinds — keyed (kind, norm_name|relation_id),
+        # every partial of a key lands in one bucket, where each kind's
         # (associative, invariance-tested) bucket merge is the final
-        # merge. Discarding the scan and re-reading the checkpoint
-        # per-kind (the old None fallback) paid the dominant read twice.
+        # merge. The earlier per-kind pair scanned the multi-GB union
+        # TWICE (one filter pass per kind) through two separate
+        # shuffles; the per-kind split now scans only the reduced output
+        # (|nodes|+|edges|, orders of magnitude smaller). Local A/B at
+        # 42.7M partials / 9.3 GB is wall-neutral (45.9 s vs 46 s — the
+        # saved scan reads page-cached local parquet); the win is one
+        # fewer all-to-all barrier and one fewer full pass where the
+        # union actually costs I/O (remote storage, spilled blocks).
         from .common import bucketed_group_reduce
 
-        def _side_bucketed(names, merge_df, schema, kind, key):
-            side = union.map_batches(
-                lambda t, k=kind, ns=names: t.filter(
-                    pc.equal(t["kind"], k)).select(ns),
-                batch_format="pyarrow")
-            return bucketed_group_reduce(side, [key], merge_df,
-                                         schema=schema)
+        node_names = [f.name for f in NODES_SCHEMA]
+        edge_only = [n for n in _EDGE_NAMES if n not in node_names]
+        fused_red = pa.schema([("kind", pa.string())]
+                              + list(NODES_SCHEMA)
+                              + [EDGES_SCHEMA.field(n) for n in edge_only])
+        all_names = [f.name for f in fused_red]
 
-        return (_side_bucketed(_ENT_NAMES, _merge_entities_bucket,
-                               NODES_SCHEMA, "entity", "norm_name"),
-                _side_bucketed(_EDGE_NAMES, merge_edges_bucket,
-                               EDGES_SCHEMA, "triple", "relation_id"))
+        def both_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as _pd
+            outs = []
+            for kind, names, merge_df in (
+                    ("entity", _ENT_NAMES, _merge_entities_bucket),
+                    ("triple", _EDGE_NAMES, merge_edges_bucket)):
+                part = df[df["kind"] == kind]
+                if len(part) == 0:
+                    continue
+                o = merge_df(part[names]).copy()
+                # absent columns as object-None (a float reindex would
+                # put NaN into int64/list fields and break the cast)
+                for c in all_names:
+                    if c not in o.columns:
+                        o[c] = _pd.Series([None] * len(o), dtype=object)
+                o["kind"] = kind
+                outs.append(o[all_names])
+            if not outs:
+                return _pd.DataFrame(columns=all_names)
+            return _pd.concat(outs, ignore_index=True)
+
+        # key on the raw (kind, norm_name, relation_id) tuple — exactly
+        # one of the two key columns is non-null per kind, so equal
+        # logical keys hash equal with NO extra key-derivation pass over
+        # the multi-GB union
+        reduced = bucketed_group_reduce(
+            union, ["kind", "norm_name", "relation_id"], both_bucket,
+            schema=fused_red).materialize()
+
+        def pick(kind, names, schema):
+            def f(t: pa.Table, k=kind, ns=names, s=schema) -> pa.Table:
+                return t.filter(pc.equal(t["kind"], k)).select(ns).cast(s)
+            return reduced.map_batches(f, batch_format="pyarrow")
+
+        return (pick("entity", node_names, NODES_SCHEMA),
+                pick("triple", _EDGE_NAMES, EDGES_SCHEMA))
     comb = union
     n = union.count()
     if union.num_blocks() > 2 * combine_width and n > 8 * combine_width:
