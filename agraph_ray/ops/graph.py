@@ -60,24 +60,26 @@ def degree_table(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("entity_id", as_index=False)
+        out = (df.groupby("entity_id", as_index=False, dropna=False)
                [["out_partial", "in_partial"]].sum())
         return out.rename(columns={"out_partial": "out_degree",
                                    "in_partial": "in_degree"})
 
-    id_type = pa.string()
+    # On a type-lookup failure fall back to the schema-less (untyped)
+    # reduce rather than guessing pa.string() — a wrong guess would turn
+    # the lookup error into a guaranteed cast failure in every bucket task.
+    schema = None
     try:
         from ..stages.common import arrow_col_type
-        id_type = arrow_col_type(edges, "head_id")
+        schema = pa.schema([("entity_id", arrow_col_type(edges, "head_id")),
+                            ("out_degree", pa.int64()),
+                            ("in_degree", pa.int64())])
     except Exception:
         pass
     summed = bucketed_group_reduce(
         edges.select_columns(["head_id", "tail_id"])
         .map_batches(partial, batch_format="pyarrow"),
-        ["entity_id"], sum_bucket,
-        schema=pa.schema([("entity_id", id_type),
-                          ("out_degree", pa.int64()),
-                          ("in_degree", pa.int64())]))
+        ["entity_id"], sum_bucket, schema=schema)
     return summed.map_batches(lambda t: t.append_column(
         "degree", pc.add(t["out_degree"], t["in_degree"])),
         batch_format="pyarrow")

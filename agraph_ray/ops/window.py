@@ -37,7 +37,9 @@ def _window_count_sum(windowed: "ray.data.Dataset", key: str,
     sum_name = f"sum_{agg_col}"
 
     def red(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby([key, "window_start"], as_index=False)
+        # dropna=False: keep the null-key group (native Aggregate parity)
+        return (df.groupby([key, "window_start"], as_index=False,
+                           dropna=False)
                 .agg(n=(agg_col, "size"), **{sum_name: (agg_col, "sum")}))
 
     key_t = arrow_col_type(windowed, key)
@@ -720,6 +722,13 @@ def late_events(ds: "ray.data.Dataset", ts_col: str, seq_col: str,
         block_summary, batch_format="pyarrow",
         batch_size=None).take_all(), key=lambda r: r["k"])
     keys = {r["k"]: i for i, r in enumerate(summaries)}
+    if len(keys) != len(summaries):
+        # Two blocks share a leading seq value → the dict silently maps
+        # both to one base watermark. seq_col uniqueness is a stated
+        # contract; fail loudly rather than mis-flag.
+        raise ValueError(
+            "late_events: seq_col %r has duplicate values straddling a "
+            "block boundary; seq values must be unique" % seq_col)
     NEG = np.iinfo(np.int64).min
     maxes = np.array([r["m"] for r in summaries], dtype=np.int64) \
         if summaries else np.empty(0, np.int64)

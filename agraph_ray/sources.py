@@ -97,11 +97,23 @@ def sized_read_parquet(path, *, columns: Optional[List[str]] = None,
     the footer's uncompressed size of the pruned columns. Falls back to
     the stock reader on any metadata failure or when the data is large
     enough that Ray's default parallelism is already byte-appropriate."""
+    import os
+
     import ray.data as rd
     if "override_num_blocks" in kw:
         return rd.read_parquet(path, columns=columns, **kw)
-    key = (tuple(_parquet_files(path)) if not isinstance(path, str)
-           else path, tuple(columns) if columns else None,
+    # Key on the RESOLVED file list plus each file's (size, mtime), not the
+    # input path: checkpoint dirs are rewritten in place (atomic swaps,
+    # compaction with dst=src) and grow across incremental runs, so a
+    # path-only key would pin a grown dataset to a stale small block count
+    # and silently produce oversized blocks.
+    try:
+        files = _parquet_files(path)
+        stat_sig = tuple((f, os.path.getsize(f),
+                          os.path.getmtime(f)) for f in files)
+    except OSError:
+        stat_sig = (str(path),)
+    key = (stat_sig, tuple(columns) if columns else None,
            target_block_bytes)
     nb = _NB_CACHE.get(key)
     if nb is None:
@@ -115,6 +127,8 @@ def sized_read_parquet(path, *, columns: Optional[List[str]] = None,
             nb = max(8, -(-est // target_block_bytes))
         except Exception:
             nb = 0  # unknown layout → leave Ray's default
+        if len(_NB_CACHE) >= 512:  # stat-keyed entries churn; stay bounded
+            _NB_CACHE.clear()
         _NB_CACHE[key] = nb
     if nb and nb < _default_read_parallelism():
         return rd.read_parquet(path, columns=columns,

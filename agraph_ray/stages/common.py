@@ -75,7 +75,17 @@ def keyed_sum(ds: "ray.data.Dataset", keys: List[str],
     in_cols = list(sum_cols)
 
     def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(keys, as_index=False, sort=False)[in_cols].sum()
+        # dropna=False: the native Aggregate this replaces keeps a
+        # null-key group; pandas' default would silently drop those rows
+        out = df.groupby(keys, as_index=False, sort=False,
+                         dropna=False)[in_cols].sum()
+        # groupby surfaces the NA group's key as float NaN — restore
+        # object dtype + None for string-ish keys so the Arrow block
+        # carries a proper null instead of a type-changing NaN
+        for k in keys:
+            if df[k].dtype == object and (out[k].dtype != object
+                                          or out[k].isna().any()):
+                out[k] = out[k].astype(object).where(out[k].notna(), None)
         return out.rename(columns=sum_cols)
 
     schema = None

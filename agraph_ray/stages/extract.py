@@ -224,7 +224,15 @@ def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
     from ray.data.dataset import MaterializedDataset
     docs_bytes = (docs.size_bytes() or 0) \
         if isinstance(docs, MaterializedDataset) else 0
+    overlap = docs_bytes > _BRANCH_OVERLAP_BYTES
     docs = docs.repartition(nblocks)
+    if overlap:
+        # The two thread-overlapped branch executions below are
+        # independent plans — left lazy, EACH would re-run this
+        # repartition (re-scanning docs and doubling its object-store
+        # footprint). Materialize the repartitioned docs once so both
+        # branches share the same input blocks.
+        docs = docs.materialize()
     small = docs.map_batches(
         lambda t: t.filter(pc.less_equal(t["n_turns"], thresh)),
         batch_format="pyarrow")
@@ -252,7 +260,7 @@ def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
     # return the (free) union of materialized blocks. Small corpora keep
     # the single fused execution — two executions would only add fixed
     # cost there.
-    if docs_bytes > _BRANCH_OVERLAP_BYTES:
+    if overlap:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=2) as tp:
             fut_s = tp.submit(m_small.materialize)
