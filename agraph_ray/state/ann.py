@@ -33,8 +33,15 @@ class AnnIndexActor:
         if path is not None:
             import pyarrow.parquet as pq
             t = pq.read_table(path)
-            ids = t["id"].to_pylist()
-            matrix = np.asarray(t["vec"].to_pylist(), dtype=np.float32)
+            # zero-copy load: read the FixedSizeList values buffer
+            # straight into the numpy matrix — to_pylist() would box
+            # every float of the shard as a Python object (~10-20x
+            # slower and transiently ~4x the memory at 10^8 vectors)
+            ids = t["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            v = t["vec"].combine_chunks()
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            matrix = (flat.reshape(len(t), -1) if len(t)
+                      else np.empty((0, 0), dtype=np.float32))
         self.ids = np.asarray(ids)
         m = np.asarray(matrix, dtype=np.float32)
         if m.ndim == 1:

@@ -335,3 +335,20 @@ def test_neardedup_against(ray_session):
                              jaccard_threshold=0.7,
                              broadcast_cap=0).to_pandas()
     assert sorted(out3["doc_id"]) == [2]
+
+
+def test_md5_hex_matches_hashlib():
+    """_md5_hex (DuckDB kernel) must be byte-identical to the per-row
+    hashlib digest it replaced — DuckDB-pinned oracles depend on it."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from agraph_ray.ops.dedup import _md5_hex
+
+    texts = ["", "a", "hello world", "naïve café ünïcode 漢字",
+             "x" * 10_000, None, "line\nbreak\ttab"]
+    got = _md5_hex(pa.array(texts, pa.string())).to_pylist()
+    want = [hashlib.md5((s or "").encode("utf-8")).hexdigest()
+            for s in texts]
+    assert got == want
