@@ -1,0 +1,189 @@
+"""Deterministic configurable-latency mock transport for the LLM clients.
+
+The sandbox has no network, but the production regime the reference runs
+in (``agraph/builders/llm_builders.py:216-250`` — every document costs two
+~seconds-long API round-trips, bounded by an asyncio semaphore) is exactly
+the regime the stateless-task extraction path handles worst. This module
+makes that regime reproducible offline: a ``Transport``-signature callable
+that sleeps a deterministic per-prompt latency, optionally fails a
+deterministic fraction of requests with retryable 503s, and answers with
+plausible completions whose JSON the real parse/repair/resolution code
+must then do real work on.
+
+Everything is deterministic in (prompt, seed) — no RNG state, so results
+are identical across runs, worker counts and partitionings.
+
+Wiring:
+
+    factory = mock_llm_engine_factory(latency_sec=0.2)
+    mentions = extract_mentions_llm(docs, cfg, engine_factory=factory,
+                                    num_actors=64, max_concurrent=8)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+import zlib
+from typing import List, Optional
+
+__all__ = ["MockLatencyTransport", "mock_llm_engine_factory",
+           "mock_chat_client"]
+
+# capitalized runs (optionally multiword) — a cheap deterministic stand-in
+# for the entity spans a real model would return
+_CAP_RE = re.compile(r"\b[A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+){0,2}\b")
+_TYPES = ["PERSON", "ORGANIZATION", "LOCATION", "CONCEPT", "EVENT"]
+_RELS = ["RELATED_TO", "WORKS_FOR", "PART_OF", "BELONGS_TO", "CAUSES"]
+
+
+def _stable(s: str, salt: str = "") -> int:
+    return zlib.crc32((salt + s).encode("utf-8", "ignore")) & 0xFFFFFFFF
+
+
+class MockLatencyTransport:
+    """``Transport``-signature mock (url, payload, headers, timeout) →
+    response dict. Thread-safe (no mutable state after init) and
+    picklable — safe to build inside actor ``__init__`` or to ship in an
+    ``engine_factory`` closure.
+
+    ``latency_sec`` is the mean per-request sleep; each request's actual
+    latency is deterministically jittered in
+    ``[latency*(1-jitter), latency*(1+jitter)]`` by a hash of the prompt.
+    ``fail_rate`` makes that fraction of FIRST attempts raise a retryable
+    503 (the retry of the same prompt succeeds — exercises the backoff
+    path without unbounded loops).
+    """
+
+    def __init__(self, latency_sec: float = 0.2, jitter: float = 0.5,
+                 fail_rate: float = 0.0, seed: int = 0,
+                 embedding_dim: int = 64):
+        self.latency_sec = float(latency_sec)
+        self.jitter = float(jitter)
+        self.fail_rate = float(fail_rate)
+        self.seed = int(seed)
+        self.embedding_dim = int(embedding_dim)
+        self._failed_once = set()   # prompt-hash → already failed
+
+    # -- latency / failure --------------------------------------------------
+
+    def _sleep(self, key: str):
+        if self.latency_sec <= 0:
+            return
+        u = _stable(key, f"lat{self.seed}") / 0xFFFFFFFF
+        time.sleep(self.latency_sec * (1.0 - self.jitter
+                                       + 2.0 * self.jitter * u))
+
+    def _maybe_fail(self, key: str):
+        if not self.fail_rate:
+            return
+        h = _stable(key, f"fail{self.seed}")
+        if h / 0xFFFFFFFF < self.fail_rate and h not in self._failed_once:
+            self._failed_once.add(h)
+            from .clients import TransportError
+            raise TransportError("mock 503: synthetic overload", status=503)
+
+    # -- completions --------------------------------------------------------
+
+    def _entities_from_text(self, text: str) -> List[dict]:
+        seen, out = set(), []
+        for m in _CAP_RE.finditer(text):
+            name = m.group().strip()
+            if name.lower() in seen:
+                continue
+            seen.add(name.lower())
+            h = _stable(name, "type")
+            out.append({
+                "name": name,
+                "type": _TYPES[h % len(_TYPES)],
+                "description": f"mock entity {name}",
+                "aliases": [name.upper()] if h % 7 == 0 else [],
+                "properties": {"mock": "1"} if h % 5 == 0 else {},
+            })
+            if len(out) >= 24:
+                break
+        return out
+
+    def _complete(self, prompt: str) -> str:
+        if prompt.startswith("You are an entity-resolution assistant"):
+            m = re.search(r"Entity 1: name='?\"?(.*?)'?\"? type", prompt)
+            n1 = m.group(1) if m else ""
+            m = re.search(r"Entity 2: name='?\"?(.*?)'?\"? type", prompt)
+            n2 = m.group(1) if m else ""
+            dup = n1.strip().lower() == n2.strip().lower()
+            return json.dumps({"is_duplicate": dup,
+                               "confidence": 0.9 if dup else 0.2,
+                               "reason": "mock"})
+        if "Entities:" in prompt:           # relation pass
+            listed = re.findall(r"^- (.+?) \((\w+)\)$",
+                                prompt.split("Entities:", 1)[1],
+                                flags=re.M)
+            rels = []
+            for (h, ht), (t, tt) in zip(listed, listed[1:]):
+                k = _stable(h + "|" + t, "rel")
+                rels.append({
+                    "head_entity": h, "tail_entity": t,
+                    "relation_type": _RELS[k % len(_RELS)],
+                    "description": f"mock {h}->{t}",
+                    "properties": {},
+                    "confidence": 0.6 + 0.4 * ((k >> 8 & 0xFF) / 255)})
+            # ~1/8 of completions come back fenced — exercises the JSON
+            # repair path (llm_entity_extractor.py:170-182 semantics)
+            body = json.dumps({"relations": rels})
+            if _stable(prompt, "fence") % 8 == 0:
+                return f"```json\n{body}\n```"
+            return body
+        # entity pass
+        text = prompt.split("Text:", 1)[-1].split("Respond with", 1)[0]
+        body = json.dumps({"entities": self._entities_from_text(text)})
+        if _stable(prompt, "fence") % 8 == 0:
+            return f"Here is the extraction:\n{body}\nDone."
+        return body
+
+    # -- Transport entry ----------------------------------------------------
+
+    def __call__(self, url: str, payload: dict, headers: dict,
+                 timeout: float) -> dict:
+        if url.endswith("/embeddings"):
+            texts = payload.get("input") or []
+            key = "|".join(texts[:4])
+            self._sleep(key)
+            self._maybe_fail(key)
+            dim = self.embedding_dim
+            data = []
+            for i, t in enumerate(texts):
+                base = _stable(t, "emb")
+                vec = [(((base * (j + 1) + j * j) % 1000) / 500.0) - 1.0
+                       for j in range(dim)]
+                data.append({"index": i, "embedding": vec})
+            return {"data": data}
+        prompt = payload["messages"][0]["content"]
+        self._sleep(prompt)
+        self._maybe_fail(prompt)
+        return {"choices": [{"message": {"content":
+                                         self._complete(prompt)}}]}
+
+
+def mock_chat_client(latency_sec: float = 0.2, jitter: float = 0.5,
+                     fail_rate: float = 0.0, seed: int = 0,
+                     **cfg_overrides):
+    """An ``OpenAICompatClient`` wired to the mock transport — the exact
+    object the production path constructs, minus the network."""
+    from .clients import ClientConfig, OpenAICompatClient
+    cfg = ClientConfig(backoff_base=0.05, backoff_cap=0.2, **cfg_overrides)
+    return OpenAICompatClient(
+        cfg, transport=MockLatencyTransport(latency_sec, jitter,
+                                            fail_rate, seed))
+
+
+def mock_llm_engine_factory(latency_sec: float = 0.2, jitter: float = 0.5,
+                            fail_rate: float = 0.0, seed: int = 0):
+    """Zero-arg factory for ``extract_mentions_llm(engine_factory=...)`` /
+    ``build_kg(engine_factory=...)`` — one engine (and one transport)
+    per actor."""
+    def factory():
+        from .extract.llm import LLMExtractorEngine
+        return LLMExtractorEngine(
+            mock_chat_client(latency_sec, jitter, fail_rate, seed))
+    return factory

@@ -33,7 +33,7 @@ from ..config import KGConfig
 from ..stages.canonicalize import canonicalize
 from ..stages.chunk import chunk_documents
 from ..stages.dedup import dedup_both, dedup_edges, dedup_entities
-from ..stages.extract import extract_mentions
+from ..stages.extract import extract_mentions, extract_mentions_llm
 from ..stages.materialize import (atomic_write_parquet, commit_manifest,
                                   is_committed)
 from ..stages.reassemble import reassemble
@@ -44,6 +44,19 @@ class KGBuildResult:
     out_dir: str
     tables: Dict[str, str]
     metrics: Dict[str, float] = field(default_factory=dict)
+
+
+def _run_extract(docs, cfg, engine=None, engine_factory=None,
+                 llm_opts: Optional[Dict] = None):
+    """Dispatch to the right extraction regime: ``engine_factory`` set →
+    the latency-bound actor-pool path (:func:`extract_mentions_llm`,
+    in-flight requests decoupled from CPU count); else the CPU-bound
+    stateless-task path with the optional pre-built ``engine``."""
+    if engine_factory is not None:
+        return extract_mentions_llm(docs, cfg,
+                                    engine_factory=engine_factory,
+                                    **(llm_opts or {}))
+    return extract_mentions(docs, cfg, engine=engine)
 
 
 def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
@@ -174,7 +187,8 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
 
 def kg_tables(transcripts: "ray.data.Dataset",
               cfg: Optional[KGConfig] = None, do_canonicalize: bool = False,
-              engine=None):
+              engine=None, engine_factory=None,
+              llm_opts: Optional[Dict] = None):
     """In-memory variant for moderate inputs (driver queries / tests):
     transcripts Dataset → (nodes, edges, mentions) Datasets without any
     Parquet checkpointing. The extraction output is pinned once
@@ -185,7 +199,8 @@ def kg_tables(transcripts: "ray.data.Dataset",
     import pyarrow.compute as pc2
     cfg = cfg or KGConfig()
     docs = reassemble(transcripts, cfg)
-    mentions = extract_mentions(docs, cfg, engine=engine).materialize()
+    mentions = _run_extract(docs, cfg, engine, engine_factory,
+                            llm_opts).materialize()
     entities = mentions.map_batches(
         lambda t: t.filter(pc2.equal(t["kind"], "entity")),
         batch_format="pyarrow")
@@ -203,7 +218,8 @@ def kg_tables(transcripts: "ray.data.Dataset",
 
 def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
              with_chunks: bool = True, do_canonicalize: bool = True,
-             engine=None) -> KGBuildResult:
+             engine=None, engine_factory=None,
+             llm_opts: Optional[Dict] = None) -> KGBuildResult:
     """Single-job streaming pipeline. ``transcripts`` is a Dataset or a
     parquet path/dir.
 
@@ -242,7 +258,8 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
             os.path.join(out_dir, "chunks"), cfg.min_rows_per_file)
 
     t = time.time()
-    mentions = extract_mentions(docs, cfg, engine=engine).materialize()
+    mentions = _run_extract(docs, cfg, engine, engine_factory,
+                            llm_opts).materialize()
     metrics["sec_extract"] = round(time.time() - t, 2)
     futures["mentions"] = pool.submit(
         atomic_write_parquet, mentions, os.path.join(out_dir, "mentions"),
@@ -303,7 +320,8 @@ def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
                        cfg: Optional[KGConfig] = None,
                        shards_per_partition: int = 4,
                        do_canonicalize: bool = True,
-                       engine=None,
+                       engine=None, engine_factory=None,
+                       llm_opts: Optional[Dict] = None,
                        group_concurrency: Optional[int] = None
                        ) -> KGBuildResult:
     """Partitioned, checkpointed build over conv_id-partitioned shards.
@@ -343,7 +361,7 @@ def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
                                 target_block_bytes=8 << 20)
         n_turns = ds.count()
         docs = reassemble(ds, cfg)
-        mentions = extract_mentions(docs, cfg, engine=engine)
+        mentions = _run_extract(docs, cfg, engine, engine_factory, llm_opts)
         part_dir = os.path.join(out_dir, "mentions", f"part={pid}")
         n_rows = atomic_write_parquet(mentions, part_dir,
                                       cfg.min_rows_per_file)

@@ -96,13 +96,19 @@ class ExtractStage:
             confidence_threshold=cfg.confidence_threshold,
             max_keywords=cfg.max_keywords)
 
+    def _extract_rows(self, texts):
+        """One (entities, triples) engine result per text, in order.
+        Subclasses override for latency-bound engines (threaded fan-out);
+        the base implementation is the CPU-bound serial loop."""
+        return [self.engine.extract(t or "") for t in texts]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ent = {f: [] for f in _ENT_FIELDS}
         tri = {f: [] for f in _TRI_FIELDS}
-        for conv, seq, text in zip(batch["conv_id"].to_pylist(),
-                                   batch["doc_seq"].to_pylist(),
-                                   batch["text"].to_pylist()):
-            ents, triples = self.engine.extract(text or "")
+        results = self._extract_rows(batch["text"].to_pylist())
+        for conv, seq, (ents, triples) in zip(
+                batch["conv_id"].to_pylist(),
+                batch["doc_seq"].to_pylist(), results):
             for e in ents:
                 ent["kind"].append("entity")
                 ent["conv_id"].append(conv)
@@ -267,3 +273,82 @@ def extract_mentions(docs: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
             fut_b = tp.submit(m_big.materialize)
             return fut_s.result().union(fut_b.result())
     return m_small.union(m_big)
+
+
+# ---------------------------------------------------------------------------
+# latency-bound (LLM API) extraction — actor pool with in-actor fan-out
+# ---------------------------------------------------------------------------
+
+
+class LLMExtractStage(ExtractStage):
+    """Actor-pool callable for LATENCY-bound engines (the production
+    LLM extractor: two ~seconds API calls per document,
+    reference ``llm_builders.py:216-250``'s asyncio-semaphore regime).
+
+    The CPU-bound stateless-task path is wrong here: a task blocked on an
+    HTTP round-trip still holds its whole CPU, capping in-flight requests
+    at num_cpus. Instead each ACTOR fans its batch out over an internal
+    thread pool (``max_concurrent`` in-flight requests per actor — the
+    reference's semaphore bound, per actor instead of per process), and
+    the actor itself costs a FRACTION of a CPU (``num_cpus`` at the
+    map_batches call), so total in-flight = actors x max_concurrent can
+    exceed the core count by the latency/compute ratio.
+
+    Engine construction happens once per actor in ``__init__`` via
+    ``engine_factory`` (a zero-arg callable — keeps unpicklable client
+    state out of the task closure)."""
+
+    def __init__(self, cfg=None, engine_factory=None, max_concurrent: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+        if engine_factory is None:
+            raise ValueError("LLMExtractStage requires engine_factory")
+        self.engine = engine_factory()
+        self.pool = ThreadPoolExecutor(max_workers=max_concurrent)
+
+    def _extract_rows(self, texts):
+        # per-text isolation lives in the engine (extract() returns
+        # ([], []) on a failed call); thread pool preserves input order
+        return list(self.pool.map(
+            lambda t: self.engine.extract(t or ""), texts))
+
+
+def extract_mentions_llm(docs: "ray.data.Dataset", cfg=None, *,
+                         engine_factory, num_actors: int = 0,
+                         max_concurrent: int = 8,
+                         batch_size: int = 32,
+                         num_cpus: float = 0.25) -> "ray.data.Dataset":
+    """documents → mentions through a latency-bound LLM engine.
+
+    Pool sizing: in-flight requests = ``num_actors x max_concurrent``;
+    the endpoint's rate limit, not the cluster CPU count, should pick it.
+    ``num_cpus=0.25`` packs 4 actors per core — the per-request CPU work
+    (prompt build + JSON parse) is ~ms against ~seconds of latency, so
+    actors barely contend; raise it if the engine does local compute.
+    ``batch_size`` bounds per-actor in-memory results, and with
+    ``max_concurrent`` in-flight per actor a batch drains in
+    ``ceil(batch_size/max_concurrent) x 2 x latency`` — keep it a small
+    multiple of ``max_concurrent`` so stragglers don't idle the pool.
+    Defaults: 2 x cpus actors x 8 in-flight ≈ 512 concurrent requests at
+    32 CPUs while using 8 cores of schedulable budget, leaving the rest
+    of the pipeline (reassembly, dedup shuffles) unstarved — measured in
+    ``bench.py --llm-sweep``.
+    """
+    import ray
+
+    cfg = cfg or KGConfig()
+    if not num_actors:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        num_actors = max(2, 2 * cpus)
+    # The pool can run at most one task per INPUT BLOCK — a documents
+    # table read into ~2xCPU blocks would cap concurrent tasks far below
+    # num_actors (observed: 8 blocks idling a 128-actor pool). Re-split
+    # to ~2 tasks per actor; the doc table is tiny next to the API cost,
+    # so the extra exchange is noise even at full scale.
+    docs = docs.repartition(2 * num_actors)
+    fn_kwargs = {"cfg": cfg, "engine_factory": engine_factory,
+                 "max_concurrent": max_concurrent}
+    return docs.map_batches(
+        LLMExtractStage, fn_constructor_kwargs=fn_kwargs,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=num_actors, num_cpus=num_cpus)

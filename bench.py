@@ -89,6 +89,18 @@ def run_bench() -> dict:
 
     queries = {"kg_build": round(headline, 3)}
     if "--headline-only" not in sys.argv:
+        # production-regime probe: same corpus through the mock-latency
+        # LLM engine (0.05 s/call, 2 calls/doc) on the actor-pool
+        # extraction path — the full sweep lives in `--llm-sweep`
+        from agraph_ray.mock_llm import mock_llm_engine_factory
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        build_kg(inp, out, cfg, with_chunks=False,
+                 engine_factory=mock_llm_engine_factory(latency_sec=0.05),
+                 llm_opts={"num_actors": 2 * NUM_CPUS,
+                           "max_concurrent": 8, "batch_size": 32})
+        queries["kg_build_llm_mock"] = round(time.time() - t0, 3)
+
         import __ray_entry__ as entrymod
         qs = entrymod.queries()
         for qname in ["lineitem_agg", "events_window", "docs_quality",
@@ -133,6 +145,101 @@ def run_bench() -> dict:
     }
     ray.shutdown()
     return result
+
+
+def run_llm_sweep() -> dict:
+    """Mock-latency LLM-path scale run (round-3 verdict #1): the
+    production regime — two ~latency_sec API calls per document — at
+    >=100k turns, swept over actor-pool sizes, vs the (wrong-for-latency)
+    stateless-task path as the control.
+
+        GRAFT_LLM_CONVS    corpus size in conversations (default 8000,
+                           ~135k turns)
+        GRAFT_LLM_LATENCY  mean seconds per mock API call (default 0.2)
+    """
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.dataset as pads
+
+    from agraph_ray.config import KGConfig
+    from agraph_ray.mock_llm import mock_llm_engine_factory
+    from agraph_ray.pipelines.kg_build import build_kg
+    from agraph_ray.sources import sized_read_parquet
+    from agraph_ray.stages.extract import extract_mentions_llm
+    from agraph_ray.stages.reassemble import reassemble
+
+    n_convs = int(os.environ.get("GRAFT_LLM_CONVS", "8000"))
+    latency = float(os.environ.get("GRAFT_LLM_LATENCY", "0.2"))
+    d = f"/tmp/graft_llm_corpus_{n_convs}_{SEED}"
+    if not os.path.exists(os.path.join(d, "_COMPLETE")):
+        from agraph_ray.synth import generate_transcripts
+        shutil.rmtree(d, ignore_errors=True)
+        generate_transcripts(d, n_convs=n_convs, seed=SEED, num_shards=32)
+        open(os.path.join(d, "_COMPLETE"), "w").write("ok")
+    n_turns = pads.dataset(d, format="parquet").count_rows()
+
+    cfg = KGConfig(hot_conv_turns=2000, salt_span=1000)
+    ds = sized_read_parquet(d, columns=["conv_id", "turn_idx", "text"],
+                            target_block_bytes=8 << 20)
+    docs = reassemble(ds, cfg).materialize()
+    n_docs = docs.count()
+    factory = mock_llm_engine_factory(latency_sec=latency)
+
+    sweep = []
+    for actors, conc in [(16, 8), (32, 8), (64, 8), (64, 16), (128, 8)]:
+        t0 = time.time()
+        m = extract_mentions_llm(
+            docs, cfg, engine_factory=factory, num_actors=actors,
+            max_concurrent=conc, batch_size=4 * conc).materialize()
+        wall = time.time() - t0
+        sweep.append({
+            "actors": actors, "per_actor": conc,
+            "in_flight": actors * conc,
+            "sec": round(wall, 1),
+            "turns_per_sec": round(n_turns / wall, 1),
+            "req_per_sec": round(2 * n_docs / wall, 1),
+            "mentions": m.count()})
+
+    # control: the stateless-task path holds one whole CPU per blocked
+    # request — in-flight capped at NUM_CPUS (what the verdict warned of)
+    from agraph_ray.stages.extract import extract_mentions
+    eng = factory()
+    t0 = time.time()
+    extract_mentions(docs, cfg, engine=eng).materialize()
+    wall_tasks = time.time() - t0
+
+    # end-to-end: full build_kg through the best sweep config
+    best = max(sweep, key=lambda r: r["turns_per_sec"])
+    out = "/tmp/graft_llm_bench_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = build_kg(d, out, cfg, with_chunks=False,
+                   engine_factory=factory,
+                   llm_opts={"num_actors": best["actors"],
+                             "max_concurrent": best["per_actor"],
+                             "batch_size": 4 * best["per_actor"]})
+    e2e = time.time() - t0
+    ray.shutdown()
+    return {
+        "metric": "mock-LLM extraction turns/sec "
+                  f"({n_turns} turns, {n_docs} docs, "
+                  f"{latency}s/call, 2 calls/doc)",
+        "value": best["turns_per_sec"],
+        "unit": "turns/sec",
+        "latency_sec": latency, "turns": n_turns, "docs": n_docs,
+        "num_cpus": NUM_CPUS,
+        "sweep": sweep,
+        "stateless_task_control_sec": round(wall_tasks, 1),
+        "stateless_task_turns_per_sec": round(n_turns / wall_tasks, 1),
+        "e2e_sec": round(e2e, 1),
+        "e2e_turns_per_sec": round(n_turns / e2e, 1),
+        "e2e_metrics": {k: v for k, v in res.metrics.items()
+                        if isinstance(v, (int, float))},
+    }
 
 
 def _hw_work(i):
@@ -233,5 +340,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--llm-sweep" in sys.argv:
+        print(json.dumps(run_llm_sweep()))
     else:
         print(json.dumps(run_bench()))

@@ -520,3 +520,53 @@ def test_dedup_both_equals_per_kind(ray_session):
                                   _normalize(nodes_ref), check_dtype=False)
     pd.testing.assert_frame_equal(_normalize(pair[1]),
                                   _normalize(edges_ref), check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# round-4: co-location-contract ops under violating layouts (verdict #5).
+# asof_join / dense_time_series document "all rows of one by-key
+# co-located per bucket" — the bucketed_group_reduce shuffle must
+# ENFORCE that no matter how a multi-node loader scattered the keys
+# across input blocks (the 3blk-clustered layout is the worst case).
+# ---------------------------------------------------------------------------
+
+def _quotes_df(seed: int = 21) -> pd.DataFrame:
+    """Right side for asof_join: per-user quote timeline with exact
+    timestamp ties so tie_break decides."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for u in range(12):
+        for j in range(15):
+            ts = 1_700_000_000_000_000 + j * 1_000_000_000 \
+                + (0 if j % 4 else int(rng.integers(0, 2)))
+            rows.append(dict(quser=f"u{u}", qts=ts,
+                             qval=float((u * 7 + j) % 11)))
+    return pd.DataFrame(rows)
+
+
+def test_inv_asof_join_left_layouts(ray_session):
+    from agraph_ray.ops.join import asof_join
+    ev = _events_df()[["user", "ts_us", "event_id"]]
+    _assert_invariant(
+        lambda: (ev, _quotes_df()),
+        lambda l, r: asof_join(l, r, "ts_us", "qts", "user", "quser",
+                               tie_break="qval", num_buckets=8))
+
+
+def test_inv_asof_join_right_layouts(ray_session):
+    """Same op, layouts applied to the RIGHT side (the side whose
+    co-location a general loader is most likely to scatter)."""
+    from agraph_ray.ops.join import asof_join
+    ev = _events_df()[["user", "ts_us", "event_id"]]
+    _assert_invariant(
+        lambda: (_quotes_df(), ev),
+        lambda r, l: asof_join(l, r, "ts_us", "qts", "user", "quser",
+                               tie_break="qval", num_buckets=8))
+
+
+def test_inv_dense_time_series(ray_session):
+    from agraph_ray.ops.window import dense_time_series
+    _assert_invariant(
+        lambda: (_events_df(),),
+        lambda ds: dense_time_series(ds, "user", "ts_us", 3600,
+                                     agg_col="val", num_buckets=8))
