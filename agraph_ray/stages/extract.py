@@ -336,10 +336,17 @@ def extract_mentions_llm(docs: "ray.data.Dataset", cfg=None, *,
     import ray
 
     cfg = cfg or KGConfig()
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
     if not num_actors:
-        cpus = int(ray.cluster_resources().get("CPU", 4)) \
-            if ray.is_initialized() else 4
         num_actors = max(2, 2 * cpus)
+    # A pool whose reservation covers EVERY cluster CPU livelocks the
+    # pipeline: the upstream read/repartition tasks can never schedule
+    # (observed: 128 actors x 0.25 cpu on a 32-CPU node hung the
+    # repartition indefinitely). Cap the pool's total reservation at
+    # cpus - 2, shrinking per-actor num_cpus — actors are latency-bound,
+    # so thinner reservations cost nothing.
+    num_cpus = min(num_cpus, max(0.01, (cpus - 2) / num_actors))
     # The pool can run at most one task per INPUT BLOCK — a documents
     # table read into ~2xCPU blocks would cap concurrent tasks far below
     # num_actors (observed: 8 blocks idling a 128-actor pool). Re-split

@@ -29,7 +29,8 @@ class AnnIndexActor:
     def __init__(self, ids: Optional[List[str]] = None,
                  matrix: Optional[np.ndarray] = None,
                  path: Optional[str] = None, ivf_nlist: int = 0,
-                 pq_m: int = 0):
+                 pq_m: int = 0, hnsw_m: int = 0,
+                 hnsw_ef_construction: int = 64):
         if path is not None:
             import pyarrow.parquet as pq
             t = pq.read_table(path)
@@ -112,6 +113,111 @@ class AnnIndexActor:
                     resid[:, j * dsub:(j + 1) * dsub].astype(np.float64),
                     cb).astype(np.uint8)
             self.pq = (books, codes)
+
+        # optional HNSW-style navigable-small-world graph (Malkov &
+        # Yashunin 2016, single-layer variant): greedy beam search over a
+        # bounded-degree neighbor graph gives sublinear query cost with
+        # higher recall than IVF at the same probe budget. Built ONCE in
+        # actor __init__ (sequential inserts — Python-loop bound, so the
+        # per-shard build suits ~10^5-10^6 vectors; beyond that prefer
+        # IVF-PQ or an external builder behind the same actor API).
+        self.hnsw = None
+        if hnsw_m and len(self.ids) > 2 * hnsw_m:
+            self.hnsw = self._build_hnsw(int(hnsw_m),
+                                         int(hnsw_ef_construction))
+
+    def _build_hnsw(self, m: int, efc: int):
+        n = len(self.ids)
+        cap = 2 * m                            # neighbor slots per node
+        nbrs = np.full((n, cap), -1, dtype=np.int32)
+        deg = np.zeros(n, dtype=np.int32)
+
+        def search(q: np.ndarray, ef: int, n_active: int) -> np.ndarray:
+            """Beam search over the first n_active inserted nodes;
+            returns candidate indices sorted by descending sim."""
+            entry = 0
+            sims = {entry: float(self.matrix[entry] @ q)}
+            frontier = [entry]
+            visited = {entry}
+            best: "list[int]" = [entry]
+            while frontier:
+                # expand the whole frontier's neighborhoods in one gather
+                cand = np.unique(nbrs[frontier][nbrs[frontier] >= 0])
+                cand = np.array([c for c in cand if c not in visited],
+                                dtype=np.int64)
+                frontier = []
+                if len(cand):
+                    cs = self.matrix[cand] @ q
+                    visited.update(cand.tolist())
+                    floor = min(sims[b] for b in best[-1:]) \
+                        if len(best) >= ef else -np.inf
+                    for c, s in zip(cand.tolist(), cs.tolist()):
+                        sims[c] = s
+                        if s > floor or len(best) < ef:
+                            frontier.append(c)
+                    best = sorted(set(best) | set(cand.tolist()),
+                                  key=lambda i: -sims[i])[:ef]
+            return np.array(best, dtype=np.int64)
+
+        for i in range(1, n):
+            q = self.matrix[i]
+            cand = search(q, efc, i)[:m]
+            k = len(cand)
+            nbrs[i, :k] = cand
+            deg[i] = k
+            for c in cand:                     # back-links, prune to cap
+                if deg[c] < cap:
+                    nbrs[c, deg[c]] = i
+                    deg[c] += 1
+                else:
+                    # replace the weakest back-link if i is closer
+                    cs = self.matrix[nbrs[c, :cap]] @ self.matrix[c]
+                    w = int(np.argmin(cs))
+                    if float(self.matrix[i] @ self.matrix[c]) > cs[w]:
+                        nbrs[c, w] = i
+        return (nbrs, deg)
+
+    def query_hnsw(self, vecs: np.ndarray, k: int = 10,
+                   ef: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+        """Approximate top-k via beam search over the NSW graph
+        (requires ``hnsw_m`` at build; falls back to the exact scan
+        otherwise). ``ef`` >= k is the beam width — recall knob."""
+        if self.hnsw is None:
+            return self.query(vecs, k)
+        nbrs, _ = self.hnsw
+        q = np.asarray(vecs, dtype=np.float32)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qm = q / qn
+        ef = max(ef, k)
+        out_ids = np.full((len(qm), k), "", dtype=object)
+        out_sims = np.full((len(qm), k), -np.inf, dtype=np.float32)
+        for qi in range(len(qm)):
+            v = qm[qi]
+            entry = 0
+            sims = {entry: float(self.matrix[entry] @ v)}
+            visited = {entry}
+            frontier = [entry]
+            best = [entry]
+            while frontier:
+                cand = np.unique(nbrs[frontier][nbrs[frontier] >= 0])
+                cand = np.array([c for c in cand if c not in visited],
+                                dtype=np.int64)
+                frontier = []
+                if len(cand):
+                    cs = self.matrix[cand] @ v
+                    visited.update(cand.tolist())
+                    floor = sims[best[-1]] if len(best) >= ef else -np.inf
+                    for c, s in zip(cand.tolist(), cs.tolist()):
+                        sims[c] = s
+                        if s > floor or len(best) < ef:
+                            frontier.append(c)
+                    best = sorted(set(best) | set(cand.tolist()),
+                                  key=lambda i: -sims[i])[:ef]
+            top = best[:k]
+            out_ids[qi, :len(top)] = self.ids[top]
+            out_sims[qi, :len(top)] = [sims[t] for t in top]
+        return out_ids, out_sims
 
     def save(self, path: str) -> int:
         """Persist this shard (normalized vectors; normalization is
