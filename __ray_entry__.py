@@ -756,6 +756,37 @@ def q_ann_topk_pq(sf_dir: str):
         names=["query_id", "vec_id", "rank", "sim"])
 
 
+def q_ann_topk_hnsw(sf_dir: str):
+    """NSW-graph shard-pool ANN (state/ann.py): vectorized NN-descent
+    build (Dong et al. 2011), greedy beam-search query. Rows-only
+    (approximate by design); recall floor vs the exact path is
+    pytest-pinned (test_graph_ops.py::test_ann_actor_hnsw_recall_floor)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from agraph_ray.state.ann import AnnShardPool
+    vecs, qids = _load_queries(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = [str(i) for i in t["vec_id"].to_pylist()]
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+    pool = AnnShardPool(ids, mat, num_shards=4, hnsw_m=12)
+    got_ids, got_sims = pool.query_hnsw(
+        np.asarray(vecs, dtype=np.float32), k=10, ef=64)
+    rows_q, rows_id, rows_rank, rows_sim = [], [], [], []
+    for qi, qid in enumerate(qids):
+        for r in range(got_ids.shape[1]):
+            if got_sims[qi, r] == -np.inf:
+                continue
+            rows_q.append(qid)
+            rows_id.append(int(got_ids[qi, r]))
+            rows_rank.append(r + 1)
+            rows_sim.append(int(round(float(got_sims[qi, r]) * 10**6)))
+    return pa.Table.from_arrays(
+        [pa.array(rows_q, pa.int64()), pa.array(rows_id, pa.int64()),
+         pa.array(rows_rank, pa.int64()), pa.array(rows_sim, pa.int64())],
+        names=["query_id", "vec_id", "rank", "sim"])
+
+
 def q_emb_near_dup(sf_dir: str):
     import ray.data as rd
     from agraph_ray.ops.dedup import embedding_near_dup_pairs
@@ -3672,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_hnsw": q_ann_topk_hnsw,
         # joins / windows / graph analytics
         "customers_without_orders": q_customers_without_orders,
         "lineitem_bloom_semi": q_lineitem_bloom_semi,

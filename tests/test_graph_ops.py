@@ -618,3 +618,59 @@ def test_ann_pool_pq_merge(ray_session):
                    for i in range(len(q))])
     assert rec >= 0.8, rec
     assert p_ids.shape == (3, 5)
+
+
+def test_ann_actor_hnsw_recall_floor(ray_session):
+    """NSW-graph index (vectorized NN-descent build + beam search):
+    recall@10 >= 0.9 vs the exact scan on clustered data; reported
+    sims are exact cosines; a no-graph build falls back to the exact
+    scan; save/load(hnsw_m=...) rebuilds the graph per shard."""
+    import numpy as np
+    import ray
+
+    from agraph_ray.state.ann import AnnIndexActor, AnnShardPool
+    rng = np.random.default_rng(13)
+    n_clusters, per, dim = 16, 256, 32
+    cents = rng.normal(size=(n_clusters, dim))
+    mat = (np.repeat(cents, per, axis=0)
+           + 0.15 * rng.normal(size=(n_clusters * per, dim))
+           ).astype("float32")
+    ids = [f"v{i}" for i in range(len(mat))]
+    actor = AnnIndexActor.remote(ids, mat, hnsw_m=12)
+    q = (cents[:6] + 0.1 * rng.normal(size=(6, dim))).astype("float32")
+    exact_ids, exact_sims = ray.get(actor.query.remote(q, 10))
+    h_ids, h_sims = ray.get(actor.query_hnsw.remote(q, 10, 64))
+    rec = np.mean([len(set(h_ids[i]) & set(exact_ids[i])) / 10
+                   for i in range(len(q))])
+    assert rec >= 0.9, rec
+    for i in range(len(q)):
+        lut = dict(zip(exact_ids[i], exact_sims[i]))
+        for j, vid in enumerate(h_ids[i]):
+            if vid in lut:
+                assert abs(float(h_sims[i][j]) - float(lut[vid])) < 1e-5
+    # no-graph build falls back to the exact scan
+    plain = AnnIndexActor.remote(ids, mat)
+    f_ids, _ = ray.get(plain.query_hnsw.remote(q, 10, 64))
+    assert (f_ids == exact_ids).all()
+
+
+def test_ann_pool_hnsw_save_load(ray_session, tmp_path):
+    import numpy as np
+
+    from agraph_ray.state.ann import AnnShardPool
+    rng = np.random.default_rng(17)
+    cents = rng.normal(size=(8, 16))
+    mat = (np.repeat(cents, 128, axis=0)
+           + 0.1 * rng.normal(size=(1024, 16))).astype("float32")
+    ids = [f"v{i}" for i in range(1024)]
+    pool = AnnShardPool(ids, mat, num_shards=3, hnsw_m=8)
+    q = cents[:3].astype("float32")
+    e_ids, _ = pool.query(q, k=5)
+    h_ids, h_sims = pool.query_hnsw(q, k=5, ef=48)
+    rec = np.mean([len(set(h_ids[i]) & set(e_ids[i])) / 5
+                   for i in range(len(q))])
+    assert rec >= 0.8, rec
+    pool.save(str(tmp_path / "ann"))
+    loaded = AnnShardPool.load(str(tmp_path / "ann"), hnsw_m=8)
+    l_ids, _ = loaded.query_hnsw(q, k=5, ef=48)
+    assert (l_ids == h_ids).all()
