@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -51,11 +52,16 @@ ENTITY_PARTIAL_SCHEMA = pa.schema([
     ("properties", pa.string()),
     ("confidence", pa.float64()), ("source", pa.string()),
     ("n_mentions", pa.int64()), ("n_convs", pa.int64()),
-    # exact distinct-conversation lineage: union of conv_ids seen so far.
-    # Same scale shape as the alias union (bounded by the entity's true
-    # conversation fan-out); for sketch-bounded state at extreme fan-out
-    # see ops.sketch.hll_count_distinct.
-    ("conv_ids", pa.list_(pa.string())),
+    # exact distinct-conversation lineage: sorted-unique 64-bit HASHES
+    # of the conv_ids seen so far (int arrays, not string lists — the
+    # string form made the final single-task merge 4.3 s of serial wall
+    # at 128k convs; the int unions/nunique below are pure lexsort/
+    # reduceat numpy). Bounded by the entity's true conversation
+    # fan-out; the _single_task_reduce byte cap routes oversized
+    # lineage to the distributed bucketed path automatically. For
+    # sketch-bounded state at extreme fan-out see
+    # ops.sketch.hll_count_distinct.
+    ("conv_ids", pa.list_(pa.int64())),
 ])
 
 # witness-priority columns per merge family — ORDER MATCHES the rep sort
@@ -137,6 +143,58 @@ def merge_properties(df: pd.DataFrame, key: str,
          for k, kv in state.items()}, dtype="object")
 
 
+_CONV_HASH_KEY = "agraph-ray-conv!"          # 16 bytes, pinned
+
+
+def _conv_hashes(col: pd.Series) -> np.ndarray:
+    """Stable 64-bit hash of a conv_id column (one C call)."""
+    return pd.util.hash_array(col.to_numpy(dtype=object),
+                              hash_key=_CONV_HASH_KEY,
+                              categorize=False).view(np.int64)
+
+
+def _grouped_unique(keys: np.ndarray, vals: np.ndarray, n_groups: int):
+    """(row-group-code, int64 value) pairs → per-group sorted-unique
+    value arrays (index = group code) + per-group distinct counts.
+    Pure lexsort + boolean dedupe + searchsorted — no Python sets."""
+    order = np.lexsort((vals, keys))
+    fk, fv = keys[order], vals[order]
+    keep = np.ones(len(fk), dtype=bool)
+    if len(fk) > 1:
+        keep[1:] = (fk[1:] != fk[:-1]) | (fv[1:] != fv[:-1])
+    fk, fv = fk[keep], fv[keep]
+    grid = np.arange(n_groups)
+    starts = np.searchsorted(fk, grid)
+    ends = np.searchsorted(fk, grid, side="right")
+    return [fv[s:e] for s, e in zip(starts, ends)], ends - starts
+
+
+def _lineage_pairs(df: pd.DataFrame) -> "tuple[np.ndarray, np.ndarray, pd.Index] | None":
+    """Flatten the conversation lineage of a mention/partial frame into
+    (group_code, conv_hash) int pairs + the group key index. Raw
+    mentions contribute hash(conv_id); re-combined partials contribute
+    their conv_ids arrays."""
+    if "conv_ids" in df:
+        arrays = [np.asarray(a, dtype=np.int64)
+                  if a is not None and len(a) else np.empty(0, np.int64)
+                  for a in df["conv_ids"]]
+        lens = np.fromiter((len(a) for a in arrays), dtype=np.int64,
+                           count=len(arrays))
+        codes, uniq = pd.factorize(df["norm_name"])
+        if lens.sum() == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    pd.Index(uniq))
+        flat = np.concatenate([a for a in arrays if len(a)])
+        keys = np.repeat(codes.astype(np.int64), lens)
+        return keys, flat, pd.Index(uniq)
+    if "conv_id" in df:
+        sub = df[df["conv_id"].notna()]
+        codes, uniq = pd.factorize(sub["norm_name"])
+        return (codes.astype(np.int64), _conv_hashes(sub["conv_id"]),
+                pd.Index(uniq))
+    return None
+
+
 def _entity_partial(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: collapse duplicate norm_names inside the batch.
     Fully vectorized — one sort + drop_duplicates + two groupby reductions,
@@ -148,12 +206,12 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
         df["n_convs"] = 1
     if "properties" not in df:
         df["properties"] = None
-    # exact conversation lineage: each raw mention contributes its conv_id;
-    # re-combined partials contribute their conv_ids union. The legacy
-    # n_convs int sum remains only for lineage-free inputs (no conv_id
-    # column) — the old per-batch distinct count was partition-dependent
-    # (and in the real pipeline counted documents, not conversations).
-    has_lists = "conv_ids" in df
+    # exact conversation lineage: each raw mention contributes its
+    # hashed conv_id; re-combined partials contribute their conv_ids
+    # union — all int64 lexsort/searchsorted kernels (_grouped_unique).
+    # The legacy n_convs int sum remains only for lineage-free inputs
+    # (no conv column) — the old per-batch distinct count was
+    # partition-dependent (and counted documents, not conversations).
     s = df.sort_values(
         ["confidence", "entity_type", "name", "description", "source",
          "properties"],
@@ -163,21 +221,18 @@ def _entity_partial(batch: pa.Table) -> pa.Table:
     rep["confidence"] = g["confidence"].max()
     rep["n_mentions"] = g["n_mentions"].sum()
     rep["n_convs"] = g["n_convs"].sum()
-    if has_lists:      # re-combined partials: union the (short) lists
-        cids = (df[["norm_name", "conv_ids"]].explode("conv_ids").dropna()
-                .groupby("norm_name", sort=False)["conv_ids"]
-                .agg(lambda x: sorted(set(x))))
-    elif "conv_id" in df:
-        # raw mentions: vectorized distinct (norm_name, conv_id) — no
-        # per-row list objects, no explode (35% of the stage's wall)
-        pairs = (df[["norm_name", "conv_id"]].dropna()
-                 .drop_duplicates().sort_values("conv_id"))
-        cids = pairs.groupby("norm_name", sort=False)["conv_id"].agg(list)
+    pairs = _lineage_pairs(df)
+    if pairs is not None:
+        keys, vals, uniq = pairs
+        per_group, _ = _grouped_unique(keys, vals, len(uniq))
+        cids = pd.Series(per_group, index=uniq, dtype="object")
     else:
         cids = pd.Series(dtype="object")
     rep["conv_ids"] = cids.reindex(rep.index)
     rep["conv_ids"] = rep["conv_ids"].map(
-        lambda v: v if isinstance(v, list) else [])
+        lambda v: v if v is not None and not (
+            isinstance(v, float) and pd.isna(v)) else
+        np.empty(0, np.int64))
     props = merge_properties(s, "norm_name", ENT_PRI_COLS, final=False)
     rep["properties"] = props.reindex(rep.index) if len(props) else None
     # alias union: most rows carry no aliases — explode only the few that do
@@ -213,12 +268,11 @@ def _merge_entities_bucket(df: pd.DataFrame) -> pd.DataFrame:
     aliases = (df[["norm_name", "aliases"]].explode("aliases").dropna()
                .groupby("norm_name", sort=False)["aliases"]
                .agg(lambda s: sorted(set(s))))
-    if "conv_ids" in df.columns:
-        cids = (df[["norm_name", "conv_ids"]].explode("conv_ids").dropna()
-                .groupby("norm_name", sort=False)["conv_ids"].nunique())
-    elif "conv_id" in df.columns:
-        cids = (df[["norm_name", "conv_id"]].dropna()
-                .groupby("norm_name", sort=False)["conv_id"].nunique())
+    pairs = _lineage_pairs(df)
+    if pairs is not None:
+        keys, vals, uniq = pairs
+        _, counts = _grouped_unique(keys, vals, len(uniq))
+        cids = pd.Series(counts, index=uniq, dtype="int64")
     else:
         cids = pd.Series(dtype="int64")
     n_convs = cids.reindex(rep.index).fillna(0).astype("int64")
@@ -290,6 +344,20 @@ def _single_task_reduce(partials: "ray.data.Dataset", reduce_df,
         whole, batch_format="pyarrow", batch_size=None), p)
 
 
+def _precombine(partials: "ray.data.Dataset", combiner,
+                width: int = 64) -> "ray.data.Dataset":
+    """Second-level combine ahead of the bucketed all-to-all: re-merge
+    the (materialized) partials into ~``width`` coalesced batches so
+    the shuffle moves ~vocabulary x width rows instead of vocabulary x
+    num_blocks. Pure batch-size coalescing — no exchange — and the
+    merges are associative, so the reduced result is identical."""
+    n = partials.count()
+    if partials.num_blocks() > 2 * width and n > 8 * width:
+        return partials.map_batches(combiner, batch_format="pyarrow",
+                                    batch_size=max(1, n // width))
+    return partials
+
+
 def dedup_entities(entity_mentions: "ray.data.Dataset",
                    cfg: Optional[KGConfig] = None,
                    num_buckets: int = 64) -> "ray.data.Dataset":
@@ -306,7 +374,8 @@ def dedup_entities(entity_mentions: "ray.data.Dataset",
                                           combiner=_entity_partial)
     if small is not None:
         return small
-    return bucketed_group_reduce(partials, ["norm_name"],
+    return bucketed_group_reduce(_precombine(partials, _entity_partial),
+                                 ["norm_name"],
                                  _merge_entities_bucket, num_buckets,
                                  schema=NODES_SCHEMA)
 
@@ -403,7 +472,8 @@ def dedup_edges(triple_mentions: "ray.data.Dataset",
                                           combiner=_edge_partial)
     if small is not None:
         return small
-    return bucketed_group_reduce(partials, ["relation_id"],
+    return bucketed_group_reduce(_precombine(partials, _edge_partial),
+                                 ["relation_id"],
                                  merge_edges_bucket, num_buckets,
                                  schema=EDGES_SCHEMA)
 
