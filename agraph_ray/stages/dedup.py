@@ -350,9 +350,13 @@ def _precombine(partials: "ray.data.Dataset", combiner,
     the (materialized) partials into ~``width`` coalesced batches so
     the shuffle moves ~vocabulary x width rows instead of vocabulary x
     num_blocks. Pure batch-size coalescing — no exchange — and the
-    merges are associative, so the reduced result is identical."""
+    merges are associative, so the reduced result is identical.
+    ``width`` floors at num_blocks/8 so a task never coalesces more
+    than ~8 input blocks — bounded memory at any corpus size."""
     n = partials.count()
-    if partials.num_blocks() > 2 * width and n > 8 * width:
+    nb = partials.num_blocks()
+    width = max(width, nb // 8)
+    if nb > 2 * width and n > 8 * width:
         return partials.map_batches(combiner, batch_format="pyarrow",
                                     batch_size=max(1, n // width))
     return partials
@@ -642,7 +646,8 @@ def dedup_both(mentions: "ray.data.Dataset", cfg: Optional[KGConfig] = None,
         # logical keys hash equal with NO extra key-derivation pass over
         # the multi-GB union
         reduced = bucketed_group_reduce(
-            union, ["kind", "norm_name", "relation_id"], both_bucket,
+            _precombine(union, _fused_combine),
+            ["kind", "norm_name", "relation_id"], both_bucket,
             schema=fused_red).materialize()
 
         def pick(kind, names, schema):
