@@ -345,11 +345,17 @@ def parse_dedup_response(content: Optional[str], name1: str,
 def judge_match_edges(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
                       llm_factory: Callable[[], Callable[[str], str]],
                       concurrency: int = 4,
-                      batch_size: int = 16) -> "ray.data.Dataset":
+                      batch_size: int = 16,
+                      max_concurrent: int = 8,
+                      num_cpus: float = 0.25) -> "ray.data.Dataset":
     """Filter canonicalize match edges (src, dst, sim) through the LLM
     pairwise judge. Node attributes are broadcast once (``ray.put`` — the
     canonical node table is vocabulary-sized) and attached per batch; the
-    judge itself runs as an actor pool sized ``concurrency``. Drop-in
+    judge itself runs as an actor pool sized ``concurrency``, each actor
+    fanning its batch over ``max_concurrent`` threads and costing
+    ``num_cpus`` of a core — the same latency-bound pool shape as
+    ``extract_mentions_llm`` (one ~seconds API call per pair; a serial
+    per-actor loop would cap in-flight at the actor count). Drop-in
     between ``link_entities`` and ``connected_components``."""
     import pyarrow as pa
     import ray
@@ -386,11 +392,21 @@ def judge_match_edges(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
                                            pa.list_(pa.string()))))
         return out
 
-    enriched = pairs.map_batches(attach, batch_format="pyarrow")
+    # cap the pool's reservation below the cluster and give it enough
+    # input blocks to occupy every actor (same two hazards as
+    # extract_mentions_llm: a full-cluster reservation livelocks the
+    # upstream map; one-task-per-block idles the pool)
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_cpus = min(num_cpus, max(0.01, (cpus - 2) / concurrency))
+    enriched = (pairs.repartition(2 * concurrency)
+                .map_batches(attach, batch_format="pyarrow"))
     judged = enriched.map_batches(
-        LLMPairJudge, fn_constructor_kwargs={"llm_factory": llm_factory},
+        LLMPairJudge,
+        fn_constructor_kwargs={"llm_factory": llm_factory,
+                               "max_concurrent": max_concurrent},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency, num_cpus=num_cpus)
     return judged.select_columns(list(pairs.schema().names))
 
 
@@ -407,24 +423,29 @@ class LLMPairJudge:
     loop — pair generation stays in the LSH blocker).
     """
 
-    def __init__(self, llm_factory: Callable[[], Callable[[str], str]]):
+    def __init__(self, llm_factory: Callable[[], Callable[[str], str]],
+                 max_concurrent: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
         self.llm = llm_factory()
+        self.pool = ThreadPoolExecutor(max_workers=max_concurrent)
+
+    def _judge_one(self, r: dict) -> bool:
+        e1 = {"name": r.get("name_a"), "entity_type": r.get("type_a"),
+              "description": r.get("desc_a"),
+              "aliases": r.get("aliases_a")}
+        e2 = {"name": r.get("name_b"), "entity_type": r.get("type_b"),
+              "description": r.get("desc_b"),
+              "aliases": r.get("aliases_b")}
+        try:
+            content = self.llm(build_dedup_prompt(e1, e2))
+        except Exception:
+            content = None
+        return parse_dedup_response(
+            content, r.get("name_a") or "", r.get("name_b") or "")
 
     def __call__(self, batch):
         import pyarrow as pa
-        rows = batch.to_pylist()
-        keep = []
-        for r in rows:
-            e1 = {"name": r.get("name_a"), "entity_type": r.get("type_a"),
-                  "description": r.get("desc_a"),
-                  "aliases": r.get("aliases_a")}
-            e2 = {"name": r.get("name_b"), "entity_type": r.get("type_b"),
-                  "description": r.get("desc_b"),
-                  "aliases": r.get("aliases_b")}
-            try:
-                content = self.llm(build_dedup_prompt(e1, e2))
-            except Exception:
-                content = None
-            keep.append(parse_dedup_response(
-                content, r.get("name_a") or "", r.get("name_b") or ""))
+        # per-pair calls fan out over the actor's thread pool (order
+        # preserved by map); per-pair error isolation in _judge_one
+        keep = list(self.pool.map(self._judge_one, batch.to_pylist()))
         return batch.filter(pa.array(keep, pa.bool_()))
