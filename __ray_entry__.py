@@ -1204,6 +1204,27 @@ def q_kg_nodes(sf_dir: str):
         ["entity_id", "name", "entity_type", "confidence", "n_mentions"])
 
 
+def q_kg_llm_mock(sf_dir: str):
+    """The full production LLM pipeline offline: transcripts →
+    actor-pool LLM extraction (deterministic mock transport through the
+    real OpenAI-compatible client, JSON repair, fuzzy endpoint
+    resolution) → dedup → nodes. Rows-only: the mention set comes from
+    the mock completions (model-output-shaped, not SQL-expressible);
+    determinism and pool==single-task parity are pytest-pinned
+    (tests/test_mock_llm.py)."""
+    from agraph_ray.config import KGConfig
+    from agraph_ray.mock_llm import mock_llm_engine_factory
+    from agraph_ray.pipelines.kg_build import kg_tables
+    from agraph_ray.synth import transcripts_from_documents
+    ds = transcripts_from_documents(sf_dir)
+    nodes, _, _ = kg_tables(
+        ds, KGConfig(turn_separator=""),
+        engine_factory=mock_llm_engine_factory(latency_sec=0.0),
+        llm_opts={"num_actors": 8, "max_concurrent": 8, "batch_size": 32})
+    return nodes.select_columns(
+        ["entity_id", "name", "entity_type", "n_mentions"])
+
+
 def q_kg_chunk_similarity(sf_dir: str):
     """Chunk-to-chunk similarity over shared linked entities/relations."""
     from agraph_ray.ops.misc import chunk_similarity_pairs
@@ -3845,6 +3866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reassemble_docs": q_reassemble_docs,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
+        "kg_llm_mock": q_kg_llm_mock,
         "kg_statistics": q_kg_statistics,
         "kg_validate": q_kg_validate,
         "kg_inferred_relations": q_kg_inferred_relations,

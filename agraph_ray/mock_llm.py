@@ -88,8 +88,15 @@ class MockLatencyTransport:
 
     def _entities_from_text(self, text: str) -> List[dict]:
         seen, out = set(), []
-        for m in _CAP_RE.finditer(text):
-            name = m.group().strip()
+        names = [m.group().strip() for m in _CAP_RE.finditer(text)]
+        if not names:
+            # lowercase corpora (e.g. the synthetic documents table):
+            # a real model still returns entities — emulate with the
+            # most salient distinct long words, title-cased
+            words = sorted({w.title() for w in re.findall(
+                r"[a-z]{5,}", text)})
+            names = words[:16]
+        for name in names:
             if name.lower() in seen:
                 continue
             seen.add(name.lower())
