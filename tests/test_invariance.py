@@ -570,3 +570,30 @@ def test_inv_dense_time_series(ray_session):
         lambda: (_events_df(),),
         lambda ds: dense_time_series(ds, "user", "ts_us", 3600,
                                      agg_col="val", num_buckets=8))
+
+
+def test_inv_llm_extract_pool(ray_session):
+    """extract_mentions_llm (repartition + fraction-CPU actor pool +
+    in-actor threads) must be a pure execution strategy: identical
+    mentions for any input block layout."""
+    from agraph_ray.config import KGConfig
+    from agraph_ray.mock_llm import mock_llm_engine_factory
+    from agraph_ray.stages.extract import extract_mentions_llm
+
+    docs = pd.DataFrame([
+        dict(conv_id=f"c{i}", doc_seq=0, n_turns=3,
+             text=(f"Alice Johnson met Bob at Acme Corp in Paris. "
+                   f"Topic{i % 7} came up with Carol Smith. Case {i}."))
+        for i in range(60)])
+    fac = mock_llm_engine_factory(latency_sec=0.0)
+
+    def run(ds):
+        out = extract_mentions_llm(ds, KGConfig(), engine_factory=fac,
+                                   num_actors=6, max_concurrent=4,
+                                   batch_size=8)
+        # collect as Arrow: Ray's tensor-extension cast chokes on the
+        # ragged aliases list column in Dataset.to_pandas()
+        return pa.concat_tables(list(out.iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+
+    _assert_invariant(lambda: (docs,), run)

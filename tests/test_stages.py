@@ -320,3 +320,49 @@ def test_extract_branch_overlap_equals_fused(ray_session, tmp_path):
     fused = run(1 << 60)      # threshold never reached → fused union
     overlap = run(0)          # always overlap → two executions
     assert fused == overlap and len(fused) > 0
+
+
+def test_precombine_preserves_merge_and_bounds_blocks(ray_session):
+    """_precombine is an associative second-level re-merge: the final
+    reduced table equals the un-precombined one, and the coalesced
+    width respects the blocks/8 memory floor."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from agraph_ray.stages.common import bucketed_group_reduce
+    from agraph_ray.stages.dedup import (EDGES_SCHEMA, _edge_partial,
+                                         _precombine, merge_edges_bucket)
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    t = pa.table({
+        "relation_id": pa.array([f"r{int(i)}" for i in
+                                 rng.integers(0, 400, n)]),
+        "head_id": pa.array(["h"] * n), "tail_id": pa.array(["t"] * n),
+        "relation_type": pa.array(["related_to"] * n),
+        "subj": pa.array(["s"] * n), "obj": pa.array(["o"] * n),
+        "subj_type": pa.array(["organization"] * n),
+        "obj_type": pa.array(["organization"] * n),
+        "description": pa.array([""] * n),
+        "properties": pa.array([None] * n, pa.string()),
+        "confidence": pa.array(rng.random(n).round(3)),
+        "source": pa.array(["cooccurrence"] * n),
+        "n_mentions": pa.array([1] * n, pa.int64()),
+    })
+    parts = (rd.from_arrow(t).repartition(40)
+             .map_batches(_edge_partial, batch_format="pyarrow")
+             .materialize())
+    pre = _precombine(parts, _edge_partial, width=4).materialize()
+    # width floors at blocks/8: 40 blocks -> at least 5-wide coalesce
+    assert pre.num_blocks() <= max(8, parts.num_blocks())
+    assert pre.count() < parts.count()
+
+    def fin(ds):
+        out = bucketed_group_reduce(ds, ["relation_id"],
+                                    merge_edges_bucket, 8,
+                                    schema=EDGES_SCHEMA).take_all()
+        return sorted((r["relation_id"], r["n_mentions"],
+                       round(r["confidence"], 6)) for r in out)
+
+    assert fin(pre) == fin(parts)
