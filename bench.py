@@ -190,7 +190,8 @@ def run_llm_sweep() -> dict:
     factory = mock_llm_engine_factory(latency_sec=latency)
 
     sweep = []
-    for actors, conc in [(16, 8), (32, 8), (64, 8), (64, 16), (128, 8)]:
+    for actors, conc in [(16, 8), (32, 8), (64, 8), (64, 16), (128, 8),
+                         (128, 16)]:
         t0 = time.time()
         m = extract_mentions_llm(
             docs, cfg, engine_factory=factory, num_actors=actors,
