@@ -344,6 +344,12 @@ class RuleExtractor:
         """Pattern relations (conf 0.7) + sentence co-occurrence RELATED_TO
         (conf 0.5), then validity filtering (relation_extractor.py:340-487).
         Endpoint names in the output are normalized lower().strip()."""
+        out = self._pattern_triples(text, entities)
+        out.extend(self._cooccurrence(text, entities))
+        return [t for t in out if self._valid(t)]
+
+    def _pattern_triples(self, text: str,
+                         entities: List[EntityRec]) -> List[TripleRec]:
         entity_map: Dict[str, EntityRec] = {e.name.lower(): e for e in entities}
         out: List[TripleRec] = []
 
@@ -391,9 +397,7 @@ class RuleExtractor:
                     continue
                 for m in pat.finditer(ln):
                     emit(m, rtype)
-
-        out.extend(self._cooccurrence(text, entities))
-        return [t for t in out if self._valid(t)]
+        return out
 
     @staticmethod
     def _resolve(name: str, entity_map: Dict[str, EntityRec]) -> Optional[EntityRec]:
@@ -411,15 +415,15 @@ class RuleExtractor:
                     return e
         return None
 
-    def _cooccurrence(self, text: str, entities: List[EntityRec]) -> List[TripleRec]:
-        """All same-sentence entity pairs as RELATED_TO conf 0.5
-        (relation_extractor.py:447-487); optional per-sentence cap.
+    def _iter_present(self, text: str, entities: List[EntityRec]):
+        """Per-sentence present-entity INDEX lists (entity order) — the
+        shared core of both co-occurrence paths.
 
         Hot path: lowered names/aliases are cached once per document instead
         of per (sentence, entity) pair — O(sentences × entities) substring
         checks remain (the reference's own complexity), but without the
         per-check allocation."""
-        lowered = [(e, e.name.lower(), [a.lower() for a in e.aliases])
+        lowered = [(e.name.lower(), [a.lower() for a in e.aliases])
                    for e in entities]
 
         # presence test per sentence: C-speed substring checks are right
@@ -429,23 +433,22 @@ class RuleExtractor:
         if len(lowered) >= 64:
             from ..state.textmatch import AhoCorasick
             pat2idx: Dict[str, List[int]] = {}
-            for idx, (_e, nl, al) in enumerate(lowered):
+            for idx, (nl, al) in enumerate(lowered):
                 for p in (nl, *al):
                     if p:
                         pat2idx.setdefault(p, []).append(idx)
             ac = AhoCorasick(pat2idx.keys())
 
-            def present_in(s: str) -> List[EntityRec]:
+            def present_in(s: str) -> List[int]:
                 idxs: Set[int] = set()
                 for p in ac.find_present(s):
                     idxs.update(pat2idx[p])
-                return [lowered[i][0] for i in sorted(idxs)]
+                return sorted(idxs)
         else:
-            def present_in(s: str) -> List[EntityRec]:
-                return [e for e, nl, al in lowered
+            def present_in(s: str) -> List[int]:
+                return [i for i, (nl, al) in enumerate(lowered)
                         if nl in s or (al and any(a in s for a in al))]
 
-        out: List[TripleRec] = []
         for sentence in _SENTENCE_SPLIT_RE.split(text):
             s = sentence.strip().lower()
             if not s:
@@ -453,11 +456,35 @@ class RuleExtractor:
             present = present_in(s)
             if self.max_cooc and len(present) > self.max_cooc:
                 present = present[: self.max_cooc]
-            for i, e1 in enumerate(present):
-                for e2 in present[i + 1:]:
+            yield present
+
+    def _cooccurrence(self, text: str, entities: List[EntityRec]) -> List[TripleRec]:
+        """All same-sentence entity pairs as RELATED_TO conf 0.5
+        (relation_extractor.py:447-487); optional per-sentence cap."""
+        out: List[TripleRec] = []
+        for present in self._iter_present(text, entities):
+            for i, a in enumerate(present):
+                e1 = entities[a]
+                for b in present[i + 1:]:
+                    e2 = entities[b]
                     out.append(TripleRec(e1.key, e1.etype, RELATED_TO,
                                          e2.key, e2.etype, 0.5, "cooccurrence"))
         return out
+
+    def _cooccurrence_counts(self, text: str, entities: List[EntityRec]
+                             ) -> "Dict[Tuple[int, int], int]":
+        """Same pairs as :meth:`_cooccurrence`, pre-aggregated as
+        ``{(i, j): count}`` over entity indexes (i < j, first-occurrence
+        insertion order) — int dict ops instead of one TripleRec object
+        per occurrence (profiled: object creation alone was ~half of
+        the co-occurrence wall on the quadratic pair stream)."""
+        counts: Dict[Tuple[int, int], int] = {}
+        for present in self._iter_present(text, entities):
+            for i, a in enumerate(present):
+                for b in present[i + 1:]:
+                    k = (a, b)
+                    counts[k] = counts.get(k, 0) + 1
+        return counts
 
     def _valid(self, t: TripleRec) -> bool:
         """Relation validity (relation_extractor.py:57-145): distinct
@@ -472,6 +499,42 @@ class RuleExtractor:
         return (t.subj_type, t.obj_type, t.pred) in VALID_TYPE_COMBOS
 
     # -- fused entry point -------------------------------------------------
+
+    def extract_agg(self, text: str
+                    ) -> "Tuple[List[EntityRec], List[Tuple[TripleRec, int]]]":
+        """(entities, [(triple, count)]) — identical to aggregating
+        :meth:`extract`'s triple list per distinct (subj, pred, obj)
+        with the max-confidence-first-seen witness rule the extraction
+        stage applies anyway, but the quadratic co-occurrence stream is
+        counted as int pairs instead of materialized objects (one
+        TripleRec per DISTINCT pair, not per occurrence). Pinned equal
+        to the object path by
+        tests/test_rules.py::test_extract_agg_equals_extract."""
+        ents = self.extract_entities(text)
+        agg: Dict[Tuple[str, str, str], list] = {}
+
+        def add(t: TripleRec, n: int) -> None:
+            k = (t.subj, t.pred, t.obj)
+            cur = agg.get(k)
+            if cur is None:
+                agg[k] = [t, n]
+            else:
+                cur[1] += n
+                if t.confidence > cur[0].confidence:
+                    cur[0] = t
+        for t in self._pattern_triples(text, ents):
+            if self._valid(t):
+                add(t, 1)
+        # co-occurrence validity is static: RELATED_TO is always-valid,
+        # in-doc entities have distinct keys (dedup_local), conf is 0.5
+        if 0.5 >= self.confidence_threshold:
+            for (a, b), n in self._cooccurrence_counts(text, ents).items():
+                e1, e2 = ents[a], ents[b]
+                if e1.key == e2.key and e1.etype == e2.etype:
+                    continue
+                add(TripleRec(e1.key, e1.etype, RELATED_TO,
+                              e2.key, e2.etype, 0.5, "cooccurrence"), n)
+        return ents, [(t, n) for t, n in agg.values()]
 
     def extract(self, text: str) -> Tuple[List[EntityRec], List[TripleRec]]:
         """Single fused pass: entities then triples over the same text

@@ -97,10 +97,23 @@ class ExtractStage:
             max_keywords=cfg.max_keywords)
 
     def _extract_rows(self, texts):
-        """One (entities, triples) engine result per text, in order.
-        Subclasses override for latency-bound engines (threaded fan-out);
-        the base implementation is the CPU-bound serial loop."""
-        return [self.engine.extract(t or "") for t in texts]
+        """One (entities, [(triple, count)]) engine result per text, in
+        order. Engines exposing ``extract_agg`` (the rule engine) emit
+        the quadratic co-occurrence stream pre-aggregated — one triple
+        per DISTINCT (subj, pred, obj) per doc instead of per
+        occurrence; plain ``extract`` engines are wrapped with count 1.
+        Subclasses override for latency-bound engines (threaded
+        fan-out); the base implementation is the CPU-bound serial
+        loop."""
+        agg = getattr(self.engine, "extract_agg", None)
+        if agg is not None:
+            return [agg(t or "") for t in texts]
+        return [self._wrap(self.engine.extract(t or "")) for t in texts]
+
+    @staticmethod
+    def _wrap(res):
+        ents, triples = res
+        return ents, [(t, 1) for t in triples]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ent = {f: [] for f in _ENT_FIELDS}
@@ -125,13 +138,13 @@ class ExtractStage:
                 ent["n_mentions"].append(1)
                 ent["n_convs"].append(1)
             agg = {}
-            for t in triples:
+            for t, n in triples:
                 k = (t.subj, t.pred, t.obj)
                 cur = agg.get(k)
                 if cur is None:
-                    agg[k] = [t, 1]
+                    agg[k] = [t, n]
                 else:
-                    cur[1] += 1
+                    cur[1] += n
                     if t.confidence > cur[0].confidence:
                         cur[0] = t
             for (s, p, o), (t, n) in agg.items():
@@ -309,7 +322,7 @@ class LLMExtractStage(ExtractStage):
         # per-text isolation lives in the engine (extract() returns
         # ([], []) on a failed call); thread pool preserves input order
         return list(self.pool.map(
-            lambda t: self.engine.extract(t or ""), texts))
+            lambda t: self._wrap(self.engine.extract(t or "")), texts))
 
 
 def extract_mentions_llm(docs: "ray.data.Dataset", cfg=None, *,

@@ -127,3 +127,51 @@ def test_cooccurrence_automaton_equals_bruteforce():
         got = [(x.subj, x.obj) for x in rx._cooccurrence(t, ents)]
         assert got == ref
     assert checked_big >= 1, "no document exercised the automaton path"
+
+
+def test_extract_agg_equals_extract():
+    """extract_agg must equal aggregating extract()'s list by
+    (subj, pred, obj): same distinct triples, same witnesses, same
+    occurrence counts — on synthetic docs spanning both presence paths
+    (substring scan < 64 entities, Aho-Corasick >= 64)."""
+    from agraph_ray.extract.rules import RuleExtractor
+    from agraph_ray.synth import generate_transcripts
+    import glob
+
+    import duckdb
+
+    d = "/tmp/agg_eq_corpus"
+    generate_transcripts(d, n_convs=25, seed=11, num_shards=1)
+    rows = duckdb.sql(
+        f"select conv_id, string_agg(text, chr(10) order by turn_idx) t "
+        f"from read_parquet('{d}/*.parquet') group by conv_id").fetchall()
+    ex = RuleExtractor()
+    checked_big = checked_small = 0
+    for _, text in rows:
+        ents_a, triples = ex.extract(text)
+        ents_b, agg_pairs = ex.extract_agg(text)
+        assert [ (e.key, e.etype) for e in ents_a ] == \
+            [ (e.key, e.etype) for e in ents_b ]
+        # oracle aggregation of the object path
+        want = {}
+        for t in triples:
+            k = (t.subj, t.pred, t.obj)
+            cur = want.get(k)
+            if cur is None:
+                want[k] = [t, 1]
+            else:
+                cur[1] += 1
+                if t.confidence > cur[0].confidence:
+                    cur[0] = t
+        got = {(t.subj, t.pred, t.obj): (t, n) for t, n in agg_pairs}
+        assert set(got) == set(want)
+        for k, (wt, wn) in want.items():
+            gt, gn = got[k]
+            assert gn == wn, k
+            assert (gt.confidence, gt.subj_type, gt.obj_type, gt.source) \
+                == (wt.confidence, wt.subj_type, wt.obj_type, wt.source), k
+        if len(ents_a) >= 64:
+            checked_big += 1
+        else:
+            checked_small += 1
+    assert checked_big and checked_small  # both presence paths exercised
