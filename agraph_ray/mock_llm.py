@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 import time
 import zlib
 from typing import List, Optional
@@ -44,9 +45,11 @@ def _stable(s: str, salt: str = "") -> int:
 
 class MockLatencyTransport:
     """``Transport``-signature mock (url, payload, headers, timeout) →
-    response dict. Thread-safe (no mutable state after init) and
-    picklable — safe to build inside actor ``__init__`` or to ship in an
-    ``engine_factory`` closure.
+    response dict. Thread-safe (the only mutable state, the
+    failed-once set, is guarded by a lock so concurrent first attempts
+    of the same prompt fail exactly once) and picklable — safe to build
+    inside actor ``__init__`` or to ship in an ``engine_factory``
+    closure.
 
     ``latency_sec`` is the mean per-request sleep; each request's actual
     latency is deterministically jittered in
@@ -65,6 +68,20 @@ class MockLatencyTransport:
         self.seed = int(seed)
         self.embedding_dim = int(embedding_dim)
         self._failed_once = set()   # prompt-hash → already failed
+        self._fail_lock = threading.Lock()
+
+    # locks don't pickle — each deserialized copy gets a fresh lock and
+    # an empty failed-once set (it is a new "process" for fail_rate
+    # purposes, matching how actors each see first attempts)
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_fail_lock"] = None
+        d["_failed_once"] = set()
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._fail_lock = threading.Lock()
 
     # -- latency / failure --------------------------------------------------
 
@@ -79,10 +96,14 @@ class MockLatencyTransport:
         if not self.fail_rate:
             return
         h = _stable(key, f"fail{self.seed}")
-        if h / 0xFFFFFFFF < self.fail_rate and h not in self._failed_once:
+        if h / 0xFFFFFFFF >= self.fail_rate:
+            return
+        with self._fail_lock:          # atomic check-then-add
+            if h in self._failed_once:
+                return
             self._failed_once.add(h)
-            from .clients import TransportError
-            raise TransportError("mock 503: synthetic overload", status=503)
+        from .clients import TransportError
+        raise TransportError("mock 503: synthetic overload", status=503)
 
     # -- completions --------------------------------------------------------
 

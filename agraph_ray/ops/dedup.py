@@ -37,17 +37,34 @@ def _md5_hex(arr) -> "pa.Array":
     so every DuckDB-pinned oracle is untouched, but ~2.4x faster than the
     per-row hashlib loop on short strings and with zero Python boxing of
     the text column. One cached single-threaded connection per worker
-    process (threads=1: each map task already owns exactly one CPU, and
-    single-threaded scans preserve input order)."""
+    process (threads=1 AND preserve_insertion_order=true pinned
+    explicitly: callers zip the result positionally against sibling
+    columns, so scan order MUST equal input order even if a future
+    DuckDB changes the default). Falls back to the per-row hashlib loop
+    when duckdb isn't installed — it is an optional extra, and exact
+    dedup must keep working on a base install."""
     global _MD5_CON
-    import duckdb
+    try:
+        import duckdb
+    except ImportError:
+        return _md5_hex_py(arr)
     if _MD5_CON is None:
         _MD5_CON = duckdb.connect()
         _MD5_CON.execute("SET threads=1")
+        _MD5_CON.execute("SET preserve_insertion_order=true")
     t = pa.table({"s": arr})
     out = _MD5_CON.execute(
         "SELECT md5(coalesce(s, '')) h FROM t").arrow()
     return out["h"].combine_chunks().cast(pa.string())
+
+
+def _md5_hex_py(arr) -> "pa.Array":
+    """Pure-hashlib fallback for base installs without duckdb."""
+    vals = (arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+            else arr).to_pylist()
+    return pa.array(
+        [hashlib.md5((s or "").encode()).hexdigest() for s in vals],
+        pa.string())
 
 # ---------------------------------------------------------------------------
 # exact dedup

@@ -12,7 +12,8 @@ Reference semantics:
 
 Scale shapes: degree/stat aggregations pre-combine per batch before the
 small groupby; the transitive self-join is a union + bucketed co-group on
-the join key (no Dataset.join — see .claude/skills/verify gotcha); the
+the join key (no Dataset.join — Ray 2.49's raises ArrowInvalid on
+empty hash partitions, see ops/join.py); the
 hierarchical inference broadcasts the (small) parent-type side with
 ray.put and scans child batches — the parent side is bounded and the scan
 is the reference's own O(parents x children) semantics distributed over

@@ -1,7 +1,9 @@
 """Distributed joins as bucketed co-groups.
 
-Ray 2.49's ``Dataset.join`` mis-handles empty hash partitions
-(``ArrowInvalid ... FieldRef.Name`` — see .claude/skills/verify), so the
+Ray 2.49's ``Dataset.join`` raises ``ArrowInvalid: No match for
+FieldRef.Name`` when a hash partition on either side comes up empty
+(its per-partition Arrow join probes a column on a zero-field empty
+table — easy to hit with few rows or skewed keys), so the
 engine ships its own partitioned-join primitive: tag both sides, union,
 hash-partition by key into bounded buckets, and run ONE vectorized pandas
 merge per bucket. Shuffle volume equals a hash join's; per-task memory is

@@ -162,7 +162,9 @@ class AnnIndexActor:
                 k = row[keep][:m]
                 out[r, :len(k)] = k
                 if len(k) < m:
-                    out[r, len(k):] = k[-1] if len(k) else r
+                    # pad with the node's GLOBAL id (self-loop, ignored
+                    # by the beam) — never the block-local index r
+                    out[r, len(k):] = k[-1] if len(k) else node_ids[r]
             return out
 
         for _ in range(iters):
@@ -344,6 +346,11 @@ class AnnIndexActor:
             out_ids[qi, :kk] = self.ids[cand[sel]]
             out_sims[qi, :kk] = sims[sel]
         return out_ids, out_sims
+
+    def hnsw_graph(self) -> Optional[np.ndarray]:
+        """Adjacency (n, m + n_long) int32 of the NSW graph, for tests
+        and diagnostics; None when no graph was built."""
+        return self.hnsw[0] if self.hnsw is not None else None
 
     def size(self) -> int:
         return len(self.ids)
