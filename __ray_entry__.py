@@ -2690,18 +2690,23 @@ def q_schema_entities(sf_dir: str):
 
 def q_parse_documents(sf_dir: str):
     """Parser registry over deterministically formatted variants of the
-    documents table (md/json/csv/html round-robin by doc_id)."""
+    documents table (md/json/csv/html/docx/xlsx/pdf round-robin by
+    doc_id — the binary office formats are generated in-process by the
+    stdlib builders and parsed back by the stdlib parsers)."""
     import json as _json
     import pyarrow as pa
     import ray.data as rd
+    from agraph_ray.ops.officefmt import make_docx, make_pdf, make_xlsx
     from agraph_ray.ops.parse import parse_documents
 
     def to_formats(t: pa.Table) -> pa.Table:
-        fmts, contents = [], []
+        fmts, contents, blobs = [], [], []
         for did, text in zip(t["doc_id"].to_pylist(),
                              t["text"].to_pylist()):
             text = text or ""
-            fmt = ["md", "json", "csv", "html"][did % 4]
+            fmt = ["md", "json", "csv", "html",
+                   "docx", "xlsx", "pdf"][did % 7]
+            blob = None
             if fmt == "md":
                 contents.append(f"# doc {did}\n\n**{text}**")
             elif fmt == "json":
@@ -2709,12 +2714,25 @@ def q_parse_documents(sf_dir: str):
             elif fmt == "csv":
                 safe = text.replace('"', "'")
                 contents.append(f'body\n"{safe}"')
-            else:
+            elif fmt == "html":
                 import html as _html
                 contents.append(f"<p>{_html.escape(text)}</p>")
+            else:
+                lines = [ln for ln in text.split(". ") if ln][:8]
+                if fmt == "docx":
+                    blob = make_docx(lines or [text])
+                elif fmt == "xlsx":
+                    blob = make_xlsx(
+                        {"doc": [["body"]] + [[ln] for ln in
+                                              (lines or [text])]})
+                else:
+                    blob = make_pdf(lines or [text])
+                contents.append(None)
             fmts.append(fmt)
+            blobs.append(blob)
         return pa.table({"doc_id": t["doc_id"],
                          "content": pa.array(contents, pa.string()),
+                         "content_binary": pa.array(blobs, pa.binary()),
                          "format": pa.array(fmts, pa.string())})
 
     ds = (_sized_read(f"{sf_dir}/documents.parquet",

@@ -16,9 +16,13 @@ Parsers (observable behaviour of the reference, no external deps):
   (agraph/processer/html_processor.py:17-379 semantics via stdlib
   HTMLParser — BeautifulSoup not available here)
 
-PDF / Word / image processors depend on binary libs absent from this
-environment; their registry slots raise NotImplementedError with the
-dependency named, keeping the dispatch surface complete.
+PDF / Word / spreadsheet binary formats are parsed by the stdlib
+implementations in ``officefmt`` (zipfile + ElementTree for docx/xlsx,
+zlib + a text-operator evaluator for common-case PDF); when the real
+libraries (pypdf / python-docx / openpyxl) are importable they are
+preferred behind the same registry slots. Legacy .doc/.xls raise
+NotImplementedError with the dependency named (binary OLE formats need
+antiword/xlrd), keeping the dispatch surface complete.
 """
 
 from __future__ import annotations
@@ -142,16 +146,64 @@ def _unsupported(dep: str) -> Callable[[str], str]:
     return f
 
 
+def parse_pdf(content) -> str:
+    """Prefer pypdf when importable (full filter/encoding support);
+    else the stdlib common-case evaluator (officefmt.parse_pdf)."""
+    try:
+        import pypdf  # noqa: F401
+        from io import BytesIO
+        from .officefmt import _as_bytes
+        reader = pypdf.PdfReader(BytesIO(_as_bytes(content)))
+        texts = [p.extract_text() for p in reader.pages]
+        return "\n".join(t for t in texts if t.strip())
+    except ImportError:
+        from .officefmt import parse_pdf as _stdlib_pdf
+        return _stdlib_pdf(content)
+
+
+def parse_docx(content) -> str:
+    """Prefer python-docx when importable; else the stdlib zip+XML walk
+    (officefmt.parse_docx) with identical paragraph/table semantics."""
+    try:
+        import docx  # noqa: F401
+        from io import BytesIO
+        from .officefmt import _as_bytes
+        d = docx.Document(BytesIO(_as_bytes(content)))
+        parts = [p.text.strip() for p in d.paragraphs if p.text.strip()]
+        for table in d.tables:
+            for row in table.rows:
+                cells = [c.text.strip() for c in row.cells]
+                if any(cells):
+                    parts.append("\t".join(cells))
+        return "\n".join(parts)
+    except ImportError:
+        from .officefmt import parse_docx as _stdlib_docx
+        return _stdlib_docx(content)
+
+
+def parse_xlsx(content) -> str:
+    """Stdlib zip+XML sheet walk (officefmt.parse_xlsx); openpyxl-based
+    parsing would go through the same slot if the lib appears."""
+    from .officefmt import parse_xlsx as _stdlib_xlsx
+    return _stdlib_xlsx(content)
+
+
 PARSERS: Dict[str, Callable[[str], str]] = {
     "txt": parse_text, "text": parse_text,
     "md": parse_markdown, "markdown": parse_markdown,
     "json": parse_json, "jsonl": parse_json, "ndjson": parse_json,
     "csv": parse_csv,
     "html": parse_html, "htm": parse_html,
-    "pdf": _unsupported("pypdf"),
-    "doc": _unsupported("docx2txt"), "docx": _unsupported("python-docx"),
-    "xlsx": _unsupported("openpyxl"), "xls": _unsupported("xlrd"),
+    "pdf": parse_pdf,
+    "doc": _unsupported("docx2txt/antiword (legacy OLE .doc)"),
+    "docx": parse_docx,
+    "xlsx": parse_xlsx,
+    "xls": _unsupported("xlrd (legacy OLE .xls)"),
 }
+
+# formats whose payload is binary: parse_documents reads these rows from
+# the binary column when present
+BINARY_FORMATS = {"pdf", "doc", "docx", "xlsx", "xls"}
 
 
 def register_parser(fmt: str, fn: Callable[[str], str]) -> None:
@@ -160,22 +212,33 @@ def register_parser(fmt: str, fn: Callable[[str], str]) -> None:
 
 
 def parse_documents(ds: "ray.data.Dataset", content_col: str = "content",
-                    format_col: str = "format") -> "ray.data.Dataset":
-    """Rows (content, format) → rows + ``text`` column via registry
-    dispatch. Unknown/unsupported formats yield null text plus a
-    ``parse_error`` column instead of failing the batch (poison-pill rows
-    must not kill a 100 TB job)."""
+                    format_col: str = "format",
+                    binary_col: str = "content_binary") -> "ray.data.Dataset":
+    """Rows (content, format[, content_binary]) → rows + ``text`` column
+    via registry dispatch. Binary formats (pdf/docx/xlsx) read their
+    payload from ``binary_col`` (pa.binary()) when the column exists and
+    the row is non-null; text formats read ``content_col``. Unknown or
+    unsupported formats yield null text plus a ``parse_error`` column
+    instead of failing the batch (poison-pill rows must not kill a
+    100 TB job)."""
     def f(t: pa.Table) -> pa.Table:
         texts, errs = [], []
-        for content, fmt in zip(t[content_col].to_pylist(),
-                                t[format_col].to_pylist()):
-            fn = PARSERS.get((fmt or "txt").lower())
+        blobs = (t[binary_col].to_pylist()
+                 if binary_col in t.column_names else [None] * len(t))
+        for content, fmt, blob in zip(t[content_col].to_pylist(),
+                                      t[format_col].to_pylist(), blobs):
+            fmt_l = (fmt or "txt").lower()
+            fn = PARSERS.get(fmt_l)
             if fn is None:
                 texts.append(None)
                 errs.append(f"no parser for format {fmt!r}")
                 continue
+            if fmt_l in BINARY_FORMATS and blob is not None:
+                payload = blob
+            else:
+                payload = content or ""
             try:
-                texts.append(fn(content or ""))
+                texts.append(fn(payload))
                 errs.append(None)
             except NotImplementedError as e:
                 texts.append(None)

@@ -279,12 +279,12 @@ def test_parse_registry(ray_session):
 
     ds = rd.from_arrow(pa.table({
         "content": ["# Doc", '{"k": "v"}', "bad", None],
-        "format": ["md", "json", "pdf", "txt"],
+        "format": ["md", "json", "xls", "txt"],
     }))
     out = parse_documents(ds).to_pandas()
     assert out["text"].tolist()[:2] == ["Doc", "v"]
-    assert out["text"][2] is None          # pdf unsupported -> error column
-    assert "pypdf" in out["parse_error"][2]
+    assert out["text"][2] is None      # legacy .xls unsupported -> error
+    assert "xlrd" in out["parse_error"][2]
     assert out["text"][3] == ""
 
 
