@@ -62,7 +62,9 @@ def _run_extract(docs, cfg, engine=None, engine_factory=None,
 def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
                          do_canonicalize: bool = True,
                          metrics: Optional[Dict] = None,
-                         mentions=None, pool=None) -> Dict[str, str]:
+                         mentions=None, pool=None,
+                         exact_as: Optional[Sequence[str]] = None
+                         ) -> Dict[str, str]:
     """Global stages: mentions (in-memory Dataset or the parquet
     checkpoint) → triples / nodes / edges tables.
 
@@ -130,10 +132,11 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
         metrics["sec_dedup"] = round(time.time() - t, 2)
 
     t = time.time()
-    nodes_exact_dir = os.path.join(
-        out_dir, "nodes_exact" if do_canonicalize else "nodes")
-    edges_exact_dir = os.path.join(
-        out_dir, "edges_exact" if do_canonicalize else "edges")
+    if exact_as is None:
+        exact_as = (("nodes_exact", "edges_exact") if do_canonicalize
+                    else ("nodes", "edges"))
+    nodes_exact_dir = os.path.join(out_dir, exact_as[0])
+    edges_exact_dir = os.path.join(out_dir, exact_as[1])
     writes = {
         "nodes_exact": pool.submit(atomic_write_parquet, nodes,
                                    nodes_exact_dir, cfg.min_rows_per_file),
@@ -175,8 +178,12 @@ def _mentions_to_outputs(out_dir: str, cfg: KGConfig,
         n_nodes, n_edges = f_n.result(), f_e.result()
         if metrics is not None:
             metrics["sec_final_write"] = round(time.time() - t, 2)
-    tables["nodes"] = os.path.join(out_dir, "nodes")
-    tables["edges"] = os.path.join(out_dir, "edges")
+    if do_canonicalize:
+        tables["nodes"] = os.path.join(out_dir, "nodes")
+        tables["edges"] = os.path.join(out_dir, "edges")
+    else:
+        tables["nodes"] = nodes_exact_dir
+        tables["edges"] = edges_exact_dir
     if own_pool:
         pool.shutdown(wait=True)
     if metrics is not None:
@@ -316,33 +323,21 @@ def build_kg(transcripts, out_dir: str, cfg: Optional[KGConfig] = None,
     return KGBuildResult(out_dir, tables, metrics)
 
 
-def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
-                       cfg: Optional[KGConfig] = None,
-                       shards_per_partition: int = 4,
-                       do_canonicalize: bool = True,
-                       engine=None, engine_factory=None,
-                       llm_opts: Optional[Dict] = None,
-                       group_concurrency: Optional[int] = None
-                       ) -> KGBuildResult:
-    """Partitioned, checkpointed build over conv_id-partitioned shards.
-
-    Partition groups run ``group_concurrency`` at a time (bounded thread
-    pool, each thread its own streaming execution): at thousands of groups
-    the ~1-2 s per-execution fixed cost would otherwise serialize (the
-    round-2 verdict's design note). The commit protocol is unchanged —
-    atomic rename + per-partition manifest; deterministic content-hash ids
-    make concurrent groups race-free (no shared mutable state). Default
-    concurrency: 1 below 16 CPUs (one execution already uses the machine),
-    else 2-4 scaled by width (A/B at sf0.1 / 32 CPUs / 8 groups: serial
-    25.8-30.2 s, overlap-2 21.1-21.7 s, overlap-4 23.2 s — two overlapped
-    executions hide the per-execution fixed cost; more just contend).
-    """
+def run_mention_partitions(shard_paths: Sequence[str], out_dir: str,
+                           cfg: KGConfig,
+                           shards_per_partition: int = 4,
+                           engine=None, engine_factory=None,
+                           llm_opts: Optional[Dict] = None,
+                           group_concurrency: Optional[int] = None,
+                           metrics: Optional[Dict] = None) -> None:
+    """The checkpointed per-partition extract loop shared by
+    :func:`build_kg_resumable` and the composed LLM-path pipeline
+    (pipelines/llm_e2e.py): each partition group commits a ``mentions``
+    Parquet partition + lineage manifest; committed partitions are
+    skipped on restart."""
     from concurrent.futures import ThreadPoolExecutor
 
     import ray as _ray
-    import ray.data as rd
-    cfg = cfg or KGConfig()
-    t0 = time.time()
     groups: List[List[str]] = [
         list(shard_paths[i:i + shards_per_partition])
         for i in range(0, len(shard_paths), shards_per_partition)]
@@ -350,8 +345,9 @@ def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
         cpus = int(_ray.cluster_resources().get("CPU", 8)) \
             if _ray.is_initialized() else 8
         group_concurrency = 1 if cpus < 16 else max(2, min(4, cpus // 16))
-
-    metrics: Dict[str, float] = {"n_partitions": len(groups), "skipped": 0}
+    if metrics is not None:
+        metrics["n_partitions"] = len(groups)
+        metrics.setdefault("skipped", 0)
 
     def run_group(pid: int, files: List[str]) -> None:
         part_t0 = time.time()
@@ -380,7 +376,8 @@ def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
     todo = []
     for pid, files in enumerate(groups):
         if is_committed(out_dir, "mentions", pid):
-            metrics["skipped"] += 1
+            if metrics is not None:
+                metrics["skipped"] += 1
         else:
             todo.append((pid, files))
     if group_concurrency <= 1 or len(todo) <= 1:
@@ -392,6 +389,34 @@ def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
             # committed partitions stay committed — that's the resume)
             list(pool.map(lambda pf: run_group(*pf), todo))
 
+
+def build_kg_resumable(shard_paths: Sequence[str], out_dir: str,
+                       cfg: Optional[KGConfig] = None,
+                       shards_per_partition: int = 4,
+                       do_canonicalize: bool = True,
+                       engine=None, engine_factory=None,
+                       llm_opts: Optional[Dict] = None,
+                       group_concurrency: Optional[int] = None
+                       ) -> KGBuildResult:
+    """Partitioned, checkpointed build over conv_id-partitioned shards.
+
+    Partition groups run ``group_concurrency`` at a time (bounded thread
+    pool, each thread its own streaming execution): at thousands of groups
+    the ~1-2 s per-execution fixed cost would otherwise serialize (the
+    round-2 verdict's design note). The commit protocol is unchanged —
+    atomic rename + per-partition manifest; deterministic content-hash ids
+    make concurrent groups race-free (no shared mutable state). Default
+    concurrency: 1 below 16 CPUs (one execution already uses the machine),
+    else 2-4 scaled by width (A/B at sf0.1 / 32 CPUs / 8 groups: serial
+    25.8-30.2 s, overlap-2 21.1-21.7 s, overlap-4 23.2 s — two overlapped
+    executions hide the per-execution fixed cost; more just contend).
+    """
+    cfg = cfg or KGConfig()
+    t0 = time.time()
+    metrics: Dict[str, float] = {}
+    run_mention_partitions(shard_paths, out_dir, cfg, shards_per_partition,
+                           engine, engine_factory, llm_opts,
+                           group_concurrency, metrics)
     tables = _mentions_to_outputs(out_dir, cfg, do_canonicalize, metrics)
     metrics["wall_sec"] = time.time() - t0
     commit_manifest(out_dir, "finalize", "all", metrics)

@@ -548,15 +548,33 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
     cmap = compute_canonical_map(nodes, cfg)
     if not cmap:
         return nodes, edges, {}
+    nodes_o, edges_o = apply_canonical_map(nodes, edges, cmap, cfg,
+                                           driver_threshold)
+    return nodes_o, edges_o, cmap
+
+
+def apply_canonical_map(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
+                        cmap: Dict[str, str],
+                        cfg: Optional[KGConfig] = None,
+                        driver_threshold: int = 2_000_000):
+    """Rewrite nodes/edges under an externally computed ``{entity_id:
+    canonical_id}`` map — the post-linking tail of :func:`canonicalize`,
+    exposed so alternative match sources (embedding-ANN candidates run
+    through the LLM pair judge — the reference lifecycle
+    agraph/builders/llm_builders.py:1035-1097) can share the same merge
+    semantics. Size-adaptive exactly like canonicalize: whole-graph
+    driver rewrite when both tables fit ``driver_threshold``, else the
+    broadcast filter-map (unaffected nodes never shuffle)."""
+    cfg = cfg or KGConfig()
+    if not cmap:
+        return nodes, edges
     _merge_group = _merge_group_row
 
-    # 200k < nodes <= driver_threshold: cmap came from the distributed
-    # linker, but the whole-graph rewrite still fits the driver
+    # cmap came from an external linker, but the whole-graph rewrite
+    # still fits the driver
     if (nodes.count() <= driver_threshold
             and edges.count() <= driver_threshold):
-        nodes_t, edges_t = _canonicalize_driver(nodes, edges, cmap,
-                                                _merge_group)
-        return nodes_t, edges_t, cmap
+        return _canonicalize_driver(nodes, edges, cmap, _merge_group)
 
     cmap_ref = ray.put(cmap)
     # every node participating in any merge group (sources AND targets)
@@ -628,4 +646,4 @@ def canonicalize(nodes: "ray.data.Dataset", edges: "ray.data.Dataset",
         edges.map_batches(rewrite_edges, batch_format="pyarrow"),
         ["head_id", "relation_type", "tail_id"], resig_dedup,
         schema=EDGES_SCHEMA)
-    return canon_nodes, canon_edges, cmap
+    return canon_nodes, canon_edges

@@ -356,18 +356,45 @@ class AnnIndexActor:
         return len(self.ids)
 
 
+def _shard_opts(num_cpus: Optional[float]):
+    """Actor options for shard actors. Default: NO explicit num_cpus —
+    a plain actor reserves 1 CPU at creation but 0 for its lifetime, so
+    an idle pool never starves map tasks. Passing an explicit value
+    creates a LIFETIME reservation (sized pools × value must stay below
+    the cluster or query tasks livelock — measured: 9 actors × 0.67 CPU
+    on a 4-CPU cluster hung); use it only to pin placement/throughput on
+    a real multi-node cluster (e.g. with SPREAD scheduling)."""
+    return AnnIndexActor if num_cpus is None \
+        else AnnIndexActor.options(num_cpus=num_cpus)
+
+
+def merge_topk(parts, k: int):
+    """Merge per-shard (ids, sims) top-k results into a global top-k.
+    Shared by the pool's query methods and by map tasks that fan a batch
+    of queries over the shard actors themselves."""
+    ids = np.concatenate([p[0] for p in parts], axis=1)
+    sims = np.concatenate([p[1] for p in parts], axis=1)
+    kk = min(k, sims.shape[1])
+    row = np.arange(sims.shape[0])[:, None]
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    order = np.argsort(-sims[row, part], kind="stable", axis=1)
+    top = part[row, order]
+    return ids[row, top], sims[row, top]
+
+
 class AnnShardPool:
     """Driver-side handle over N index shards; merges per-shard top-k."""
 
     def __init__(self, ids: List[str], matrix: np.ndarray,
                  num_shards: int = 4, ivf_nlist: int = 0, pq_m: int = 0,
-                 hnsw_m: int = 0):
+                 hnsw_m: int = 0, num_cpus: Optional[float] = None):
         n = max(1, min(num_shards, len(ids)))
         bounds = np.linspace(0, len(ids), n + 1, dtype=int)
+        opts = _shard_opts(num_cpus)
         self.shards = [
-            AnnIndexActor.remote(list(np.asarray(ids)[a:b]), matrix[a:b],
-                                 ivf_nlist=ivf_nlist, pq_m=pq_m,
-                                 hnsw_m=hnsw_m)
+            opts.remote(list(np.asarray(ids)[a:b]), matrix[a:b],
+                        ivf_nlist=ivf_nlist, pq_m=pq_m,
+                        hnsw_m=hnsw_m)
             for a, b in zip(bounds, bounds[1:]) if b > a
         ]
 
@@ -376,39 +403,18 @@ class AnnShardPool:
         query; requires ``hnsw_m`` at build, exact fallback without)."""
         parts = ray.get([s.query_hnsw.remote(vecs, k, ef)
                          for s in self.shards])
-        ids = np.concatenate([p[0] for p in parts], axis=1)
-        sims = np.concatenate([p[1] for p in parts], axis=1)
-        kk = min(k, sims.shape[1])
-        row = np.arange(sims.shape[0])[:, None]
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        order = np.argsort(-sims[row, part], kind="stable", axis=1)
-        top = part[row, order]
-        return ids[row, top], sims[row, top]
+        return merge_topk(parts, k)
 
     def query_pq(self, vecs: np.ndarray, k: int = 10, nprobe: int = 4,
                  rerank: int = 0):
         """Merged IVF-PQ top-k across shards (same contract as query)."""
         parts = ray.get([s.query_pq.remote(vecs, k, nprobe, rerank)
                          for s in self.shards])
-        ids = np.concatenate([p[0] for p in parts], axis=1)
-        sims = np.concatenate([p[1] for p in parts], axis=1)
-        kk = min(k, sims.shape[1])
-        row = np.arange(sims.shape[0])[:, None]
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        order = np.argsort(-sims[row, part], kind="stable", axis=1)
-        top = part[row, order]
-        return ids[row, top], sims[row, top]
+        return merge_topk(parts, k)
 
     def query(self, vecs: np.ndarray, k: int = 10):
         parts = ray.get([s.query.remote(vecs, k) for s in self.shards])
-        ids = np.concatenate([p[0] for p in parts], axis=1)
-        sims = np.concatenate([p[1] for p in parts], axis=1)
-        kk = min(k, sims.shape[1])
-        row = np.arange(sims.shape[0])[:, None]
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        order = np.argsort(-sims[row, part], kind="stable", axis=1)
-        top = part[row, order]
-        return ids[row, top], sims[row, top]
+        return merge_topk(parts, k)
 
     def save(self, out_dir: str) -> dict:
         """Persist the pool as one parquet file per shard + manifest.json.
@@ -424,7 +430,8 @@ class AnnShardPool:
 
     @classmethod
     def load(cls, out_dir: str, ivf_nlist: int = 0,
-             pq_m: int = 0, hnsw_m: int = 0) -> "AnnShardPool":
+             pq_m: int = 0, hnsw_m: int = 0,
+             num_cpus: Optional[float] = None) -> "AnnShardPool":
         """Rebuild a pool from :meth:`save` output — each actor reads its
         own shard file; no vector data crosses the driver. Pass
         ``ivf_nlist``/``pq_m``/``hnsw_m`` to rebuild the in-shard index
@@ -432,8 +439,9 @@ class AnnShardPool:
         with open(os.path.join(out_dir, "manifest.json")) as fh:
             manifest = json.load(fh)
         pool = cls.__new__(cls)
-        pool.shards = [AnnIndexActor.remote(path=os.path.join(out_dir, f),
-                                            ivf_nlist=ivf_nlist, pq_m=pq_m,
-                                            hnsw_m=hnsw_m)
+        opts = _shard_opts(num_cpus)
+        pool.shards = [opts.remote(path=os.path.join(out_dir, f),
+                                   ivf_nlist=ivf_nlist, pq_m=pq_m,
+                                   hnsw_m=hnsw_m)
                        for f in manifest["shards"]]
         return pool
