@@ -772,6 +772,11 @@ def q_ann_topk_hnsw(sf_dir: str):
     pool = AnnShardPool(ids, mat, num_shards=4, hnsw_m=12)
     got_ids, got_sims = pool.query_hnsw(
         np.asarray(vecs, dtype=np.float32), k=10, ef=64)
+    return _ann_rank_table(qids, got_ids, got_sims)
+
+
+def _ann_rank_table(qids, got_ids, got_sims):
+    import pyarrow as pa
     rows_q, rows_id, rows_rank, rows_sim = [], [], [], []
     for qi, qid in enumerate(qids):
         for r in range(got_ids.shape[1]):
@@ -785,6 +790,28 @@ def q_ann_topk_hnsw(sf_dir: str):
         [pa.array(rows_q, pa.int64()), pa.array(rows_id, pa.int64()),
          pa.array(rows_rank, pa.int64()), pa.array(rows_sim, pa.int64())],
         names=["query_id", "vec_id", "rank", "sim"])
+
+
+def q_ann_topk_hnsw_exact(sf_dir: str):
+    """HNSW shard pool in exact-re-rank mode: ef covers every shard, so
+    the beam degenerates to the exact scan (state/ann.py query_hnsw
+    fallback — same exact-coverage contract as query_ivf at
+    nprobe >= nlist). Fully oracle-checkable, unlike the approximate
+    ann_topk_hnsw whose recall floor is pytest-pinned."""
+    import pyarrow.parquet as pq
+    from agraph_ray.state.ann import AnnShardPool
+    vecs, qids = _load_queries(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    ids = [str(i) for i in t["vec_id"].to_pylist()]
+    # float64 input + precision="float64" shards: the exact fallback
+    # scores in double, bit-compatible with DuckDB's DOUBLE cosine
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    pool = AnnShardPool(ids, mat, num_shards=4, hnsw_m=12,
+                        precision="float64")
+    got_ids, got_sims = pool.query_hnsw(
+        np.asarray(vecs, dtype=np.float64), k=10, ef=len(ids))
+    return _ann_rank_table(qids, got_ids, got_sims)
 
 
 def q_emb_near_dup(sf_dir: str):
@@ -3743,6 +3770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_hnsw": q_ann_topk_hnsw,
+        "ann_topk_hnsw_exact": q_ann_topk_hnsw_exact,
         # joins / windows / graph analytics
         "customers_without_orders": q_customers_without_orders,
         "lineitem_bloom_semi": q_lineitem_bloom_semi,
@@ -4250,6 +4278,20 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 10
         """,
         "ann_topk_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 4),
+                 sims AS (SELECT q.query_id, e.vec_id,
+                                 list_cosine_similarity(
+                                     q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS s
+                          FROM q CROSS JOIN embeddings e)
+            SELECT query_id, vec_id,
+                   CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rank
+            FROM sims
+            QUALIFY rank <= 10
+        """,
+        "ann_topk_hnsw_exact": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 4),
                  sims AS (SELECT q.query_id, e.vec_id,

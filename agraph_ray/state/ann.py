@@ -30,7 +30,8 @@ class AnnIndexActor:
                  matrix: Optional[np.ndarray] = None,
                  path: Optional[str] = None, ivf_nlist: int = 0,
                  pq_m: int = 0, hnsw_m: int = 0,
-                 hnsw_ef_construction: int = 64):
+                 hnsw_ef_construction: int = 64,
+                 precision: str = "float32"):
         if path is not None:
             import pyarrow.parquet as pq
             t = pq.read_table(path)
@@ -50,6 +51,18 @@ class AnnIndexActor:
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         self.matrix = m / norms   # normalize once at build time
+        # precision="float64": keep a double-normalized copy scored by
+        # the exact path — bit-compatible with an external DOUBLE
+        # cosine oracle (float32 scoring flips ties at the 1e-6 ulp).
+        # 2x shard memory; the ANN structures stay float32.
+        self.matrix64 = None
+        if precision == "float64":
+            m64 = np.asarray(matrix, dtype=np.float64)
+            if m64.ndim == 1:
+                m64 = m64.reshape(len(self.ids), -1)
+            n64 = np.linalg.norm(m64, axis=1, keepdims=True)
+            n64[n64 == 0] = 1.0
+            self.matrix64 = m64 / n64
         # optional in-shard IVF: coarse centroids + member lists built
         # ONCE here (actor __init__), so query_ivf scans ~nprobe/nlist
         # of the shard instead of all of it
@@ -194,8 +207,13 @@ class AnnIndexActor:
                    ef: int = 64) -> Tuple[np.ndarray, np.ndarray]:
         """Approximate top-k via beam search over the NSW graph
         (requires ``hnsw_m`` at build; falls back to the exact scan
-        otherwise). ``ef`` >= k is the beam width — recall knob."""
-        if self.hnsw is None:
+        otherwise). ``ef`` >= k is the beam width — recall knob. When
+        ``ef`` covers the whole shard the beam degenerates to a full
+        scan, so fall through to the exact matmul directly — same
+        exact-coverage contract as ``query_ivf`` at nprobe >= nlist
+        (this is the oracle-checkable exact-re-rank mode: candidates =
+        everything, exact cosine, deterministic vec-id tie order)."""
+        if self.hnsw is None or ef >= len(self.ids):
             return self.query(vecs, k)
         nbrs, _ = self.hnsw
         q = np.asarray(vecs, dtype=np.float32)
@@ -254,10 +272,11 @@ class AnnIndexActor:
 
     def query(self, vecs: np.ndarray, k: int = 10) -> Tuple[np.ndarray, np.ndarray]:
         """(q, d) query matrix → (ids[q,k], sims[q,k]), cosine descending."""
-        q = np.asarray(vecs, dtype=np.float32)
+        mat = self.matrix64 if self.matrix64 is not None else self.matrix
+        q = np.asarray(vecs, dtype=mat.dtype)
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
-        sims = (q / qn) @ self.matrix.T                   # (q, n)
+        sims = (q / qn) @ mat.T                           # (q, n)
         k = min(k, sims.shape[1])
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         row = np.arange(sims.shape[0])[:, None]
@@ -387,14 +406,15 @@ class AnnShardPool:
 
     def __init__(self, ids: List[str], matrix: np.ndarray,
                  num_shards: int = 4, ivf_nlist: int = 0, pq_m: int = 0,
-                 hnsw_m: int = 0, num_cpus: Optional[float] = None):
+                 hnsw_m: int = 0, num_cpus: Optional[float] = None,
+                 precision: str = "float32"):
         n = max(1, min(num_shards, len(ids)))
         bounds = np.linspace(0, len(ids), n + 1, dtype=int)
         opts = _shard_opts(num_cpus)
         self.shards = [
             opts.remote(list(np.asarray(ids)[a:b]), matrix[a:b],
                         ivf_nlist=ivf_nlist, pq_m=pq_m,
-                        hnsw_m=hnsw_m)
+                        hnsw_m=hnsw_m, precision=precision)
             for a, b in zip(bounds, bounds[1:]) if b > a
         ]
 

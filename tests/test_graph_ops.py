@@ -652,6 +652,18 @@ def test_ann_actor_hnsw_recall_floor(ray_session):
     plain = AnnIndexActor.remote(ids, mat)
     f_ids, _ = ray.get(plain.query_hnsw.remote(q, 10, 64))
     assert (f_ids == exact_ids).all()
+    # exact-re-rank mode: ef covering the shard degenerates the beam to
+    # the exact scan (same contract as query_ivf at nprobe >= nlist) —
+    # this is what makes ann_topk_hnsw_exact oracle-checkable
+    e_ids, e_sims = ray.get(actor.query_hnsw.remote(q, 10, len(ids)))
+    assert (e_ids == exact_ids).all()
+    assert np.allclose(e_sims, exact_sims)
+    # precision="float64" pins the exact path to double scoring
+    # (bit-compatible with a DOUBLE cosine oracle)
+    a64 = AnnIndexActor.remote(ids, mat, precision="float64")
+    d_ids, d_sims = ray.get(a64.query.remote(q.astype("float64"), 10))
+    assert d_sims.dtype == np.float64
+    assert (d_ids == exact_ids).all()
 
 
 def test_ann_pool_hnsw_save_load(ray_session, tmp_path):
