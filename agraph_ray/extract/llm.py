@@ -347,7 +347,9 @@ def judge_match_edges(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
                       concurrency: int = 4,
                       batch_size: int = 16,
                       max_concurrent: int = 8,
-                      num_cpus: float = 0.25) -> "ray.data.Dataset":
+                      num_cpus: float = 0.25,
+                      scheduling_strategy: "str | None" = None
+                      ) -> "ray.data.Dataset":
     """Filter canonicalize match edges (src, dst, sim) through the LLM
     pairwise judge. Node attributes are broadcast once (``ray.put`` — the
     canonical node table is vocabulary-sized) and attached per batch; the
@@ -401,12 +403,14 @@ def judge_match_edges(pairs: "ray.data.Dataset", nodes: "ray.data.Dataset",
         num_cpus = min(num_cpus, max(0.01, (cpus - 2) / concurrency))
     enriched = (pairs.repartition(2 * concurrency)
                 .map_batches(attach, batch_format="pyarrow"))
+    extra = ({"scheduling_strategy": scheduling_strategy}
+             if scheduling_strategy else {})   # SPREAD on real clusters
     judged = enriched.map_batches(
         LLMPairJudge,
         fn_constructor_kwargs={"llm_factory": llm_factory,
                                "max_concurrent": max_concurrent},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=num_cpus)
+        concurrency=concurrency, num_cpus=num_cpus, **extra)
     return judged.select_columns(list(pairs.schema().names))
 
 

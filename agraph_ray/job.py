@@ -46,6 +46,18 @@ def _shard_paths(input_path: str) -> list:
     return [input_path]
 
 
+def build_llm_opts(args) -> dict:
+    """argparse → ``extract_mentions_llm`` keyword dict (factored out so
+    the flag→pool plumbing is unit-testable without a cluster)."""
+    opts = {"max_concurrent": args.max_concurrent,
+            "batch_size": args.llm_batch_size}
+    if args.num_actors:
+        opts["num_actors"] = args.num_actors
+    if args.spread:
+        opts["scheduling_strategy"] = "SPREAD"
+    return opts
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m agraph_ray.job",
@@ -61,14 +73,48 @@ def main(argv=None) -> int:
                     help="skip the chunk table (triples/nodes only)")
     ap.add_argument("--config-json", default=None,
                     help="JSON object of KGConfig field overrides")
+    # --- production-LLM extraction pool (env-configured clients) ------
+    ap.add_argument("--llm", action="store_true",
+                    help="extract via the env-configured LLM engine "
+                         "(AGRAPH_LLM_* vars) through the latency-bound "
+                         "actor pool instead of the rule extractor")
+    ap.add_argument("--num-actors", type=int, default=0,
+                    help="LLM pool size (0 = auto: 2 x cluster CPUs); "
+                         "in-flight requests = num-actors x "
+                         "max-concurrent — size to the endpoint's rate "
+                         "limit, not the CPU count")
+    ap.add_argument("--max-concurrent", type=int, default=8,
+                    help="in-flight requests per LLM pool actor")
+    ap.add_argument("--llm-batch-size", type=int, default=32)
+    # --- multi-node scheduling / memory knobs -------------------------
+    ap.add_argument("--spread", action="store_true",
+                    help="SPREAD-schedule latency-bound actor pools "
+                         "across nodes (per-node NIC limits bound a "
+                         "latency pool, not CPUs); no-op single-node")
+    ap.add_argument("--object-store-memory", type=int, default=None,
+                    help="bytes for the object store when THIS process "
+                         "starts the Ray session (ignored when a "
+                         "cluster session already exists)")
+    ap.add_argument("--spill-dir", default=None,
+                    help="object-spilling directory when this process "
+                         "starts the session (fast local disk on each "
+                         "node; default Ray tmp)")
     args = ap.parse_args(argv)
 
     import ray
     if not ray.is_initialized():
         # inside `ray job submit` the cluster address comes from the job
         # runtime env; standalone this starts a local session
+        init_kw = {}
+        if args.object_store_memory:
+            init_kw["object_store_memory"] = args.object_store_memory
+        if args.spill_dir:
+            init_kw["_system_config"] = {
+                "object_spilling_config": json.dumps(
+                    {"type": "filesystem",
+                     "params": {"directory_path": args.spill_dir}})}
         ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 ignore_reinit_error=True)
+                 ignore_reinit_error=True, **init_kw)
 
     from agraph_ray.config import KGConfig
     from agraph_ray.pipelines.kg_build import build_kg, build_kg_resumable
@@ -76,13 +122,21 @@ def main(argv=None) -> int:
     overrides = json.loads(args.config_json) if args.config_json else {}
     cfg = KGConfig(**overrides)
 
+    engine_factory, llm_opts = None, None
+    if args.llm:
+        from agraph_ray.clients import llm_engine_from_env
+        engine_factory = llm_engine_from_env
+        llm_opts = build_llm_opts(args)
+
     if args.resumable:
         res = build_kg_resumable(
             _shard_paths(args.input), args.output, cfg,
-            shards_per_partition=args.shards_per_partition)
+            shards_per_partition=args.shards_per_partition,
+            engine_factory=engine_factory, llm_opts=llm_opts)
     else:
         res = build_kg(args.input, args.output, cfg,
-                       with_chunks=not args.no_chunks)
+                       with_chunks=not args.no_chunks,
+                       engine_factory=engine_factory, llm_opts=llm_opts)
 
     print(json.dumps({"status": "ok", "output": args.output,
                       "metrics": res.metrics}))

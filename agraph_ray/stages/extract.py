@@ -329,7 +329,9 @@ def extract_mentions_llm(docs: "ray.data.Dataset", cfg=None, *,
                          engine_factory, num_actors: int = 0,
                          max_concurrent: int = 8,
                          batch_size: int = 32,
-                         num_cpus: float = 0.25) -> "ray.data.Dataset":
+                         num_cpus: float = 0.25,
+                         scheduling_strategy: "str | None" = None
+                         ) -> "ray.data.Dataset":
     """documents → mentions through a latency-bound LLM engine.
 
     Pool sizing: in-flight requests = ``num_actors x max_concurrent``;
@@ -368,7 +370,13 @@ def extract_mentions_llm(docs: "ray.data.Dataset", cfg=None, *,
     docs = docs.repartition(2 * num_actors)
     fn_kwargs = {"cfg": cfg, "engine_factory": engine_factory,
                  "max_concurrent": max_concurrent}
+    # scheduling_strategy="SPREAD" distributes pool actors across nodes
+    # on a real cluster (per-node NIC/connection-pool limits bound a
+    # latency-pool's throughput, not CPUs — packing 128 actors on one
+    # node serializes on its sockets). No-op single-node.
+    extra = ({"scheduling_strategy": scheduling_strategy}
+             if scheduling_strategy else {})
     return docs.map_batches(
         LLMExtractStage, fn_constructor_kwargs=fn_kwargs,
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=num_actors, num_cpus=num_cpus)
+        concurrency=num_actors, num_cpus=num_cpus, **extra)

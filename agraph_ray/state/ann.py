@@ -375,16 +375,23 @@ class AnnIndexActor:
         return len(self.ids)
 
 
-def _shard_opts(num_cpus: Optional[float]):
+def _shard_opts(num_cpus: Optional[float],
+                scheduling_strategy: Optional[str] = None):
     """Actor options for shard actors. Default: NO explicit num_cpus —
     a plain actor reserves 1 CPU at creation but 0 for its lifetime, so
     an idle pool never starves map tasks. Passing an explicit value
     creates a LIFETIME reservation (sized pools × value must stay below
     the cluster or query tasks livelock — measured: 9 actors × 0.67 CPU
     on a 4-CPU cluster hung); use it only to pin placement/throughput on
-    a real multi-node cluster (e.g. with SPREAD scheduling)."""
-    return AnnIndexActor if num_cpus is None \
-        else AnnIndexActor.options(num_cpus=num_cpus)
+    a real multi-node cluster. ``scheduling_strategy="SPREAD"`` places
+    one shard per node so the index's aggregate memory/bandwidth scales
+    with the cluster instead of stacking on whichever node has room."""
+    opts = {}
+    if num_cpus is not None:
+        opts["num_cpus"] = num_cpus
+    if scheduling_strategy:
+        opts["scheduling_strategy"] = scheduling_strategy
+    return AnnIndexActor.options(**opts) if opts else AnnIndexActor
 
 
 def merge_topk(parts, k: int):
@@ -407,10 +414,11 @@ class AnnShardPool:
     def __init__(self, ids: List[str], matrix: np.ndarray,
                  num_shards: int = 4, ivf_nlist: int = 0, pq_m: int = 0,
                  hnsw_m: int = 0, num_cpus: Optional[float] = None,
-                 precision: str = "float32"):
+                 precision: str = "float32",
+                 scheduling_strategy: Optional[str] = None):
         n = max(1, min(num_shards, len(ids)))
         bounds = np.linspace(0, len(ids), n + 1, dtype=int)
-        opts = _shard_opts(num_cpus)
+        opts = _shard_opts(num_cpus, scheduling_strategy)
         self.shards = [
             opts.remote(list(np.asarray(ids)[a:b]), matrix[a:b],
                         ivf_nlist=ivf_nlist, pq_m=pq_m,
@@ -451,7 +459,8 @@ class AnnShardPool:
     @classmethod
     def load(cls, out_dir: str, ivf_nlist: int = 0,
              pq_m: int = 0, hnsw_m: int = 0,
-             num_cpus: Optional[float] = None) -> "AnnShardPool":
+             num_cpus: Optional[float] = None,
+             scheduling_strategy: Optional[str] = None) -> "AnnShardPool":
         """Rebuild a pool from :meth:`save` output — each actor reads its
         own shard file; no vector data crosses the driver. Pass
         ``ivf_nlist``/``pq_m``/``hnsw_m`` to rebuild the in-shard index
@@ -459,7 +468,7 @@ class AnnShardPool:
         with open(os.path.join(out_dir, "manifest.json")) as fh:
             manifest = json.load(fh)
         pool = cls.__new__(cls)
-        opts = _shard_opts(num_cpus)
+        opts = _shard_opts(num_cpus, scheduling_strategy)
         pool.shards = [opts.remote(path=os.path.join(out_dir, f),
                                    ivf_nlist=ivf_nlist, pq_m=pq_m,
                                    hnsw_m=hnsw_m)
