@@ -3932,6 +3932,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def oracle_py() -> dict:
+    """Driver-side PYTHON oracles for rows-only queries whose semantics
+    are recomputable sequentially but not in SQL (zlib, iterative bin
+    packing). Consumed by tools/check_queries.py alongside oracle_sql()
+    — the local correctness harness, not the driver gate (the driver's
+    protocol only carries SQL). Each entry: name -> callable(sf_dir) ->
+    pandas.DataFrame with the same columns as the query."""
+    return {
+        "docs_compress_ratio": _py_oracle_compress_ratio,
+        "docs_pack_greedy": _py_oracle_pack_greedy,
+    }
+
+
+def _py_oracle_compress_ratio(sf_dir: str):
+    """Independent per-doc zlib recomputation (no engine code)."""
+    import math
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        b = (s or "").encode("utf-8")
+        r = len(zlib.compress(b, 6)) / max(len(b), 1)
+        rows.append((did, int(math.floor(r * 1e6 + 0.5))))
+    return pd.DataFrame(rows, columns=["doc_id", "ratio_e6"])
+
+
+def _py_oracle_pack_greedy(sf_dir: str):
+    """Sequential first-fit-decreasing re-implementation (plain loops,
+    independent of ops/pack.py's distributed bucketed path): whitespace
+    token counts, the same pandas id-hash partitioning rule, FFD with
+    ties by ascending id and the closed-bin optimization's
+    OBSERVABLE contract (bin assignment order), per 64 partitions."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    df = pd.DataFrame({
+        "doc_id": t["doc_id"].to_pylist(),
+        "token_count": [len(re.findall(r"\S+", s or ""))
+                        for s in t["text"].to_pylist()]})
+    h = pd.util.hash_pandas_object(df[["doc_id"]], index=False).to_numpy()
+    df["partition"] = (h % 64).astype("int64")
+    out = []
+    for part, g in df.groupby("partition", sort=False):
+        g = g.sort_values(["token_count", "doc_id"], kind="stable",
+                          ascending=[False, True])
+        loads, assign = [], []
+        for tc in g["token_count"]:
+            placed = -1
+            for bi, ld in enumerate(loads):
+                if ld + tc <= 512:
+                    placed = bi
+                    break
+            if placed < 0:
+                placed = len(loads)
+                loads.append(0)
+            loads[placed] += tc
+            assign.append(placed)
+        g = g.assign(bin=np.array(assign, dtype="int64"))
+        g["bin_tokens"] = g["bin"].map(lambda b: loads[b]).astype("int64")
+        out.append(g[["doc_id", "token_count", "partition", "bin",
+                      "bin_tokens"]])
+    return pd.concat(out, ignore_index=True)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lineitem_agg": """

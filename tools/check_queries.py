@@ -49,6 +49,10 @@ def main():
              logging_level="ERROR")
     import __ray_entry__ as entrymod
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # driver-side Python oracles for non-SQL-expressible rows-only
+    # queries (zlib ratios, iterative bin packing) — same comparison,
+    # sequential independent recomputation instead of DuckDB
+    py_oracles = getattr(entrymod, "oracle_py", dict)()
 
     con = duckdb.connect()
     for t in TABLES:
@@ -67,10 +71,13 @@ def main():
             print(f"{name:28s} ERROR {type(e).__name__}: {e}")
             continue
         el = time.time() - t0
-        if name not in oracles:
+        if name not in oracles and name not in py_oracles:
             print(f"{name:28s} rows-only {len(got):7d} rows  {el:6.1f}s")
             continue
-        want = con.execute(oracles[name]).df()
+        if name in oracles:
+            want = con.execute(oracles[name]).df()
+        else:
+            want = py_oracles[name](sf_dir)
         problems = []
         if len(got) != len(want):
             problems.append(f"rows {len(got)} != {len(want)}")
@@ -84,7 +91,8 @@ def main():
             b = set(map(tuple, wanted.itertuples(index=False, name=None)))
             print("   only-in-got :", list(a - b)[:3])
             print("   only-in-want:", list(b - a)[:3])
-        status = "OK" if not problems else "FAIL " + "; ".join(problems)
+        ok = "OK" if name in oracles else "OK(py)"
+        status = ok if not problems else "FAIL " + "; ".join(problems)
         if problems:
             failures.append(name)
         print(f"{name:28s} {status}  ({len(got)} rows, {el:6.1f}s)")
