@@ -163,12 +163,22 @@ def read_documents_dir(path: str, formats: Optional[List[str]] = None,
                               if suffixes else None)
 
     def project(t: pa.Table) -> pa.Table:
+        from .ops.parse import BINARY_FORMATS
         paths = t["path"].to_pylist()
         blobs = t["bytes"].to_pylist()
-        ids, fmts, contents, decode_err = [], [], [], []
+        ids, fmts, contents, raw, decode_err = [], [], [], [], []
         for p, b in zip(paths, blobs):
             ids.append(hashlib.md5(p.encode()).hexdigest()[:16])
-            fmts.append(_ext(p))
+            fmt = _ext(p)
+            fmts.append(fmt)
+            if fmt in BINARY_FORMATS:
+                # binary payloads (pdf/docx/xlsx) ride the binary column
+                # untouched — UTF-8 decode would mangle them
+                contents.append(None)
+                raw.append(b or b"")
+                decode_err.append(None)
+                continue
+            raw.append(None)
             try:
                 contents.append((b or b"").decode("utf-8"))
                 decode_err.append(None)
@@ -180,6 +190,7 @@ def read_documents_dir(path: str, formats: Optional[List[str]] = None,
             "path": pa.array(paths, pa.string()),
             "format": pa.array(fmts, pa.string()),
             "content": pa.array(contents, pa.string()),
+            "content_binary": pa.array(raw, pa.binary()),
             "decode_error": pa.array(decode_err, pa.string())})
 
     out = ds.map_batches(project, batch_format="pyarrow")

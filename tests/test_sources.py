@@ -10,7 +10,10 @@ def doc_dir(tmp_path):
     (tmp_path / "a.txt").write_text("plain text body")
     (tmp_path / "b.md").write_text("# Title\n\nsome *markdown*")
     (tmp_path / "c.json").write_text('{"k": "json text value"}')
-    (tmp_path / "d.pdf").write_bytes(b"%PDF-1.4 binary-ish")
+    from agraph_ray.ops.officefmt import make_docx, make_pdf
+    (tmp_path / "d.pdf").write_bytes(make_pdf(["pdf body text"]))
+    (tmp_path / "f.docx").write_bytes(make_docx(["docx body text"]))
+    (tmp_path / "g.pdf").write_bytes(b"%PDF-1.4 truncated garbage")
     (tmp_path / "sub").mkdir()
     (tmp_path / "sub" / "e.html").write_text(
         "<html><script>x()</script><body>visible</body></html>")
@@ -29,9 +32,12 @@ def test_read_documents_dir(ray_session, doc_dir):
     assert "markdown" in md["text"] and md["parse_error"] is None
     assert "json text value" in rows["c.json"]["text"]
     assert rows["e.html"]["text"].strip() == "visible"
-    # pdf parser is an env-limited stub → parse_error, not a crash
-    assert rows["d.pdf"]["text"] is None
-    assert "pypdf" in rows["d.pdf"]["parse_error"]
+    # binary formats parse from the raw-bytes column (stdlib parsers)
+    assert rows["d.pdf"]["text"] == "pdf body text"
+    assert rows["f.docx"]["text"] == "docx body text"
+    # a torn/garbage binary yields empty-or-error, never a crash
+    g = rows["g.pdf"]
+    assert g["text"] in (None, "") or g["parse_error"]
     # doc_id is a stable function of path
     again = {posixpath.basename(r["path"]): r for r in
              read_documents_dir(doc_dir).take_all()}
