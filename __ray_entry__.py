@@ -1252,6 +1252,63 @@ def q_kg_llm_mock(sf_dir: str):
         ["entity_id", "name", "entity_type", "n_mentions"])
 
 
+def q_kg_llm_e2e(sf_dir: str):
+    """The COMPOSED production-LLM lifecycle (pipelines/llm_e2e.py,
+    reference llm_builders.py:1035-1097): partitioned LLM extract →
+    dedup → embedding client → ANN shard self-join → LLM pair judge →
+    union-find merge, all six phases checkpointed, all clients on the
+    mock transport at zero latency. Rows-only: mentions come from mock
+    completions; phase semantics, kill/resume and merge parity are
+    pytest-pinned (tests/test_llm_e2e.py); ≥1M-turn wall numbers in
+    BASELINE.md round 5."""
+    import glob
+    import hashlib as _hl
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from agraph_ray.config import KGConfig
+    from agraph_ray.mock_llm import (mock_chat_client,
+                                     mock_embedding_client,
+                                     mock_llm_engine_factory)
+    from agraph_ray.pipelines.llm_e2e import build_kg_llm_e2e
+    from agraph_ray.synth import transcripts_from_documents
+
+    key = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = f"/tmp/graft_llm_e2e_q_{key}"
+    inp = os.path.join(base, "input")
+    if not glob.glob(os.path.join(inp, "*.parquet")):
+        # conv-hash-partitioned shards (the resumable loader contract);
+        # the corpus tables are dictionary-sized, so a driver-side
+        # split is fine here — the at-scale path is tools/llm_e2e_scale
+        t = pa.concat_tables([
+            b for b in transcripts_from_documents(sf_dir)
+            .iter_batches(batch_size=None, batch_format="pyarrow")])
+        df = t.to_pandas()
+        shard = [int(_hl.md5(c.encode()).hexdigest()[:8], 16) % 8
+                 for c in df["conv_id"]]
+        os.makedirs(inp, exist_ok=True)
+        for s in range(8):
+            part = df[[x == s for x in shard]]
+            pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                           os.path.join(inp, f"shard-{s}.parquet"))
+    out = os.path.join(base, "out")
+    shutil.rmtree(out, ignore_errors=True)
+    res = build_kg_llm_e2e(
+        sorted(glob.glob(os.path.join(inp, "*.parquet"))), out,
+        KGConfig(turn_separator=""),
+        engine_factory=mock_llm_engine_factory(latency_sec=0.0),
+        embedder=mock_embedding_client(latency_sec=0.0, embedding_dim=32),
+        judge_llm_factory=lambda: mock_chat_client(latency_sec=0.0),
+        shards_per_partition=4, embed_dim=32, ann_sim_threshold=0.60,
+        llm_opts={"num_actors": 8, "max_concurrent": 8, "batch_size": 32})
+    return (rd.read_parquet(res.tables["nodes"])
+            .select_columns(["entity_id", "name", "entity_type",
+                             "n_mentions"]))
+
+
 def q_kg_chunk_similarity(sf_dir: str):
     """Chunk-to-chunk similarity over shared linked entities/relations."""
     from agraph_ray.ops.misc import chunk_similarity_pairs
@@ -3913,6 +3970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_llm_mock": q_kg_llm_mock,
+        "kg_llm_e2e": q_kg_llm_e2e,
         "kg_statistics": q_kg_statistics,
         "kg_validate": q_kg_validate,
         "kg_inferred_relations": q_kg_inferred_relations,
