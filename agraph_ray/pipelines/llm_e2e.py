@@ -42,8 +42,6 @@ import os
 import time
 from typing import Dict, List, Optional, Sequence
 
-import pyarrow.compute as pc
-
 from ..config import KGConfig
 from ..stages.materialize import (atomic_write_parquet, commit_manifest,
                                   is_committed)
@@ -51,10 +49,6 @@ from .kg_build import (KGBuildResult, _mentions_to_outputs,
                        run_mention_partitions)
 
 _STAGE = "llm_e2e"
-
-NODE_COLS = ["entity_id", "name", "norm_name", "entity_type", "description",
-             "aliases", "properties", "confidence", "source", "n_mentions",
-             "n_convs"]
 
 
 def _embed_phase(out_dir: str, cfg: KGConfig, embedder, embed_dim: int,
