@@ -1252,6 +1252,64 @@ def q_kg_llm_mock(sf_dir: str):
         ["entity_id", "name", "entity_type", "n_mentions"])
 
 
+def q_docs_meta_text(sf_dir: str):
+    """DocumentProcessor.extract_metadata text-format fields
+    (text_processor.py:216-219: line/word/char/non-empty-line counts)
+    via extract_document_metadata — the JSON metadata column unpacked
+    to scalars so DuckDB can recompute every field."""
+    import json as _json
+
+    import pyarrow as pa
+    from agraph_ray.ops.parse import extract_document_metadata
+    ds = _sized_read(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    meta = extract_document_metadata(
+        ds.map_batches(lambda t: pa.table({
+            "doc_id": t["doc_id"], "content": t["text"],
+            "format": pa.array(["txt"] * len(t), pa.string())}),
+            batch_format="pyarrow"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        rows = [_json.loads(s) for s in t["metadata"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "line_count": pa.array([r["line_count"] for r in rows],
+                                   pa.int64()),
+            "word_count": pa.array([r["word_count"] for r in rows],
+                                   pa.int64()),
+            "character_count": pa.array(
+                [r["character_count"] for r in rows], pa.int64()),
+            "non_empty_line_count": pa.array(
+                [r["non_empty_line_count"] for r in rows], pa.int64()),
+            "content_bytes": t["content_bytes"],
+        })
+
+    return meta.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_doc_metadata(sf_dir: str):
+    """extract_metadata over the 7-format round-robin corpus (same
+    payload generation as parse_documents): per-row format-specific
+    metadata JSON. Rows-only — office payloads are binary; field
+    semantics pinned in test_officefmt.py."""
+    import json as _json
+
+    import pyarrow as pa
+    from agraph_ray.ops.parse import extract_document_metadata
+    ds = _formatted_documents(sf_dir)
+    out = extract_document_metadata(ds)
+
+    def project(t: pa.Table) -> pa.Table:
+        fmts = [_json.loads(s).get("format", "")
+                for s in t["metadata"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"], "format": t["format"],
+            "meta_format": pa.array(fmts, pa.string()),
+            "content_bytes": t["content_bytes"]})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_kg_llm_e2e(sf_dir: str):
     """The COMPOSED production-LLM lifecycle (pipelines/llm_e2e.py,
     reference llm_builders.py:1035-1097): partitioned LLM extract →
@@ -2772,16 +2830,15 @@ def q_schema_entities(sf_dir: str):
                              "confidence"]))
 
 
-def q_parse_documents(sf_dir: str):
-    """Parser registry over deterministically formatted variants of the
-    documents table (md/json/csv/html/docx/xlsx/pdf round-robin by
-    doc_id — the binary office formats are generated in-process by the
-    stdlib builders and parsed back by the stdlib parsers)."""
+def _formatted_documents(sf_dir: str):
+    """Documents table re-rendered as a 7-format round-robin corpus
+    (md/json/csv/html/docx/xlsx/pdf by doc_id; office payloads built
+    in-process by the stdlib builders) — shared by parse_documents and
+    doc_metadata."""
     import json as _json
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.officefmt import make_docx, make_pdf, make_xlsx
-    from agraph_ray.ops.parse import parse_documents
 
     def to_formats(t: pa.Table) -> pa.Table:
         fmts, contents, blobs = [], [], []
@@ -2819,10 +2876,19 @@ def q_parse_documents(sf_dir: str):
                          "content_binary": pa.array(blobs, pa.binary()),
                          "format": pa.array(fmts, pa.string())})
 
-    ds = (_sized_read(f"{sf_dir}/documents.parquet",
-                          columns=["doc_id", "text"])
-          .map_batches(to_formats, batch_format="pyarrow"))
-    out = parse_documents(ds)
+    return (_sized_read(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+            .map_batches(to_formats, batch_format="pyarrow"))
+
+
+def q_parse_documents(sf_dir: str):
+    """Parser registry over deterministically formatted variants of the
+    documents table (md/json/csv/html/docx/xlsx/pdf round-robin by
+    doc_id — the binary office formats are generated in-process by the
+    stdlib builders and parsed back by the stdlib parsers)."""
+    import pyarrow as pa
+    from agraph_ray.ops.parse import parse_documents
+    out = parse_documents(_formatted_documents(sf_dir))
     return out.map_batches(
         lambda t: pa.table({
             "doc_id": t["doc_id"], "format": t["format"],
@@ -3981,6 +4047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_importance": q_kg_importance,
         "schema_entities": q_schema_entities,
         "parse_documents": q_parse_documents,
+        "docs_meta_text": q_docs_meta_text,
+        "doc_metadata": q_doc_metadata,
         # multimodal plumbing
         "media_features": q_media_features,
         "media_audio_windows": q_media_audio_windows,
@@ -4420,6 +4488,18 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY s DESC, vec_id) AS rank
             FROM sims
             QUALIFY rank <= 10
+        """,
+        "docs_meta_text": """
+            SELECT doc_id,
+                   array_length(string_split(text, chr(10))) AS line_count,
+                   array_length(regexp_extract_all(text, '\\S+'))
+                       AS word_count,
+                   length(text) AS character_count,
+                   array_length(list_filter(
+                       string_split(text, chr(10)),
+                       x -> trim(x) != '')) AS non_empty_line_count,
+                   octet_length(encode(text)) AS content_bytes
+            FROM documents
         """,
         "ann_topk_hnsw_exact": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

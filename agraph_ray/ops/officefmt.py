@@ -375,6 +375,117 @@ def parse_pdf(data) -> str:
 
 
 # ---------------------------------------------------------------------------
+# metadata extraction (the processors' extract_metadata surface —
+# word_processor.py:166-263, spreadsheet_processor.py:282-402,
+# pdf_processor.py:105-166 — minus filesystem stat fields, which don't
+# exist for row payloads; callers get content_bytes instead)
+# ---------------------------------------------------------------------------
+
+_CORE_PROPS = {
+    "title": "title", "subject": "subject", "creator": "author",
+    "keywords": "keywords", "description": "comments",
+    "category": "category", "created": "created",
+    "modified": "modified", "lastModifiedBy": "last_modified_by",
+}
+
+
+def docx_metadata(data) -> dict:
+    """Core properties (docProps/core.xml) + document structure counts
+    (word_processor.py:217-240 fields)."""
+    raw = _as_bytes(data)
+    out: dict = {"format": "docx"}
+    with zipfile.ZipFile(BytesIO(raw)) as z:
+        try:
+            core = ET.fromstring(z.read("docProps/core.xml"))
+            for el in core.iter():
+                local = el.tag.rsplit("}", 1)[-1]
+                if local in _CORE_PROPS:
+                    out[_CORE_PROPS[local]] = el.text or ""
+        except KeyError:
+            pass
+        body = ET.fromstring(z.read("word/document.xml")) \
+            .find(f"{_W}body")
+        paras = body.findall(f"{_W}p") if body is not None else []
+        out["paragraph_count"] = len(paras)
+        out["non_empty_paragraph_count"] = sum(
+            1 for p in paras if _docx_par_text(p).strip())
+        out["table_count"] = len(body.findall(f"{_W}tbl")) \
+            if body is not None else 0
+        out["section_count"] = max(
+            1, len(list(body.iter(f"{_W}sectPr"))) if body is not None
+            else 0)
+    return out
+
+
+def xlsx_metadata(data, max_rows: int = 1000) -> dict:
+    """Sheet inventory + per-sheet shape
+    (spreadsheet_processor.py:340-402 fields)."""
+    raw = _as_bytes(data)
+    out: dict = {"format": "excel"}
+    with zipfile.ZipFile(BytesIO(raw)) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = {}
+        try:
+            rel_xml = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+            for rel in rel_xml.findall(f"{_PR}Relationship"):
+                rels[rel.get("Id")] = rel.get("Target")
+        except KeyError:
+            pass
+        sheets = wb.find(f"{_S}sheets")
+        names, info = [], {}
+        for i, sheet in enumerate(sheets.findall(f"{_S}sheet")
+                                  if sheets is not None else []):
+            name = sheet.get("name", f"Sheet{i + 1}")
+            names.append(name)
+            target = rels.get(sheet.get(f"{_R}id"),
+                              f"worksheets/sheet{i + 1}.xml").lstrip("/")
+            if not target.startswith("xl/"):
+                target = "xl/" + target
+            try:
+                rows = _sheet_rows(z, target, max_rows)
+            except KeyError:
+                info[name] = {"error": "missing sheet part"}
+                continue
+            data_rows = rows[1:] if rows else []
+            info[name] = {
+                "row_count": len(data_rows),
+                "column_count": len(rows[0]) if rows else 0,
+                "columns": rows[0] if rows else [],
+                "has_data": bool(data_rows),
+            }
+        out["sheet_names"] = names
+        out["sheet_count"] = len(names)
+        out["sheets_info"] = info
+    return out
+
+
+_INFO_KEYS = {b"Title": "title", b"Author": "author",
+              b"Subject": "subject", b"Creator": "creator",
+              b"Producer": "producer", b"CreationDate": "creation_date",
+              b"ModDate": "modification_date"}
+
+
+def pdf_metadata(data) -> dict:
+    """Page count, encryption flag, Info-dictionary strings
+    (pdf_processor.py:105-166 fields; has_bookmarks via /Outlines)."""
+    raw = _as_bytes(data)
+    if not raw.lstrip()[:5].startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    out: dict = {
+        "format": "pdf",
+        "page_count": len(re.findall(rb"/Type\s*/Page\b(?!s)", raw)),
+        "is_encrypted": bool(re.search(rb"/Encrypt\b", raw)),
+        "has_bookmarks": bool(re.search(rb"/Outlines\b", raw)),
+    }
+    for key, name in _INFO_KEYS.items():
+        m = re.search(rb"/" + key + rb"\s*\(", raw)
+        if m:
+            s, _ = _pdf_literal(raw, m.end() - 1)
+            out[name] = s
+    return out
+
+
+# ---------------------------------------------------------------------------
 # deterministic fixture builders (the write side of the subset the
 # parsers understand) — used by tests and the parse_documents query to
 # generate .docx/.xlsx/.pdf payloads in-process, no library needed
@@ -386,8 +497,11 @@ def _xml_escape(s: str) -> str:
 
 
 def make_docx(paragraphs: List[str],
-              tables: Optional[List[List[List[str]]]] = None) -> bytes:
-    """Minimal valid .docx: [Content_Types].xml + word/document.xml."""
+              tables: Optional[List[List[List[str]]]] = None,
+              props: Optional[dict] = None) -> bytes:
+    """Minimal valid .docx: [Content_Types].xml + word/document.xml
+    (+ docProps/core.xml when ``props`` gives core-property values,
+    keyed by the metadata field names: title, author, subject, ...)."""
     ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
     parts = []
     for p in paragraphs:
@@ -415,6 +529,24 @@ def make_docx(paragraphs: List[str],
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", ctypes)
         z.writestr("word/document.xml", doc)
+        if props:
+            inv = {v: k for k, v in _CORE_PROPS.items()}
+            cpns = ("http://schemas.openxmlformats.org/package/2006/"
+                    "metadata/core-properties")
+            dcns = "http://purl.org/dc/elements/1.1/"
+            els = []
+            for field, val in props.items():
+                tag = inv.get(field, field)
+                ns = dcns if tag in ("title", "subject", "creator",
+                                     "description") else cpns
+                pre = "dc" if ns == dcns else "cp"
+                els.append(f"<{pre}:{tag}>{_xml_escape(str(val))}"
+                           f"</{pre}:{tag}>")
+            z.writestr(
+                "docProps/core.xml",
+                f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<cp:coreProperties xmlns:cp="{cpns}" '
+                f'xmlns:dc="{dcns}">{"".join(els)}</cp:coreProperties>')
     return buf.getvalue()
 
 

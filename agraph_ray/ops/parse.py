@@ -211,6 +211,144 @@ def register_parser(fmt: str, fn: Callable[[str], str]) -> None:
     PARSERS[fmt.lower()] = fn
 
 
+def _meta_text(content: str) -> dict:
+    lines = content.splitlines()
+    return {"format": "text", "line_count": len(lines),
+            "character_count": len(content),
+            "word_count": len(content.split()),
+            "non_empty_line_count": sum(1 for ln in lines if ln.strip())}
+
+
+def _meta_json(content: str) -> dict:
+    """json_processor.py:333-360 fields (jsonl gets line_count)."""
+    out = {"format": "json"}
+    try:
+        data = json.loads(content)
+    except json.JSONDecodeError:
+        lines = [ln for ln in content.splitlines() if ln.strip()]
+        ok = 0
+        for ln in lines:
+            try:
+                json.loads(ln)
+                ok += 1
+            except json.JSONDecodeError:
+                pass
+        if ok:
+            return {"format": "jsonl", "line_count": len(lines),
+                    "valid_line_count": ok, "is_valid_json": True}
+        return {"format": "json", "is_valid_json": False}
+    out["is_valid_json"] = True
+    out["data_type"] = type(data).__name__
+    if isinstance(data, dict):
+        out["key_count"] = len(data)
+        out["top_level_keys"] = list(data.keys())[:10]
+    elif isinstance(data, list):
+        out["item_count"] = len(data)
+    return out
+
+
+def _meta_csv(content: str) -> dict:
+    """spreadsheet_processor.py:340-352 fields."""
+    try:
+        dialect = csv.Sniffer().sniff(content[:4096])
+        delim = dialect.delimiter
+    except csv.Error:
+        delim = ","
+    rows = list(csv.reader(io.StringIO(content)))
+    return {"format": "csv", "row_count": max(0, len(rows) - 1),
+            "column_count": len(rows[0]) if rows else 0,
+            "detected_delimiter": delim}
+
+
+class _HtmlMeta(HTMLParser):
+    def __init__(self):
+        super().__init__()
+        self.title_parts: List[str] = []
+        self._in_title = False
+        self.meta: dict = {}
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "title":
+            self._in_title = True
+        elif tag == "meta":
+            d = dict(attrs)
+            name = d.get("name") or d.get("property") or d.get("http-equiv")
+            if name and d.get("content") is not None:
+                self.meta[name] = d["content"]
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+
+
+def _meta_html(content: str) -> dict:
+    """html_processor.py:295-315 fields via stdlib HTMLParser."""
+    p = _HtmlMeta()
+    p.feed(content)
+    return {"format": "html", "title": "".join(p.title_parts).strip(),
+            "meta_tags": p.meta}
+
+
+def document_metadata(content, fmt: str) -> dict:
+    """Per-payload metadata — the DocumentProcessor.extract_metadata
+    surface minus filesystem stats (row payloads have no path/mtime;
+    callers get ``content_bytes`` from the batch op instead)."""
+    from .officefmt import (_as_bytes, docx_metadata, pdf_metadata,
+                            xlsx_metadata)
+    fmt = (fmt or "txt").lower()
+    if fmt == "pdf":
+        return pdf_metadata(content)
+    if fmt == "docx":
+        return docx_metadata(content)
+    if fmt == "xlsx":
+        return xlsx_metadata(content)
+    if fmt in ("json", "jsonl", "ndjson"):
+        return _meta_json(content or "")
+    if fmt == "csv":
+        return _meta_csv(content or "")
+    if fmt in ("html", "htm"):
+        return _meta_html(content or "")
+    if fmt in ("md", "markdown"):
+        return {**_meta_text(content or ""), "format": "markdown"}
+    return _meta_text(content or "")
+
+
+def extract_document_metadata(ds: "ray.data.Dataset",
+                              content_col: str = "content",
+                              format_col: str = "format",
+                              binary_col: str = "content_binary"
+                              ) -> "ray.data.Dataset":
+    """Appends ``metadata`` (JSON string — heterogeneous per format, so
+    a string column keeps the schema stable) and ``content_bytes``.
+    Same poison-pill contract as parse_documents: a payload that fails
+    analysis yields a metadata object with an ``error`` field, never a
+    dead batch."""
+    def f(t: pa.Table) -> pa.Table:
+        blobs = (t[binary_col].to_pylist()
+                 if binary_col in t.column_names else [None] * len(t))
+        metas, sizes = [], []
+        for content, fmt, blob in zip(t[content_col].to_pylist(),
+                                      t[format_col].to_pylist(), blobs):
+            payload = blob if blob is not None else (content or "")
+            sizes.append(len(payload) if isinstance(payload, bytes)
+                         else len(payload.encode("utf-8")))
+            try:
+                metas.append(json.dumps(
+                    document_metadata(payload, fmt), sort_keys=True))
+            except Exception as e:  # noqa: BLE001 — poison-pill guard
+                metas.append(json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}))
+        return (t.append_column("metadata", pa.array(metas, pa.string()))
+                 .append_column("content_bytes",
+                                pa.array(sizes, pa.int64())))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def parse_documents(ds: "ray.data.Dataset", content_col: str = "content",
                     format_col: str = "format",
                     binary_col: str = "content_binary") -> "ray.data.Dataset":

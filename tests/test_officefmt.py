@@ -144,3 +144,80 @@ def test_parse_documents_binary_formats(ray_session):
     assert out["text"][4] is None            # poison pill -> error column
     assert "docx" in out["parse_error"][4]
     assert out["parse_error"][:4].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# metadata extraction (the extract_metadata surface)
+# ---------------------------------------------------------------------------
+
+def test_docx_metadata_counts_and_props():
+    from agraph_ray.ops.officefmt import docx_metadata
+    data = make_docx(["One.", "  ", "Two."],
+                     tables=[[["a", "b"]]],
+                     props={"title": "T", "author": "A & B"})
+    m = docx_metadata(data)
+    assert m["paragraph_count"] == 3
+    assert m["non_empty_paragraph_count"] == 2
+    assert m["table_count"] == 1
+    assert m["section_count"] >= 1
+    assert m["title"] == "T" and m["author"] == "A & B"
+
+
+def test_xlsx_metadata_sheets_info():
+    from agraph_ray.ops.officefmt import xlsx_metadata
+    data = make_xlsx({"S1": [["c1", "c2"], ["x", "y"], ["z", ""]],
+                      "Empty": []})
+    m = xlsx_metadata(data)
+    assert m["sheet_names"] == ["S1", "Empty"]
+    assert m["sheet_count"] == 2
+    s1 = m["sheets_info"]["S1"]
+    assert s1 == {"row_count": 2, "column_count": 2,
+                  "columns": ["c1", "c2"], "has_data": True}
+    assert m["sheets_info"]["Empty"]["has_data"] is False
+
+
+def test_pdf_metadata_pages_and_flags():
+    from agraph_ray.ops.officefmt import pdf_metadata
+    data = make_pdf(["hello"])
+    m = pdf_metadata(data)
+    assert m["page_count"] == 1
+    assert m["is_encrypted"] is False
+    assert m["has_bookmarks"] is False
+    enc = data.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    assert pdf_metadata(enc)["is_encrypted"] is True
+
+
+def test_extract_document_metadata_dispatch(ray_session):
+    import json as _json
+
+    import ray.data as rd
+    from agraph_ray.ops.parse import extract_document_metadata
+
+    docx = make_docx(["hello world"])
+    t = pa.table({
+        "content": pa.array(
+            ['{"a": 1, "b": "x"}', "c1,c2\n1,2\n3,4",
+             "<html><head><title> Hi </title>"
+             '<meta name="k" content="v"></head></html>',
+             "line one\n\nline two", None], pa.string()),
+        "content_binary": pa.array([None, None, None, None, docx],
+                                   pa.binary()),
+        "format": ["json", "csv", "html", "txt", "docx"],
+    })
+    out = extract_document_metadata(rd.from_arrow(t)).to_pandas()
+    metas = [_json.loads(s) for s in out["metadata"]]
+    assert metas[0]["key_count"] == 2
+    assert metas[0]["top_level_keys"] == ["a", "b"]
+    assert metas[1] == {"format": "csv", "row_count": 2,
+                        "column_count": 2, "detected_delimiter": ","}
+    assert metas[2]["title"] == "Hi" and metas[2]["meta_tags"] == {"k": "v"}
+    assert metas[3]["line_count"] == 3
+    assert metas[3]["non_empty_line_count"] == 2
+    assert metas[4]["paragraph_count"] == 1
+    assert out["content_bytes"][4] == len(docx)
+    # poison pill: garbage binary for a binary format -> error field
+    t2 = pa.table({"content": pa.array([None], pa.string()),
+                   "content_binary": pa.array([b"junk"], pa.binary()),
+                   "format": ["xlsx"]})
+    bad = extract_document_metadata(rd.from_arrow(t2)).to_pandas()
+    assert "error" in _json.loads(bad["metadata"][0])
