@@ -101,6 +101,30 @@ def run_bench() -> dict:
                            "max_concurrent": 8, "batch_size": 32})
         queries["kg_build_llm_mock"] = round(time.time() - t0, 3)
 
+        # composed six-phase LLM lifecycle (extract → dedup → embed →
+        # ANN link → pair judge → merge) at the same corpus/latency —
+        # per-round signal for pipelines/llm_e2e.py; the ≥1M-turn and
+        # 2.0 s/call evidence lives in tools/llm_e2e_scale.py +
+        # BASELINE.md
+        import glob as _glob
+
+        from agraph_ray.mock_llm import (mock_chat_client,
+                                         mock_embedding_client)
+        from agraph_ray.pipelines.llm_e2e import build_kg_llm_e2e
+        e2e_out = out + "_e2e"
+        shutil.rmtree(e2e_out, ignore_errors=True)
+        t0 = time.time()
+        build_kg_llm_e2e(
+            sorted(_glob.glob(os.path.join(inp, "*.parquet"))), e2e_out,
+            cfg,
+            engine_factory=mock_llm_engine_factory(latency_sec=0.05),
+            embedder=mock_embedding_client(latency_sec=0.0),
+            judge_llm_factory=lambda: mock_chat_client(latency_sec=0.05),
+            shards_per_partition=8, ann_sim_threshold=0.60,
+            llm_opts={"num_actors": 2 * NUM_CPUS,
+                      "max_concurrent": 8, "batch_size": 32})
+        queries["kg_llm_e2e"] = round(time.time() - t0, 3)
+
         import __ray_entry__ as entrymod
         qs = entrymod.queries()
         # The host shows ±15%+ transient windows (BASELINE.md), and the
