@@ -127,6 +127,20 @@ def test_e2e_single_phase_rerun(e2e_run):
     assert _final_counts(out) == before
 
 
+def test_e2e_partition_layout_invariance(e2e_run):
+    """The final canonical tables are a pure function of the input —
+    regrouping the same shards into different partition counts (4 →
+    2 shards per partition) must reproduce identical node names and
+    counts (deterministic content-hash ids end to end)."""
+    base, files, out_ref, _ = e2e_run
+    out2 = os.path.join(base, "out_sp2")
+    _run(files, out2, shards_per_partition=2)
+    ref = _final_counts(out_ref)
+    got = _final_counts(out2)
+    assert got[0] == ref[0] and got[1] == ref[1]
+    assert got[2] == 0
+
+
 KILL_DRIVER = textwrap.dedent("""
     import os, sys
     sys.path.insert(0, {repo!r})
