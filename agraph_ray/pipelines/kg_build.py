@@ -341,10 +341,25 @@ def run_mention_partitions(shard_paths: Sequence[str], out_dir: str,
     groups: List[List[str]] = [
         list(shard_paths[i:i + shards_per_partition])
         for i in range(0, len(shard_paths), shards_per_partition)]
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
     if group_concurrency is None:
-        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
-            if _ray.is_initialized() else 8
         group_concurrency = 1 if cpus < 16 else max(2, min(4, cpus // 16))
+    if engine_factory is not None and group_concurrency > 1:
+        # Concurrent groups each spawn their own latency-bound actor
+        # pool, and extract_mentions_llm's reservation cap assumes the
+        # pool is ALONE — k coexisting pools would jointly reserve
+        # k x (cpus-2) and livelock the upstream maps (observed at 16
+        # CPUs x 2 groups). Divide the per-pool budget by the group
+        # concurrency instead: the pools together still leave the
+        # 2-CPU task headroom, and overlapping groups hides each
+        # pool's ~seconds spin-up under the previous group's drain.
+        llm_opts = dict(llm_opts or {})
+        num_actors = int(llm_opts.get("num_actors") or
+                         max(2, 2 * cpus))
+        llm_opts["num_actors"] = num_actors
+        llm_opts.setdefault("num_cpus", max(
+            0.01, (cpus - 2) / (num_actors * group_concurrency)))
     if metrics is not None:
         metrics["n_partitions"] = len(groups)
         metrics.setdefault("skipped", 0)

@@ -165,18 +165,16 @@ def build_kg_llm_e2e(shard_paths: Sequence[str], out_dir: str,
     metrics: Dict[str, float] = {}
     tables: Dict[str, str] = {}
 
-    # -- 1: partitioned LLM extract (resumes at partition granularity) --
-    # group_concurrency defaults to 1 here (not the CPU-scaled default):
-    # each group spawns its own latency-bound actor pool whose CPU
-    # reservation cap assumes it is alone — two coexisting pools jointly
-    # exceed the cluster and livelock (observed at 16 CPUs x 2 groups).
-    # In-flight request count is already decoupled from CPU count, so
-    # serial groups lose nothing.
+    # -- 1: partitioned LLM extract (resumes at partition granularity).
+    # Concurrent groups are safe for the LLM pool path:
+    # run_mention_partitions divides each pool's CPU-reservation budget
+    # by the group concurrency (two full-budget pools would jointly
+    # over-reserve and livelock — observed at 16 CPUs x 2 groups before
+    # the division), and overlapping groups hides per-pool spin-up.
     t = time.time()
     run_mention_partitions(shard_paths, out_dir, cfg, shards_per_partition,
                            None, engine_factory, llm_opts,
-                           group_concurrency if group_concurrency
-                           is not None else 1, metrics)
+                           group_concurrency, metrics)
     metrics["sec_extract"] = round(time.time() - t, 2)
 
     # -- 2: dedup → nodes_exact / edges_exact / triples ------------------
