@@ -106,24 +106,24 @@ def ann_candidate_pairs(emb_ds, pool_shards: List, k: int,
     from ..state.ann import merge_topk
 
     def query_batch(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["id"].to_pylist())
+        ids = np.asarray(t["id"].to_pylist(), dtype=object)
         vec = t["vec"].combine_chunks()
         flat = vec.flatten().to_numpy(zero_copy_only=False)
         mat = flat.reshape(len(t), -1)
         parts = ray.get([s.query.remote(mat, k + 1) for s in pool_shards])
         nn_ids, nn_sims = merge_topk(parts, k + 1)
-        src, dst, sims = [], [], []
-        for i in range(len(ids)):
-            for j in range(nn_ids.shape[1]):
-                other, s = nn_ids[i, j], float(nn_sims[i, j])
-                if other == ids[i] or s < sim_threshold:
-                    continue
-                a, b = sorted((str(ids[i]), str(other)))
-                src.append(a)
-                dst.append(b)
-                sims.append(s)
-        return pa.table({"src": pa.array(src, pa.string()),
-                         "dst": pa.array(dst, pa.string()),
+        # vectorized pair emission: keep (row, neighbour) cells above
+        # the floor and not self-matches, then canonicalize src < dst
+        left = np.repeat(ids, nn_ids.shape[1]).astype(str)
+        right = nn_ids.reshape(-1).astype(str)
+        sims = nn_sims.reshape(-1).astype(np.float64)
+        keep = (sims >= sim_threshold) & (left != right)
+        left, right, sims = left[keep], right[keep], sims[keep]
+        flip = left > right          # elementwise lexicographic compare
+        lo = np.where(flip, right, left)
+        hi = np.where(flip, left, right)
+        return pa.table({"src": pa.array(lo, pa.string()),
+                         "dst": pa.array(hi, pa.string()),
                          "sim": pa.array(sims, pa.float64())})
 
     from ..stages.common import distinct_on

@@ -32,13 +32,33 @@ KILL_EXIT = 42
 SEED = 42
 
 
-def make_corpus(n_convs: int, shards: int) -> list:
+def make_corpus(n_convs: int, shards: int, plant: bool = False) -> list:
     d = f"/tmp/graft_e2e_corpus_{n_convs}_{SEED}"
-    if not glob.glob(os.path.join(d, "*.parquet")):
+    if not glob.glob(os.path.join(d, "transcripts-*.parquet")):
         from agraph_ray.synth import generate_transcripts
         generate_transcripts(d, n_convs=n_convs, seed=SEED,
                              num_shards=shards)
-    return sorted(glob.glob(os.path.join(d, "*.parquet")))
+    files = sorted(glob.glob(os.path.join(d, "transcripts-*.parquet")))
+    if plant:
+        # a shard of VARIANT surface forms ("Globex" vs the corpus'
+        # "Globex Inc") — the near-duplicates the ANN→judge→merge tail
+        # must find; lets the at-scale run exercise nonzero approvals
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        p = os.path.join(d, "planted.parquet")
+        if not os.path.exists(p):
+            variants = ["Globex", "Initech", "Acme", "Wayne", "Stark",
+                        "Alice", "Umbrella", "Frank", "Irene", "Grace"]
+            rows = {"conv_id": [], "turn_idx": [], "text": []}
+            for i in range(200):
+                v = variants[i % len(variants)]
+                rows["conv_id"].append(f"plant{i:04d}")
+                rows["turn_idx"].append(0)
+                rows["text"].append(
+                    f"{v} published an update about the roadmap today.")
+            pq.write_table(pa.table(rows), p)
+        files = files + [p]
+    return files
 
 
 def run(args) -> None:
@@ -49,7 +69,7 @@ def run(args) -> None:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    files = make_corpus(args.convs, args.shards)
+    files = make_corpus(args.convs, args.shards, args.plant)
 
     if args.kill_after is not None:
         import agraph_ray.pipelines.kg_build as kgb
@@ -131,6 +151,10 @@ def main() -> None:
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--latency", type=float, default=0.2)
+    ap.add_argument("--plant", action="store_true",
+                    help="append a shard of variant entity surface "
+                         "forms so the ANN->judge->merge tail has "
+                         "nonzero approvals")
     ap.add_argument("--out", default="/tmp/graft_e2e_scale_out")
     args = ap.parse_args()
     if args.full:
