@@ -68,6 +68,14 @@ def main(argv=None) -> int:
     ap.add_argument("--resumable", action="store_true",
                     help="partitioned build with per-partition checkpoint "
                          "manifests (resubmit skips committed partitions)")
+    ap.add_argument("--e2e", action="store_true",
+                    help="composed six-phase LLM lifecycle (extract → "
+                         "dedup → embed → ANN link → pair judge → "
+                         "merge), every phase checkpointed; implies "
+                         "--llm and env-configured embedding/judge "
+                         "clients (AGRAPH_LLM_*)")
+    ap.add_argument("--ann-top-k", type=int, default=5)
+    ap.add_argument("--ann-threshold", type=float, default=0.90)
     ap.add_argument("--shards-per-partition", type=int, default=4)
     ap.add_argument("--no-chunks", action="store_true",
                     help="skip the chunk table (triples/nodes only)")
@@ -123,12 +131,29 @@ def main(argv=None) -> int:
     cfg = KGConfig(**overrides)
 
     engine_factory, llm_opts = None, None
-    if args.llm:
+    if args.llm or args.e2e:
         from agraph_ray.clients import llm_engine_from_env
         engine_factory = llm_engine_from_env
         llm_opts = build_llm_opts(args)
 
-    if args.resumable:
+    if args.e2e:
+        from agraph_ray.clients import (OpenAICompatClient,
+                                        OpenAIEmbeddingClient)
+        from agraph_ray.pipelines.llm_e2e import build_kg_llm_e2e
+        judge_opts = {"max_concurrent": args.max_concurrent}
+        if args.spread:
+            judge_opts["scheduling_strategy"] = "SPREAD"
+        res = build_kg_llm_e2e(
+            _shard_paths(args.input), args.output, cfg,
+            engine_factory=engine_factory,
+            embedder=OpenAIEmbeddingClient.from_env(),
+            judge_llm_factory=OpenAICompatClient.from_env,
+            shards_per_partition=args.shards_per_partition,
+            llm_opts=llm_opts,
+            ann_top_k=args.ann_top_k,
+            ann_sim_threshold=args.ann_threshold,
+            judge_opts=judge_opts)
+    elif args.resumable:
         res = build_kg_resumable(
             _shard_paths(args.input), args.output, cfg,
             shards_per_partition=args.shards_per_partition,

@@ -74,3 +74,42 @@ def test_ann_pool_accepts_spread(ray_session, tmp_path):
                                scheduling_strategy="SPREAD")
     got2, _ = loaded.query(mat[:3], k=2)
     assert (got2 == got_ids).all()
+
+
+def test_job_e2e_flag_wiring(monkeypatch, tmp_path):
+    """--e2e routes to build_kg_llm_e2e with the flag-derived pool and
+    ANN kwargs (clients are env-built inside; intercepted here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import agraph_ray.job as job
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(pa.table({"conv_id": ["c"], "turn_idx": [0],
+                             "text": ["t"]}),
+                   str(inp / "s.parquet"))
+    captured = {}
+
+    def fake_e2e(paths, out, cfg, **kw):
+        captured.update(kw, paths=list(paths), out=out)
+
+        class R:
+            metrics = {"ok": 1}
+        return R()
+
+    import agraph_ray.pipelines.llm_e2e as e2e
+    monkeypatch.setattr(e2e, "build_kg_llm_e2e", fake_e2e)
+    monkeypatch.setattr(job, "build_llm_opts", job.build_llm_opts)
+    monkeypatch.setenv("AGRAPH_LLM_API_KEY", "test-key")
+    rc = job.main(["--input", str(inp), "--output", str(tmp_path / "o"),
+                   "--e2e", "--num-actors", "16", "--max-concurrent", "4",
+                   "--spread", "--ann-top-k", "7",
+                   "--ann-threshold", "0.85"])
+    assert rc == 0
+    assert captured["llm_opts"]["num_actors"] == 16
+    assert captured["llm_opts"]["scheduling_strategy"] == "SPREAD"
+    assert captured["ann_top_k"] == 7
+    assert captured["ann_sim_threshold"] == 0.85
+    assert captured["judge_opts"] == {"max_concurrent": 4,
+                                      "scheduling_strategy": "SPREAD"}
