@@ -351,14 +351,18 @@ def extract_document_metadata(ds: "ray.data.Dataset",
 
 def parse_documents(ds: "ray.data.Dataset", content_col: str = "content",
                     format_col: str = "format",
-                    binary_col: str = "content_binary") -> "ray.data.Dataset":
+                    binary_col: str = "content_binary",
+                    max_bytes: int = 256 << 20) -> "ray.data.Dataset":
     """Rows (content, format[, content_binary]) → rows + ``text`` column
     via registry dispatch. Binary formats (pdf/docx/xlsx) read their
     payload from ``binary_col`` (pa.binary()) when the column exists and
     the row is non-null; text formats read ``content_col``. Unknown or
     unsupported formats yield null text plus a ``parse_error`` column
     instead of failing the batch (poison-pill rows must not kill a
-    100 TB job)."""
+    100 TB job). ``max_bytes`` caps the per-row payload the parser will
+    touch (the reference's validate_file size guard, row-payload
+    analogue): one pathological multi-GB blob becomes an error row
+    instead of an OOM-killed worker."""
     def f(t: pa.Table) -> pa.Table:
         texts, errs = [], []
         blobs = (t[binary_col].to_pylist()
@@ -375,6 +379,11 @@ def parse_documents(ds: "ray.data.Dataset", content_col: str = "content",
                 payload = blob
             else:
                 payload = content or ""
+            if len(payload) > max_bytes:
+                texts.append(None)
+                errs.append(f"payload {len(payload)} bytes exceeds "
+                            f"max_bytes={max_bytes}")
+                continue
             try:
                 texts.append(fn(payload))
                 errs.append(None)

@@ -221,3 +221,14 @@ def test_extract_document_metadata_dispatch(ray_session):
                    "format": ["xlsx"]})
     bad = extract_document_metadata(rd.from_arrow(t2)).to_pandas()
     assert "error" in _json.loads(bad["metadata"][0])
+
+
+def test_parse_documents_max_bytes_guard(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.parse import parse_documents
+    t = pa.table({"content": ["small", "x" * 100],
+                  "format": ["txt", "txt"]})
+    out = parse_documents(rd.from_arrow(t), max_bytes=50).to_pandas()
+    assert out["text"][0] == "small"
+    assert out["text"][1] is None
+    assert "exceeds max_bytes" in out["parse_error"][1]
