@@ -1408,6 +1408,50 @@ def q_media_features(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _synth_raw_media(n: int = 48, seed: int = 9):
+    """Deterministic REAL media payloads: 24-bit BMP gradients and
+    16-bit PCM WAV tones (stdlib builders, ops/rawmedia.py)."""
+    import pyarrow as pa
+    from agraph_ray.ops.multimodal import MEDIA_SCHEMA
+    from agraph_ray.ops.rawmedia import make_bmp, make_wav
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8 + i % 5, 6 + i % 4
+            img = (rng.integers(0, 256, size=(h, w, 3))
+                   .astype("uint8"))
+            rows.append({"media_id": f"img{i:04d}", "kind": "image",
+                         "payload": make_bmp(img), "mime": "image/bmp",
+                         "width": w, "height": h, "duration_ms": -1})
+        else:
+            rate = 4000
+            freq = 200 + 50 * (i % 7)
+            t = np.arange(rate) / rate          # 1 s tone
+            sig = 0.5 * np.sin(2 * np.pi * freq * t)
+            rows.append({"media_id": f"aud{i:04d}", "kind": "audio",
+                         "payload": make_wav(sig, rate),
+                         "mime": "audio/wav", "width": -1, "height": -1,
+                         "duration_ms": 1000})
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def q_media_real_decode(sf_dir: str):
+    """REAL stdlib decode through the actor-pool stages (fake=False):
+    BMP → color/histogram features, WAV PCM → rms/zcr/centroid window
+    features (ops/rawmedia.py). Rows-only: feature values are pinned in
+    test_rawmedia.py (tone-vs-silence rms, color reflection,
+    byte-exact round-trips)."""
+    import ray.data as rd
+    from agraph_ray.ops.multimodal import extract_media_features
+    ds = rd.from_arrow(_synth_raw_media())
+    feats = extract_media_features(ds, fake=False)
+    return feats.map_batches(
+        lambda t: t.drop(["feature"]).append_column(
+            "f0", pc.round(pc.list_element(t["feature"], 0), 6)),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # LLM extraction engine over canned completions (oracle-checked: the canned
 # responses are analytic functions of doc_id, so DuckDB reproduces the
@@ -4049,6 +4093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_documents": q_parse_documents,
         "docs_meta_text": q_docs_meta_text,
         "doc_metadata": q_doc_metadata,
+        "media_real_decode": q_media_real_decode,
         # multimodal plumbing
         "media_features": q_media_features,
         "media_audio_windows": q_media_audio_windows,

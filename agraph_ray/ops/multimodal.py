@@ -1,9 +1,13 @@
 """Multimodal column plumbing (image / audio / video as opaque binary).
 
-The decode/extract kernels themselves are STUBS — the image/audio libraries
-are not in this container — but the Ray-side plumbing is real and tested:
-schema (binary payload + typed metadata), actor-pool stage shape, small
-batch sizes for wide binary rows, and deterministic fake features for tests.
+The Ray-side plumbing is real and tested: schema (binary payload +
+typed metadata), actor-pool stage shape, small batch sizes for wide
+binary rows, and deterministic fake features for tests. The decode
+kernels (``fake=False``) are REAL for the uncompressed interchange
+formats — WAV PCM, 24-bit BMP, netpbm P5/P6 — via the stdlib decoders
+in ``ops/rawmedia.py`` (wave/struct/numpy, no libraries); compressed
+codecs (jpeg/png/mp3/mp4) still raise NotImplementedError at the same
+boundary, naming the library to plug in (PIL/ffmpeg).
 
 Equivalent reference surface: the vision-LLM ImageProcessor
 (agraph/processer/image_processor.py:292-612) — an API-backed captioner that
@@ -34,8 +38,11 @@ class MediaFeatureExtractor:
 
     ``fake=True`` (default here) produces a deterministic 16-d feature from
     the payload's md5 — exercising the full distributed path without codec
-    libraries. ``fake=False`` raises NotImplementedError at the decode
-    boundary (clearly marked stub: plug PIL/ffmpeg/torchvision here).
+    libraries. ``fake=False`` REALLY decodes the uncompressed formats
+    (WAV → rms/zcr/centroid/band descriptor, BMP/netpbm → color +
+    luma-histogram descriptor; ``ops/rawmedia.py``) and raises
+    NotImplementedError only for compressed codecs / video (plug
+    PIL/ffmpeg/torchvision here).
     """
 
     FEATURE_DIM = 16
@@ -49,9 +56,15 @@ class MediaFeatureExtractor:
             digest = hashlib.md5(payload or b"").digest()
             raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
             return raw / 255.0
+        from .rawmedia import image_features, wav_window_features
+        if kind == "image":
+            return image_features(payload or b"", self.FEATURE_DIM)
+        if kind == "audio":
+            feats, _ = wav_window_features(payload or b"", 1000,
+                                           self.FEATURE_DIM)
+            return feats.mean(axis=0)
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg — not available in "
-            "this environment; plug the decoder in here")
+            "video decoding requires ffmpeg — plug the decoder in here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._decode_and_embed(p, k) for p, k in
@@ -78,9 +91,11 @@ def extract_media_features(ds: "ray.data.Dataset", fake: bool = True,
 class MediaResizer:
     """Actor-pool stage: image payload → resized payload (width/height
     metadata updated). ``fake=True`` emits a deterministic payload digest
-    of the requested size; ``fake=False`` raises at the decode boundary
-    (plug PIL here — resize itself stays an actor-held kernel so the
-    library loads once per actor)."""
+    of the requested size; ``fake=False`` REALLY resizes BMP/netpbm
+    payloads (nearest-neighbour numpy kernel, re-encoded in the same
+    container — ``ops/rawmedia.py``) and raises only for compressed
+    codecs (plug PIL here — the kernel stays actor-held so a library
+    loads once per actor)."""
 
     def __init__(self, width: int, height: int, fake: bool = True):
         self.w, self.h = int(width), int(height)
@@ -88,8 +103,12 @@ class MediaResizer:
 
     def _resize(self, payload: bytes) -> bytes:
         if not self.fake:
-            raise NotImplementedError(
-                "real image resize requires PIL — plug the decoder in here")
+            from .rawmedia import (make_bmp, make_ppm, resize_nearest,
+                                   sniff_decode_image)
+            img = sniff_decode_image(payload or b"")
+            out = resize_nearest(img, self.w, self.h)
+            return (make_bmp(out) if payload[:2] == b"BM"
+                    else make_ppm(out))
         need = max(1, (self.w * self.h) // 64)
         out = bytearray()
         seed = payload or b""
@@ -217,14 +236,24 @@ class AudioChunker:
         # real implementation: load the codec / feature model once here
 
     def _window_feature(self, payload: bytes, idx: int) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "real audio decoding requires ffmpeg/librosa — plug the "
-                "decoder in here")
         digest = hashlib.md5((payload or b"") + idx.to_bytes(4, "little")
                              ).digest()
         return np.frombuffer(digest, dtype=np.uint8).astype(
             np.float32) / 255.0
+
+    def _payload_windows(self, payload: bytes, dur: int):
+        """→ (features (n_win, FEATURE_DIM), duration_ms). fake=False
+        decodes WAV PCM once per payload (rawmedia; real rms/zcr/
+        centroid/band features, actual duration from the stream —
+        compressed audio raises, plug ffmpeg/librosa in here)."""
+        if not self.fake:
+            from .rawmedia import wav_window_features
+            return wav_window_features(payload or b"", self.window_ms,
+                                       self.FEATURE_DIM)
+        dur = max(int(dur or 0), 0)
+        n_win = max((dur + self.window_ms - 1) // self.window_ms, 1)
+        return np.stack([self._window_feature(payload, i)
+                         for i in range(n_win)]), dur
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         o_id, o_idx, o_s, o_e, o_f = [], [], [], [], []
@@ -234,15 +263,14 @@ class AudioChunker:
                 batch["duration_ms"].to_pylist()):
             if kind != "audio":
                 continue
-            dur = max(int(dur or 0), 0)
-            n_win = max((dur + self.window_ms - 1) // self.window_ms, 1)
-            for i in range(n_win):
+            feats, dur = self._payload_windows(payload, dur)
+            for i in range(len(feats)):
                 o_id.append(mid)
                 o_idx.append(i)
                 o_s.append(i * self.window_ms)
                 o_e.append(min((i + 1) * self.window_ms, dur)
                            if dur else self.window_ms)
-                o_f.append(self._window_feature(payload, i).tolist())
+                o_f.append(feats[i].tolist())
         return pa.table({
             "media_id": pa.array(o_id, pa.string()),
             "window_idx": pa.array(o_idx, pa.int32()),

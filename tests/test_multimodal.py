@@ -52,15 +52,23 @@ def test_video_frame_sampling(ray_session):
     assert len(payloads) == len(frames)   # distinct frame payloads
 
 
-def test_real_decode_paths_are_marked_stubs(ray_session):
+def test_real_decode_boundaries(ray_session):
+    """fake=False is REAL for uncompressed formats (test_rawmedia.py);
+    compressed codecs raise NotImplementedError naming the library,
+    garbage raises ValueError — never a silent wrong answer."""
     from agraph_ray.ops.multimodal import (MediaFeatureExtractor,
                                            MediaResizer, VideoFrameSampler)
-    with pytest.raises(NotImplementedError):
+    png = b"\x89PNG\r\n\x1a\n...."
+    with pytest.raises(NotImplementedError, match="PIL"):
+        MediaFeatureExtractor(fake=False)._decode_and_embed(png, "image")
+    with pytest.raises(ValueError):
         MediaFeatureExtractor(fake=False)._decode_and_embed(b"x", "image")
-    with pytest.raises(NotImplementedError):
-        MediaResizer(8, 8, fake=False)._resize(b"x")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        MediaResizer(8, 8, fake=False)._resize(png)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
         VideoFrameSampler(fake=False)._frame(b"x", 0)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        MediaFeatureExtractor(fake=False)._decode_and_embed(b"x", "video")
 
 
 def test_audio_chunker_windows(ray_session):
@@ -80,8 +88,8 @@ def test_audio_chunker_windows(ray_session):
     a = out.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
     b = out2.sort_values(["media_id", "window_idx"]).reset_index(drop=True)
     assert (a["feature"].map(tuple) == b["feature"].map(tuple)).all()
-    # the real-decode slot is a clearly-marked stub
-    import numpy as np
+    # fake=False really decodes WAV (test_rawmedia.py); a non-WAV
+    # payload fails loudly at the wave parser, never silently
     import pytest
-    with pytest.raises(NotImplementedError):
-        AudioChunker(fake=False)._window_feature(b"x", 0)
+    with pytest.raises(Exception):
+        AudioChunker(fake=False)._payload_windows(b"x", 0)
