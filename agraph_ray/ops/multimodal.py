@@ -103,12 +103,15 @@ class MediaResizer:
 
     def _resize(self, payload: bytes) -> bytes:
         if not self.fake:
-            from .rawmedia import (make_bmp, make_ppm, resize_nearest,
-                                   sniff_decode_image)
+            from .rawmedia import (make_bmp, make_png, make_ppm,
+                                   resize_nearest, sniff_decode_image)
             img = sniff_decode_image(payload or b"")
             out = resize_nearest(img, self.w, self.h)
-            return (make_bmp(out) if payload[:2] == b"BM"
-                    else make_ppm(out))
+            if payload[:2] == b"BM":
+                return make_bmp(out)
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                return make_png(out)
+            return make_ppm(out)
         need = max(1, (self.w * self.h) // 64)
         out = bytearray()
         seed = payload or b""

@@ -1,12 +1,14 @@
 """Real stdlib decoders for UNCOMPRESSED media formats.
 
-The sandbox has no PIL/ffmpeg/librosa, but the raw interchange formats
-need none of them: WAV is RIFF-framed PCM (stdlib ``wave`` + numpy
-reinterpret), BMP is a fixed header + padded BGR rows, and netpbm
-P5/P6 is an ASCII header + raw bytes. These decoders make the
-multimodal stages' ``fake=False`` path REAL for those formats — the
-compressed ones (jpeg/png/mp3/mp4) still raise NotImplementedError at
-the same boundary, naming the library to plug in.
+The sandbox has no PIL/ffmpeg/librosa, but these formats need none of
+them: WAV is RIFF-framed PCM (stdlib ``wave`` + numpy reinterpret),
+BMP is a fixed header + padded BGR rows, netpbm P5/P6 is an ASCII
+header + raw bytes, and PNG is zlib-compressed scanlines behind five
+well-specified row filters (RFC 2083) — and zlib IS stdlib. These
+decoders make the multimodal stages' ``fake=False`` path REAL for
+those formats; the patent-era codecs (jpeg/mp3/mp4) still raise
+NotImplementedError at the same boundary, naming the library to plug
+in.
 
 Everything is numpy-vectorized after the header parse; per-payload
 Python work is O(header), not O(pixels).
@@ -18,6 +20,7 @@ side of the same subset, used by tests and media fixture generators.
 from __future__ import annotations
 
 import struct
+import zlib
 from io import BytesIO
 from typing import Tuple
 
@@ -192,6 +195,140 @@ def make_ppm(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (zlib IS stdlib: IDAT inflate + per-row scanline unfilter)
+# RFC 2083; 8-bit gray / gray+alpha / RGB / RGBA / palette, no interlace
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4:pos + 8]
+        yield typ, payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                      # len + type + data + crc
+        if typ == b"IEND":
+            break
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """→ (h, w, 3) uint8 RGB (alpha dropped, palette resolved, gray
+    promoted). 8-bit depth, non-interlaced. The filter pass is
+    row-sequential (the format's data dependency); rows with filter
+    None/Up are vectorized, Sub is a cumsum, Average/Paeth fall back to
+    the per-pixel recurrence."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (missing signature)")
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    palette = None
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.extend(data)
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} interlace={interlace} needs PIL")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if nch is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=pos + 1).copy()
+        pos += stride + 1
+        if f == 0:
+            pass
+        elif f == 1:                        # Sub: cumsum per channel
+            row = np.cumsum(row.reshape(w, nch), axis=0,
+                            dtype=np.uint32).astype(np.uint8) \
+                .reshape(stride)
+        elif f == 2:                        # Up
+            row = (row + prev).astype(np.uint8)
+        elif f in (3, 4):                   # Average / Paeth: recurrence
+            r = row.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(r[x - nch]) if x >= nch else 0
+                b = int(pv[x])
+                if f == 3:
+                    r[x] = (r[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(pv[x - nch]) if x >= nch else 0
+                    r[x] = (r[x] + _paeth(a, b, c)) & 0xFF
+            row = r.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = row
+        prev = row
+    px = out.reshape(h, w, nch)
+    if color_type == 3:                     # palette
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        return palette[px[:, :, 0]]
+    if nch == 1:
+        return np.repeat(px, 3, axis=2)
+    if nch == 2:                            # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]                     # RGB / RGBA → RGB
+
+
+def make_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (single IDAT, one filter type for
+    every row — 0/1/2 supported here; the decoder handles all five)."""
+    a = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = a.shape
+    lines = []
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        row = a[y].reshape(-1)
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:              # Sub
+            enc = (row.astype(np.int16)
+                   - np.concatenate([[0, 0, 0], row[:-3]])) % 256
+        elif filter_type == 2:              # Up
+            enc = (row.astype(np.int16) - prev) % 256
+        else:
+            raise ValueError("encoder supports filter 0/1/2")
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
 # decode dispatch + resize kernel
 # ---------------------------------------------------------------------------
 
@@ -206,11 +343,11 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("PNG decode requires PIL — plug in here")
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         raise NotImplementedError("JPEG decode requires PIL — plug in here")
-    raise ValueError("unrecognized image payload (want BMP or netpbm)")
+    raise ValueError("unrecognized image payload (want BMP, netpbm or PNG)")
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

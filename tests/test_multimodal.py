@@ -58,13 +58,13 @@ def test_real_decode_boundaries(ray_session):
     garbage raises ValueError — never a silent wrong answer."""
     from agraph_ray.ops.multimodal import (MediaFeatureExtractor,
                                            MediaResizer, VideoFrameSampler)
-    png = b"\x89PNG\r\n\x1a\n...."
+    jpeg = b"\xff\xd8\xff\xe0...."
     with pytest.raises(NotImplementedError, match="PIL"):
-        MediaFeatureExtractor(fake=False)._decode_and_embed(png, "image")
+        MediaFeatureExtractor(fake=False)._decode_and_embed(jpeg, "image")
     with pytest.raises(ValueError):
         MediaFeatureExtractor(fake=False)._decode_and_embed(b"x", "image")
     with pytest.raises(NotImplementedError, match="PIL"):
-        MediaResizer(8, 8, fake=False)._resize(png)
+        MediaResizer(8, 8, fake=False)._resize(jpeg)
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         VideoFrameSampler(fake=False)._frame(b"x", 0)
     with pytest.raises(NotImplementedError, match="ffmpeg"):

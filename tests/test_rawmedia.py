@@ -68,10 +68,11 @@ def test_resize_nearest_semantics():
 
 
 def test_sniff_decode_raises_named_libs():
-    with pytest.raises(NotImplementedError, match="PIL"):
+    # PNG now decodes for real; a torn PNG fails loudly, not silently
+    with pytest.raises(ValueError):
         sniff_decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError, match="PIL"):
-        sniff_decode_image(b"\xff\xd8\xff\xe0....")
+        sniff_decode_image(b"\xff\xd8\xff\xe0....")   # JPEG needs PIL
     with pytest.raises(ValueError):
         sniff_decode_image(b"garbage")
 
@@ -121,3 +122,115 @@ def test_multimodal_stages_real_decode(ray_session):
     assert [w["window_idx"] for w in wins] == [0, 1]
     assert wins[0]["end_ms"] == 500 and wins[1]["end_ms"] == 1000
     assert wins[0]["feature"][0] > 0.1               # real window rms
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + scanline filters)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_filters():
+    from agraph_ray.ops.rawmedia import decode_png, make_png
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    for f in (0, 1, 2):
+        assert (decode_png(make_png(img, filter_type=f)) == img).all(), f
+
+
+def _ref_unfilter(raws, w, nch):
+    """Independent straightforward per-pixel reference unfilter
+    (RFC 2083 pseudocode transliterated) for cross-checking."""
+    stride = w * nch
+    prev = [0] * stride
+    out = []
+    for f, row in raws:
+        cur = list(row)
+        for x in range(stride):
+            a = cur[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if f == 1:
+                cur[x] = (cur[x] + a) & 0xFF
+            elif f == 2:
+                cur[x] = (cur[x] + b) & 0xFF
+            elif f == 3:
+                cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        out.append(cur)
+        prev = cur
+    return np.array(out, dtype=np.uint8).reshape(len(raws), w, nch)
+
+
+def test_png_average_paeth_vs_reference_unfilter():
+    import struct
+    import zlib as _z
+
+    from agraph_ray.ops.rawmedia import decode_png
+    rng = np.random.default_rng(4)
+    w, h, nch = 4, 3, 3
+    raws = [(3, rng.integers(0, 256, size=w * nch, dtype=np.uint8)
+             .tolist()),
+            (4, rng.integers(0, 256, size=w * nch, dtype=np.uint8)
+             .tolist()),
+            (4, rng.integers(0, 256, size=w * nch, dtype=np.uint8)
+             .tolist())]
+    scan = b"".join(bytes([f]) + bytes(row) for f, row in raws)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(scan)) + chunk(b"IEND", b""))
+    assert (decode_png(png) == _ref_unfilter(raws, w, nch)).all()
+
+
+def test_png_palette_and_gray():
+    import struct
+    import zlib as _z
+
+    from agraph_ray.ops.rawmedia import decode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF))
+
+    # 2x2 paletted: indices [[0,1],[1,0]] with a 2-color palette
+    plte = bytes([255, 0, 0, 0, 0, 255])
+    scan = bytes([0, 0, 1]) + bytes([0, 1, 0])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", _z.compress(scan)) + chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert (out[0, 0] == [255, 0, 0]).all()
+    assert (out[0, 1] == [0, 0, 255]).all()
+    # grayscale promotes to 3 channels
+    scan = bytes([0, 7, 9]) + bytes([0, 200, 3])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(scan)) + chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.shape == (2, 2, 3) and (out[1, 0] == [200] * 3).all()
+
+
+def test_png_through_resize_stage(ray_session):
+    import ray.data as rd
+
+    from agraph_ray.ops.multimodal import MEDIA_SCHEMA, resize_images
+    from agraph_ray.ops.rawmedia import decode_png, make_png
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    rows = pa.Table.from_pylist([
+        {"media_id": "p0", "kind": "image", "payload": make_png(img),
+         "mime": "image/png", "width": 4, "height": 6,
+         "duration_ms": -1}], schema=MEDIA_SCHEMA)
+    out = resize_images(rd.from_arrow(rows), 2, 3,
+                        fake=False).take_all()[0]
+    dec = decode_png(out["payload"])                 # stays PNG
+    assert dec.shape == (3, 2, 3)
