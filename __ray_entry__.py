@@ -1288,7 +1288,7 @@ def q_docs_meta_text(sf_dir: str):
 
 
 def q_doc_metadata(sf_dir: str):
-    """extract_metadata over the 7-format round-robin corpus (same
+    """extract_metadata over the 9-format round-robin corpus (same
     payload generation as parse_documents): per-row format-specific
     metadata JSON. Rows-only — office payloads are binary; field
     semantics pinned in test_officefmt.py."""
@@ -2875,14 +2875,15 @@ def q_schema_entities(sf_dir: str):
 
 
 def _formatted_documents(sf_dir: str):
-    """Documents table re-rendered as a 7-format round-robin corpus
-    (md/json/csv/html/docx/xlsx/pdf by doc_id; office payloads built
+    """Documents table re-rendered as a 9-format round-robin corpus
+    (md/json/csv/html/docx/xlsx/pdf/doc/xls by doc_id; office payloads built
     in-process by the stdlib builders) — shared by parse_documents and
     doc_metadata."""
     import json as _json
     import pyarrow as pa
     import ray.data as rd
     from agraph_ray.ops.officefmt import make_docx, make_pdf, make_xlsx
+    from agraph_ray.ops.olefmt import make_doc, make_xls
 
     def to_formats(t: pa.Table) -> pa.Table:
         fmts, contents, blobs = [], [], []
@@ -2890,7 +2891,7 @@ def _formatted_documents(sf_dir: str):
                              t["text"].to_pylist()):
             text = text or ""
             fmt = ["md", "json", "csv", "html",
-                   "docx", "xlsx", "pdf"][did % 7]
+                   "docx", "xlsx", "pdf", "doc", "xls"][did % 9]
             blob = None
             if fmt == "md":
                 contents.append(f"# doc {did}\n\n**{text}**")
@@ -2910,8 +2911,14 @@ def _formatted_documents(sf_dir: str):
                     blob = make_xlsx(
                         {"doc": [["body"]] + [[ln] for ln in
                                               (lines or [text])]})
-                else:
+                elif fmt == "pdf":
                     blob = make_pdf(lines or [text])
+                elif fmt == "doc":
+                    blob = make_doc("\n".join(lines or [text]))
+                else:
+                    blob = make_xls(
+                        {"doc": [["body"]] + [[ln] for ln in
+                                              (lines or [text])]})
                 contents.append(None)
             fmts.append(fmt)
             blobs.append(blob)
@@ -2927,7 +2934,7 @@ def _formatted_documents(sf_dir: str):
 
 def q_parse_documents(sf_dir: str):
     """Parser registry over deterministically formatted variants of the
-    documents table (md/json/csv/html/docx/xlsx/pdf round-robin by
+    documents table (md/json/csv/html/docx/xlsx/pdf/doc/xls round-robin by
     doc_id — the binary office formats are generated in-process by the
     stdlib builders and parsed back by the stdlib parsers)."""
     import pyarrow as pa

@@ -188,6 +188,29 @@ def parse_xlsx(content) -> str:
     return _stdlib_xlsx(content)
 
 
+def parse_doc(content) -> str:
+    """Legacy Word 97-2003 .doc: prefer docx2txt when importable, else
+    the stdlib CFB + piece-table reader (olefmt.parse_doc)."""
+    try:
+        import docx2txt  # noqa: F401
+        import tempfile
+        from .officefmt import _as_bytes
+        with tempfile.NamedTemporaryFile(suffix=".doc") as f:
+            f.write(_as_bytes(content))
+            f.flush()
+            return docx2txt.process(f.name) or ""
+    except ImportError:
+        from .olefmt import parse_doc as _stdlib_doc
+        return _stdlib_doc(content)
+
+
+def parse_xls(content) -> str:
+    """Legacy Excel 97-2003 .xls: stdlib CFB + BIFF8 record reader
+    (olefmt.parse_xls); an xlrd-based path would use the same slot."""
+    from .olefmt import parse_xls as _stdlib_xls
+    return _stdlib_xls(content)
+
+
 PARSERS: Dict[str, Callable[[str], str]] = {
     "txt": parse_text, "text": parse_text,
     "md": parse_markdown, "markdown": parse_markdown,
@@ -195,10 +218,10 @@ PARSERS: Dict[str, Callable[[str], str]] = {
     "csv": parse_csv,
     "html": parse_html, "htm": parse_html,
     "pdf": parse_pdf,
-    "doc": _unsupported("docx2txt/antiword (legacy OLE .doc)"),
+    "doc": parse_doc,
     "docx": parse_docx,
     "xlsx": parse_xlsx,
-    "xls": _unsupported("xlrd (legacy OLE .xls)"),
+    "xls": parse_xls,
 }
 
 # formats whose payload is binary: parse_documents reads these rows from
@@ -306,6 +329,12 @@ def document_metadata(content, fmt: str) -> dict:
         return docx_metadata(content)
     if fmt == "xlsx":
         return xlsx_metadata(content)
+    if fmt == "doc":
+        from .olefmt import doc_metadata
+        return doc_metadata(content)
+    if fmt == "xls":
+        from .olefmt import xls_metadata
+        return xls_metadata(content)
     if fmt in ("json", "jsonl", "ndjson"):
         return _meta_json(content or "")
     if fmt == "csv":

@@ -283,8 +283,8 @@ def test_parse_registry(ray_session):
     }))
     out = parse_documents(ds).to_pandas()
     assert out["text"].tolist()[:2] == ["Doc", "v"]
-    assert out["text"][2] is None      # legacy .xls unsupported -> error
-    assert "xlrd" in out["parse_error"][2]
+    assert out["text"][2] is None      # garbage .xls payload -> error row
+    assert "OLE" in out["parse_error"][2]
     assert out["text"][3] == ""
 
 
