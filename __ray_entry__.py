@@ -1436,6 +1436,26 @@ def _synth_raw_media(n: int = 48, seed: int = 9):
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def q_media_captions(sf_dir: str):
+    """Vision-LLM captioning (the reference ImageProcessor surface,
+    image_processor.py:292-612) through the latency-bound actor pool
+    with the mock vision transport — which REALLY decodes the BMP
+    payloads and captions their true dimensions/colour. Rows-only:
+    captions are model output; decode + caption semantics pinned in
+    test_rawmedia.py."""
+    import pyarrow as pa
+    import ray.data as rd
+    from agraph_ray.mock_llm import mock_chat_client
+    from agraph_ray.ops.multimodal import caption_images
+    ds = rd.from_arrow(_synth_raw_media())
+    out = caption_images(ds, lambda: mock_chat_client(latency_sec=0.0),
+                         concurrency=2)
+    return out.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"], "kind": t["kind"],
+            "caption": t["caption"]}), batch_format="pyarrow")
+
+
 def q_media_real_decode(sf_dir: str):
     """REAL stdlib decode through the actor-pool stages (fake=False):
     BMP → color/histogram features, WAV PCM → rms/zcr/centroid window
@@ -4101,6 +4121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_meta_text": q_docs_meta_text,
         "doc_metadata": q_doc_metadata,
         "media_real_decode": q_media_real_decode,
+        "media_captions": q_media_captions,
         # multimodal plumbing
         "media_features": q_media_features,
         "media_audio_windows": q_media_audio_windows,

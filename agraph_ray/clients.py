@@ -162,9 +162,16 @@ class OpenAICompatClient(_BaseClient):
     call; concurrency comes from the Ray actor pool around it."""
 
     def __call__(self, prompt: str) -> str:
+        return self.complete_messages(
+            [{"role": "user", "content": prompt}])
+
+    def complete_messages(self, messages: list) -> str:
+        """Arbitrary chat messages — the multimodal shape (content as a
+        list of text + image_url parts, image_processor.py:128-137)
+        goes through the same retry/backoff/parse path as plain text."""
         resp = self._post("/chat/completions", {
             "model": self.cfg.model,
-            "messages": [{"role": "user", "content": prompt}],
+            "messages": messages,
             "temperature": self.cfg.temperature,
             "max_tokens": self.cfg.max_tokens,
         })

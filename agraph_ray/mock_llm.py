@@ -206,10 +206,41 @@ class MockLatencyTransport:
                              "embedding": [v / norm for v in vec]})
             return {"data": data}
         prompt = payload["messages"][0]["content"]
+        if isinstance(prompt, list):            # multimodal content parts
+            return self._vision(prompt)
         self._sleep(prompt)
         self._maybe_fail(prompt)
         return {"choices": [{"message": {"content":
                                          self._complete(prompt)}}]}
+
+    def _vision(self, parts: list) -> dict:
+        """Deterministic vision-model mock: really decodes the attached
+        image when it is one of the stdlib-decodable formats
+        (rawmedia) and describes its actual dimensions and dominant
+        colour — so captions change when pixels change, like a real
+        model's would; undecodable payloads get a stable hash caption."""
+        import base64
+        key = ""
+        caption = "an image"
+        for p in parts:
+            if p.get("type") == "image_url":
+                url = p["image_url"]["url"]
+                b64 = url.split("base64,", 1)[-1]
+                key = b64[:64]
+                try:
+                    raw = base64.b64decode(b64)
+                    from .ops.rawmedia import sniff_decode_image
+                    img = sniff_decode_image(raw)
+                    h, w = img.shape[:2]
+                    mean = img.reshape(-1, 3).mean(axis=0).astype(int)
+                    caption = (f"a {w}x{h} image with dominant colour "
+                               f"rgb({mean[0]},{mean[1]},{mean[2]})")
+                except Exception:  # noqa: BLE001 — mock stays total
+                    caption = (f"an undecodable image (payload hash "
+                               f"{_stable(b64, 'img'):08x})")
+        self._sleep(key)
+        self._maybe_fail(key)
+        return {"choices": [{"message": {"content": caption}}]}
 
 
 def mock_chat_client(latency_sec: float = 0.2, jitter: float = 0.5,

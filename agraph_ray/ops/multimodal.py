@@ -292,3 +292,75 @@ def chunk_audio(ds: "ray.data.Dataset", window_ms: int = 1000,
         "window_ms": window_ms, "fake": fake},
         batch_size=32, concurrency=concurrency,
         batch_format="pyarrow")
+
+
+_CAPTION_PROMPT = (
+    "Describe this image thoroughly: the objects, people and setting; "
+    "any actions; colours, lighting and composition; any visible text; "
+    "and the overall mood and style."
+)   # intent-equivalent of the reference's default analysis prompt
+#     (image_processor.py:324-333)
+
+
+class ImageCaptioner:
+    """Actor-pool stage for the vision-LLM ImageProcessor surface
+    (image_processor.py:292-612): each image row → a caption from a
+    multimodal chat model, sent as the OpenAI-compatible content-parts
+    message (text + base64 data-URL — :128-137). Latency-bound pool
+    shape: the client is built once per actor via ``client_factory``
+    and each batch fans over an internal thread pool (``max_concurrent``
+    in-flight per actor), same as the extraction/judge pools. Non-image
+    rows pass through with a null caption."""
+
+    def __init__(self, client_factory, prompt: str = _CAPTION_PROMPT,
+                 max_concurrent: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+        self.client = client_factory()
+        self.prompt = prompt
+        self.pool = ThreadPoolExecutor(max_workers=max_concurrent)
+
+    def _caption(self, payload: bytes, mime: str) -> str:
+        import base64
+        b64 = base64.b64encode(payload or b"").decode("ascii")
+        messages = [{"role": "user", "content": [
+            {"type": "text", "text": self.prompt},
+            {"type": "image_url",
+             "image_url": {"url": f"data:{mime or 'image/jpeg'};"
+                                  f"base64,{b64}"}},
+        ]}]
+        try:
+            return self.client.complete_messages(messages)
+        except Exception as e:  # noqa: BLE001 — one bad image, one row
+            return f"[caption failed: {type(e).__name__}]"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = list(zip(batch["payload"].to_pylist(),
+                        batch["mime"].to_pylist(),
+                        batch["kind"].to_pylist()))
+        caps = list(self.pool.map(
+            lambda r: self._caption(r[0], r[1]) if r[2] == "image"
+            else None, rows))
+        return batch.append_column("caption",
+                                   pa.array(caps, pa.string()))
+
+
+def caption_images(ds: "ray.data.Dataset", client_factory,
+                   prompt: str = _CAPTION_PROMPT,
+                   concurrency: int = 4, batch_size: int = 8,
+                   max_concurrent: int = 8,
+                   num_cpus: float = 0.25) -> "ray.data.Dataset":
+    """Vision captioning over a media table — the reference's
+    ImageProcessor as a latency-bound actor pool (in-flight =
+    concurrency x max_concurrent, decoupled from CPUs; reservation
+    capped below the cluster like the extraction pool)."""
+    import ray
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_cpus = min(num_cpus, max(0.01, (cpus - 2) / concurrency))
+    return ds.map_batches(
+        ImageCaptioner,
+        fn_constructor_kwargs={"client_factory": client_factory,
+                               "prompt": prompt,
+                               "max_concurrent": max_concurrent},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=num_cpus)

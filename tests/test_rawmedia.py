@@ -234,3 +234,39 @@ def test_png_through_resize_stage(ray_session):
                         fake=False).take_all()[0]
     dec = decode_png(out["payload"])                 # stays PNG
     assert dec.shape == (3, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# vision captioning (ImageProcessor surface, mock vision transport)
+# ---------------------------------------------------------------------------
+
+def test_caption_images_mock_vision(ray_session):
+    import ray.data as rd
+
+    from agraph_ray.mock_llm import mock_chat_client
+    from agraph_ray.ops.multimodal import MEDIA_SCHEMA, caption_images
+    from agraph_ray.ops.rawmedia import make_bmp
+
+    red = np.zeros((4, 6, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    rows = pa.Table.from_pylist([
+        {"media_id": "i0", "kind": "image", "payload": make_bmp(red),
+         "mime": "image/bmp", "width": 6, "height": 4,
+         "duration_ms": -1},
+        {"media_id": "j0", "kind": "image", "payload": b"\xff\xd8junk",
+         "mime": "image/jpeg", "width": -1, "height": -1,
+         "duration_ms": -1},
+        {"media_id": "a0", "kind": "audio", "payload": b"riff...",
+         "mime": "audio/wav", "width": -1, "height": -1,
+         "duration_ms": 100},
+    ], schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r["caption"] for r in caption_images(
+        rd.from_arrow(rows),
+        lambda: mock_chat_client(latency_sec=0.0),
+        concurrency=1).take_all()}
+    # the mock vision model really decoded the BMP: dims + colour
+    assert "6x4" in out["i0"] and "rgb(200,0,0)" in out["i0"]
+    # undecodable image still captions deterministically
+    assert "undecodable" in out["j0"]
+    # non-image rows pass through with null caption
+    assert out["a0"] is None
