@@ -364,3 +364,29 @@ def caption_images(ds: "ray.data.Dataset", client_factory,
                                "max_concurrent": max_concurrent},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus)
+
+
+def extract_media_metadata(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Header-only metadata per media row (rawmedia.media_metadata) as
+    a schema-stable JSON column + payload size — the media analogue of
+    ops/parse.py::extract_document_metadata, same poison-pill
+    contract."""
+    import json
+
+    def f(batch: pa.Table) -> pa.Table:
+        from .rawmedia import media_metadata
+        metas, sizes = [], []
+        for p in batch["payload"].to_pylist():
+            sizes.append(len(p or b""))
+            try:
+                metas.append(json.dumps(media_metadata(p),
+                                        sort_keys=True))
+            except Exception as e:  # noqa: BLE001 — poison-pill guard
+                metas.append(json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}))
+        return (batch.append_column("metadata",
+                                    pa.array(metas, pa.string()))
+                .append_column("content_bytes",
+                               pa.array(sizes, pa.int64())))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -358,6 +358,41 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def media_metadata(payload: bytes) -> dict:
+    """Header-only media metadata (no pixel/sample decode): format,
+    dimensions for images, rate/channels/duration for WAV — the
+    ImageProcessor.extract_metadata analogue for row payloads
+    (image_processor.py:465-530 reports format/size/mode)."""
+    p = payload or b""
+    if p[:2] == b"BM" and len(p) >= 26:
+        w, h = struct.unpack_from("<ii", p, 18)
+        return {"format": "bmp", "width": int(w), "height": abs(int(h))}
+    if p[:8] == _PNG_MAGIC and len(p) >= 24:
+        w, h = struct.unpack_from(">II", p, 16)
+        return {"format": "png", "width": int(w), "height": int(h)}
+    if p[:2] in (b"P5", b"P6"):
+        img_meta = {"format": "ppm" if p[:2] == b"P6" else "pgm"}
+        try:
+            img = decode_ppm(p)
+            img_meta["height"], img_meta["width"] = img.shape[:2]
+        except (ValueError, IndexError):
+            img_meta["error"] = "malformed netpbm header"
+        return img_meta
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        import wave
+        with wave.open(BytesIO(p)) as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            return {"format": "wav", "sample_rate": rate,
+                    "channels": w.getnchannels(),
+                    "sample_width": w.getsampwidth(),
+                    "duration_ms": int(round(n * 1000.0 / rate))
+                    if rate else 0}
+    if p[:2] == b"\xff\xd8":
+        return {"format": "jpeg", "note": "dimensions need PIL"}
+    raise ValueError("unrecognized media payload")
+
+
 def image_features(payload: bytes, dim: int = 16) -> np.ndarray:
     """Real cheap image descriptor: [mean R, G, B, luma std,
     (dim-4)-bin luma histogram] — enough for near-dup / brightness

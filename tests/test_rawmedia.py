@@ -270,3 +270,42 @@ def test_caption_images_mock_vision(ray_session):
     assert "undecodable" in out["j0"]
     # non-image rows pass through with null caption
     assert out["a0"] is None
+
+
+def test_media_metadata_headers():
+    from agraph_ray.ops.rawmedia import media_metadata, make_png
+    img = np.zeros((4, 7, 3), dtype=np.uint8)
+    assert media_metadata(make_bmp(img)) == \
+        {"format": "bmp", "width": 7, "height": 4}
+    assert media_metadata(make_png(img)) == \
+        {"format": "png", "width": 7, "height": 4}
+    assert media_metadata(make_ppm(img)) == \
+        {"format": "ppm", "width": 7, "height": 4}
+    wav = make_wav(np.zeros(4000), 8000)
+    m = media_metadata(wav)
+    assert m["format"] == "wav" and m["sample_rate"] == 8000
+    assert m["duration_ms"] == 500 and m["channels"] == 1
+    assert media_metadata(b"\xff\xd8x")["format"] == "jpeg"
+    with pytest.raises(ValueError):
+        media_metadata(b"nope")
+
+
+def test_extract_media_metadata_stage(ray_session):
+    import json
+
+    import ray.data as rd
+    from agraph_ray.ops.multimodal import (MEDIA_SCHEMA,
+                                           extract_media_metadata)
+    img = np.zeros((3, 5, 3), dtype=np.uint8)
+    rows = pa.Table.from_pylist([
+        {"media_id": "i", "kind": "image", "payload": make_bmp(img),
+         "mime": "image/bmp", "width": 5, "height": 3,
+         "duration_ms": -1},
+        {"media_id": "bad", "kind": "image", "payload": b"xx",
+         "mime": "", "width": -1, "height": -1, "duration_ms": -1},
+    ], schema=MEDIA_SCHEMA)
+    out = extract_media_metadata(rd.from_arrow(rows)).to_pandas()
+    m0 = json.loads(out["metadata"][0])
+    assert m0["width"] == 5 and m0["height"] == 3
+    assert "error" in json.loads(out["metadata"][1])
+    assert out["content_bytes"][0] > 0
