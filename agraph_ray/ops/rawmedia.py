@@ -345,9 +345,12 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
         return img
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         raise NotImplementedError("JPEG decode requires PIL — plug in here")
-    raise ValueError("unrecognized image payload (want BMP, netpbm or PNG)")
+    raise ValueError(
+        "unrecognized image payload (want BMP, netpbm, PNG or TIFF)")
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -356,6 +359,87 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.minimum((np.arange(height) * (h / height)).astype(int), h - 1)
     xs = np.minimum((np.arange(width) * (w / width)).astype(int), w - 1)
     return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# TIFF (uncompressed, 8-bit gray/RGB, both byte orders)
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
+              273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
+              279: "strip_counts"}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """→ (h, w, 3) uint8 RGB (gray promoted). Uncompressed 8-bit only;
+    LZW/JPEG-in-TIFF raise NotImplementedError naming PIL."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order magic)")
+    ifd_off = struct.unpack_from(e + "I", payload, 4)[0]
+    n = struct.unpack_from(e + "H", payload, ifd_off)[0]
+    tags: dict = {}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, off)
+        if tag not in _TIFF_TAGS:
+            continue
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        if size * cnt <= 4:
+            vals = struct.unpack_from(e + fmt * cnt, payload, off + 8)
+        else:
+            voff = struct.unpack_from(e + "I", payload, off + 8)[0]
+            vals = struct.unpack_from(e + fmt * cnt, payload, voff)
+        tags[_TIFF_TAGS[tag]] = list(vals)
+    w = tags["width"][0]
+    h = tags["height"][0]
+    comp = tags.get("compression", [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} requires PIL — plug in here")
+    spp = tags.get("spp", [1])[0]
+    bits = tags.get("bits", [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("non-8-bit TIFF requires PIL")
+    data = b"".join(
+        payload[o:o + c] for o, c in zip(tags["strip_offsets"],
+                                         tags["strip_counts"]))
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * spp)
+    img = arr.reshape(h, w, spp)
+    if spp == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
+def make_tiff(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → little-endian uncompressed TIFF, one
+    strip."""
+    a = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = a.shape
+    pix = a.tobytes()
+    # layout: header(8) + pixel data + bits array(6) + IFD
+    pix_off = 8
+    bits_off = pix_off + len(pix)
+    ifd_off = bits_off + 6
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 3, bits_off),
+        (259, 3, 1, 1), (262, 3, 1, 2),           # photometric RGB
+        (273, 4, 1, pix_off), (277, 3, 1, 3),
+        (278, 3, 1, h), (279, 4, 1, len(pix)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)                   # no next IFD
+    return (b"II*\x00" + struct.pack("<I", ifd_off) + pix
+            + struct.pack("<HHH", 8, 8, 8) + ifd)
 
 
 def media_metadata(payload: bytes) -> dict:
@@ -388,6 +472,13 @@ def media_metadata(payload: bytes) -> dict:
                     "sample_width": w.getsampwidth(),
                     "duration_ms": int(round(n * 1000.0 / rate))
                     if rate else 0}
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            img = decode_tiff(p)
+            return {"format": "tiff", "width": img.shape[1],
+                    "height": img.shape[0]}
+        except NotImplementedError:
+            return {"format": "tiff", "note": "compressed; needs PIL"}
     if p[:2] == b"\xff\xd8":
         return {"format": "jpeg", "note": "dimensions need PIL"}
     raise ValueError("unrecognized media payload")

@@ -309,3 +309,33 @@ def test_extract_media_metadata_stage(ray_session):
     assert m0["width"] == 5 and m0["height"] == 3
     assert "error" in json.loads(out["metadata"][1])
     assert out["content_bytes"][0] > 0
+
+
+def test_tiff_roundtrip_and_sniff():
+    from agraph_ray.ops.rawmedia import decode_tiff, make_tiff
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    data = make_tiff(img)
+    assert (decode_tiff(data) == img).all()
+    assert (sniff_decode_image(data) == img).all()
+    # big-endian gray variant, hand-built: 2x2 single strip
+    import struct as _s
+    gray = bytes([10, 20, 30, 40])
+    ifd_off = 8 + len(gray)
+    entries = [(256, 3, 1, 2 << 16), (257, 3, 1, 2 << 16),
+               (259, 3, 1, 1 << 16), (273, 4, 1, 8),
+               (277, 3, 1, 1 << 16), (279, 4, 1, len(gray))]
+    # note: SHORT values in big-endian live in the HIGH half of the
+    # 4-byte value slot — encode via << 16
+    ifd = _s.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += _s.pack(">HHII", tag, typ, cnt, val)
+    ifd += _s.pack(">I", 0)
+    be = b"MM\x00*" + _s.pack(">I", ifd_off) + gray + ifd
+    out = decode_tiff(be)
+    assert out.shape == (2, 2, 3) and out[1, 1, 0] == 40
+    # compressed TIFF names the missing library
+    lzw = make_tiff(img).replace(
+        _s.pack("<HHII", 259, 3, 1, 1), _s.pack("<HHII", 259, 3, 1, 5))
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_tiff(lzw)
