@@ -347,10 +347,12 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         raise NotImplementedError("JPEG decode requires PIL — plug in here")
     raise ValueError(
-        "unrecognized image payload (want BMP, netpbm, PNG or TIFF)")
+        "unrecognized image payload (want BMP, netpbm, PNG, TIFF or GIF)")
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -359,6 +361,172 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.minimum((np.arange(height) * (h / height)).astype(int), h - 1)
     xs = np.minimum((np.arange(width) * (w / width)).astype(int), w - 1)
     return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, LZW — patent-expired, pure-python decoder)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
+    """GIF variable-width LZW → index bytes."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    dict_size = eoi + 1
+    table: List[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                dict_size = eoi + 1
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out[:n_pixels])
+            if prev is None:
+                entry = table[code]
+            elif code < dict_size:
+                entry = table[code]
+                table.append(prev + entry[:1])
+                dict_size += 1
+            else:                          # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+                dict_size += 1
+            out.extend(entry)
+            prev = entry
+            if dict_size >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    return bytes(out[:n_pixels])
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a → (h, w, 3) uint8 RGB (interlace
+    handled; transparency flattened onto the palette colour)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                       # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                     # image descriptor
+            _l, _t, iw, ih, iflags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                   offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame without colour table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                lzw.extend(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(lzw), min_code, iw * ih),
+                dtype=np.uint8)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF pixel data")
+            grid = idx.reshape(ih, iw)
+            if iflags & 0x40:               # interlaced: 4-pass order
+                de = np.empty_like(grid)
+                rows = (list(range(0, ih, 8)) + list(range(4, ih, 8))
+                        + list(range(2, ih, 4)) + list(range(1, ih, 2)))
+                de[rows] = grid
+                grid = de
+            return ct[np.minimum(grid, len(ct) - 1)]
+        elif b == 0x3B:                     # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def make_gif(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 with ≤256 distinct colours → GIF89a bytes.
+    Uses the classic uncompressed-LZW trick (a Clear code before every
+    pixel code keeps the code width fixed) — valid LZW, zero
+    compression, trivial to emit."""
+    a = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("make_gif supports ≤256 distinct colours")
+    depth = max(2, int(np.ceil(np.log2(max(2, len(palette))))))
+    n_colors = 1 << depth
+    pal = np.zeros((n_colors, 3), dtype=np.uint8)
+    pal[:len(palette)] = palette
+    min_code = depth
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in inverse:
+        emit(int(v))
+        emit(clear)                          # keep the table empty
+    emit(eoi)
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    data = bytes(bits)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -479,6 +647,9 @@ def media_metadata(payload: bytes) -> dict:
                     "height": img.shape[0]}
         except NotImplementedError:
             return {"format": "tiff", "note": "compressed; needs PIL"}
+    if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+        w, h = struct.unpack_from("<HH", p, 6)
+        return {"format": "gif", "width": int(w), "height": int(h)}
     if p[:2] == b"\xff\xd8":
         return {"format": "jpeg", "note": "dimensions need PIL"}
     raise ValueError("unrecognized media payload")

@@ -339,3 +339,79 @@ def test_tiff_roundtrip_and_sniff():
         _s.pack("<HHII", 259, 3, 1, 1), _s.pack("<HHII", 259, 3, 1, 5))
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_tiff(lzw)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW)
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_and_sniff():
+    from agraph_ray.ops.rawmedia import decode_gif, make_gif
+    rng = np.random.default_rng(8)
+    # ≤256 distinct colours: quantize channels to 4 levels
+    img = (rng.integers(0, 4, size=(6, 5, 3), dtype=np.uint8) * 80)
+    data = make_gif(img)
+    assert (decode_gif(data) == img).all()
+    assert (sniff_decode_image(data) == img).all()
+    from agraph_ray.ops.rawmedia import media_metadata
+    assert media_metadata(data) == {"format": "gif", "width": 5,
+                                    "height": 6}
+
+
+def _ref_gif_lzw_encode(indices, min_code):
+    """Independent REAL GIF-LZW encoder (growing dictionary, the
+    standard algorithm) to cross-check the decoder's dictionary growth
+    and KwKwK handling — make_gif deliberately never grows the table."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    widths = []
+    cur = b""
+    for v in indices:
+        nxt = cur + bytes([v])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_codes.append(table[cur])
+        widths.append(width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code - 1 >= (1 << width) and width < 12:
+            width += 1
+        cur = bytes([v])
+    out_codes.append(table[cur])
+    widths.append(width)
+    out_codes.append(eoi)
+    widths.append(width)
+    # pack: first code (clear) uses min_code+1 bits
+    widths = [min_code + 1] + widths
+    acc = nbits = 0
+    data = bytearray()
+    for code, wd in zip(out_codes, widths):
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def test_gif_lzw_decoder_vs_real_encoder():
+    from agraph_ray.ops.rawmedia import _gif_lzw_decode
+    rng = np.random.default_rng(9)
+    # repetitive sequence → dictionary growth + KwKwK cases
+    seq = list(rng.integers(0, 4, size=50)) * 8 + [0, 0, 0, 0, 1, 0, 0]
+    enc = _ref_gif_lzw_encode(seq, min_code=2)
+    dec = _gif_lzw_decode(enc, 2, len(seq))
+    assert list(dec) == [int(v) for v in seq]
+
+
+def test_gif_rejects_garbage():
+    from agraph_ray.ops.rawmedia import decode_gif
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
