@@ -1409,11 +1409,16 @@ def q_media_features(sf_dir: str):
 
 
 def _synth_raw_media(n: int = 48, seed: int = 9):
-    """Deterministic REAL media payloads: 24-bit BMP gradients and
-    16-bit PCM WAV tones (stdlib builders, ops/rawmedia.py)."""
+    """Deterministic REAL media payloads across every stdlib-decodable
+    container: BMP/PNG/netpbm/TIFF/GIF images (round-robin) and 16-bit
+    PCM WAV tones (builders in ops/rawmedia.py)."""
     import pyarrow as pa
     from agraph_ray.ops.multimodal import MEDIA_SCHEMA
-    from agraph_ray.ops.rawmedia import make_bmp, make_wav
+    from agraph_ray.ops.rawmedia import (make_bmp, make_gif, make_png,
+                                         make_ppm, make_tiff, make_wav)
+    encoders = [("bmp", make_bmp), ("png", make_png), ("ppm", make_ppm),
+                ("tiff", make_tiff),
+                ("gif", lambda a: make_gif((a // 64) * 64))]
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -1421,8 +1426,9 @@ def _synth_raw_media(n: int = 48, seed: int = 9):
             w, h = 8 + i % 5, 6 + i % 4
             img = (rng.integers(0, 256, size=(h, w, 3))
                    .astype("uint8"))
+            fmt, enc = encoders[(i // 2) % len(encoders)]
             rows.append({"media_id": f"img{i:04d}", "kind": "image",
-                         "payload": make_bmp(img), "mime": "image/bmp",
+                         "payload": enc(img), "mime": f"image/{fmt}",
                          "width": w, "height": h, "duration_ms": -1})
         else:
             rate = 4000
