@@ -97,16 +97,21 @@ class MediaResizer:
     codecs (plug PIL here — the kernel stays actor-held so a library
     loads once per actor)."""
 
-    def __init__(self, width: int, height: int, fake: bool = True):
+    def __init__(self, width: int, height: int, fake: bool = True,
+                 method: str = "nearest"):
         self.w, self.h = int(width), int(height)
         self.fake = fake
+        self.method = method
 
     def _resize(self, payload: bytes) -> bytes:
         if not self.fake:
             from .rawmedia import (make_bmp, make_png, make_ppm,
-                                   resize_nearest, sniff_decode_image)
+                                   resize_bilinear, resize_nearest,
+                                   sniff_decode_image)
             img = sniff_decode_image(payload or b"")
-            out = resize_nearest(img, self.w, self.h)
+            kern = (resize_bilinear if self.method == "bilinear"
+                    else resize_nearest)
+            out = kern(img, self.w, self.h)
             if payload[:2] == b"BM":
                 return make_bmp(out)
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -183,11 +188,13 @@ class VideoFrameSampler:
 
 def resize_images(ds: "ray.data.Dataset", width: int, height: int,
                   fake: bool = True, batch_size: int = 16,
-                  concurrency: Optional[int] = 2):
+                  concurrency: Optional[int] = 2,
+                  method: str = "nearest"):
     return ds.map_batches(MediaResizer,
                           fn_constructor_kwargs={"width": width,
                                                  "height": height,
-                                                 "fake": fake},
+                                                 "fake": fake,
+                                                 "method": method},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
 

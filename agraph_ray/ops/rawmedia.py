@@ -363,6 +363,31 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def resize_bilinear(img: np.ndarray, width: int,
+                    height: int) -> np.ndarray:
+    """Bilinear resize (align-corners=False, pixel-center sampling —
+    the PIL/torch convention), fully vectorized."""
+    a = np.asarray(img, dtype=np.float32)
+    squeeze = a.ndim == 2
+    if squeeze:
+        a = a[:, :, None]
+    h, w = a.shape[:2]
+    y = np.clip((np.arange(height) + 0.5) * h / height - 0.5, 0, h - 1)
+    x = np.clip((np.arange(width) + 0.5) * w / width - 0.5, 0, w - 1)
+    y0 = np.floor(y).astype(int)
+    x0 = np.floor(x).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (y - y0)[:, None, None]
+    fx = (x - x0)[None, :, None]
+    out = (a[y0][:, x0] * (1 - fy) * (1 - fx)
+           + a[y0][:, x1] * (1 - fy) * fx
+           + a[y1][:, x0] * fy * (1 - fx)
+           + a[y1][:, x1] * fy * fx)
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out
+
+
 # ---------------------------------------------------------------------------
 # GIF (87a/89a, LZW — patent-expired, pure-python decoder)
 # ---------------------------------------------------------------------------

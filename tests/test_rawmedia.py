@@ -415,3 +415,40 @@ def test_gif_rejects_garbage():
     from agraph_ray.ops.rawmedia import decode_gif
     with pytest.raises(ValueError):
         decode_gif(b"NOTAGIF")
+
+
+def test_resize_bilinear_semantics():
+    from agraph_ray.ops.rawmedia import resize_bilinear
+    # constant image stays constant at any size
+    const = np.full((5, 3, 3), 77, dtype=np.uint8)
+    assert (resize_bilinear(const, 9, 4) == 77).all()
+    # a horizontal two-tone image halves to the midpoint at the seam
+    img = np.zeros((2, 4, 3), dtype=np.uint8)
+    img[:, 2:] = 200
+    out = resize_bilinear(img, 2, 2)
+    # pixel centers at x=0.5,2.5 of source → pure 0 and pure 200
+    assert (out[:, 0] == 0).all() and (out[:, 1] == 200).all()
+    out3 = resize_bilinear(img, 4, 1)        # same grid → identity cols
+    assert list(out3[0, :, 0]) == [0, 0, 200, 200]
+    # hand case: 1-D gradient [0, 100] upsampled to 4 → interpolated
+    g = np.array([[0, 100]], dtype=np.uint8)[:, :, None].repeat(3, 2)
+    up = resize_bilinear(g, 4, 1)[0, :, 0]
+    assert list(up) == [0, 25, 75, 100]
+    # grayscale (2-D) input round-trips shape
+    assert resize_bilinear(np.zeros((4, 4), np.uint8), 2, 2).shape == (2, 2)
+
+
+def test_resize_stage_bilinear(ray_session):
+    import ray.data as rd
+    from agraph_ray.ops.multimodal import MEDIA_SCHEMA, resize_images
+    from agraph_ray.ops.rawmedia import decode_bmp
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:, 2:] = 200
+    rows = pa.Table.from_pylist([
+        {"media_id": "b", "kind": "image", "payload": make_bmp(img),
+         "mime": "image/bmp", "width": 4, "height": 4,
+         "duration_ms": -1}], schema=MEDIA_SCHEMA)
+    out = resize_images(rd.from_arrow(rows), 2, 2, fake=False,
+                        method="bilinear").take_all()[0]
+    dec = decode_bmp(out["payload"])
+    assert (dec[:, 0] == 0).all() and (dec[:, 1] == 200).all()
