@@ -4147,7 +4147,106 @@ def oracle_py() -> dict:
     return {
         "docs_compress_ratio": _py_oracle_compress_ratio,
         "docs_pack_greedy": _py_oracle_pack_greedy,
+        "docs_minhash_pairs": _py_oracle_minhash_pairs,
+        "docs_simhash_pairs": _py_oracle_simhash_pairs,
     }
+
+
+def _py_oracle_simhash_pairs(sf_dir: str):
+    """Independent sequential simhash near-dup reimplementation:
+    per-token md5 (the spec hash) but plain-int bit voting instead of
+    the engine's vectorized bit-matrix reduction; dict banding; hamming
+    via int.bit_count. max_hamming=8 like the query."""
+    import hashlib as _hl
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    sims = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (text or "").lower().split()
+        if not toks:
+            sims[did] = 0
+            continue
+        votes = [0] * 64
+        for tok in toks:
+            h = int.from_bytes(_hl.md5(tok.encode()).digest()[:8],
+                               "little")
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sims[did] = sum(1 << b for b in range(64) if votes[b] > 0)
+    buckets: dict = {}
+    for did, h in sims.items():
+        for band in range(4):
+            buckets.setdefault((band, (h >> (16 * band)) & 0xFFFF),
+                               []).append(did)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    rows = [(x, y, (sims[x] ^ sims[y]).bit_count())
+            for x, y in sorted(pairs)]
+    rows = [(x, y, hm) for x, y, hm in rows if hm <= 8]
+    return pd.DataFrame(rows, columns=["a", "b", "hamming"]).astype(
+        {"hamming": "int32"})
+
+
+def _py_oracle_minhash_pairs(sf_dir: str):
+    """Independent sequential reimplementation of the MinHash-LSH
+    near-dup pipeline: per-document shingle/signature formulas
+    transliterated from the spec (the shared hash/permutation constants
+    ARE the spec, like the extraction regex literals), dict-of-tuples
+    banding in place of the distributed bucketed shuffle, plain
+    set-Jaccard verification, threshold 0.5, half-up 1e6 scaling."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from agraph_ray.stages.canonicalize import (_GRAM_MULT, _MERSENNE,
+                                                _hash_tokens,
+                                                _perm_constants)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    perms = _perm_constants(64)
+    a_c = perms[:, 0][:, None]
+    b_c = perms[:, 1][:, None]
+    shingles, sigs = {}, {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (text or "").lower().split()
+        if len(toks) < 3:
+            g = _hash_tokens([" ".join(toks) if toks else ""])
+        else:
+            th = _hash_tokens(toks)
+            m = len(toks) - 2
+            with np.errstate(over="ignore"):
+                g = np.zeros(m, dtype=np.uint64)
+                for k in range(3):
+                    g = g * _GRAM_MULT + th[k:k + m]
+        g = np.unique(g)
+        shingles[did] = set(g.tolist())
+        with np.errstate(over="ignore"):
+            sigs[did] = ((a_c * g[None, :] + b_c) % _MERSENNE).min(axis=1)
+    buckets: dict = {}
+    for did, sig in sigs.items():
+        for band in range(16):
+            key = (band, tuple(sig[band * 4:(band + 1) * 4].tolist()))
+            buckets.setdefault(key, []).append(did)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    rows = []
+    for x, y in sorted(pairs):
+        sa, sb = shingles[x], shingles[y]
+        j = len(sa & sb) / max(1, len(sa | sb))
+        if j >= 0.5:
+            rows.append((x, y, int(math.floor(j * 1e6 + 0.5))))
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
 
 
 def _py_oracle_compress_ratio(sf_dir: str):
