@@ -4149,7 +4149,99 @@ def oracle_py() -> dict:
         "docs_pack_greedy": _py_oracle_pack_greedy,
         "docs_minhash_pairs": _py_oracle_minhash_pairs,
         "docs_simhash_pairs": _py_oracle_simhash_pairs,
+        "docs_cdc_dedup": _py_oracle_cdc_dedup,
+        "emb_near_dup": _py_oracle_emb_near_dup,
     }
+
+
+def _py_oracle_emb_near_dup(sf_dir: str):
+    """Independent sequential hyperplane-LSH near-dup: the seeded plane
+    matrices are the spec constant; per-vector sign keys, dict buckets,
+    per-pair float64 cosine, threshold 0.35, half-up 1e6 scaling —
+    plain loops in place of the bucketed-shuffle pipeline."""
+    import hashlib as _hl
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(
+        int.from_bytes(_hl.md5(b"agraph-ray-hyperplanes").digest()[:4],
+                       "little"))
+    planes = [rng.standard_normal((12, 64)) for _ in range(4)]
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    dim = vecs.shape[1]
+    unit = vecs / np.maximum(
+        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    by_id = dict(zip(ids, range(len(ids))))
+    pairs: dict = {}
+    for tbl, P in enumerate(planes):
+        buckets: dict = {}
+        for i, vid in enumerate(ids):
+            key = 0
+            for p in range(12):
+                if float(vecs[i] @ P[p, :dim]) > 0:
+                    key |= 1 << p
+            buckets.setdefault(key, []).append(vid)
+        for members in buckets.values():
+            ms = sorted(set(members))
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    a, b = ms[x], ms[y]
+                    if (a, b) in pairs:
+                        continue
+                    cos = float(unit[by_id[a]] @ unit[by_id[b]])
+                    if cos >= 0.35:
+                        pairs[(a, b)] = cos
+    rows = [(a, b, int(math.floor(c * 1e6 + 0.5)))
+            for (a, b), c in sorted(pairs.items())]
+    return pd.DataFrame(rows, columns=["a", "b", "cosine"])
+
+
+def _py_oracle_cdc_dedup(sf_dir: str):
+    """Independent sequential CDC reimplementation: the classic
+    per-byte gear recurrence h = ((h << 1) + gear[b]) mod 2^64 — which
+    equals the engine's windowed 64-term shifted sum because shifts
+    >= 64 vanish mod 2^64 — plain-int, one byte at a time; then
+    corpus-level chunk-count aggregation in a dict. mask_bits=9 like
+    the query."""
+    import hashlib as _hl
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from agraph_ray.ops.dedup import _gear_table
+    gear = [int(v) for v in _gear_table()]
+    mask = (1 << 9) - 1
+    m64 = (1 << 64) - 1
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts: dict = {}
+    for s in t["text"].to_pylist():
+        b = (s or "").encode("utf-8")
+        if not b:
+            continue
+        h = 0
+        cuts = [0]
+        for i, byte in enumerate(b):
+            h = ((h << 1) + gear[byte]) & m64
+            if (h & mask) == 0:
+                cuts.append(i + 1)
+        if cuts[-1] != len(b):
+            cuts.append(len(b))
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            key = (_hl.md5(b[lo:hi]).hexdigest()[:16], hi - lo)
+            counts[key] = counts.get(key, 0) + 1
+    total_b = sum(size * c for (_, size), c in counts.items())
+    dist_b = sum(size for (_, size) in counts)
+    ratio = 1.0 - (dist_b / total_b if total_b else 0.0)
+    return pd.DataFrame({
+        "n_chunks": [sum(counts.values())],
+        "n_distinct": [len(counts)],
+        "total_bytes": [total_b],
+        "distinct_bytes": [dist_b],
+        "dedup_ratio_micro": [int(math.floor(ratio * 1e6 + 0.5))]})
 
 
 def _py_oracle_simhash_pairs(sf_dir: str):
