@@ -4151,7 +4151,93 @@ def oracle_py() -> dict:
         "docs_simhash_pairs": _py_oracle_simhash_pairs,
         "docs_cdc_dedup": _py_oracle_cdc_dedup,
         "emb_near_dup": _py_oracle_emb_near_dup,
+        "part_kcore": _py_oracle_part_kcore,
+        "docs_bpe_vocab": _py_oracle_bpe_vocab,
     }
+
+
+def _py_oracle_bpe_vocab(sf_dir: str):
+    """Independent sequential Sennrich BPE: plain-dict word counting
+    (single-space tokenization like the engine's combiner), then a
+    from-scratch merge loop — pair stats by nested loops, highest-count
+    / lexicographically-smallest tie-break, 60 merges."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc: dict = {}
+    for s in t["text"].to_pylist():
+        for w in (s or "").split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    vocab = {}
+    for w, c in wc.items():
+        if not w:
+            continue
+        key = tuple(list(w) + ["</w>"])
+        vocab[key] = vocab.get(key, 0) + c
+    merges = []
+    for rank in range(60):
+        stats: dict = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        best = max(stats.values())
+        pair = min(p for p, c in stats.items() if c == best)
+        merges.append((rank, pair[0], pair[1], best))
+        new_vocab: dict = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == pair):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return pd.DataFrame(merges,
+                        columns=["rank", "left", "right", "freq"])
+
+
+def _py_oracle_part_kcore(sf_dir: str):
+    """Independent sequential 80-core: co-order pair building with plain
+    dict/set loops, then textbook iterative peeling (the k-core is
+    unique, so peel order is irrelevant). Replicates the builder's
+    smallest-max_group truncation guard (no-op at these scales)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    groups: dict = {}
+    for o, p in zip(t["l_orderkey"].to_pylist(),
+                    t["l_partkey"].to_pylist()):
+        groups.setdefault(o, set()).add(p)
+    edges = set()
+    for items in groups.values():
+        ms = sorted(items)[:10_000]
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                edges.add((ms[i], ms[j]))
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    k = 80
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    rows = sorted((n, len(nb)) for n, nb in adj.items())
+    return pd.DataFrame(rows, columns=["node", "deg"])
 
 
 def _py_oracle_emb_near_dup(sf_dir: str):
