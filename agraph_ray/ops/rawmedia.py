@@ -3,10 +3,12 @@
 The sandbox has no PIL/ffmpeg/librosa, but these formats need none of
 them: WAV is RIFF-framed PCM (stdlib ``wave`` + numpy reinterpret),
 BMP is a fixed header + padded BGR rows, netpbm P5/P6 is an ASCII
-header + raw bytes, and PNG is zlib-compressed scanlines behind five
-well-specified row filters (RFC 2083) — and zlib IS stdlib. These
-decoders make the multimodal stages' ``fake=False`` path REAL for
-those formats; the patent-era codecs (jpeg/mp3/mp4) still raise
+header + raw bytes, PNG is zlib-compressed scanlines behind five
+well-specified row filters (RFC 2083) — and zlib IS stdlib — TIFF
+(uncompressed) is an IFD + strips, and GIF's LZW patents expired in
+2004 so its variable-width decoder is plain code. These decoders make
+the multimodal stages' ``fake=False`` path REAL for those formats;
+the remaining codecs (jpeg/webp/mp3/mp4) still raise
 NotImplementedError at the same boundary, naming the library to plug
 in.
 
