@@ -4153,6 +4153,7 @@ def oracle_py() -> dict:
         "emb_near_dup": _py_oracle_emb_near_dup,
         "part_kcore": _py_oracle_part_kcore,
         "docs_bpe_vocab": _py_oracle_bpe_vocab,
+        "docs_minhash_dedup": _py_oracle_minhash_dedup,
     }
 
 
@@ -4372,15 +4373,9 @@ def _py_oracle_simhash_pairs(sf_dir: str):
         {"hamming": "int32"})
 
 
-def _py_oracle_minhash_pairs(sf_dir: str):
-    """Independent sequential reimplementation of the MinHash-LSH
-    near-dup pipeline: per-document shingle/signature formulas
-    transliterated from the spec (the shared hash/permutation constants
-    ARE the spec, like the extraction regex literals), dict-of-tuples
-    banding in place of the distributed bucketed shuffle, plain
-    set-Jaccard verification, threshold 0.5, half-up 1e6 scaling."""
-    import math
-
+def _py_minhash_verified_pairs(sf_dir: str, threshold: float):
+    """Shared tail of the MinHash-LSH oracles: → ({(a, b): jaccard}
+    over verified pairs ≥ threshold, set of all doc ids)."""
     import pandas as pd
     import pyarrow.parquet as pq
     from agraph_ray.stages.canonicalize import (_GRAM_MULT, _MERSENNE,
@@ -4418,13 +4413,57 @@ def _py_oracle_minhash_pairs(sf_dir: str):
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
                 pairs.add((ms[i], ms[j]))
-    rows = []
+    verified = {}
     for x, y in sorted(pairs):
         sa, sb = shingles[x], shingles[y]
         j = len(sa & sb) / max(1, len(sa | sb))
-        if j >= 0.5:
-            rows.append((x, y, int(math.floor(j * 1e6 + 0.5))))
+        if j >= threshold:
+            verified[(x, y)] = j
+    return verified, set(shingles)
+
+
+def _py_oracle_minhash_pairs(sf_dir: str):
+    """Independent sequential reimplementation of the MinHash-LSH
+    near-dup pipeline: per-document shingle/signature formulas
+    transliterated from the spec (the shared hash/permutation constants
+    ARE the spec, like the extraction regex literals), dict-of-tuples
+    banding in place of the distributed bucketed shuffle, plain
+    set-Jaccard verification, threshold 0.5, half-up 1e6 scaling."""
+    import math
+
+    import pandas as pd
+    verified, _ = _py_minhash_verified_pairs(sf_dir, 0.5)
+    rows = [(x, y, int(math.floor(j * 1e6 + 0.5)))
+            for (x, y), j in sorted(verified.items())]
     return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+
+def _py_oracle_minhash_dedup(sf_dir: str):
+    """Independent sequential near-dup dedup: verified pairs at 0.8 →
+    plain union-find → survivors = numeric-min id per component plus
+    every unmatched document."""
+    import pandas as pd
+    verified, all_ids = _py_minhash_verified_pairs(sf_dir, 0.8)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    matched = set()
+    for a, b in verified:
+        matched.update((a, b))
+    for d in matched:
+        comps.setdefault(find(d), set()).add(d)
+    survivors = (all_ids - matched) | {min(m) for m in comps.values()}
+    return pd.DataFrame({"doc_id": sorted(survivors)})
 
 
 def _py_oracle_compress_ratio(sf_dir: str):
