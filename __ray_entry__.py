@@ -4154,7 +4154,51 @@ def oracle_py() -> dict:
         "part_kcore": _py_oracle_part_kcore,
         "docs_bpe_vocab": _py_oracle_bpe_vocab,
         "docs_minhash_dedup": _py_oracle_minhash_dedup,
+        "ann_topk_lsh": _py_oracle_ann_topk_lsh,
     }
+
+
+def _py_oracle_ann_topk_lsh(sf_dir: str):
+    """Independent sequential LSH top-k: the seeded plane matrix is the
+    spec constant; per-vector sign keys and per-query exact cosines
+    with plain loops, round-6 + (-sim, vec_id) ordering, top 10."""
+    import hashlib as _hl
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(
+        int.from_bytes(_hl.md5(b"agraph-ray-hyperplanes").digest()[:4],
+                       "little"))
+    qvecs, qids = _load_queries(sf_dir)
+    q = np.asarray(qvecs, dtype=np.float64)
+    dim = q.shape[1]
+    planes = rng.standard_normal((8, dim))
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+
+    def key_of(v):
+        k = 0
+        for p in range(8):
+            if float(v @ planes[p]) > 0:
+                k |= 1 << p
+        return k
+
+    vkeys = [key_of(v) for v in vecs]
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    rows = []
+    for qi, qid in enumerate(qids):
+        qk = key_of(q[qi])
+        qv = q[qi] / max(np.linalg.norm(q[qi]), 1e-12)
+        cands = [(float(np.round((vecs[i] / norms[i]) @ qv, 6)), ids[i])
+                 for i in range(len(ids)) if vkeys[i] == qk]
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (sim, vid) in enumerate(cands[:10], start=1):
+            rows.append((qid, vid, sim, rank))
+    return pd.DataFrame(rows,
+                        columns=["query_id", "vec_id", "sim", "rank"])
 
 
 def _py_oracle_bpe_vocab(sf_dir: str):
