@@ -4155,7 +4155,41 @@ def oracle_py() -> dict:
         "docs_bpe_vocab": _py_oracle_bpe_vocab,
         "docs_minhash_dedup": _py_oracle_minhash_dedup,
         "ann_topk_lsh": _py_oracle_ann_topk_lsh,
+        "ann_recall_lsh": _py_oracle_ann_recall_lsh,
     }
+
+
+def _py_oracle_ann_recall_lsh(sf_dir: str):
+    """Independent sequential recall@10: brute-force exact top-10 per
+    query vs the LSH oracle's top-10 — set intersection, half-up 1e6
+    scaling."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    qvecs, qids = _load_queries(sf_dir)
+    q = np.asarray(qvecs, dtype=np.float64)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    lsh = _py_oracle_ann_topk_lsh(sf_dir)
+    rows = []
+    for qi, qid in enumerate(qids):
+        qv = q[qi] / max(np.linalg.norm(q[qi]), 1e-12)
+        sims = [(float((vecs[i] / norms[i]) @ qv), ids[i])
+                for i in range(len(ids))]
+        sims.sort(key=lambda x: (-x[0], x[1]))
+        exact = {vid for _, vid in sims[:10]}
+        approx = set(lsh.loc[lsh["query_id"] == qid, "vec_id"])
+        hit = len(exact & approx)
+        rec = hit / len(exact) if exact else 0.0
+        rows.append((qid, len(exact), hit,
+                     int(math.floor(rec * 1e6 + 0.5))))
+    return pd.DataFrame(rows, columns=["query_id", "n_exact", "n_hit",
+                                       "recall_scaled"])
 
 
 def _py_oracle_ann_topk_lsh(sf_dir: str):
