@@ -4156,7 +4156,37 @@ def oracle_py() -> dict:
         "docs_minhash_dedup": _py_oracle_minhash_dedup,
         "ann_topk_lsh": _py_oracle_ann_topk_lsh,
         "ann_recall_lsh": _py_oracle_ann_recall_lsh,
+        "docs_neardedup_incremental": _py_oracle_neardedup_incremental,
     }
+
+
+def _py_oracle_neardedup_incremental(sf_dir: str):
+    """Independent sequential incremental near-dedup: new = doc_id
+    divisible by 5, old = the rest; cross-side-only candidates within
+    equal (band, signature-tuple) buckets; Jaccard ≥ 0.7 confirms a
+    kill; survivors of new returned."""
+    import pandas as pd
+    shingles, sigs = _py_minhash_sigs(sf_dir)
+    new = {d for d in sigs if d % 5 == 0}
+    buckets: dict = {}
+    for did, sig in sigs.items():
+        for band in range(16):
+            key = (band, tuple(sig[band * 4:(band + 1) * 4].tolist()))
+            buckets.setdefault(key, []).append(did)
+    killed = set()
+    for members in buckets.values():
+        ms = set(members)
+        ns = sorted(m for m in ms if m in new)
+        os_ = sorted(m for m in ms if m not in new)
+        for a in ns:
+            if a in killed:
+                continue
+            for b in os_:
+                sa, sb = shingles[a], shingles[b]
+                if len(sa & sb) / max(1, len(sa | sb)) >= 0.7:
+                    killed.add(a)
+                    break
+    return pd.DataFrame({"doc_id": sorted(new - killed)})
 
 
 def _py_oracle_ann_recall_lsh(sf_dir: str):
@@ -4451,10 +4481,9 @@ def _py_oracle_simhash_pairs(sf_dir: str):
         {"hamming": "int32"})
 
 
-def _py_minhash_verified_pairs(sf_dir: str, threshold: float):
-    """Shared tail of the MinHash-LSH oracles: → ({(a, b): jaccard}
-    over verified pairs ≥ threshold, set of all doc ids)."""
-    import pandas as pd
+def _py_minhash_sigs(sf_dir: str):
+    """Sequential per-doc shingle sets + 64-perm minhash signatures
+    (formulas transliterated from the spec constants)."""
     import pyarrow.parquet as pq
     from agraph_ray.stages.canonicalize import (_GRAM_MULT, _MERSENNE,
                                                 _hash_tokens,
@@ -4480,6 +4509,13 @@ def _py_minhash_verified_pairs(sf_dir: str, threshold: float):
         shingles[did] = set(g.tolist())
         with np.errstate(over="ignore"):
             sigs[did] = ((a_c * g[None, :] + b_c) % _MERSENNE).min(axis=1)
+    return shingles, sigs
+
+
+def _py_minhash_verified_pairs(sf_dir: str, threshold: float):
+    """Shared tail of the MinHash-LSH oracles: → ({(a, b): jaccard}
+    over verified pairs ≥ threshold, set of all doc ids)."""
+    shingles, sigs = _py_minhash_sigs(sf_dir)
     buckets: dict = {}
     for did, sig in sigs.items():
         for band in range(16):
