@@ -4157,7 +4157,37 @@ def oracle_py() -> dict:
         "ann_topk_lsh": _py_oracle_ann_topk_lsh,
         "ann_recall_lsh": _py_oracle_ann_recall_lsh,
         "docs_neardedup_incremental": _py_oracle_neardedup_incremental,
+        "part_communities": _py_oracle_part_communities,
     }
+
+
+def _py_oracle_part_communities(sf_dir: str):
+    """Independent sequential synchronous LPA: plain-dict vote counting
+    with the engine's two deterministic pins (self-vote, min-label
+    tie-break), 10 rounds with early exit, then community id = min node
+    carrying each final label — all integer arithmetic, no float
+    order dependence."""
+    import pandas as pd
+    adj = _py_coorder_adj(sf_dir)
+    nodes = sorted(adj)
+    lab = {n: n for n in nodes}
+    for _ in range(10):
+        new = {}
+        for n in nodes:
+            votes: dict = {lab[n]: 1}           # self-vote
+            for m in adj[n]:
+                votes[lab[m]] = votes.get(lab[m], 0) + 1
+            best = max(votes.values())
+            new[n] = min(l for l, c in votes.items() if c == best)
+        if new == lab:
+            break
+        lab = new
+    rep: dict = {}
+    for n in nodes:
+        rep[lab[n]] = min(rep.get(lab[n], n), n)
+    return pd.DataFrame(
+        sorted((n, rep[lab[n]]) for n in nodes),
+        columns=["node", "community"])
 
 
 def _py_oracle_neardedup_incremental(sf_dir: str):
@@ -4314,12 +4344,9 @@ def _py_oracle_bpe_vocab(sf_dir: str):
                         columns=["rank", "left", "right", "freq"])
 
 
-def _py_oracle_part_kcore(sf_dir: str):
-    """Independent sequential 80-core: co-order pair building with plain
-    dict/set loops, then textbook iterative peeling (the k-core is
-    unique, so peel order is irrelevant). Replicates the builder's
-    smallest-max_group truncation guard (no-op at these scales)."""
-    import pandas as pd
+def _py_coorder_adj(sf_dir: str) -> dict:
+    """Sequential co-order part adjacency (distinct undirected pairs,
+    the builder's smallest-max_group truncation replicated)."""
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/lineitem.parquet",
                       columns=["l_orderkey", "l_partkey"])
@@ -4327,16 +4354,22 @@ def _py_oracle_part_kcore(sf_dir: str):
     for o, p in zip(t["l_orderkey"].to_pylist(),
                     t["l_partkey"].to_pylist()):
         groups.setdefault(o, set()).add(p)
-    edges = set()
+    adj: dict = {}
     for items in groups.values():
         ms = sorted(items)[:10_000]
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
-                edges.add((ms[i], ms[j]))
-    adj: dict = {}
-    for a, b in edges:
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
+                adj.setdefault(ms[i], set()).add(ms[j])
+                adj.setdefault(ms[j], set()).add(ms[i])
+    return adj
+
+
+def _py_oracle_part_kcore(sf_dir: str):
+    """Independent sequential 80-core: co-order pair building with plain
+    dict/set loops, then textbook iterative peeling (the k-core is
+    unique, so peel order is irrelevant)."""
+    import pandas as pd
+    adj = _py_coorder_adj(sf_dir)
     k = 80
     changed = True
     while changed:
