@@ -4158,7 +4158,47 @@ def oracle_py() -> dict:
         "ann_recall_lsh": _py_oracle_ann_recall_lsh,
         "docs_neardedup_incremental": _py_oracle_neardedup_incremental,
         "part_communities": _py_oracle_part_communities,
+        "docs_bpe_encode": _py_oracle_bpe_encode,
     }
+
+
+def _py_oracle_bpe_encode(sf_dir: str):
+    """Independent sequential BPE encoding: merges from the (already
+    harness-checked) sequential trainer, then the classic lowest-rank /
+    leftmost-position merge loop per word — (doc_id, n_words,
+    n_tokens)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    merges = _py_oracle_bpe_vocab(sf_dir)
+    ranks = {(l, r): i for i, (l, r) in
+             enumerate(zip(merges["left"], merges["right"]))}
+    cache: dict = {}
+
+    def encode(w: str) -> int:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        syms = list(w) + ["</w>"]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best[0]):
+                    best = (r, i)
+            if best is None:
+                break
+            i = best[1]
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        cache[w] = len(syms)
+        return len(syms)
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        words = (s or "").split(" ")
+        rows.append((did, len(words), sum(encode(w) for w in words)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_tokens"])
 
 
 def _py_oracle_part_communities(sf_dir: str):
